@@ -1,0 +1,370 @@
+"""Alignment engine: score profiles, banded affine-gap Smith-Waterman
+with traceback, score-only variants, and the recursive multi-alignment
+driver.
+
+Replicates:
+  setScoreMatrix            score.c:138-173   (N scores 0, X scores xmatch)
+  scoreMakeProfileFromSequence score.c:~380   (per-read profile)
+  scoreMatrixCalcLambda     score.c:253-277   (complexity lambda)
+  alignSmiWatBand           alignment.c:788   (banded DP, direction bits)
+  alignSmiWatBandFast       alignment.c:1029  (score only)
+  makeMetaFromTrack         alignment.c:628   (traceback -> diff string)
+  scaleALICPLX              alignment.c:268   (complexity-weighted score)
+  alignSmiWatBandRecursive  alignment.c:1300  (secondary alignments)
+  swSIMDAlignStriped maths  swsimd.c:443-660  (full-matrix score pass)
+
+Penalties follow the reference sign conventions: the profile stores
+signed scores, the DP uses positive gap penalties (score.c:680-681).
+The reference recurrence refreshes gap-open states and the running
+maximum only on diagonal moves with H > gap_init — kept verbatim.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..seq import codec
+from .band import AliBand, BandError
+from . import diffstr as ds
+from ..native import get_lib
+
+ALILEN_MIN = 5  # alignment.c:50
+
+# default penalties (score.c:41-47 / menu.c:399-406)
+DEFAULT_MATCH = 1
+DEFAULT_MISMATCH = -2
+DEFAULT_GAPOPEN = -4
+DEFAULT_GAPEXT = -3
+
+_MAXNUM_3BIT = 7
+_MINALPHABET = 4
+_ALPHABET = "ACGTXN"
+
+
+def make_score_matrix(match=DEFAULT_MATCH, mismatch=DEFAULT_MISMATCH,
+                      gapopen=DEFAULT_GAPOPEN, gapext=DEFAULT_GAPEXT):
+    """ScoreMatrix over the 3-bit alphabet (setScoreMatrix, score.c:138)."""
+    xmatch = mismatch - match
+    m = np.zeros((_MAXNUM_3BIT + 1, _MAXNUM_3BIT + 1), dtype=np.int32)
+    for i in range(_MAXNUM_3BIT + 1):
+        for j in range(_MAXNUM_3BIT + 1):
+            if i >= len(_ALPHABET) or j >= len(_ALPHABET) or \
+               _ALPHABET[i] == "N" or _ALPHABET[j] == "N":
+                m[i, j] = 0
+            elif _ALPHABET[i] == "X" or _ALPHABET[j] == "X":
+                m[i, j] = xmatch
+            elif i == j:
+                m[i, j] = match
+            else:
+                m[i, j] = mismatch
+    return m, gapopen, gapext
+
+
+def matrix_lambda(m: np.ndarray) -> float:
+    """scoreMatrixCalcLambda (score.c:253): solve
+    (1/16) sum_{a,b<4} exp(lambda*s_ab) = 1 by the reference's bisection."""
+    def getsum(lam):
+        return float(np.exp(lam * m[:4, :4].astype(np.float64)).sum()) * 0.0625
+
+    lam_lo = 0.0
+    lam = 0.5
+    while getsum(lam) < 1.0:
+        lam_lo = lam
+        lam *= 2.0
+    lam_hi = lam
+    while lam_hi - lam_lo > 1e-5:
+        lam = (lam_lo + lam_hi) / 2.0
+        if getsum(lam) >= 1.0:
+            lam_hi = lam
+        else:
+            lam_lo = lam
+    return lam
+
+
+def avg_penalties(m: np.ndarray) -> Tuple[int, int]:
+    """scoreMatrixGetAvgSubstScores (C truncating division)."""
+    diag = [int(m[i, i]) for i in range(_MINALPHABET) if m[i, i] != 0]
+    off = [int(m[i, j]) for i in range(_MINALPHABET) for j in range(_MINALPHABET)
+           if i != j and m[i, j] != 0]
+    match = int(sum(diag) / len(diag))
+    mism = int(sum(off) / len(off))  # truncation toward zero as in C
+    return match, mism
+
+
+@dataclass
+class ScoreProfile:
+    """Per-read score profile: W[a, j] = matrix[a][alpha(query[j])]."""
+    qcodes: np.ndarray       # mangled codes of the (possibly RC'd) read
+    W: np.ndarray            # int32 [8, qlen] C-contiguous
+    gap_init_pos: int        # positive penalties for the DP
+    gap_ext_pos: int
+    match_avg: int           # signed averages (scoreProfileGetAvgPenalties)
+    mismatch_avg: int
+    gap_init: int            # signed
+    gap_ext: int
+    lam: float               # complexity lambda
+
+    @property
+    def qlen(self) -> int:
+        return self.W.shape[1]
+
+    @classmethod
+    def from_read(cls, qcodes: np.ndarray, matrix, gapopen: int, gapext: int,
+                  lam: float) -> "ScoreProfile":
+        qa = codec.alpha(qcodes)
+        W = np.ascontiguousarray(matrix[:, qa], dtype=np.int32)
+        match_avg, mismatch_avg = avg_penalties(matrix)
+        return cls(qcodes=qcodes, W=W,
+                   gap_init_pos=-gapopen, gap_ext_pos=-gapext,
+                   match_avg=match_avg, mismatch_avg=mismatch_avg,
+                   gap_init=gapopen, gap_ext=gapext, lam=lam)
+
+
+@dataclass
+class AliResult:
+    """One alignment from the recursive driver (ALIRESULT)."""
+    score: int
+    qs: int    # profiled (query) start, 0-based
+    qe: int
+    rs: int    # unprofiled (subject) start, 0-based
+    re: int
+    diff: List[int]  # forward diff string incl. terminator
+
+
+# ------------------------------------------------------------------
+# DP kernels (C extension with exact reference recurrence)
+# ------------------------------------------------------------------
+
+def _ctypes_ptrs(prof: ScoreProfile, subj_alpha: np.ndarray):
+    import ctypes
+    Wp = prof.W.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    sp = subj_alpha.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    return Wp, sp
+
+
+def align_band_fast(prof: ScoreProfile, subj_codes: np.ndarray,
+                    l_edge: int, r_edge: int,
+                    q_left: int, q_right: int,
+                    s_left: int, s_right: int) -> int:
+    """aliSmiWatInBandFast (alignment.c:1603): banded score-only pass."""
+    slen = len(subj_codes)
+    try:
+        band = AliBand.make(l_edge, r_edge, q_left, q_right, prof.qlen,
+                            s_left, s_right, slen)
+    except BandError:
+        return 0
+    lib = get_lib()
+    subj_alpha = np.ascontiguousarray(codec.alpha(subj_codes), dtype=np.uint8)
+    H = np.zeros(prof.qlen + 1, dtype=np.int32)
+    E = np.zeros(prof.qlen + 1, dtype=np.int32)
+    import ctypes
+    Wp, sp = _ctypes_ptrs(prof, subj_alpha)
+    return lib.sw_band_fast(Wp, prof.qlen, sp,
+                            band.l_edge, band.r_edge, band.q_left, band.q_len,
+                            band.s_left, band.s_len,
+                            prof.gap_init_pos, prof.gap_ext_pos,
+                            H.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                            E.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+
+
+def sw_full_score(prof: ScoreProfile, subj_codes: np.ndarray) -> int:
+    """Full-matrix local SW score (the reference's SIMD pass-1 kernel)."""
+    lib = get_lib()
+    subj_alpha = np.ascontiguousarray(codec.alpha(subj_codes), dtype=np.uint8)
+    H = np.zeros(prof.qlen + 1, dtype=np.int32)
+    E = np.zeros(prof.qlen + 1, dtype=np.int32)
+    import ctypes
+    Wp, sp = _ctypes_ptrs(prof, subj_alpha)
+    return lib.sw_full(Wp, prof.qlen, sp, len(subj_alpha),
+                       prof.gap_init_pos, prof.gap_ext_pos,
+                       H.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                       E.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+
+
+def _align_band_track(prof: ScoreProfile, subj_alpha: np.ndarray,
+                      band: AliBand):
+    """alignSmiWatBand: returns (max_scor, max_i, max_j, dir)."""
+    lib = get_lib()
+    import ctypes
+    nrows = band.s_len - band.s_left
+    dirm = np.zeros(max(band.band_width * nrows, 1), dtype=np.uint8)
+    H = np.zeros(prof.qlen + 1, dtype=np.int32)
+    E = np.zeros(prof.qlen + 1, dtype=np.int32)
+    mi = ctypes.c_int(0)
+    mj = ctypes.c_int(0)
+    Wp, sp = _ctypes_ptrs(prof, subj_alpha)
+    sc = lib.sw_band_track(Wp, prof.qlen, sp,
+                           band.l_edge, band.r_edge, band.q_left, band.q_len,
+                           band.s_left, band.s_len,
+                           prof.gap_init_pos, prof.gap_ext_pos,
+                           band.band_width,
+                           dirm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                           ctypes.byref(mi), ctypes.byref(mj),
+                           H.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                           E.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return sc, mi.value, mj.value, dirm
+
+
+class CplxCounter:
+    """ALICPLX (alignment.c:81-305): letter counts over matched/mismatched
+    subject positions, used to complexity-weight the SW score."""
+
+    def __init__(self, lam: float, n_types: int = 8):
+        self.lam = lam
+        self.n_types = n_types
+
+    def scale(self, counts: np.ndarray, orig_score: int) -> Tuple[int, bool]:
+        t_factor = 0.0
+        t_sum = 0.0
+        t_counts = 0
+        for c in counts:
+            c = int(c)
+            if c:
+                t_factor += c * math.log(c)
+                t_sum += c * (-1.386294)  # LN0P25, alignment.c:71
+                t_counts += c
+        if t_counts == 0:
+            return orig_score, False
+        t_factor -= t_counts * math.log(t_counts)
+        t_sum -= t_factor
+        adj = int(orig_score + t_sum / self.lam + 0.999)
+        if adj > orig_score:
+            return adj, True  # ERRCODE_CPLXSCOR path
+        if adj < 0:
+            adj = 0
+        return adj, False
+
+
+def _make_meta_from_track(prof: ScoreProfile, subj_alpha: np.ndarray,
+                          band: AliBand, max_i: int, max_j: int,
+                          max_scor: int, dirm: np.ndarray,
+                          cplx: Optional[CplxCounter]):
+    """makeMetaFromTrack (alignment.c:628-784).  Returns
+    (score, prof_start, prof_end, nonprof_start, nonprof_end, back_diff)
+    or raises ValueError on checksum mismatch."""
+    W = prof.W
+    gi, ge = prof.gap_init_pos, prof.gap_ext_pos
+    bw = band.band_width
+    back: List[int] = []
+    nmatch = 0
+    counts = np.zeros(8, dtype=np.int64)
+
+    i = max_i
+    j = max_j
+    dpos = (max_i - band.s_left) * (bw - 1) + max_j - band.l_edge
+    checksum = 0
+    is_gap_open = False
+    while i >= band.s_left and j >= band.q_left and dirm[dpos]:
+        d = dirm[dpos]
+        if d == 3:  # DIA
+            s = int(W[subj_alpha[i], j])
+            if s > 0:
+                if nmatch > ds.MAXMISMATCH:
+                    back.append(ds.setdiff(ds.MAXMISMATCH, ds.DIFFCOD_M))
+                    nmatch -= ds.MAXMISMATCH
+                else:
+                    nmatch += 1
+            else:
+                back.append(ds.setdiff(nmatch, ds.DIFFCOD_S))
+                nmatch = 0
+            checksum += s
+            if cplx is not None:
+                counts[subj_alpha[i]] += 1
+            is_gap_open = False
+            dpos -= bw
+            i -= 1
+            j -= 1
+            continue
+        if is_gap_open:
+            checksum -= ge
+        else:
+            checksum -= gi
+            is_gap_open = True
+        if d & 1:  # COL: gap in profiled sequence (deletion)
+            back.append(ds.setdiff(nmatch, ds.DIFFCOD_D))
+            nmatch = 0
+            dpos -= bw - 1
+            i -= 1
+            continue
+        if not (d & 2):
+            raise ValueError("bad traceback code")
+        back.append(ds.setdiff(nmatch, ds.DIFFCOD_I))
+        nmatch = 0
+        dpos -= 1
+        j -= 1
+
+    back.append(ds.setdiff(nmatch, ds.DIFFCOD_S))
+    back.append(ds.setdiff(0, ds.DIFFCOD_M))
+
+    nonprof_start = i + 1
+    nonprof_end = max_i
+    prof_start = j + 1
+    prof_end = max_j
+
+    if checksum != max_scor:
+        raise ValueError(f"traceback checksum {checksum} != {max_scor}")
+    score = checksum
+    cplx_exceeded = False
+    if cplx is not None:
+        score, cplx_exceeded = cplx.scale(counts, max_scor)
+    return score, prof_start, prof_end, nonprof_start, nonprof_end, back, cplx_exceeded
+
+
+def align_band_recursive(prof: ScoreProfile, subj_codes: np.ndarray,
+                         l_edge: int, r_edge: int,
+                         q_left: int, q_right: int,
+                         s_left: int, s_right: int,
+                         minscore: int, minscorlen: int,
+                         use_cplx: bool = False) -> List[AliResult]:
+    """aliSmiWatInBand -> alignSmiWatBandRecursive (alignment.c:1300,1548)."""
+    matchscor = prof.match_avg
+    if minscore < 1 or matchscor <= 0:
+        raise ValueError("bad minscore")
+    if minscorlen * matchscor < minscore:
+        minscorlen = minscore // matchscor
+    if minscorlen < ALILEN_MIN:
+        raise ValueError("minscorlen too small")
+    subj_alpha = np.ascontiguousarray(codec.alpha(subj_codes), dtype=np.uint8)
+    slen = len(subj_alpha)
+    cplx = CplxCounter(prof.lam) if use_cplx else None
+    out: List[AliResult] = []
+    _recurse(prof, subj_alpha, prof.qlen, slen, l_edge, r_edge,
+             q_left, q_right, s_left, s_right, minscore, minscorlen,
+             cplx, out)
+    return out
+
+
+def _recurse(prof, subj_alpha, q_len, s_len, l_edge, r_edge,
+             q_left, q_right, s_left, s_right, minscore, minscorlen,
+             cplx, out: List[AliResult]):
+    if minscorlen < 2:
+        raise ValueError("minscorlen < 2")
+    try:
+        band = AliBand.make(l_edge, r_edge, q_left, q_right, q_len,
+                            s_left, s_right, s_len)
+    except BandError:
+        return
+    max_scor, max_i, max_j, dirm = _align_band_track(prof, subj_alpha, band)
+    if max_scor < minscore:
+        return
+    (score, prof_start, prof_end, nonprof_start, nonprof_end,
+     back, _) = _make_meta_from_track(prof, subj_alpha, band, max_i, max_j,
+                                      max_scor, dirm, cplx)
+    if prof_start + minscorlen > prof_end + 1:
+        return
+    s_start, s_end = nonprof_start, nonprof_end
+    if score >= minscore:
+        fwd = ds.diffstr_reverse(back)
+        out.append(AliResult(score=score, qs=prof_start, qe=prof_end,
+                             rs=nonprof_start, re=nonprof_end, diff=fwd))
+    if s_left + minscorlen < s_start:
+        _recurse(prof, subj_alpha, q_len, s_len, l_edge, r_edge,
+                 q_left, q_right, s_left, s_start - 1, minscore, minscorlen,
+                 cplx, out)
+    if s_right > s_end + minscorlen:
+        _recurse(prof, subj_alpha, q_len, s_len, l_edge, r_edge,
+                 q_left, q_right, s_end + 1, s_right, minscore, minscorlen,
+                 cplx, out)

@@ -1,0 +1,294 @@
+"""Command-line interface mirroring the reference `smalt` surface
+(menu.c): subprograms index / map / sample / check / version / help.
+
+    smalt_tpu index [-k wordlen] [-s stepsiz] <index_name> <ref.fa>
+    smalt_tpu map   [options] <index_name> <reads> [<mates>] > out.sam
+    smalt_tpu sample [options] <index_name> <reads1> <reads2>
+    smalt_tpu check <reads> [<mates>]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+from . import __version__, rand
+from .seq.io import FastqReader, PairedReader, Read
+from .seq.refset import RefSet
+from .index.table import KmerIndex, build_index
+from .map.engine import MapEngine, MapParams, RMAPFLG_CMPLXW, RMAPFLG_SPLIT, \
+    RMAPFLG_NOSHRTINFO, RMAPFLG_SENSITIVE, RMAPFLG_BEST, RMAPFLG_ALLPAIR
+from .results import pairs as pairs_mod
+from .results.insert import InsHist, InsSample
+from .results.result import MAPSCOR_THRESH_CONFIDENT
+from .report.report import Report, ReportWriter
+from .results.pairs import add_pair_to_report, add_single_to_report
+
+SMALT_VERSION = "0.7.6"  # behavioural parity target
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        _usage()
+        return 1
+    sub = argv[0]
+    if sub == "index":
+        return cmd_index(argv[1:])
+    if sub == "map":
+        return cmd_map(argv[1:])
+    if sub == "sample":
+        return cmd_sample(argv[1:])
+    if sub == "check":
+        return cmd_check(argv[1:])
+    if sub == "version":
+        print(f"smalt_tpu {__version__} (behavioural parity with SMALT {SMALT_VERSION})")
+        return 0
+    _usage()
+    return 1
+
+
+def _usage():
+    print(__doc__, file=sys.stderr)
+
+
+def cmd_index(argv: List[str]) -> int:
+    ap = argparse.ArgumentParser(prog="smalt_tpu index")
+    ap.add_argument("-k", type=int, default=13, dest="wordlen")
+    ap.add_argument("-s", type=int, default=None, dest="skipstep")
+    ap.add_argument("index_name")
+    ap.add_argument("reference")
+    a = ap.parse_args(argv)
+    nskip = a.skipstep if a.skipstep is not None else a.wordlen  # menu.c:1175
+    print("# Reading sequences ...", file=sys.stderr)
+    refset = RefSet.from_fasta(a.reference)
+    print("# Writing sequence set ...", file=sys.stderr)
+    refset.save(a.index_name)
+    print(f"# word length = {a.wordlen} bases, skip step = {nskip} bases ...",
+          file=sys.stderr)
+    idx = build_index(refset, a.wordlen, nskip)
+    idx.print_stats(sys.stderr)
+    idx.save(a.index_name)
+    return 0
+
+
+def _map_argparser(prog):
+    ap = argparse.ArgumentParser(prog=prog)
+    ap.add_argument("-a", action="store_true", dest="aliout")
+    ap.add_argument("-c", type=float, default=None, dest="mincover")
+    ap.add_argument("-d", type=int, default=None, dest="scorediff")
+    ap.add_argument("-f", default="sam", dest="oformat")
+    ap.add_argument("-g", default=None, dest="insfil")
+    ap.add_argument("-i", type=int, default=500, dest="insertmax")
+    ap.add_argument("-j", type=int, default=0, dest="insertmin")
+    ap.add_argument("-l", default=None, dest="pairtyp",
+                    choices=["pe", "mp", "pp"])
+    ap.add_argument("-m", type=int, default=None, dest="minscor")
+    ap.add_argument("-n", type=int, default=1, dest="nthreads")
+    ap.add_argument("-o", default=None, dest="oufilnam")
+    ap.add_argument("-O", action="store_true", dest="inorder")
+    ap.add_argument("-p", action="store_true", dest="splitread")
+    ap.add_argument("-q", type=int, default=0, dest="minbasq")
+    ap.add_argument("-r", type=int, default=None, dest="randseed")
+    ap.add_argument("-S", default=None, dest="scorspec")
+    ap.add_argument("-T", default=None, dest="tmpdir")
+    ap.add_argument("-w", action="store_true", dest="complexw")
+    ap.add_argument("-x", action="store_true", dest="exhaustive")
+    ap.add_argument("-y", type=float, default=None, dest="minid")
+    ap.add_argument("index_name")
+    ap.add_argument("reads")
+    ap.add_argument("mates", nargs="?", default=None)
+    return ap
+
+
+def _parse_penalties(spec: Optional[str]):
+    pen = {"match": 1, "subst": -2, "gapopen": -4, "gapext": -3}
+    if spec:
+        for part in spec.split(","):
+            k, v = part.split("=")
+            pen[k.strip()] = int(v)
+    return pen["match"], pen["subst"], pen["gapopen"], pen["gapext"]
+
+
+def _build_engine(a, argv_full):
+    refset = RefSet.load(a.index_name)
+    idx = KmerIndex.load(a.index_name)
+    params = MapParams()
+    params.insert_min = a.insertmin
+    params.insert_max = a.insertmax
+    params.min_basq = a.minbasq
+    if a.mincover is not None:
+        params.min_cover_frac = a.mincover
+    if a.minscor is not None:
+        params.min_swatscor = a.minscor
+    rsltouflg = 0
+    rmapflg = 0
+    scorediff = a.scorediff if a.scorediff is not None else 0
+    params.min_swatscor_below_max = scorediff
+    randsel = a.randseed is None or a.randseed >= 0
+    relscor = a.scorediff is not None
+    if not scorediff:
+        rsltouflg |= pairs_mod.RESULTFLG_BEST
+        rmapflg |= RMAPFLG_BEST
+        if not relscor:
+            rsltouflg |= pairs_mod.RESULTFLG_SINGLE
+            if randsel:
+                rsltouflg |= pairs_mod.RESULTFLG_RANDSEL
+                rand.ranseed(a.randseed if a.randseed is not None else 0)
+    if a.splitread:
+        rmapflg |= RMAPFLG_SPLIT | RMAPFLG_NOSHRTINFO | RMAPFLG_SENSITIVE
+        rsltouflg |= pairs_mod.RESULTFLG_SPLIT
+    if a.complexw:
+        rmapflg |= RMAPFLG_CMPLXW
+    if a.exhaustive:
+        rmapflg |= RMAPFLG_NOSHRTINFO | RMAPFLG_SENSITIVE | RMAPFLG_ALLPAIR
+    params.rmapflg = rmapflg
+    params.rsltouflg = rsltouflg
+    params.use_cplx = a.complexw
+    if a.pairtyp == "pe" or a.pairtyp is None:
+        params.pairtyp = pairs_mod.LIB_PAIREDEND
+    elif a.pairtyp == "mp":
+        params.pairtyp = pairs_mod.LIB_MATEPAIR
+    elif a.pairtyp == "pp":
+        params.pairtyp = pairs_mod.LIB_SAMESTRAND
+    if a.exhaustive:
+        params.pairtyp = params.pairtyp  # exhaustive keeps library type
+    engine = MapEngine(refset, idx, params,
+                       penalties=_parse_penalties(a.scorspec))
+    return engine, refset, idx
+
+
+def _open_out(a):
+    return open(a.oufilnam, "w") if a.oufilnam else sys.stdout
+
+
+def _writer(a, refset, argv, out):
+    fmt = a.oformat.split(":")[0]
+    mods = a.oformat.split(":")[1].split(",") if ":" in a.oformat else []
+    soft = "clip" not in mods
+    x_mismatch = "x" in mods
+    header = "nohead" not in mods
+    return ReportWriter(out, refset, fmt=fmt, soft_clip=soft,
+                        x_mismatch=x_mismatch, header=header,
+                        prog_args=["smalt_tpu", "map"] + argv,
+                        version=SMALT_VERSION)
+
+
+def cmd_map(argv: List[str]) -> int:
+    a = _map_argparser("smalt_tpu map").parse_args(argv)
+    engine, refset, idx = _build_engine(a, argv)
+    out = _open_out(a)
+    writer = _writer(a, refset, argv, out)
+    ihist = InsHist.read(a.insfil) if a.insfil else None
+    if ihist is not None:
+        engine.params.insert_min = min(engine.params.insert_min, ihist.insizlo)
+        engine.params.insert_max = max(engine.params.insert_max, ihist.insizhi)
+    if a.mates:
+        for read, mate in PairedReader(a.reads, a.mates):
+            rep = Report()
+            rsr, rsm, rpairs, pairflg = engine.rmap_pair(read, mate)
+            add_pair_to_report(rep, ihist, rpairs, pairflg,
+                               engine.params.rsltouflg, rsr, rsm)
+            if a.scorediff is not None and a.oformat.startswith(("sam", "bam")):
+                rep.fix_multiple_primary()
+            writer.write(rep, read, mate)
+    else:
+        for read in FastqReader(a.reads):
+            rep = Report()
+            rs = engine.rmap_single(read)
+            add_single_to_report(rep, engine.params.rsltouflg, rs)
+            if a.scorediff is not None and a.oformat.startswith(("sam", "bam")):
+                rep.fix_multiple_primary()
+            writer.write(rep, read, None)
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
+def cmd_sample(argv: List[str]) -> int:
+    """smalt sample (smalt.c:1253-1310): exhaustive-mode mapping of every
+    readival-th pair (readival = nreads/4098 clamped by readskip,
+    insert.c:192-205); SAM mappings of the sampled pairs stream to the
+    output (headerless), followed by ASCII histograms and the text
+    histogram that `map -g` reads back."""
+    ap = _map_argparser("smalt_tpu sample")
+    ap.add_argument("-u", type=int, default=100, dest="readskip")
+    a = ap.parse_args(argv)
+    if not a.mates:
+        print("sample requires paired reads", file=sys.stderr)
+        return 1
+    engine, refset, idx = _build_engine(a, argv)
+    # checkSampleDefaults (menu.c:1231-1244): exhaustive mode
+    engine.params.rmapflg |= (RMAPFLG_NOSHRTINFO | RMAPFLG_SENSITIVE |
+                              RMAPFLG_ALLPAIR)
+    nreads = sum(1 for _ in PairedReader(a.reads, a.mates))
+    samp = InsSample()
+    samp.set_read_interval(nreads, a.readskip)
+    out = _open_out(a)
+    writer = ReportWriter(out, refset, fmt="sam", soft_clip=True,
+                          header=False)
+    readno = 0
+    for read, mate in PairedReader(a.reads, a.mates):
+        if readno % samp.readival == 0:
+            rep = Report()
+            rsr, rsm, rpairs, pairflg = engine.rmap_pair(read, mate)
+            add_pair_to_report(rep, None, rpairs, pairflg,
+                               engine.params.rsltouflg, rsr, rsm)
+            writer.write(rep, read, mate)
+            isiz = _infer_insert(rsr, rsm)
+            if isiz is not None:
+                samp.add(isiz)
+        readno += 1
+    h = InsHist.from_sample(samp)
+    if h is not None:
+        out.write("# Sampled histogram\n")
+        h.print_ascii(out, 80, is_smooth=False)
+        out.write("# Smoothed histogram\n")
+        h.print_ascii(out, 80, is_smooth=True)
+        h.write(out, is_smooth=False)
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
+def _infer_insert(rsr, rsm) -> Optional[int]:
+    """resultSetInferInsertSize (results.c:2462-2489)."""
+    if not rsr.sortr or not rsm.sortr:
+        return None
+    rp = rsr.sortr[0]
+    mp = rsm.sortr[0]
+    if rp.mapscor >= MAPSCOR_THRESH_CONFIDENT and \
+       mp.mapscor >= MAPSCOR_THRESH_CONFIDENT and rp.sidx >= 0:
+        isiz, flg = pairs_mod.calc_insert_size(rp, mp)
+        # reference negates only when the flag is exactly REVERSE_1st
+        # (results.c:2476)
+        if flg == pairs_mod.PMF_REVERSE_1st:
+            isiz = -isiz
+        return isiz
+    return None
+
+
+def cmd_check(argv: List[str]) -> int:
+    """smalt check (smalt.c:1432): validate read files, count reads."""
+    ap = argparse.ArgumentParser(prog="smalt_tpu check")
+    ap.add_argument("reads")
+    ap.add_argument("mates", nargs="?", default=None)
+    a = ap.parse_args(argv)
+    n = 0
+    if a.mates:
+        for read, mate in PairedReader(a.reads, a.mates):
+            n += 1
+            if read.sam_name and mate.sam_name and \
+               read.sam_name != mate.sam_name:
+                print(f"WARNING: read names differ at pair {n}: "
+                      f"{read.sam_name} vs {mate.sam_name}", file=sys.stderr)
+        print(f"# {n} read pairs ok")
+    else:
+        for read in FastqReader(a.reads):
+            n += 1
+        print(f"# {n} reads ok")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

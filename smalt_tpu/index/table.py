@@ -1,0 +1,172 @@
+"""Sampled k-mer index of the reference.
+
+Functional equivalent of the reference hash index (hashidx.c): k-mer
+words of length `wordlen` (<= 20 bases) sampled every `nskip` bases
+along the concatenated reference; positions stored as k-tuple serial
+numbers (serial * nskip = global base offset, hashidx.c:70-107).
+
+The observable contract of the reference's perfect/hash32mix table is
+simply: for an exact 2k-bit query word, the ascending list of sampled
+positions (hashidx.c:1147 hashTableGetKtupleHits).  We therefore use a
+TPU-friendly layout with no hashing at all:
+
+    words:  uint64 [nwords]   sorted distinct k-mer words
+    starts: int64  [nwords+1] CSR offsets into pos
+    pos:    uint32 [npos]     tuple serial numbers, ascending per word
+
+Lookup is a binary search (searchsorted) — O(log nwords) gathers,
+which vectorizes over a whole batch of query words on TPU.
+
+Sampling rules replicated from doWordsInSeq (hashidx.c:465-531):
+  - tuple starts are global multiples of nskip that fall fully inside
+    one sequence: ceil(soffs/nskip)*nskip <= g <= soffs+len-wordlen;
+  - windows containing any non-ACGT base are skipped;
+  - word packs bases 2 bits each, first base most significant.
+"""
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ..seq import codec
+from ..seq.refset import RefSet
+
+MAX_WORDLEN = 20  # menu.c:595 MENU_KMERLEN_MAX
+
+
+@dataclass
+class KmerIndex:
+    wordlen: int
+    nskip: int
+    words: np.ndarray    # uint64 [nwords]
+    starts: np.ndarray   # int64  [nwords+1]
+    pos: np.ndarray      # uint32 [npos]
+    maxpos: int          # max tuple serial + 1 (hashidx.c maxpos)
+
+    @property
+    def npos(self) -> int:
+        return len(self.pos)
+
+    @property
+    def nwords(self) -> int:
+        return len(self.words)
+
+    # ---------------- lookup ----------------
+
+    def lookup_counts(self, qwords: np.ndarray):
+        """For each query word: (nhits, word_slot) with word_slot = -1 on miss."""
+        qwords = np.asarray(qwords, dtype=np.uint64)
+        ix = np.searchsorted(self.words, qwords)
+        ix_c = np.minimum(ix, self.nwords - 1) if self.nwords else np.zeros_like(ix)
+        hit = (self.nwords > 0) & (self.words[ix_c] == qwords)
+        slot = np.where(hit, ix_c, -1)
+        counts = np.where(hit, self.starts[ix_c + 1] - self.starts[ix_c], 0)
+        return counts.astype(np.int64), slot.astype(np.int64)
+
+    def fetch_positions(self, slot: int) -> np.ndarray:
+        """Ascending tuple serial numbers for a word slot."""
+        return self.pos[self.starts[slot] : self.starts[slot + 1]]
+
+    # ---------------- persistence ----------------
+
+    def save(self, prefix: str) -> None:
+        np.savez_compressed(
+            prefix + ".smx.npz",
+            meta=json.dumps({"wordlen": self.wordlen, "nskip": self.nskip,
+                             "maxpos": self.maxpos}),
+            words=self.words, starts=self.starts, pos=self.pos,
+        )
+
+    @classmethod
+    def load(cls, prefix: str) -> "KmerIndex":
+        with np.load(prefix + ".smx.npz", allow_pickle=False) as z:
+            meta = json.loads(str(z["meta"]))
+            return cls(wordlen=meta["wordlen"], nskip=meta["nskip"],
+                       maxpos=meta["maxpos"],
+                       words=z["words"], starts=z["starts"], pos=z["pos"])
+
+    def print_stats(self, fp) -> None:
+        """Occupancy statistics (hashTablePrintStats, hashidx.c:1030)."""
+        print(f"# k-mer index: wordlen={self.wordlen} nskip={self.nskip}", file=fp)
+        print(f"# distinct words: {self.nwords}", file=fp)
+        print(f"# stored positions: {self.npos}", file=fp)
+        if self.nwords:
+            counts = np.diff(self.starts)
+            print(f"# max positions/word: {int(counts.max())}", file=fp)
+            print(f"# mean positions/word: {counts.mean():.2f}", file=fp)
+
+
+def _words_for_seq(codes: np.ndarray, soffs: int, wordlen: int, nskip: int):
+    """Sampled (word, serial) pairs for one sequence at global offset soffs."""
+    slen = len(codes)
+    g0 = -(-soffs // nskip) * nskip  # first multiple of nskip >= soffs
+    if g0 + wordlen > soffs + slen:
+        return None
+    starts_local = np.arange(g0 - soffs, slen - wordlen + 1, nskip, dtype=np.int64)
+    serial = (starts_local + soffs) // nskip
+    a = codec.alpha(codes)
+    bad = (a & codec.STDNT_TESTBIT) != 0
+    # window validity: no bad base in [s, s+wordlen)
+    cbad = np.concatenate([[0], np.cumsum(bad, dtype=np.int64)])
+    ok = (cbad[starts_local + wordlen] - cbad[starts_local]) == 0
+    if not ok.any():
+        return None
+    starts_local = starts_local[ok]
+    serial = serial[ok]
+    # pack words: first base most significant (hashidx.c MAKE_NEXT_WORD fwd)
+    w = np.zeros(len(starts_local), dtype=np.uint64)
+    two = np.uint64(2)
+    std = (a & codec.STDNT_MASK).astype(np.uint64)
+    for k in range(wordlen):
+        w = (w << two) | std[starts_local + k]
+    return w, serial.astype(np.uint32)
+
+
+def build_index(refset: RefSet, wordlen: int, nskip: int,
+                restrict: Optional[list] = None) -> KmerIndex:
+    """Build the sampled k-mer index.
+
+    `restrict`: optional list of (lo, hi, seqidx) base intervals used for
+    on-the-fly fine rehashing of mate windows (hashidx.c doAllWordsInSeqSet
+    interval path); None indexes the whole reference.
+    """
+    if not (3 <= wordlen <= MAX_WORDLEN):
+        raise ValueError(f"wordlen must be in [3,{MAX_WORDLEN}]")
+    if nskip < 1:
+        nskip = 1
+    all_w = []
+    all_p = []
+    if restrict is None:
+        for s in range(refset.nseq):
+            soffs = int(refset.offsets[s])
+            r = _words_for_seq(refset.codes[soffs : soffs + refset.seq_len(s)],
+                               soffs, wordlen, nskip)
+            if r is not None:
+                all_w.append(r[0])
+                all_p.append(r[1])
+    else:
+        for (lo, hi, sidx) in restrict:
+            soffs = int(refset.offsets[sidx]) + int(lo)
+            seg = refset.fetch_by_seq(sidx, int(lo), int(hi) - int(lo) + 1)
+            r = _words_for_seq(seg, soffs, wordlen, nskip)
+            if r is not None:
+                all_w.append(r[0])
+                all_p.append(r[1])
+    if all_w:
+        w = np.concatenate(all_w)
+        p = np.concatenate(all_p)
+        order = np.lexsort((p, w))
+        w = w[order]
+        p = p[order]
+        uwords, starts_first, counts = np.unique(w, return_index=True, return_counts=True)
+        starts = np.concatenate([starts_first, [len(w)]]).astype(np.int64)
+    else:
+        uwords = np.zeros(0, dtype=np.uint64)
+        starts = np.zeros(1, dtype=np.int64)
+        p = np.zeros(0, dtype=np.uint32)
+    maxpos = int(p.max()) + 1 if len(p) else 0
+    return KmerIndex(wordlen=wordlen, nskip=nskip, words=uwords,
+                     starts=starts, pos=p, maxpos=maxpos)

@@ -1,0 +1,600 @@
+"""Per-read mapping engine.
+
+Replicates rmap.c's orchestration:
+
+  rmap_single   rmapSingle  (rmap.c:1648-1743)
+  rmap_pair     rmapPair    (rmap.c:1744-2112): map the rare mate first,
+                restrict the other to insert windows, rescue via
+                unrestricted + fine-hash re-mapping when unconvincing
+  map_single_read            (rmap.c:1228-1433): seed -> candidates ->
+                two-pass DP (score-only, then banded with traceback)
+  _score_cands  scoreRMAPCAND (rmap.c:588-788): full-matrix kernel for
+                full-length reads in wide bands, banded-fast otherwise
+  _align_full   alignRMAPCANDFull (rmap.c:790-928): dynamic min-score
+                raising and band widening
+
+Default knobs: TARGET_DEPTH=512, MAX_DEPTH=2048 (smalt.c:60-61),
+edgelen=0 because the SIMD kernel is full-matrix (rmap.c:549-553),
+SIMD eligibility qlen>=32 and band*48>qlen with a full-read segment
+(rmap.c:714-718).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..seq import codec
+from ..seq.io import Read
+from ..seq.refset import RefSet
+from ..index.table import KmerIndex, build_index
+from ..seed import hitinfo as hi_mod
+from ..seed import hitlist as hl_mod
+from ..segment import collate as seg_mod
+from ..align import core as ali_mod
+from ..results.result import ResultSet, ResultFilter, RSLTFLAG_REVERSE
+from ..results import pairs as pairs_mod
+from ..results.insert import InsHist
+
+# smalt.c:57-89
+SMALT_TARGET_DEPTH = 512
+SMALT_MAX_DEPTH = 2048
+SMALT_MAX_REFSEQ_NUM = 512
+
+# rmap.c:49-99
+HASH_MAXNHITS = 16 * 1024
+EDGELEN_MAX = 500
+MINLEN_QUERY_STRIPED = 32
+BWSCAL_QLEN = 48
+MAPSCORE_UNIQUE_MAPPED_1ST = 20
+MAXNUM_PAIRS_TOTAL = 1028
+FILTERIVALEXT = 30
+MINFRACT_MAXSCOR_2ND = 0.8
+FINEHASH_WORDLEN = 5
+FINEHASH_SKIPSTEP = 1
+FINEHASH_MAXKTUPPOS = 128 * 1024 * 1024
+MINSCOR_BELOW_MAX_BEST = 0
+
+# RMAP_FLAGS (rmap.h:53-65)
+RMAPFLG_CMPLXW = 0x01
+RMAPFLG_BEST = 0x02
+RMAPFLG_SEQBYSEQ = 0x04
+RMAPFLG_ALLPAIR = 0x08
+RMAPFLG_PAIRED = 0x10
+RMAPFLG_SENSITIVE = 0x20
+RMAPFLG_NOSHRTINFO = 0x40
+RMAPFLG_SPLIT = 0x80
+
+
+class ShortSeq(Exception):
+    pass
+
+
+@dataclass
+class MapParams:
+    ktuple_maxhit: int = 10000          # -c ncut (menu.c:603)
+    min_cover_frac: float = 0.0         # -y/-c style min cover (tupcovmin)
+    min_swatscor: int = 0               # set from index: ktup+nskip-1
+    min_swatscor_below_max: int = 0     # -d scorediff (0 = best only)
+    min_basq: int = 0
+    insert_min: int = 0
+    insert_max: int = 500
+    pairtyp: int = pairs_mod.LIB_PAIREDEND
+    rmapflg: int = RMAPFLG_BEST
+    rsltouflg: int = (pairs_mod.RESULTFLG_BEST | pairs_mod.RESULTFLG_SINGLE |
+                      pairs_mod.RESULTFLG_RANDSEL)
+    target_depth: int = SMALT_TARGET_DEPTH
+    max_depth: int = SMALT_MAX_DEPTH
+    use_cplx: bool = False
+
+
+@dataclass
+class _Cand:
+    qs: int
+    qe: int
+    rs: int
+    re: int
+    band_l: int
+    band_r: int
+    sqidx: int
+    is_rev: bool
+    swscor: int = 0
+    scored: bool = False
+
+
+class MapEngine:
+    def __init__(self, refset: RefSet, index: KmerIndex, params: MapParams,
+                 penalties=(1, -2, -4, -3)):
+        self.refset = refset
+        self.index = index
+        self.params = params
+        match, mismatch, gapopen, gapext = penalties
+        self.matrix, self.gapopen, self.gapext = ali_mod.make_score_matrix(
+            match, mismatch, gapopen, gapext)
+        self.lam = ali_mod.matrix_lambda(self.matrix)
+        if refset.nseq < SMALT_MAX_REFSEQ_NUM:
+            params.rmapflg |= RMAPFLG_SEQBYSEQ
+        if params.min_swatscor == 0:
+            params.min_swatscor = index.wordlen + index.nskip - 1
+        self.filter = ResultFilter(min_swatscor_val(params), params.min_swatscor_below_max, 0.0)
+
+    # ---------------- profiles ----------------
+
+    def _profiles(self, read: Read):
+        fwd = ali_mod.ScoreProfile.from_read(read.seq, self.matrix,
+                                             self.gapopen, self.gapext, self.lam)
+        rc = ali_mod.ScoreProfile.from_read(codec.revcomp_codes(read.seq),
+                                            self.matrix, self.gapopen,
+                                            self.gapext, self.lam)
+        return fwd, rc
+
+    # ---------------- hit info ----------------
+
+    def _hitinfo(self, read: Read, idx: KmerIndex, short: bool,
+                 seq_start=0, seq_end=0):
+        try:
+            if short:
+                hf = hi_mod.collect_hit_info_short(
+                    read.seq, read.qual, False, idx,
+                    self.params.ktuple_maxhit, HASH_MAXNHITS,
+                    self.params.min_basq)
+                hr = hi_mod.collect_hit_info_short(
+                    read.seq, read.qual, True, idx,
+                    self.params.ktuple_maxhit, HASH_MAXNHITS,
+                    self.params.min_basq)
+            else:
+                hf = hi_mod.collect_hit_info(read.seq, read.qual, False, idx,
+                                             0, self.params.min_basq,
+                                             seq_start, seq_end)
+                hr = hi_mod.collect_hit_info(read.seq, read.qual, True, idx,
+                                             0, self.params.min_basq,
+                                             seq_start, seq_end)
+        except hi_mod.ShortSeqError:
+            raise ShortSeq()
+        return hf, hr
+
+    # ---------------- candidate collection ----------------
+
+    def _collect(self, hf, hr, idx: KmerIndex, min_ktup: int, min_cover: int,
+                 intervals) -> seg_mod.SegAliCands:
+        """fillRMAPBUFF (rmap.c:1153-1227)."""
+        sac = seg_mod.SegAliCands()
+        sac.blank()
+        p = self.params
+        offs = self.refset.offsets
+        for hi in (hf, hr):
+            if intervals is not None:
+                # collectHitsFromInterVal (rmap.c:438-492)
+                for (lo, hi_b, sx) in intervals:
+                    o = int(offs[sx])
+                    hl = hl_mod.collect_hits_for_segment(
+                        hi, o + lo, o + hi_b + 1, p.ktuple_maxhit, False, idx)
+                    sgl = seg_mod.seg_lst_fill_hits(hl, min_ktup)
+                    seg_mod.seg_cands_add_fast(sac, sgl, min_cover, sx)
+            elif p.rmapflg & RMAPFLG_SEQBYSEQ:
+                for s in range(self.refset.nseq):
+                    hl = hl_mod.collect_hits_for_segment(
+                        hi, int(offs[s]), int(offs[s + 1]),
+                        p.ktuple_maxhit, True, idx)
+                    sgl = seg_mod.seg_lst_fill_hits(hl, min_ktup)
+                    seg_mod.seg_cands_add_fast(sac, sgl, min_cover, s)
+            else:
+                hl = hl_mod.collect_hits_using_cutoff(hi, p.ktuple_maxhit, idx)
+                sgl = seg_mod.seg_lst_fill_hits(hl, min_ktup)
+                seg_mod.seg_cands_add_fast(sac, sgl, min_cover,
+                                           seg_mod.UNKNOWN_SEQIDX)
+        return sac
+
+    # ---------------- DP passes ----------------
+
+    def _make_cand(self, sac, i, qlen) -> Tuple[_Cand, int, np.ndarray]:
+        """makeRMAPCANDfromSegment (rmap.c:535-587); edgelen=0 (SIMD build)."""
+        w = seg_mod.calc_segment_offsets(sac, i, qlen, self.refset.offsets,
+                                         edgelen=0)
+        if w.seqidx == seg_mod.UNKNOWN_SEQIDX:
+            subj = self.refset.fetch_global(w.rs, w.re)
+        else:
+            subj = self.refset.fetch_by_seq(w.seqidx, w.rs, w.re - w.rs + 1)
+        c = _Cand(qs=w.qs, qe=w.qe, rs=w.rs, re=w.re,
+                  band_l=w.band_l, band_r=w.band_r, sqidx=w.seqidx,
+                  is_rev=bool(w.flag & seg_mod.FLAG_REVERSE))
+        return c, w.cover, subj
+
+    def _score_cands(self, sac, prof_f, prof_r, qlen, rmapflg,
+                     deficit, nskip) -> Tuple[List[_Cand], int, int]:
+        """scoreRMAPCAND (rmap.c:588-788).  nskip is the active index's
+        skip step (differs from the main index during fine-hash rescue)."""
+        n_candseg = sac.n_sort
+        mmscordiff = prof_f.match_avg - prof_f.mismatch_avg
+        max1 = max2 = 0
+        min_cover = 0
+        max_cover = 0
+        cands: List[_Cand] = []
+        for i in range(n_candseg):
+            c, cover, subj = self._make_cand(sac, i, qlen)
+            prof = prof_r if c.is_rev else prof_f
+            is_simd = (qlen >= MINLEN_QUERY_STRIPED and
+                       (c.band_r - c.band_l) * BWSCAL_QLEN > qlen and
+                       c.qs == 0 and c.qe >= qlen - 1)
+            if is_simd:
+                c.swscor = ali_mod.sw_full_score(prof, subj)
+            else:
+                c.swscor = ali_mod.align_band_fast(
+                    prof, subj, c.band_l, c.band_r, c.qs, c.qe,
+                    0, len(subj) - 1)
+            c.scored = True
+            cdf = deficit[1 if c.is_rev else 0]
+            if (rmapflg & RMAPFLG_BEST) and cover + cdf < min_cover:
+                # reference truncates the candidate array at the break index
+                # (ARRLEN(*csr) = i, rmap.c:783), excluding this candidate
+                # from pass 2 and from the running maxima.
+                break
+            cands.append(c)
+            if c.swscor > max2:
+                if c.swscor > max1:
+                    max2 = max1
+                    max1 = c.swscor
+                    if cover + cdf > max_cover:
+                        max_cover = cover - cdf if cover > cdf else 0
+                else:
+                    max2 = c.swscor
+                dcov = ((max1 - max2) // mmscordiff + 1) * nskip
+                if dcov + cdf + min_cover < max_cover:
+                    min_cover = max_cover - dcov
+        return cands, max1, max2
+
+    def _align_full(self, rs: ResultSet, cands: List[_Cand],
+                    prof_f, prof_r, min_swatscor, scorlen_min,
+                    bandwidth_min, rmapflg):
+        """alignRMAPCANDFull (rmap.c:790-928)."""
+        for c in cands:
+            if c.scored and c.swscor < min_swatscor:
+                continue
+            if c.sqidx == seg_mod.UNKNOWN_SEQIDX:
+                subj = self.refset.fetch_global(c.rs, c.re)
+            else:
+                subj = self.refset.fetch_by_seq(c.sqidx, c.rs, c.re - c.rs + 1)
+            prof = prof_r if c.is_rev else prof_f
+            if rmapflg & RMAPFLG_BEST:
+                if rs.swatscor_2ndmax > min_swatscor:
+                    min_swatscor = rs.swatscor_2ndmax
+            bw = c.band_r - c.band_l
+            if bw < bandwidth_min:
+                ext = (bandwidth_min - bw + 1) // 2
+                band_l = c.band_l - ext
+                band_r = c.band_r + ext
+            else:
+                band_l, band_r = c.band_l, c.band_r
+            ali = ali_mod.align_band_recursive(
+                prof, subj, band_l, band_r, c.qs, c.qe, 0, len(subj) - 1,
+                min_swatscor, scorlen_min, use_cplx=self.params.use_cplx)
+            rs.add_from_ali(ali, c.rs, 0, prof.qlen,
+                            -1 if c.sqidx == seg_mod.UNKNOWN_SEQIDX else c.sqidx,
+                            c.is_rev)
+
+    # ---------------- mapSingleRead ----------------
+
+    def map_single_read(self, rs: ResultSet, hf, hr, prof_f, prof_r,
+                        read: Read, min_cover: int, min_swatscor: int,
+                        min_swatscor_below_max: int, rmapflg: int,
+                        idx: Optional[KmerIndex] = None, intervals=None):
+        """mapSingleRead (rmap.c:1228-1433)."""
+        if idx is None:
+            idx = self.index
+        p = self.params
+        ktup, nskip = idx.wordlen, idx.nskip
+        scorlen_min = ktup + nskip
+        matchscor = prof_f.match_avg
+        mismatchdiff = matchscor - prof_f.mismatch_avg
+        qlen = len(read.seq)
+        if qlen < ktup:
+            raise ShortSeq()
+        maxscor_perfect = qlen * matchscor
+        # min cover -> min ktup (calcMinKtup, rmap.c:240-247)
+        if min_cover >= ktup + nskip:
+            min_ktup = (min_cover - ktup) // nskip
+        else:
+            min_ktup = 1
+        min_cover = (min_ktup - 1) * nskip + ktup
+
+        if min_swatscor_below_max < 0:
+            mincov_below_max = qlen - 1
+        else:
+            mincov_below_max = (min_swatscor_below_max // mismatchdiff) * nskip
+            if mincov_below_max < ktup or (rmapflg & RMAPFLG_BEST):
+                mincov_below_max = ktup + 2 * (nskip - 1)
+
+        sac = self._collect(hf, hr, idx, min_ktup, min_cover, intervals)
+
+        deficit = (hi_mod.cover_deficit(hf), hi_mod.cover_deficit(hr))
+        seg_mod.seg_cands_stats(sac, mincov_below_max, deficit[0], deficit[1],
+                                p.target_depth, p.max_depth,
+                                bool(rmapflg & RMAPFLG_SENSITIVE))
+
+        nseg = sac.n_sort
+        nseg_tot = sac.n_mincover
+        totF, rankF = hi_mod.hit_numbers(hf)
+        totR, rankR = hi_mod.hit_numbers(hr)
+        rs.set_alignment_stats(nseg, nseg_tot, p.max_depth,
+                               rankF + rankR, totF + totR)
+
+        cands, max1, max2 = self._score_cands(sac, prof_f, prof_r, qlen,
+                                              rmapflg, deficit, nskip)
+        if max1 < 1:
+            return
+        bandwidth_min = (maxscor_perfect - max1) // (-prof_f.gap_ext)
+
+        if min_swatscor_below_max >= max1:
+            min_swatscor_below_max = max1
+        if min_swatscor > max2 > 0:
+            min_swatscor = max2
+        if min_swatscor_below_max >= 0:
+            minswc = max2 if max2 > 0 else max1
+            if rmapflg & RMAPFLG_BEST:
+                if minswc > min_swatscor:
+                    min_swatscor = minswc
+            elif min_swatscor + min_swatscor_below_max < max1:
+                min_swatscor = max1 - min_swatscor_below_max
+                if min_swatscor > minswc:
+                    min_swatscor = minswc
+        if min_swatscor > scorlen_min * matchscor and matchscor > 0:
+            scorlen_min = min_swatscor // matchscor
+
+        self._align_full(rs, cands, prof_f, prof_r, min_swatscor,
+                         scorlen_min, bandwidth_min, rmapflg)
+        rs.sort_and_assign(read.qual, qlen,
+                           search_split=bool(rmapflg & RMAPFLG_SPLIT))
+
+    # ---------------- single-read entry ----------------
+
+    def rmap_single(self, read: Read) -> ResultSet:
+        """rmapSingle (rmap.c:1648-1743)."""
+        p = self.params
+        rs = ResultSet()
+        prof_f, prof_r = self._profiles(read)
+        try:
+            hf, hr = self._hitinfo(read, self.index,
+                                   short=not (p.rmapflg & RMAPFLG_NOSHRTINFO))
+        except ShortSeq:
+            return rs
+        min_cover = self._covermin(read)
+        try:
+            self.map_single_read(rs, hf, hr, prof_f, prof_r, read,
+                                 min_cover, p.min_swatscor,
+                                 p.min_swatscor_below_max,
+                                 p.rmapflg & ~RMAPFLG_ALLPAIR)
+        except ShortSeq:
+            return rs
+        if p.rmapflg & RMAPFLG_SPLIT:
+            self._map_secondary(rs, read, prof_f, prof_r, min_cover)
+        rs.filter_results(self.filter, len(read.seq))
+        return rs
+
+    def _covermin(self, read: Read) -> int:
+        """processMapArgs cover threshold (smalt.c:1115-1127)."""
+        t = self.params.min_cover_frac
+        if t < 1.01:
+            c = int(t * len(read.seq))
+            return min(c, len(read.seq))
+        return int(t)
+
+    def _map_secondary(self, rs: ResultSet, read: Read, prof_f, prof_r,
+                       min_cover: int):
+        """mapSecondary (rmap.c:1435-1505)."""
+        p = self.params
+        ktup, nskip = self.index.wordlen, self.index.nskip
+        qlen = len(read.seq)
+        if not rs.segsrtr or rs.qsegno < 1:
+            return
+        top = rs._seg_slice(0)[0] if rs.segnor else None
+        if top is None:
+            return
+        qs, qe = top.q_start, top.q_end
+        if qs + qe > qlen:
+            qe = qs - 2 if qs > 1 else 0
+            qs = 0
+        else:
+            qs = qe
+            qe = qlen - 1
+        if qs + ktup + nskip > qe + 1:
+            return
+        try:
+            hf = hi_mod.collect_hit_info(read.seq, read.qual, False,
+                                         self.index, 0, p.min_basq, qs, qe)
+            hr = hi_mod.collect_hit_info(read.seq, read.qual, True,
+                                         self.index, 0, p.min_basq, qs, qe)
+            self.map_single_read(rs, hf, hr, prof_f, prof_r, read, min_cover,
+                                 p.min_swatscor, p.min_swatscor_below_max,
+                                 p.rmapflg)
+        except ShortSeq:
+            return
+
+    # ---------------- paired-read entry ----------------
+
+    def rmap_pair(self, read: Read, mate: Read):
+        """rmapPair (rmap.c:1744-2112).
+        Returns (rs_read, rs_mate, ResultPairs, pairflg)."""
+        p = self.params
+        rsr = ResultSet()
+        rsm = ResultSet()
+        rpairs = pairs_mod.ResultPairs()
+        pairflg = pairs_mod.PAIRFLG_PAIRED
+        prof_rf, prof_rr = self._profiles(read)
+        prof_mf, prof_mr = self._profiles(mate)
+        rmapflg = p.rmapflg | RMAPFLG_PAIRED
+        short = not (rmapflg & RMAPFLG_NOSHRTINFO)
+        err_read = err_mate = False
+        hfr = hrr = hfm = hrm = None
+        try:
+            hfr, hrr = self._hitinfo(read, self.index, short)
+        except ShortSeq:
+            err_read = True
+        try:
+            hfm, hrm = self._hitinfo(mate, self.index, short)
+        except ShortSeq:
+            err_mate = True
+        if err_read and err_mate:
+            return rsr, rsm, rpairs, pairflg
+        mincov_read = self._covermin(read)
+        mincov_mate = self._covermin(mate)
+        if err_read:
+            self.map_single_read(rsm, hfm, hrm, prof_mf, prof_mr, mate,
+                                 mincov_mate, p.min_swatscor,
+                                 MINSCOR_BELOW_MAX_BEST, rmapflg)
+            return rsr, rsm, rpairs, pairflg
+        if err_mate:
+            self.map_single_read(rsr, hfr, hrr, prof_rf, prof_rr, read,
+                                 mincov_read, p.min_swatscor,
+                                 MINSCOR_BELOW_MAX_BEST, rmapflg)
+            return rsr, rsm, rpairs, pairflg
+
+        nhit_read = (hi_mod.total_hits(hfr, p.ktuple_maxhit) +
+                     hi_mod.total_hits(hrr, p.ktuple_maxhit))
+        nhit_mate = (hi_mod.total_hits(hfm, p.ktuple_maxhit) +
+                     hi_mod.total_hits(hrm, p.ktuple_maxhit))
+        if nhit_read > nhit_mate:
+            pairflg |= pairs_mod.PAIRFLG_RAREMATE
+            rare_is_mate = True
+            read1, read2 = mate, read
+            h1, h2 = (hfm, hrm), (hfr, hrr)
+            p1, p2 = (prof_mf, prof_mr), (prof_rf, prof_rr)
+            rs1, rs2 = rsm, rsr
+            mc1, mc2 = mincov_mate, mincov_read
+        else:
+            rare_is_mate = False
+            read1, read2 = read, mate
+            h1, h2 = (hfr, hrr), (hfm, hrm)
+            p1, p2 = (prof_rf, prof_rr), (prof_mf, prof_mr)
+            rs1, rs2 = rsr, rsm
+            mc1, mc2 = mincov_read, mincov_mate
+
+        self.map_single_read(rs1, h1[0], h1[1], p1[0], p1[1], read1, mc1,
+                             p.min_swatscor, MINSCOR_BELOW_MAX_BEST, rmapflg)
+        mapq1, swscor1 = rs1.get_mapping_score()
+
+        ivr = self._intervals_from_results(read1, read2, rs1)
+        self.map_single_read(rs2, h2[0], h2[1], p2[0], p2[1], read2, mc2,
+                             p.min_swatscor, MINSCOR_BELOW_MAX_BEST, rmapflg,
+                             intervals=ivr)
+        rpairs.find_proper_pairs(p.insert_min, p.insert_max,
+                                 MAXNUM_PAIRS_TOTAL, 0, p.pairtyp, rsr, rsm)
+        _, swscor2_restricted = rs2.get_mapping_score()
+        n_proper = rpairs.n_proper
+
+        if ((rmapflg & RMAPFLG_ALLPAIR) or n_proper < 1 or
+                mapq1 < MAPSCORE_UNIQUE_MAPPED_1ST or
+                not self._above_fract_max(swscor2_restricted, swscor1,
+                                          read2, read1)):
+            if n_proper < 1:
+                rs2.blank()
+            self.map_single_read(rs2, h2[0], h2[1], p2[0], p2[1], read2, mc2,
+                                 p.min_swatscor, MINSCOR_BELOW_MAX_BEST,
+                                 rmapflg)
+            mapq2, swscor2 = rs2.get_mapping_score()
+            if (mapq2 > MAPSCORE_UNIQUE_MAPPED_1ST or
+                    swscor2 > swscor2_restricted or swscor2 > swscor1):
+                swscor1_2ndbest = rs1.swatscor_2ndmax
+                ivr1 = self._intervals_from_results(read2, read1, rs2)
+                fine = self._fine_index(ivr1)
+                min_sw1 = swscor1_2ndbest  # passed verbatim (rmap.c:2031)
+                if fine is not None and self.index.wordlen <= len(read1.seq):
+                    try:
+                        hf1 = hi_mod.collect_hit_info(read1.seq, read1.qual,
+                                                      False, fine, 0, p.min_basq)
+                        hr1 = hi_mod.collect_hit_info(read1.seq, read1.qual,
+                                                      True, fine, 0, p.min_basq)
+                        self.map_single_read(rs1, hf1, hr1, p1[0], p1[1],
+                                             read1, mc1, min_sw1,
+                                             MINSCOR_BELOW_MAX_BEST, rmapflg,
+                                             idx=fine, intervals=ivr1)
+                    except ShortSeq:
+                        pass
+                else:
+                    self.map_single_read(rs1, h1[0], h1[1], p1[0], p1[1],
+                                         read1, mc1, min_sw1,
+                                         MINSCOR_BELOW_MAX_BEST, rmapflg,
+                                         intervals=ivr1)
+        else:
+            pairflg |= (pairs_mod.PAIRFLG_RESTRICT_1st if rare_is_mate
+                        else pairs_mod.PAIRFLG_RESTRICT_2nd)
+
+        if rmapflg & RMAPFLG_SPLIT:
+            self._map_secondary(rsr, read, prof_rf, prof_rr, mincov_read)
+            self._map_secondary(rsm, mate, prof_mf, prof_mr, mincov_mate)
+
+        rpairs.find_pairs(pairflg, p.pairtyp, p.insert_min, p.insert_max,
+                          rsr, rsm)
+        rsr.filter_results(self.filter, len(read.seq))
+        rsm.filter_results(self.filter, len(mate.seq))
+        return rsr, rsm, rpairs, pairflg
+
+    def _above_fract_max(self, scor_read, scor_mate, readp, matep) -> bool:
+        """scorIsAboveFractMax (rmap.c:176-186)."""
+        rlen = len(readp.seq)
+        mlen = len(matep.seq)
+        return scor_read >= scor_mate * rlen * MINFRACT_MAXSCOR_2ND / mlen
+
+    def _intervals_from_results(self, readp: Read, matep: Read,
+                                rs: ResultSet):
+        """setupInterValFromResultSet + interValPrune (rmap.c:354-436)."""
+        p = self.params
+        ktup = self.index.wordlen
+        readlen = len(readp.seq)
+        matelen = len(matep.seq)
+        delta = matelen * FILTERIVALEXT // 100
+        dmin, dmax = p.insert_min, p.insert_max
+        _, n, _ = rs.get_scor_stats()
+        ivr = []
+        offs = self.refset.offsets
+        for i in range(min(n, len(rs.sortr))):
+            rp = rs.sortr[i]
+            if rp.sidx < 0 or rp.sidx >= self.refset.nseq:
+                raise AssertionError("interval setup needs seq indices")
+            rlen = self.refset.seq_len(rp.sidx)
+
+            def adj(t):
+                if t >= rlen:
+                    t = rlen - 1
+                if t < 1:
+                    t = 0
+                return t
+
+            lo = adj(rp.s_end + readlen - rp.q_end - dmax)
+            hi = adj(rp.s_end + readlen + matelen + delta - rp.q_end - dmin - ktup)
+            if lo <= hi:
+                ivr.append((lo, hi, rp.sidx))
+            lo = adj(rp.s_start - rp.q_start + dmin - matelen)
+            hi = adj(rp.s_start - rp.q_start + dmax - ktup + delta)
+            if lo <= hi:
+                ivr.append((lo, hi, rp.sidx))
+        # interValPrune (interval.c): sort by (sx, lo) and merge overlaps
+        ivr.sort(key=lambda t: (t[2], t[0]))
+        merged = []
+        for iv in ivr:
+            if merged and merged[-1][2] == iv[2] and iv[0] <= merged[-1][1]:
+                if iv[1] > merged[-1][1]:
+                    merged[-1] = (merged[-1][0], iv[1], iv[2])
+            else:
+                merged.append(list(iv) if False else iv)
+                merged[-1] = iv
+        return merged
+
+    def _fine_index(self, intervals) -> Optional[KmerIndex]:
+        """setupFineHashTable (rmap.c:495-517): on-the-fly fine index of the
+        mate windows, stride auto-raised to fit FINEHASH_MAXKTUPPOS."""
+        if not intervals:
+            return None
+        nskip = FINEHASH_SKIPSTEP
+        total = sum(hi - lo + 1 for (lo, hi, _) in intervals)
+        if total // nskip > FINEHASH_MAXKTUPPOS:
+            s = total // FINEHASH_MAXKTUPPOS + 1
+            if s > self.index.wordlen or s < nskip:
+                return None
+            nskip = s
+        return build_index(self.refset, FINEHASH_WORDLEN, nskip,
+                           restrict=[(lo, hi, sx) for (lo, hi, sx) in intervals])
+
+
+def min_swatscor_val(params: MapParams) -> int:
+    return params.min_swatscor

@@ -1,0 +1,353 @@
+/* Exact-replica Smith-Waterman kernels for the host-side engine.
+ *
+ * These mirror the reference recurrences cell-for-cell:
+ *   sw_band_fast : alignSmiWatBandFast (alignment.c:1029-1240)
+ *   sw_band_track: alignSmiWatBand     (alignment.c:788-1027)
+ *   sw_full      : swSIMDAlignStriped maths (swsimd.c:443-660) — full-matrix
+ *                  affine local SW, maximum taken over diagonal-H values.
+ *   nr_sort2     : sort2UINTarraysByQuickSort (sort.c:236-330)
+ *   nr_sort2_64_32: sortUINT64andUINT32ArraysByQuickSort (same algorithm)
+ *
+ * The banded recurrence has two reference quirks that matter for parity:
+ * gap-open states E/F are refreshed only on diagonal moves with H >
+ * gap_init, and the running maximum is recorded only at such moves.
+ *
+ * Compiled at first import by smalt_tpu/native/__init__.py (cc -O2 -shared).
+ */
+#include <stdint.h>
+#include <string.h>
+
+#define COD_COL 1
+#define COD_ROW 2
+#define COD_DIA 3
+
+/* W: profile rows, 8 x qlen int32 (row a = scores of subject code a vs query) */
+static inline const int32_t *rowscore(const int32_t *W, int qlen, uint8_t a)
+{
+    return W + (int)(a & 7) * qlen;
+}
+
+int sw_band_fast(const int32_t *W, int qlen_prof,
+                 const uint8_t *subj,
+                 int l_edge, int r_edge, int q_left, int q_len,
+                 int s_left, int s_len,
+                 int gap_init, int gap_ext,
+                 int32_t *Hbuf, int32_t *Ebuf)
+{
+    int delta_band_start, j_curr_start, j_curr_len;
+    int i, j, max_scor = 0;
+    int32_t H, F, tmp, currH;
+    int32_t *Hp = Hbuf, *Ep = Ebuf;
+
+    if (q_left > l_edge) {
+        delta_band_start = q_left - l_edge;
+        j_curr_start = q_left;
+    } else {
+        delta_band_start = 0;
+        j_curr_start = l_edge;
+    }
+    j_curr_len = r_edge + 1;
+    H = currH = 0;
+    for (j = j_curr_start; j < q_len; j++) Hp[j] = Ep[j] = 0;
+
+    for (i = s_left; i < s_len; i++) {
+        const int32_t *rs = rowscore(W, qlen_prof, subj[i]);
+        F = 0;
+        for (j = j_curr_start; j < j_curr_len; j++) {
+            H = currH + rs[j];
+            currH = Hp[j];
+            if (F > 0) {
+                if (Ep[j] > 0) {
+                    if (H > Ep[j]) {
+                        if (H > F) {
+                            Hp[j] = H; F -= gap_ext; Ep[j] -= gap_ext;
+                            if (H > gap_init) {
+                                if (H > max_scor) max_scor = H;
+                                tmp = H - gap_init;
+                                if (F < tmp) F = tmp;
+                                if (Ep[j] < tmp) Ep[j] = tmp;
+                            }
+                        } else { Hp[j] = F; F -= gap_ext; Ep[j] -= gap_ext; }
+                    } else {
+                        Hp[j] = (Ep[j] >= F) ? Ep[j] : F;
+                        Ep[j] -= gap_ext; F -= gap_ext;
+                    }
+                } else {
+                    if (H > F) {
+                        Hp[j] = H; F -= gap_ext;
+                        if (H > gap_init) {
+                            if (H > max_scor) max_scor = H;
+                            Ep[j] = H - gap_init;
+                            if (F < Ep[j]) F = Ep[j];
+                        }
+                    } else { Hp[j] = F; F -= gap_ext; }
+                }
+            } else if (Ep[j] > 0) {
+                if (H > Ep[j]) {
+                    Hp[j] = H; Ep[j] -= gap_ext;
+                    if (H > gap_init) {
+                        if (H > max_scor) max_scor = H;
+                        F = H - gap_init;
+                        if (Ep[j] < F) Ep[j] = F;
+                    }
+                } else { Hp[j] = Ep[j]; Ep[j] -= gap_ext; }
+            } else {
+                if (H > 0) {
+                    Hp[j] = H;
+                    if (H > gap_init) {
+                        if (H > max_scor) max_scor = H;
+                        F = Ep[j] = H - gap_init;
+                    }
+                } else Hp[j] = 0;
+            }
+        }
+        if (delta_band_start > 0) { currH = 0; delta_band_start--; }
+        else { currH = Hp[j_curr_start]; j_curr_start++; }
+        if (j_curr_len < q_len) j_curr_len++;
+    }
+    return max_scor;
+}
+
+int sw_band_track(const int32_t *W, int qlen_prof,
+                  const uint8_t *subj,
+                  int l_edge, int r_edge, int q_left, int q_len,
+                  int s_left, int s_len,
+                  int gap_init, int gap_ext,
+                  int band_width,
+                  uint8_t *dir, /* band_width * (s_len - s_left), zeroed */
+                  int *max_i_out, int *max_j_out,
+                  int32_t *Hbuf, int32_t *Ebuf)
+{
+    int delta_band_start, delta_band_end = 0, j_curr_start, j_curr_len;
+    int i, j, max_i = 0, max_j = 0, max_scor = 0;
+    int32_t H, F, tmp, currH;
+    int32_t *Hp = Hbuf, *Ep = Ebuf;
+    uint8_t *dp;
+
+    if (q_left > l_edge) {
+        delta_band_start = q_left - l_edge;
+        j_curr_start = q_left;
+    } else {
+        delta_band_start = 0;
+        j_curr_start = l_edge;
+    }
+    j_curr_len = r_edge + 1;
+    H = currH = 0;
+    dp = dir + delta_band_start;
+    for (j = j_curr_start; j < q_len; j++) Hp[j] = Ep[j] = 0;
+
+#define RECMAX(HH) if ((HH) > max_scor) { max_i = i; max_j = j; max_scor = (HH); }
+
+    for (i = s_left; i < s_len; i++) {
+        const int32_t *rs = rowscore(W, qlen_prof, subj[i]);
+        F = 0;
+        for (j = j_curr_start; j < j_curr_len; j++, dp++) {
+            H = currH + rs[j];
+            currH = Hp[j];
+            if (F > 0) {
+                if (Ep[j] > 0) {
+                    if (H > Ep[j]) {
+                        if (H > F) {
+                            Hp[j] = H; F -= gap_ext; Ep[j] -= gap_ext;
+                            *dp = COD_DIA;
+                            if (H > gap_init) {
+                                RECMAX(H);
+                                tmp = H - gap_init;
+                                if (F < tmp) F = tmp;
+                                if (Ep[j] < tmp) Ep[j] = tmp;
+                            }
+                        } else {
+                            Hp[j] = F; F -= gap_ext; Ep[j] -= gap_ext;
+                            *dp = COD_ROW;
+                        }
+                    } else {
+                        if (Ep[j] >= F) { Hp[j] = Ep[j]; *dp = COD_COL; }
+                        else { Hp[j] = F; *dp = COD_ROW; }
+                        Ep[j] -= gap_ext; F -= gap_ext;
+                    }
+                } else {
+                    if (H > F) {
+                        Hp[j] = H; F -= gap_ext;
+                        *dp = COD_DIA;
+                        if (H > gap_init) {
+                            RECMAX(H);
+                            Ep[j] = H - gap_init;
+                            if (F < Ep[j]) F = Ep[j];
+                        }
+                    } else { Hp[j] = F; F -= gap_ext; *dp = COD_ROW; }
+                }
+            } else if (Ep[j] > 0) {
+                if (H > Ep[j]) {
+                    Hp[j] = H; Ep[j] -= gap_ext;
+                    *dp = COD_DIA;
+                    if (H > gap_init) {
+                        RECMAX(H);
+                        F = H - gap_init;
+                        if (Ep[j] < F) Ep[j] = F;
+                    }
+                } else { Hp[j] = Ep[j]; Ep[j] -= gap_ext; *dp = COD_COL; }
+            } else {
+                if (H > 0) {
+                    Hp[j] = H;
+                    *dp = COD_DIA;
+                    if (H > gap_init) {
+                        RECMAX(H);
+                        F = Ep[j] = H - gap_init;
+                    }
+                } else { Hp[j] = 0; *dp = 0; }
+            }
+        }
+        if (delta_band_start > 0) {
+            currH = 0;
+            dp += --delta_band_start;
+        } else {
+            currH = Hp[j_curr_start];
+            j_curr_start++;
+        }
+        if (j_curr_len < q_len) j_curr_len++;
+        else dp += delta_band_end++;
+    }
+    *max_i_out = max_i;
+    *max_j_out = max_j;
+    return max_scor;
+}
+
+/* Full-matrix affine local SW, score only (mathematically equal to the
+ * Farrar striped kernels in swsimd.c: both gaps open from the cell
+ * maximum; running max over diagonal H' = Hdiag + W). */
+int sw_full(const int32_t *W, int qlen,
+            const uint8_t *subj, int slen,
+            int gap_init, int gap_ext,
+            int32_t *Hbuf, int32_t *Ebuf)
+{
+    int i, j, max_scor = 0;
+    int32_t *Hp = Hbuf, *Ep = Ebuf;
+    for (j = 0; j < qlen; j++) { Hp[j] = 0; Ep[j] = 0; }
+    for (i = 0; i < slen; i++) {
+        const int32_t *rs = rowscore(W, qlen, subj[i]);
+        int32_t F = 0, Hdiag = 0;
+        for (j = 0; j < qlen; j++) {
+            int32_t Hprime = Hdiag + rs[j];
+            if (Hprime > max_scor) max_scor = Hprime;
+            int32_t H = Hprime;
+            if (Ep[j] > H) H = Ep[j];
+            if (F > H) H = F;
+            if (H < 0) H = 0;
+            Hdiag = Hp[j];
+            Hp[j] = H;
+            int32_t hg = H - gap_init;
+            Ep[j] = (Ep[j] - gap_ext > hg) ? Ep[j] - gap_ext : hg;
+            F = (F - gap_ext > hg) ? F - gap_ext : hg;
+        }
+    }
+    return max_scor;
+}
+
+/* ---------- Numerical-Recipes quicksort replicas (sort.c) ---------- */
+
+#define NR_MAXSTACK 60
+#define NR_MINARR 7
+
+#define NR_SORT_BODY(KT, VT)                                                 \
+    int i, j, i_left = 0, i_middle, i_right = n - 1;                         \
+    KT pa; VT pb;                                                            \
+    int stack[NR_MAXSTACK + 2]; int sp = 0;                                  \
+    KT t; VT tv;                                                             \
+    if (n < 2) return 0;                                                     \
+    for (;;) {                                                               \
+        if (i_right - i_left < NR_MINARR) {                                  \
+            for (j = i_left + 1; j <= i_right; j++) {                        \
+                pa = a[j]; pb = b[j];                                        \
+                for (i = j - 1; i >= i_left && a[i] > pa; i--) {             \
+                    a[i + 1] = a[i]; b[i + 1] = b[i];                        \
+                }                                                            \
+                a[i + 1] = pa; b[i + 1] = pb;                                \
+            }                                                                \
+            if (!sp) return 0;                                               \
+            i_right = stack[sp--]; i_left = stack[sp--];                     \
+        } else {                                                             \
+            i_middle = (i_left + i_right) >> 1;                              \
+            t = a[i_middle]; a[i_middle] = a[i_left + 1]; a[i_left + 1] = t; \
+            tv = b[i_middle]; b[i_middle] = b[i_left + 1]; b[i_left + 1] = tv;\
+            if (a[i_left] > a[i_right]) {                                    \
+                t = a[i_left]; a[i_left] = a[i_right]; a[i_right] = t;       \
+                tv = b[i_left]; b[i_left] = b[i_right]; b[i_right] = tv;     \
+            }                                                                \
+            if (a[i_left + 1] > a[i_right]) {                                \
+                t = a[i_left + 1]; a[i_left + 1] = a[i_right]; a[i_right] = t;\
+                tv = b[i_left + 1]; b[i_left + 1] = b[i_right]; b[i_right] = tv;\
+            }                                                                \
+            if (a[i_left] > a[i_left + 1]) {                                 \
+                t = a[i_left]; a[i_left] = a[i_left + 1]; a[i_left + 1] = t; \
+                tv = b[i_left]; b[i_left] = b[i_left + 1]; b[i_left + 1] = tv;\
+            }                                                                \
+            i = i_left + 1; j = i_right;                                     \
+            pa = a[i_left + 1]; pb = b[i_left + 1];                          \
+            for (;;) {                                                       \
+                do i++; while (a[i] < pa);                                   \
+                do j--; while (a[j] > pa);                                   \
+                if (j < i) break;                                            \
+                t = a[i]; a[i] = a[j]; a[j] = t;                             \
+                tv = b[i]; b[i] = b[j]; b[j] = tv;                           \
+            }                                                                \
+            a[i_left + 1] = a[j]; b[i_left + 1] = b[j];                      \
+            a[j] = pa; b[j] = pb;                                            \
+            sp += 2;                                                         \
+            if (sp > NR_MAXSTACK) return -1;                                 \
+            if (i_right - i + 1 >= j - i_left) {                             \
+                stack[sp] = i_right; stack[sp - 1] = i;                      \
+                i_right = j - 1;                                             \
+            } else {                                                         \
+                stack[sp] = j - 1; stack[sp - 1] = i_left;                   \
+                i_left = i;                                                  \
+            }                                                                \
+        }                                                                    \
+    }
+
+int nr_sort2(uint32_t *a, uint32_t *b, int n) { NR_SORT_BODY(uint32_t, uint32_t) }
+int nr_sort2_64_32(uint64_t *a, uint32_t *b, int n) { NR_SORT_BODY(uint64_t, uint32_t) }
+int nr_sort64(uint64_t *a, int n)
+{
+    /* single-array variant (sortUINT64arrayByQuickSort) — keys are unique
+     * in our uses, so ordering equals any ascending sort; kept for speed. */
+    uint64_t *b = a; (void)b;
+    int i, j, i_left = 0, i_middle, i_right = n - 1;
+    uint64_t pa, t;
+    int stack[NR_MAXSTACK + 2]; int sp = 0;
+    if (n < 2) return 0;
+    for (;;) {
+        if (i_right - i_left < NR_MINARR) {
+            for (j = i_left + 1; j <= i_right; j++) {
+                pa = a[j];
+                for (i = j - 1; i >= i_left && a[i] > pa; i--) a[i + 1] = a[i];
+                a[i + 1] = pa;
+            }
+            if (!sp) return 0;
+            i_right = stack[sp--]; i_left = stack[sp--];
+        } else {
+            i_middle = (i_left + i_right) >> 1;
+            t = a[i_middle]; a[i_middle] = a[i_left + 1]; a[i_left + 1] = t;
+            if (a[i_left] > a[i_right]) { t = a[i_left]; a[i_left] = a[i_right]; a[i_right] = t; }
+            if (a[i_left + 1] > a[i_right]) { t = a[i_left + 1]; a[i_left + 1] = a[i_right]; a[i_right] = t; }
+            if (a[i_left] > a[i_left + 1]) { t = a[i_left]; a[i_left] = a[i_left + 1]; a[i_left + 1] = t; }
+            i = i_left + 1; j = i_right;
+            pa = a[i_left + 1];
+            for (;;) {
+                do i++; while (a[i] < pa);
+                do j--; while (a[j] > pa);
+                if (j < i) break;
+                t = a[i]; a[i] = a[j]; a[j] = t;
+            }
+            a[i_left + 1] = a[j]; a[j] = pa;
+            sp += 2;
+            if (sp > NR_MAXSTACK) return -1;
+            if (i_right - i + 1 >= j - i_left) {
+                stack[sp] = i_right; stack[sp - 1] = i;
+                i_right = j - 1;
+            } else {
+                stack[sp] = j - 1; stack[sp - 1] = i_left;
+                i_left = i;
+            }
+        }
+    }
+}
