@@ -1,13 +1,22 @@
 import os
 import sys
 
-# Virtual 8-device CPU mesh for multi-chip tests; must be set before jax import.
+# Virtual 8-device CPU mesh for multi-chip tests.  NOTE: with the axon TPU
+# plugin present, the JAX_PLATFORMS env var alone is ignored — the
+# jax_platforms config update below is what actually forces CPU.
 os.environ.setdefault("XLA_FLAGS",
                       "--xla_force_host_platform_device_count=8 "
                       + os.environ.get("XLA_FLAGS", ""))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:  # pragma: no cover
+    pass
 
 import pytest  # noqa: E402
 
