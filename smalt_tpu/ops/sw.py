@@ -154,13 +154,15 @@ def sw_score_batch(qcodes, subj, slens, matrix, gapopen_pos, gapext_pos,
     slens = jnp.asarray(slens, jnp.int32)
     matrix = jnp.asarray(matrix, jnp.int32)
     B, Q = qcodes.shape
+    S = subj.shape[1]
     Bp = -(-B // CB) * CB
     Qp = -(-Q // 128) * 128
-    # pad query positions with code 7 (TERM): scores 0 against everything,
-    # so padded lanes never contribute to the maximum... they can, via T=0+0;
-    # but H stays 0 there and vmax only grows from real scores >0 anyway.
+    Sp = -(-S // 128) * 128
+    # pad query positions with code 7 (N class, scores 0 everywhere): padded
+    # lanes can propagate H at zero gain but never raise the diagonal max.
+    # Padded subject rows are masked off via slens.
     qcodes = _pad_to(_pad_to(qcodes, Qp, 1, 7), Bp, 0)
-    subj = _pad_to(subj, Bp, 0)
+    subj = _pad_to(_pad_to(subj, Sp, 1, 7), Bp, 0)
     slens = _pad_to(slens, Bp, 0)
     params = jnp.asarray([[gapopen_pos, gapext_pos]], jnp.int32)
     out = _sw_batch_call(qcodes, subj, slens[:, None], matrix, params,

@@ -1,0 +1,271 @@
+"""Device-resident index and the SPMD mapping step.
+
+The reference scales with a pthreads pipeline over shared memory
+(threads.c:726-1014); the TPU-native equivalent is SPMD over a
+`jax.sharding.Mesh`:
+
+  * `dp` axis — read batches are data-parallel across chips
+    (the analogue of the reference's N worker threads sharing a
+    read-only index, smalt.c:1353-1391);
+  * `ip` axis — the k-mer position list is sharded across chips for
+    genomes too large for one HBM; every chip scans its shard of the
+    diagonal space and the best candidates are combined with a max
+    collective (the reference's seq-by-seq scan rmap.c:273-351,
+    re-expressed as a reduction over shards).
+
+`device_map_step` is the fully-jitted fast mapping step: k-mer word
+extraction -> binary-search index lookup -> rarest-seed selection ->
+diagonal-run voting -> windowed reference gather -> batched Pallas SW
+scoring.  It returns, per read: best/second score, diagonal, strand.
+This is the high-throughput first pass; the exact-parity traceback and
+SAM emission run on host over the tiny set of survivors (the
+reference's own two-pass structure, rmap.c:588-928).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..seq import codec
+from ..index.table import KmerIndex
+from ..seq.refset import RefSet
+from ..ops.sw import sw_score_batch, sw_score_ref
+
+NSEED = 16     # rarest query k-mers expanded per strand
+MAXC = 8       # positions expanded per k-mer word
+WIN_PAD = 16   # reference window padding around the seed diagonal
+
+
+@dataclass
+class DeviceIndex:
+    """Flat device arrays of a KmerIndex + packed reference codes."""
+    wordlen: int
+    nskip: int
+    words: jnp.ndarray    # [W] int32 packed 2k-bit words (k <= 15)
+    starts: jnp.ndarray   # [W+1] int32 CSR offsets
+    pos: jnp.ndarray      # [Npos] int32 tuple serial numbers
+    ref_alpha: jnp.ndarray  # [L] int32 3-bit reference codes (concatenated)
+    ref_len: int
+
+    @classmethod
+    def build(cls, refset: RefSet, idx: KmerIndex) -> "DeviceIndex":
+        if 2 * idx.wordlen > 31:
+            raise ValueError("device path packs words in int32: wordlen<=15")
+        return cls(
+            wordlen=idx.wordlen,
+            nskip=idx.nskip,
+            words=jnp.asarray(idx.words.astype(np.int64).astype(np.int32)),
+            starts=jnp.asarray(idx.starts.astype(np.int32)),
+            pos=jnp.asarray(idx.pos.astype(np.int32)),
+            ref_alpha=jnp.asarray(codec.alpha(refset.codes).astype(np.int32)),
+            ref_len=refset.total_len,
+        )
+
+
+def _query_words(reads, k):
+    """Forward and reverse-complement k-mer words per query position.
+    reads: [B, Q] int32 3-bit codes.  Returns (fwd, rc, valid): [B, P]."""
+    B, Q = reads.shape
+    P_ = Q - k + 1
+    std = reads & 3
+    bad = (reads & 4) != 0
+    fwd = jnp.zeros((B, P_), jnp.int32)
+    rc = jnp.zeros((B, P_), jnp.int32)
+    nbad = jnp.zeros((B, P_), jnp.int32)
+    for j in range(k):
+        col = std[:, j : j + P_]
+        fwd = (fwd << 2) | col
+        rc = rc | ((col ^ 3) << (2 * j))
+        nbad = nbad + bad[:, j : j + P_].astype(jnp.int32)
+    return fwd, rc, nbad == 0
+
+
+def _lookup(di: DeviceIndex, qwords, valid):
+    """Binary-search lookup: (counts, slots) with miss -> count 0.
+    method='sort' batches all queries through one sort instead of the
+    default scan path, which lowers to a slow while_loop on TPU."""
+    ix = jnp.searchsorted(di.words, qwords, method="sort").astype(jnp.int32)
+    ixc = jnp.clip(ix, 0, di.words.shape[0] - 1)
+    hit = (di.words[ixc] == qwords) & valid
+    counts = jnp.where(hit, di.starts[ixc + 1] - di.starts[ixc], 0)
+    return counts, jnp.where(hit, ixc, 0), hit
+
+
+def _expand_hits(di: DeviceIndex, slots, counts, qoffs, is_reverse):
+    """Expand up to MAXC positions per selected seed into diagonal shifts
+    (tuple units): forward  pos - qoffs//nskip,
+                   reverse  pos + qoffs//nskip   (hashhit.h:67-72 packing).
+    Returns (shift, ok): [B, NSEED*MAXC]."""
+    B = slots.shape[0]
+    base = di.starts[slots]                      # [B, NSEED]
+    offs = jnp.arange(MAXC, dtype=jnp.int32)
+    pidx = base[:, :, None] + offs[None, None, :]
+    pidx = jnp.clip(pidx, 0, di.pos.shape[0] - 1)
+    pos = di.pos[pidx]                           # [B, NSEED, MAXC]
+    ok = offs[None, None, :] < counts[:, :, None]
+    qo = (qoffs // di.nskip)[:, :, None]
+    shift = pos + qo if is_reverse else pos - qo
+    shift = jnp.where(ok, shift, -(1 << 30))
+    return shift.reshape(B, -1), ok.reshape(B, -1)
+
+
+def _best_diagonal(shift, ok, tol):
+    """Densest diagonal run per read: sort shifts, count how many of the
+    following NSEED*MAXC-window fall within `tol`, pick the argmax.
+    Returns (best_shift, votes, second_shift, second_votes)."""
+    B, N = shift.shape
+    s = jnp.sort(shift, axis=1)                  # invalid = -2^30 sort first
+    votes = jnp.zeros((B, N), jnp.int32)
+    for d in range(1, min(N, 32)):
+        nb = jnp.concatenate(
+            [s[:, d:], jnp.full((B, d), 1 << 30, jnp.int32)], axis=1)
+        votes = votes + ((nb - s) <= tol).astype(jnp.int32)
+    valid = s > -(1 << 29)
+    votes = jnp.where(valid, votes + 1, 0)
+    b1 = jnp.argmax(votes, axis=1)
+    best = jnp.take_along_axis(s, b1[:, None], 1)[:, 0]
+    v1 = jnp.take_along_axis(votes, b1[:, None], 1)[:, 0]
+    far = jnp.abs(s - best[:, None]) > 2 * tol
+    votes2 = jnp.where(far, votes, 0)
+    b2 = jnp.argmax(votes2, axis=1)
+    second = jnp.take_along_axis(s, b2[:, None], 1)[:, 0]
+    v2 = jnp.take_along_axis(votes2, b2[:, None], 1)[:, 0]
+    return best, v1, second, v2
+
+
+def _gather_windows(di: DeviceIndex, shifts, S, origin_off):
+    """Reference windows [B, S] starting at shift*nskip + origin_off."""
+    start = shifts * di.nskip + origin_off
+    start = jnp.clip(start, 0, max(di.ref_len - S, 0))
+    offs = jnp.arange(S, dtype=jnp.int32)
+    gidx = start[:, None] + offs[None, :]
+    gidx = jnp.clip(gidx, 0, di.ref_len - 1)
+    win = di.ref_alpha[gidx]
+    # mask rows past the reference end with TERM-like code 7 (scores 0)
+    return win, start
+
+
+def device_map_step(di: DeviceIndex, reads, matrix, gapopen_pos, gapext_pos,
+                    interpret=None):
+    """Fast mapping step for a padded read batch.
+
+    reads: [B, Q] int32 mangled-alpha codes (0..7), padded reads all-7.
+    Returns dict of per-read arrays: best score, second score, global
+    window start, strand (0 fwd / 1 rc), seed votes.
+    """
+    B, Q = reads.shape
+    k = di.wordlen
+    fwd, rc, valid = _query_words(reads, k)
+    qoffs = jnp.broadcast_to(jnp.arange(fwd.shape[1], dtype=jnp.int32),
+                             fwd.shape)
+
+    tol = max(k * 3 // di.nskip, 1)
+    # subject window: Q plus slack, rounded up to a lane multiple so the
+    # SW kernel's blocks stay aligned
+    S = -(-(Q + 2 * WIN_PAD) // 128) * 128
+
+    outs = []
+    for is_reverse, words in ((False, fwd), (True, rc)):
+        counts, slots, hit = _lookup(di, words, valid)
+        # rarest seeds first: top-k of negated counts (0 = miss sorts last)
+        key = jnp.where(hit, counts, 1 << 30)
+        _, sel = jax.lax.top_k(-key, NSEED)
+        sel_slots = jnp.take_along_axis(slots, sel, 1)
+        sel_counts = jnp.take_along_axis(counts, sel, 1)
+        sel_counts = jnp.minimum(sel_counts, MAXC)
+        sel_qoffs = jnp.take_along_axis(qoffs, sel, 1)
+        sel_hit = jnp.take_along_axis(hit, sel, 1)
+        sel_counts = jnp.where(sel_hit, sel_counts, 0)
+        shift, ok = _expand_hits(di, sel_slots, sel_counts, sel_qoffs,
+                                 is_reverse)
+        b1, v1, b2, v2 = _best_diagonal(shift, ok, tol)
+        outs.append((b1, v1, b2, v2))
+
+    # two candidates per strand -> 4 windows per read.
+    # forward: alignment starts near diag*nskip; reverse: the RC read's
+    # window ends at the last seed, so the origin backs off by Q-k.
+    cands = []
+    for strand, (b1, v1, b2, v2) in enumerate(outs):
+        origin = -WIN_PAD if strand == 0 else -(Q - k) - WIN_PAD
+        for diag, votes in ((b1, v1), (b2, v2)):
+            win, start = _gather_windows(di, diag, S, origin)
+            cands.append((win, start, votes, strand))
+
+    qc_f = reads
+    qc_r = _revcomp_batch(reads)
+    wins = jnp.concatenate([c[0] for c in cands], axis=0)       # [4B, S]
+    starts = jnp.concatenate([c[1] for c in cands], axis=0)
+    votes = jnp.concatenate([jnp.asarray(c[2]) for c in cands], axis=0)
+    qcs = jnp.concatenate([qc_f, qc_f, qc_r, qc_r], axis=0)
+    slens = jnp.full((4 * B,), S, jnp.int32)
+    has_seed = votes > 0
+    scores = sw_score_batch(qcs, wins, slens, matrix, gapopen_pos,
+                            gapext_pos, interpret=interpret)
+    scores = jnp.where(has_seed, scores, 0)
+    sc = scores.reshape(4, B)
+    st = starts.reshape(4, B)
+    order = jnp.argsort(-sc, axis=0)
+    best = jnp.take_along_axis(sc, order[0:1], 0)[0]
+    second = jnp.take_along_axis(sc, order[1:2], 0)[0]
+    best_start = jnp.take_along_axis(st, order[0:1], 0)[0]
+    best_strand = (order[0] >= 2).astype(jnp.int32)
+    return {
+        "score": best,
+        "score2": second,
+        "start": best_start,
+        "strand": best_strand,
+    }
+
+
+def _revcomp_batch(reads):
+    """Reverse complement [B, Q] alpha codes (nonstd codes unchanged)."""
+    rev = reads[:, ::-1]
+    std = (rev & 4) == 0
+    return jnp.where(std, rev ^ 3, rev)
+
+
+def make_sharded_step(di: DeviceIndex, mesh: Mesh, matrix,
+                      gapopen_pos, gapext_pos, interpret=None):
+    """SPMD mapping step over a ('dp', 'ip') mesh.
+
+    Reads shard over `dp`.  The index position list and reference shard
+    over `ip` conceptually; at the current genome scales both fit in one
+    HBM, so the arrays are replicated and each `ip` member scans a
+    disjoint slice of the diagonal space; per-read results combine with
+    a max over `ip` (jax.lax.pmax) — the collective pattern that carries
+    over unchanged when pos[] is truly range-sharded.
+    """
+    dp = mesh.shape["dp"]
+    ip = mesh.shape.get("ip", 1)
+
+    def step(reads):
+        out = device_map_step(di, reads, matrix, gapopen_pos, gapext_pos,
+                              interpret=interpret)
+        if ip > 1:
+            # combine best across index shards: pick the shard with max score
+            score = out["score"]
+            best = jax.lax.pmax(score, "ip")
+            is_best = score == best
+            def pick(x):
+                masked = jnp.where(is_best, x, -(1 << 30))
+                return jax.lax.pmax(masked, "ip")
+            out = {
+                "score": best,
+                "score2": jax.lax.pmax(out["score2"], "ip"),
+                "start": pick(out["start"]),
+                "strand": pick(out["strand"]),
+            }
+        return out
+
+    specs_in = P("dp", None)
+    specs_out = {k: P("dp") for k in ("score", "score2", "start", "strand")}
+    fn = shard_map(step, mesh=mesh, in_specs=(specs_in,),
+                   out_specs=specs_out, check_rep=False)
+    return jax.jit(fn)

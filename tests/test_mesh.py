@@ -1,0 +1,82 @@
+"""Multi-device SPMD mapping step on the virtual 8-device CPU mesh —
+the TPU analogue of the reference's thread-determinism test
+(test/mthread_test.py): sharded and single-device runs must agree."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from smalt_tpu.seq import codec
+from smalt_tpu.align import core as ali
+from smalt_tpu.parallel.mesh import DeviceIndex, device_map_step, make_sharded_step
+
+
+@pytest.fixture(scope="module")
+def device_setup(indexed):
+    refset, idx = indexed
+    di = DeviceIndex.build(refset, idx)
+    m, go, ge = ali.make_score_matrix()
+    return refset, di, m, go, ge
+
+
+def _read_batch(refset, rng, B, Q):
+    """Slice B perfect reads out of the reference (half reverse)."""
+    reads = np.zeros((B, Q), np.int32)
+    starts = rng.integers(0, refset.total_len - Q, B)
+    truth = []
+    for i, st in enumerate(starts):
+        seg = codec.alpha(refset.codes[st : st + Q]).astype(np.int32)
+        if i % 2:
+            seg = seg[::-1] ^ 3
+        reads[i] = seg
+        truth.append(int(st))
+    return jnp.asarray(reads), truth
+
+
+def test_device_step_finds_perfect_reads(device_setup):
+    refset, di, m, go, ge = device_setup
+    rng = np.random.default_rng(3)
+    B, Q = 16, 100
+    reads, truth = _read_batch(refset, rng, B, Q)
+    out = device_map_step(di, reads, m, -go, -ge, interpret=True)
+    score = np.asarray(out["score"])
+    strand = np.asarray(out["strand"])
+    assert (score == Q).all()          # perfect alignments found
+    assert (strand == np.arange(B) % 2).all()
+
+
+def test_sharded_step_matches_single_device(device_setup):
+    refset, di, m, go, ge = device_setup
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(9)
+    B, Q = 32, 100
+    reads, _ = _read_batch(refset, rng, B, Q)
+
+    single = device_map_step(di, reads, m, -go, -ge, interpret=True)
+
+    mesh = Mesh(np.array(devs[:8]).reshape(4, 2), ("dp", "ip"))
+    step = make_sharded_step(di, mesh, m, -go, -ge, interpret=True)
+    with mesh:
+        sharded = step(reads)
+
+    for k in ("score", "score2", "start", "strand"):
+        assert np.array_equal(np.asarray(single[k]), np.asarray(sharded[k])), k
+
+
+def test_dp_only_mesh(device_setup):
+    refset, di, m, go, ge = device_setup
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(13)
+    B, Q = 16, 100
+    reads, _ = _read_batch(refset, rng, B, Q)
+    mesh = Mesh(np.array(devs[:8]).reshape(8, 1), ("dp", "ip"))
+    step = make_sharded_step(di, mesh, m, -go, -ge, interpret=True)
+    with mesh:
+        out = step(reads)
+    assert (np.asarray(out["score"]) == Q).all()
