@@ -368,3 +368,41 @@ def _recurse(prof, subj_alpha, q_len, s_len, l_edge, r_edge,
         _recurse(prof, subj_alpha, q_len, s_len, l_edge, r_edge,
                  q_left, q_right, s_end + 1, s_right, minscore, minscorlen,
                  cplx, out)
+
+
+def score_diff_str(prof: ScoreProfile, subj_codes: np.ndarray,
+                   prof_offs: int, diff) -> int:
+    """aliScoreDiffStr (alignment.c:179-232): recompute the SW score of an
+    alignment given as a diff string over a fetched subject segment."""
+    from . import diffstr as _ds
+    W = prof.W
+    sa = codec.alpha(subj_codes)
+    gi, ge = prof.gap_init_pos, prof.gap_ext_pos
+    sw = 0
+    rs = 0
+    po = prof_offs
+    is_open = False
+    for i, b in enumerate(diff):
+        if not b:
+            break
+        count, typ = _ds.diffstr_get(b)
+        if typ == _ds.DIFFCOD_M or (typ == _ds.DIFFCOD_S and
+                                    i + 1 < len(diff) and diff[i + 1]):
+            count += 1
+        if count > 0:
+            is_open = False
+            for _ in range(count):
+                sw += int(W[sa[rs], po])
+                rs += 1
+                po += 1
+        if typ in (_ds.DIFFCOD_I, _ds.DIFFCOD_D):
+            if is_open:
+                sw -= ge
+            else:
+                sw -= gi
+                is_open = True
+            if typ == _ds.DIFFCOD_I:
+                po += 1
+            else:
+                rs += 1
+    return sw

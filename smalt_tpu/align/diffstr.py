@@ -165,3 +165,140 @@ def seq_lens(diff: List[int]) -> Tuple[int, int]:
         pl -= 1
         ul -= 1
     return pl, ul
+
+
+def scroll_start_end(diff: List[int], start_u: int, end_u: int):
+    """scrollDIFFSTRStartEnd (diffstr.c): locate the sub-alignment covering
+    unprofiled positions [start_u, end_u], snapping into exact matches.
+    Returns (su, eu, sp, ep, count_start, count_end, typ_start,
+    idx_start, idx_end) or raises NoMatch."""
+    shift = 0
+    shift_last = 0
+    pos = 0
+    count = 0
+    count_add = 0
+    typ = 0
+    i = 0
+    n = len(diff)
+    while i < n and diff[i]:
+        count, typ = diffstr_get(diff[i])
+        shift_last = shift
+        if typ == DIFFCOD_M:
+            count += 1
+            count_add = 0
+        elif typ == DIFFCOD_S:
+            count_add = 1
+        elif typ == DIFFCOD_I:
+            shift += 1
+            count_add = 0
+        else:
+            count_add = 1
+            shift -= 1
+        pos += count
+        if pos > start_u and count > 0:
+            break
+        pos += count_add
+        i += 1
+    if i >= n or not diff[i]:
+        raise ValueError("scroll past end of diff string")
+    idx_last = i
+    count_start = pos - start_u
+    if count_start > count:
+        count_start = count
+    su = pos - count_start
+    sp = su + shift_last
+    pos_last = pos
+    pos += count_add
+    idx_start = i
+    typ_start = typ
+
+    if su > end_u:
+        raise NoMatch()
+    if pos <= end_u:
+        i += 1
+        while i < n and diff[i]:
+            count, typ = diffstr_get(diff[i])
+            if count > 0:
+                shift_last = shift
+            if typ == DIFFCOD_M:
+                count += 1
+                count_add = 0
+            elif typ == DIFFCOD_S:
+                count_add = 1
+            elif typ == DIFFCOD_I:
+                count_add = 0
+                shift += 1
+            else:
+                count_add = 1
+                shift -= 1
+            pos += count
+            if count > 0:
+                pos_last = pos
+                idx_last = i
+            pos += count_add
+            if pos > end_u:
+                break
+            i += 1
+        if i >= n or not diff[i]:
+            i -= 1
+    if pos_last > end_u:
+        count_end = pos_last - end_u - 1
+        if count_end > count:
+            raise AssertionError("scroll inconsistency")
+        count_end = count - count_end
+        eu = end_u
+        idx_end = i
+    else:
+        count, typ = diffstr_get(diff[idx_last])
+        if typ == DIFFCOD_M:
+            count += 1
+        count_end = count
+        eu = pos_last - 1
+        idx_end = idx_last
+    ep = eu + shift_last
+    return su, eu, sp, ep, count_start, count_end, typ_start, idx_start, idx_end
+
+
+class NoMatch(Exception):
+    """segment contains no exact match (ERRCODE_NOMATCH)"""
+
+
+def segment(diff: List[int], start_u: int, end_u: int):
+    """diffStrSegment (diffstr.c): extract the sub-diff-string covering
+    unprofiled range [start_u, end_u].
+    Returns (subdiff, su, eu, sp, ep)."""
+    (su, eu, sp, ep, nm_start, nm_end, typ_start,
+     idx_start, idx_end) = scroll_start_end(diff, start_u, end_u)
+    out: List[int] = []
+    nmatch = 0
+    if idx_start == idx_end:
+        count, typ = diffstr_get(diff[idx_start])
+        if typ == DIFFCOD_M:
+            count += 1
+        nm_end = (nm_end + nm_start - count) & 0xFF
+    else:
+        if typ_start == DIFFCOD_M:
+            nmatch = nm_start
+        elif nm_start > 0:
+            out.append(setdiff(nm_start, typ_start))
+            nmatch = 0
+        for i in range(idx_start + 1, idx_end):
+            if not diff[i]:
+                break
+            count, typ = diffstr_get(diff[i])
+            nmatch += count
+            if typ == DIFFCOD_M:
+                nmatch += 1
+                continue
+            while nmatch > MAXMISMATCH:
+                out.append(setdiff(MAXMISMATCH, DIFFCOD_M))
+                nmatch -= MAXMISMATCH + 1
+            out.append(setdiff(nmatch, typ))
+            nmatch = 0
+    nmatch += nm_end
+    while nmatch > MAXMISMATCH + 1:
+        out.append(setdiff(MAXMISMATCH, DIFFCOD_M))
+        nmatch -= MAXMISMATCH + 1
+    out.append(setdiff(nmatch, DIFFCOD_S))
+    out.append(setdiff(0, DIFFCOD_M))
+    return out, su, eu, sp, ep

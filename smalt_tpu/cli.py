@@ -121,6 +121,7 @@ def _build_engine(a, argv_full):
         params.min_cover_frac = a.mincover
     if a.minscor is not None:
         params.min_swatscor = a.minscor
+        params.filter_minscor = a.minscor
     rsltouflg = 0
     rmapflg = 0
     scorediff = a.scorediff if a.scorediff is not None else 0
@@ -155,6 +156,8 @@ def _build_engine(a, argv_full):
         params.pairtyp = params.pairtyp  # exhaustive keeps library type
     engine = MapEngine(refset, idx, params,
                        penalties=_parse_penalties(a.scorspec))
+    if a.minid is not None:
+        engine.filter.min_identity = a.minid
     return engine, refset, idx
 
 

@@ -76,6 +76,11 @@ class MapParams:
     ktuple_maxhit: int = 10000          # -c ncut (menu.c:603)
     min_cover_frac: float = 0.0         # -y/-c style min cover (tupcovmin)
     min_swatscor: int = 0               # set from index: ktup+nskip-1
+    filter_minscor: int = 18            # output filter keeps the raw menu
+                                        # default MENU_DEFAULTS_MINSCOR=18
+                                        # (smalt.c:484 passes the menu value
+                                        # to the filter BEFORE the engine
+                                        # minimum is derived from the index)
     min_swatscor_below_max: int = 0     # -d scorediff (0 = best only)
     min_basq: int = 0
     insert_min: int = 0
@@ -117,7 +122,8 @@ class MapEngine:
             params.rmapflg |= RMAPFLG_SEQBYSEQ
         if params.min_swatscor == 0:
             params.min_swatscor = index.wordlen + index.nskip - 1
-        self.filter = ResultFilter(min_swatscor_val(params), params.min_swatscor_below_max, 0.0)
+        self.filter = ResultFilter(params.filter_minscor,
+                                   params.min_swatscor_below_max, 0.0)
 
     # ---------------- profiles ----------------
 
@@ -344,7 +350,8 @@ class MapEngine:
         self._align_full(rs, cands, prof_f, prof_r, min_swatscor,
                          scorlen_min, bandwidth_min, rmapflg)
         rs.sort_and_assign(read.qual, qlen,
-                           search_split=bool(rmapflg & RMAPFLG_SPLIT))
+                           search_split=bool(rmapflg & RMAPFLG_SPLIT),
+                           refset=self.refset, prof_f=prof_f, prof_r=prof_r)
 
     # ---------------- single-read entry ----------------
 
@@ -596,5 +603,3 @@ class MapEngine:
                            restrict=[(lo, hi, sx) for (lo, hi, sx) in intervals])
 
 
-def min_swatscor_val(params: MapParams) -> int:
-    return params.min_swatscor

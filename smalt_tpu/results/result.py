@@ -208,11 +208,16 @@ class ResultSet:
     # ------------- sorting / segments / mapq -------------
 
     def sort_and_assign(self, qual: Optional[bytes], qlen: int,
-                        search_split: bool = False):
-        """resultSetSortAndAssignSequence (results.c:2022-2064).  Sequence
-        indices must already be assigned (seq-by-seq mode) or resolvable;
-        whole-genome offset resolution is handled by the caller."""
+                        search_split: bool = False,
+                        refset=None, prof_f=None, prof_r=None):
+        """resultSetSortAndAssignSequence (results.c:2022-2064).  In
+        whole-genome mode (refset given) sequence indices are resolved
+        first and alignments spanning concatenated-sequence boundaries
+        are split (assignSequenceIndex + splitMultiSpan,
+        results.c:1474-1695)."""
         self._qlen = qlen
+        if refset is not None:
+            self._assign_sequence_index(refset, prof_f, prof_r)
         self._sort_and_prune()
         self.qsegno = 0
         if self.sortr:
@@ -222,6 +227,87 @@ class ResultSet:
                 self._propagate_prob(qsegx)
             if search_split:
                 self._find_split_reads()
+
+    def _assign_sequence_index(self, refset, prof_f, prof_r):
+        """assignSequenceIndex (results.c:1695-1780): resolve global
+        offsets to (sidx, within-sequence offsets), splitting alignments
+        that span multiple concatenated sequences."""
+        from ..sort_nr import paired_sort
+
+        ofp = refset.offsets
+        nseq = refset.nseq
+        cand = [(i, r) for i, r in enumerate(self.results)
+                if (r.status & RSLTFLAG_SELECT) and r.sidx < 0]
+        if not cand:
+            return
+        keys = np.asarray([r.s_start for _, r in cand], dtype=np.uint64)
+        idxs = np.asarray([i for i, _ in cand], dtype=np.uint32)
+        _, order = paired_sort(keys.astype(np.uint64), idxs)
+        s = 0
+        for ri in order:
+            r = self.results[int(ri)]
+            if not (r.status & (RSLTFLAG_NOSEQID | RSLTFLAG_SELECT)):
+                continue
+            while s < nseq and r.s_start > int(ofp[s + 1]):
+                s += 1
+            e = s + 1
+            while e < nseq and r.s_end > int(ofp[e]):
+                e += 1
+            if r.s_end > int(ofp[e]):
+                raise AssertionError("result beyond reference end")
+            if e > s + 1:
+                self._split_multi_span(r, s, e, refset, prof_f, prof_r)
+                r.status &= ~RSLTFLAG_SELECT
+            else:
+                r.sidx = s
+                r.s_start -= int(ofp[s])
+                r.s_end -= int(ofp[s])
+                r.status &= ~RSLTFLAG_NOSEQID
+
+    def _split_multi_span(self, r: Result, so: int, eo: int, refset,
+                          prof_f, prof_r):
+        """splitMultiSpan (results.c:1474-1694): split an alignment spanning
+        sequences [so, eo) into per-sequence results, re-scoring each."""
+        from ..align import diffstr as dsm
+        from ..align import core as ali_core
+
+        ofp = refset.offsets
+        is_rev = bool(r.status & RSLTFLAG_REVERSE)
+        prof = prof_r if is_rev else prof_f
+        qlen = prof.qlen
+        for idx in range(so, eo):
+            if r.s_start > int(ofp[idx]):
+                curr_start = 0
+            else:
+                curr_start = int(ofp[idx]) - r.s_start + 1
+            curr_end = (min(r.s_end, int(ofp[idx + 1]))) - r.s_start
+            try:
+                sub, su, eu, sp, ep = dsm.segment(r.diff, curr_start, curr_end)
+            except dsm.NoMatch:
+                continue
+            hp = Result()
+            hp.__dict__.update({k: v for k, v in r.__dict__.items()
+                                if k != "diff"})
+            hp.diff = sub
+            if is_rev:
+                hp.q_start = r.q_end - ep
+                hp.q_end = r.q_end - sp
+                q0 = qlen - hp.q_end
+            else:
+                hp.q_start = r.q_start + sp
+                hp.q_end = r.q_start + ep
+                q0 = hp.q_start - 1
+            hp.s_start = r.s_start + su - int(ofp[idx])
+            hp.s_end = r.s_start + eu - int(ofp[idx])
+            hp.sidx = idx
+            hp.status &= ~RSLTFLAG_NOSEQID
+            hp.status |= RSLTFLAG_SELECT
+            seg = refset.fetch_by_seq(idx, hp.s_start - 1,
+                                      hp.s_end - hp.s_start + 1)
+            hp.swatscor = ali_core.score_diff_str(prof, seg, q0, sub)
+            # note: the reference does NOT refresh swatscor_max here — the
+            # unsplit alignment's score stays recorded (results.c:1688)
+            self.results.append(hp)
 
     def _sort_and_prune(self):
         """sortAndPrune (results.c:759-837)."""

@@ -49,3 +49,38 @@ def test_paired_end_bit_identical(index_prefix, data_dir, tmp_path):
     want = _read_lines(os.path.join(data_dir, "golden_pe_r1.sam"))
     assert len(got) == len(want) == 240
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def index600_prefix(tmp_path_factory, data_dir):
+    """600-sequence genome: triggers the whole-genome (non seq-by-seq)
+    path with boundary-crossing reads (reference regime: >512 sequences,
+    smalt.c:65-68; test/xali_test.py)."""
+    import gzip as _gz
+    d = tmp_path_factory.mktemp("idx600")
+    fa = str(d / "genome600.fa")
+    with _gz.open(os.path.join(data_dir, "genome600.fa.gz"), "rb") as f:
+        open(fa, "wb").write(f.read())
+    pref = str(d / "idx600")
+    assert main(["index", "-k", "13", "-s", "4", pref, fa]) == 0
+    return pref
+
+
+def test_whole_genome_boundary_split_se(index600_prefix, data_dir, tmp_path):
+    out = str(tmp_path / "se600.sam")
+    assert main(["map", "-f", "sam", "-r", "1", "-o", out, index600_prefix,
+                 os.path.join(data_dir, "reads_se.fq.gz")]) == 0
+    got = _read_lines(out)
+    want = _read_lines(os.path.join(data_dir, "golden600_se_r1.sam.gz"))
+    assert len(got) == len(want) == 2000
+    assert got == want
+
+
+def test_whole_genome_boundary_split_pe(index600_prefix, data_dir, tmp_path):
+    out = str(tmp_path / "pe600.sam")
+    assert main(["map", "-f", "sam", "-r", "1", "-o", out, index600_prefix,
+                 os.path.join(data_dir, "reads_pe_1.fq"),
+                 os.path.join(data_dir, "reads_pe_2.fq")]) == 0
+    got = _read_lines(out)
+    want = _read_lines(os.path.join(data_dir, "golden600_pe_r1.sam"))
+    assert got == want
