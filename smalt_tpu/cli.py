@@ -110,7 +110,7 @@ def _parse_penalties(spec: Optional[str]):
     return pen["match"], pen["subst"], pen["gapopen"], pen["gapext"]
 
 
-def _build_engine(a, argv_full):
+def _build_engine(a, argv_full, default_pairtyp="pe"):
     refset = RefSet.load(a.index_name)
     idx = KmerIndex.load(a.index_name)
     params = MapParams()
@@ -146,14 +146,13 @@ def _build_engine(a, argv_full):
     params.rmapflg = rmapflg
     params.rsltouflg = rsltouflg
     params.use_cplx = a.complexw
-    if a.pairtyp == "pe" or a.pairtyp is None:
-        params.pairtyp = pairs_mod.LIB_PAIREDEND
-    elif a.pairtyp == "mp":
-        params.pairtyp = pairs_mod.LIB_MATEPAIR
-    elif a.pairtyp == "pp":
-        params.pairtyp = pairs_mod.LIB_SAMESTRAND
-    if a.exhaustive:
-        params.pairtyp = params.pairtyp  # exhaustive keeps library type
+    pairtyp = a.pairtyp if a.pairtyp is not None else default_pairtyp
+    # sample leaves the library type UNKNOWN -> PAIREDALL (menu.c:1211 is
+    # only applied by checkMapDefaults, not checkSampleDefaults)
+    params.pairtyp = {"pe": pairs_mod.LIB_PAIREDEND,
+                      "mp": pairs_mod.LIB_MATEPAIR,
+                      "pp": pairs_mod.LIB_SAMESTRAND,
+                      "all": pairs_mod.LIB_PAIREDALL}[pairtyp]
     engine = MapEngine(refset, idx, params,
                        penalties=_parse_penalties(a.scorspec))
     if a.minid is not None:
@@ -220,7 +219,7 @@ def cmd_sample(argv: List[str]) -> int:
     if not a.mates:
         print("sample requires paired reads", file=sys.stderr)
         return 1
-    engine, refset, idx = _build_engine(a, argv)
+    engine, refset, idx = _build_engine(a, argv, default_pairtyp="all")
     # checkSampleDefaults (menu.c:1231-1244): exhaustive mode
     engine.params.rmapflg |= (RMAPFLG_NOSHRTINFO | RMAPFLG_SENSITIVE |
                               RMAPFLG_ALLPAIR)

@@ -84,3 +84,37 @@ def test_whole_genome_boundary_split_pe(index600_prefix, data_dir, tmp_path):
     got = _read_lines(out)
     want = _read_lines(os.path.join(data_dir, "golden600_pe_r1.sam"))
     assert got == want
+
+
+def test_split_read_mode(index_prefix, data_dir, tmp_path):
+    """-p split-read mapping (reference splitReads_test.py analogue):
+    chimeric reads report primary + NOTPRIMARY partial alignments."""
+    out = str(tmp_path / "split.sam")
+    assert main(["map", "-p", "-f", "sam", "-r", "1", "-o", out, index_prefix,
+                 os.path.join(data_dir, "reads_split.fq")]) == 0
+    got = _read_lines(out)
+    want = _read_lines(os.path.join(data_dir, "golden_split.sam.gz"))
+    assert got == want
+
+
+def test_sample_histogram(index_prefix, data_dir, tmp_path):
+    """smalt sample: exhaustive-mode pair mapping + Gaussian-smoothed
+    insert histogram, byte-identical file (sample_test.py analogue)."""
+    out = str(tmp_path / "hist.txt")
+    assert main(["sample", "-o", out, index_prefix,
+                 os.path.join(data_dir, "reads_pe_1.fq"),
+                 os.path.join(data_dir, "reads_pe_2.fq")]) == 0
+    got = open(out).read().splitlines()
+    want = open(os.path.join(data_dir, "golden_sample.txt")).read().splitlines()
+    assert got == want
+
+
+def test_cigar_output_format(index_prefix, data_dir, tmp_path):
+    """-f cigar output lines (ouform_cigar_test.py analogue): spot-check
+    the first mapped read against the reference's cigar line format."""
+    out = str(tmp_path / "out.cig")
+    assert main(["map", "-f", "cigar", "-r", "1", "-o", out, index_prefix,
+                 os.path.join(data_dir, "reads_se.fq.gz")]) == 0
+    first = open(out).readline()
+    assert first == ("cigar:S:54 rd_000000000_chr2_000007709_1_R_100m "
+                     "100 1 - chr2 7709 7808 + 100 M 100 \n")
