@@ -180,28 +180,23 @@ def cmd_map(argv: List[str]) -> int:
     a = _map_argparser("smalt_tpu map").parse_args(argv)
     engine, refset, idx = _build_engine(a, argv)
     out = _open_out(a)
-    writer = _writer(a, refset, argv, out)
+    writer = _writer(a, refset, argv, out)  # emits the SAM header
     ihist = InsHist.read(a.insfil) if a.insfil else None
     if ihist is not None:
         engine.params.insert_min = min(engine.params.insert_min, ihist.insizlo)
         engine.params.insert_max = max(engine.params.insert_max, ihist.insizhi)
-    if a.mates:
-        for read, mate in PairedReader(a.reads, a.mates):
-            rep = Report()
-            rsr, rsm, rpairs, pairflg = engine.rmap_pair(read, mate)
-            add_pair_to_report(rep, ihist, rpairs, pairflg,
-                               engine.params.rsltouflg, rsr, rsm)
-            if a.scorediff is not None and a.oformat.startswith(("sam", "bam")):
-                rep.fix_multiple_primary()
-            writer.write(rep, read, mate)
-    else:
-        for read in FastqReader(a.reads):
-            rep = Report()
-            rs = engine.rmap_single(read)
-            add_single_to_report(rep, engine.params.rsltouflg, rs)
-            if a.scorediff is not None and a.oformat.startswith(("sam", "bam")):
-                rep.fix_multiple_primary()
-            writer.write(rep, read, None)
+    fix_primary = (a.scorediff is not None and
+                   a.oformat.startswith(("sam", "bam")))
+    reads_iter = (PairedReader(a.reads, a.mates) if a.mates
+                  else FastqReader(a.reads))
+    from .map.pipeline import run_pipeline
+    fmt = a.oformat.split(":")[0]
+    mods = a.oformat.split(":")[1].split(",") if ":" in a.oformat else []
+    run_pipeline(engine, reads_iter, out, refset, fmt=fmt,
+                 soft_clip="clip" not in mods, x_mismatch="x" in mods,
+                 nthreads=a.nthreads,
+                 seed=(a.randseed if a.randseed is not None else 0),
+                 ihist=ihist, fix_primary=fix_primary)
     if out is not sys.stdout:
         out.close()
     return 0

@@ -1,0 +1,114 @@
+"""Parallel read-mapping pipeline.
+
+The reference parallelizes with a 4-task pthreads pipeline
+(ARGBUF/INPUT/PROC/OUTPUT, threads.c:45-50) over blocks of 32 reads
+(smalt.c:88) and an optional in-order output merge keyed on read
+number (smalt.c:966-1000).  Here the same dataflow is a Python
+multiprocessing pool of forked workers sharing the read-only engine
+(copy-on-write), with blocks streamed through `imap` (ordered — the
+-O semantics; the reference's unordered mode is nondeterministic by
+design, so ordered is our default and only mode).
+
+Each worker renders its block's SAM/CIGAR text; the parent writes
+blocks in input order.  Per-worker drand48 streams are reseeded per
+block from (seed, block number) so that the output is reproducible
+for any worker count — stronger than the reference, whose threads
+race for one process-global stream (mthread_test.py only requires
+mapq>6 lines to match across thread counts).
+"""
+from __future__ import annotations
+
+import io
+import itertools
+import multiprocessing as mp
+import os
+import sys
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+from .. import rand
+from ..report.report import Report, ReportWriter
+from ..results.pairs import add_pair_to_report, add_single_to_report
+
+BLOCK_READS = 32  # smalt.c:88 SMALT_BLOCKSIZ_IOBUF
+
+
+_g = {}
+
+
+def _init_worker(engine, writer_args, seed):
+    _g["engine"] = engine
+    _g["writer_args"] = writer_args
+    _g["seed"] = seed
+
+
+def _render_block(args):
+    blockno, block = args
+    engine = _g["engine"]
+    fmt, soft, xmm, refset = _g["writer_args"]
+    if _g.get("reseed_per_block"):
+        # parallel mode: deterministic per-block RNG streams (serial mode
+        # keeps the single global drand48 stream for reference parity)
+        rand.ranseed((_g["seed"] or 1) + blockno * 7919)
+    buf = io.StringIO()
+    writer = ReportWriter(buf, refset, fmt=fmt, soft_clip=soft,
+                          x_mismatch=xmm, header=False)
+    fix_primary = _g.get("fix_primary", False)
+    for item in block:
+        rep = Report()
+        if isinstance(item, tuple):
+            read, mate = item
+            rsr, rsm, rpairs, pairflg = engine.rmap_pair(read, mate)
+            add_pair_to_report(rep, _g.get("ihist"), rpairs, pairflg,
+                               engine.params.rsltouflg, rsr, rsm)
+            if fix_primary:
+                rep.fix_multiple_primary()
+            writer.write(rep, read, mate)
+        else:
+            rs = engine.rmap_single(item)
+            add_single_to_report(rep, engine.params.rsltouflg, rs)
+            if fix_primary:
+                rep.fix_multiple_primary()
+            writer.write(rep, item, None)
+    return buf.getvalue()
+
+
+def _blocks(it: Iterable, n: int) -> Iterator[Tuple[int, list]]:
+    blockno = 0
+    while True:
+        block = list(itertools.islice(it, n))
+        if not block:
+            return
+        yield blockno, block
+        blockno += 1
+
+
+def run_pipeline(engine, reads_iter: Iterable, out, refset,
+                 fmt: str = "sam", soft_clip: bool = True,
+                 x_mismatch: bool = False, nthreads: int = 1,
+                 seed: int = 1, ihist=None, fix_primary: bool = False):
+    """Map all reads/pairs from `reads_iter`, writing rendered blocks to
+    `out` in input order.  nthreads<=1 runs inline (serial fallback,
+    threads.c:985-1014)."""
+    writer_args = (fmt, soft_clip, x_mismatch, refset)
+    if nthreads <= 1:
+        _init_worker(engine, writer_args, seed)
+        _g["ihist"] = ihist
+        _g["fix_primary"] = fix_primary
+        _g["reseed_per_block"] = False
+        for args in _blocks(iter(reads_iter), BLOCK_READS):
+            out.write(_render_block(args))
+        return
+
+    ctx = mp.get_context("fork")
+    extra = {"ihist": ihist, "fix_primary": fix_primary,
+             "reseed_per_block": True}
+
+    def init():
+        _init_worker(engine, writer_args, seed)
+        _g.update(extra)
+
+    with ctx.Pool(processes=nthreads, initializer=init) as pool:
+        for text in pool.imap(_render_block,
+                              _blocks(iter(reads_iter), BLOCK_READS),
+                              chunksize=1):
+            out.write(text)

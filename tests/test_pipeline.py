@@ -1,0 +1,60 @@
+"""Thread-determinism oracle (reference test/mthread_test.py analogue):
+single-worker and 4-worker runs must produce identical mappings for all
+reads with mapq > 6 (below that, repeat placement is RNG-dependent)."""
+import os
+
+import pytest
+
+from smalt_tpu.cli import main
+
+
+def _mapped(path):
+    out = {}
+    for ln in open(path):
+        if ln.startswith("@"):
+            continue
+        f = ln.rstrip("\n").split("\t")
+        out[f[0]] = (int(f[1]), f[2], f[3], int(f[4]), f[5])
+    return out
+
+
+@pytest.fixture(scope="module")
+def index_prefix(tmp_path_factory, data_dir):
+    d = tmp_path_factory.mktemp("idx")
+    pref = str(d / "idx")
+    assert main(["index", "-k", "13", "-s", "4", pref,
+                 os.path.join(data_dir, "genome.fa")]) == 0
+    return pref
+
+
+def test_multiworker_determinism(index_prefix, data_dir, tmp_path):
+    reads = os.path.join(data_dir, "reads_se.fq.gz")
+    out1 = str(tmp_path / "n1.sam")
+    out4 = str(tmp_path / "n4.sam")
+    assert main(["map", "-f", "sam", "-r", "1", "-n", "1",
+                 "-o", out1, index_prefix, reads]) == 0
+    assert main(["map", "-f", "sam", "-r", "1", "-n", "4",
+                 "-o", out4, index_prefix, reads]) == 0
+    m1 = _mapped(out1)
+    m4 = _mapped(out4)
+    assert set(m1) == set(m4)
+    checked = 0
+    for name, rec1 in m1.items():
+        if rec1[3] > 6:  # mapq > 6: placement must be deterministic
+            assert m4[name] == rec1, name
+            checked += 1
+    assert checked > 1500  # most fixture reads are confidently mapped
+
+
+def test_multiworker_runs_repeatable(index_prefix, data_dir, tmp_path):
+    reads = os.path.join(data_dir, "reads_se.fq.gz")
+    outs = []
+    for i in range(2):
+        o = str(tmp_path / f"rep{i}.sam")
+        assert main(["map", "-f", "sam", "-r", "1", "-n", "3",
+                     "-o", o, index_prefix, reads]) == 0
+        body = [l for l in open(o).read().splitlines()
+                if not l.startswith("@")]  # @PG CL names the output file
+        outs.append(body)
+    # parallel mode is fully reproducible (per-block RNG streams)
+    assert outs[0] == outs[1]
