@@ -261,6 +261,15 @@ class ReportWriter:
             self._write_sam(rp, read, mp, isize, pairflg)
         elif self.fmt == "cigar":
             self._write_cigar(rp, read, pairflg)
+        elif self.fmt == "ssaha":
+            self._write_ssaha(rp, read, pairflg)
+        elif self.fmt == "gff":
+            self._write_gff2(rp, read, pairflg)
+        elif self.fmt == "bam":
+            raise ValueError(
+                "BAM output requires an external BAM codec (the reference "
+                "gates this on the optional bambamc library, "
+                "configure.ac:103-128); write SAM and convert")
         else:
             raise ValueError(f"unsupported output format {self.fmt}")
 
@@ -341,21 +350,163 @@ class ReportWriter:
                       f"{cigar}\t{ms_nam}\t{mpos}\t{isize}\t{seqstr}\t{qualstr}\t"
                       f"NM:i:{editdist}\tAS:i:{swatscor}\n")
 
+    @staticmethod
+    def _map_label(mateflg: int, pairflg: int) -> str:
+        """getMapLabelFromFlag (report.c:215-246)."""
+        if mateflg & REPMATEFLG.MAPPED:
+            if mateflg & REPMATEFLG.PARTIAL:
+                return "P"
+            if pairflg & REPPAIR.MAPPED:
+                if pairflg & REPPAIR.CONTIG:
+                    if pairflg & REPPAIR.PROPER:
+                        return "A" if (pairflg & REPPAIR.WITHIN) else "B"
+                    return "C"
+                return "D"
+            return "S"
+        if mateflg & REPMATEFLG.MULTI:
+            return "R"
+        return "N"
+
+    @staticmethod
+    def _qname(read: Read) -> str:
+        """copyReadNamStrToREPSTR with is_stripped=0: name cut at
+        whitespace, /1 /2 kept (cigar/ssaha/gff writers)."""
+        return read.name.split()[0] if read.name else "*"
+
     def _write_cigar(self, rp: RepAli, read: Read, pairflg: int):
-        """fprintREPALIcigar (report.c:591-646)."""
+        """fprintREPALIcigar (report.c:712-760)."""
+        mapscor = rp.mapscor if rp is not None else 0
         if rp is not None and (rp.status & REPMATEFLG.MAPPED):
-            is_rev = bool(rp.status & REPMATEFLG.REVERSE)
-            flagchr = "A" if (pairflg & REPPAIR.WITHIN) else ("B" if rp.status & REPMATEFLG.PAIRED else "S")
-            # cigar:<flag>:<mapq> qname qs qe strand sname ss se strand score cigar
-            if is_rev:
+            if rp.status & REPMATEFLG.REVERSE:
                 qs, qe = rp.q_end, rp.q_start
                 dirc = "-"
             else:
                 qs, qe = rp.q_start, rp.q_end
                 dirc = "+"
+            rs, re_ = rp.s_start, rp.s_end
+            swatscor = rp.swatscor
+            s_nam = self.refset.sam_name(rp.s_idx)
+            flagchr = self._map_label(rp.status, pairflg)
             cig = ds.diffstr_to_cigar(rp.diff, extended=False,
                                       silent_mismatch=True)
-            self.fp.write(
-                f"cigar:{flagchr}:{rp.mapscor:02d} {read.sam_name} {qs} {qe} {dirc} "
-                f"{self.refset.sam_name(rp.s_idx)} {rp.s_start} {rp.s_end} + "
-                f"{rp.swatscor} {cig}\n")
+        else:
+            qs = qe = rs = re_ = 0
+            dirc = "*"
+            s_nam = "*"
+            swatscor = 0
+            mapscor = 0
+            flagchr = "R" if (rp is not None and
+                              rp.status & REPMATEFLG.MULTI) else "N"
+            cig = "*"
+        mapscor = min(mapscor, 99)
+        self.fp.write(
+            f"cigar:{flagchr}:{mapscor:02d} {self._qname(read)} {qs} {qe} {dirc} "
+            f"{s_nam} {rs} {re_} + {swatscor} {cig}\n")
+
+    def _write_ssaha(self, rp: RepAli, read: Read, pairflg: int):
+        """fprintREPALIssaha (report.c:579-648); line format report.c:204."""
+        qlen = len(read.seq)
+        mapscor = rp.mapscor if rp is not None else 0
+        if rp is not None and (rp.status & REPMATEFLG.MAPPED):
+            if rp.status & REPMATEFLG.REVERSE:
+                qs, qe = rp.q_end, rp.q_start
+                sensechr = "C"
+            else:
+                qs, qe = rp.q_start, rp.q_end
+                sensechr = "F"
+            rs, re_ = rp.s_start, rp.s_end
+            swatscor = rp.swatscor
+            s_nam = self.refset.sam_name(rp.s_idx)
+            s_len = self.refset.seq_len(rp.s_idx)
+            flagchr = self._map_label(rp.status, pairflg)
+            alilen, matchlen = ds.ali_len(rp.diff)
+            idfrac = 100.0 * matchlen / alilen if alilen > 0 else 0.0
+        else:
+            qs = qe = rs = re_ = 0
+            sensechr = "*"
+            s_nam = "*"
+            s_len = 0
+            swatscor = 0
+            mapscor = 0
+            matchlen = 0
+            idfrac = 0.0
+            flagchr = "R" if (rp is not None and
+                              rp.status & REPMATEFLG.MULTI) else "N"
+        mapscor = min(mapscor, 99)
+        # OUFMT_SSAHA (report.c:204):
+        # "alignment:%c:%2.2d %-5d %s%s %s %8u %8u %9u %9u   %c %7d %5.2f %u %u\n"
+        self.fp.write(
+            f"alignment:{flagchr}:{mapscor:02d} {swatscor:<5d} "
+            f"{self._qname(read)} {s_nam} {qs:8d} {qe:8d} {rs:9d} {re_:9d}   "
+            f"{sensechr} {matchlen:7d} {idfrac:5.2f} {qlen} {s_len}\n")
+
+    def _write_gff2(self, rp: RepAli, read: Read, pairflg: int):
+        """fprintREPALIgff2 (report.c:648-711) with diffStrFindBlocks
+        (diffstr.c:664) block decomposition."""
+        is_rev = bool(rp is not None and (rp.status & REPMATEFLG.REVERSE))
+        if rp is not None and (rp.status & REPMATEFLG.MAPPED):
+            if is_rev:
+                qs, qe = rp.q_end, rp.q_start
+                sensechr = "-"
+            else:
+                qs, qe = rp.q_start, rp.q_end
+                sensechr = "+"
+            rs, re_ = rp.s_start, rp.s_end
+            swatscor = rp.swatscor
+            s_nam = self.refset.sam_name(rp.s_idx)
+            blocks = self._diff_blocks(rp.diff)
+        else:
+            qs = qe = rs = re_ = 0
+            sensechr = "*"
+            s_nam = "-"
+            swatscor = 0
+            blocks = []
+        # OUFMT_GFF2 (report.c:205-208)
+        self.fp.write(
+            f"gff: {self._qname(read)}\tSMALT\tsimilarity\t{qs}\t{qe}\t"
+            f"{swatscor}\t{sensechr}\t.\tSubject \"{s_nam}\" {rs} {re_};\t")
+        n = 0
+        for (u0, p0, length) in blocks:
+            if length < 1:
+                break
+            q0 = p0
+            if is_rev:
+                q0 = rp.q_end - rp.q_start - p0
+            self.fp.write(f" Align {q0 + 1} {u0 + 1} {length};")
+            n += 1
+        if n == 0:
+            self.fp.write(" Align 0 0 0;")
+        self.fp.write("\n")
+
+    @staticmethod
+    def _diff_blocks(diff):
+        """diffStrFindBlocks (diffstr.c:664-707): maximal gap-free blocks
+        as (unprof_start, prof_start, len)."""
+        blocks = []
+        u = p = l = 0
+        typ = ds.DIFFCOD_M
+        for b in diff:
+            if not b:
+                break
+            count, typ = ds.diffstr_get(b)
+            l += count
+            if typ == ds.DIFFCOD_I:
+                if l > 0:
+                    blocks.append((u, p, l))
+                    u += l
+                    p += l
+                    l = 0
+                p += 1
+            elif typ == ds.DIFFCOD_D:
+                if l > 0:
+                    blocks.append((u, p, l))
+                    u += l
+                    p += l
+                    l = 0
+                u += 1
+            else:
+                l += 1
+        l -= 1
+        if l > 0:
+            blocks.append((u, p, l))
+        return blocks

@@ -118,3 +118,24 @@ def test_cigar_output_format(index_prefix, data_dir, tmp_path):
     first = open(out).readline()
     assert first == ("cigar:S:54 rd_000000000_chr2_000007709_1_R_100m "
                      "100 1 - chr2 7709 7808 + 100 M 100 \n")
+
+
+def test_ssaha_output_format(index_prefix, data_dir, tmp_path):
+    out = str(tmp_path / "out.ssaha")
+    assert main(["map", "-f", "ssaha", "-r", "1", "-o", out, index_prefix,
+                 os.path.join(data_dir, "reads_pe_1.fq"),
+                 os.path.join(data_dir, "reads_pe_2.fq")]) == 0
+    first = open(out).readline()
+    assert first.startswith("alignment:")
+    assert len(open(out).read().splitlines()) == 240
+
+
+def test_gff2_output_format(index_prefix, data_dir, tmp_path):
+    """The reference binary segfaults on -f gff (upstream bug in its
+    DiffBlocks path); we emit the documented format (report.c:205-208)."""
+    out = str(tmp_path / "out.gff")
+    assert main(["map", "-f", "gff", "-r", "1", "-o", out, index_prefix,
+                 os.path.join(data_dir, "reads_se.fq.gz")]) == 0
+    first = open(out).readline()
+    assert first.startswith("gff: ") and "\tSMALT\tsimilarity\t" in first
+    assert " Align " in first
