@@ -78,6 +78,8 @@ def _map_argparser(prog):
     ap.add_argument("-c", type=float, default=None, dest="mincover")
     ap.add_argument("-d", type=int, default=None, dest="scorediff")
     ap.add_argument("-f", default="sam", dest="oformat")
+    ap.add_argument("-F", default=None, dest="informat",
+                    choices=["fastq", "sam"])
     ap.add_argument("-g", default=None, dest="insfil")
     ap.add_argument("-i", type=int, default=500, dest="insertmax")
     ap.add_argument("-j", type=int, default=0, dest="insertmin")
@@ -160,6 +162,16 @@ def _build_engine(a, argv_full, default_pairtyp="pe"):
     return engine, refset, idx
 
 
+def _sam_is_paired(path: str) -> bool:
+    from .seq.io import open_maybe_gzip
+    with open_maybe_gzip(path) as f:
+        for line in f:
+            if line.startswith(b"@"):
+                continue
+            return bool(int(line.split(b"\t")[1]) & 0x1)
+    return False
+
+
 def _open_out(a):
     return open(a.oufilnam, "w") if a.oufilnam else sys.stdout
 
@@ -187,8 +199,16 @@ def cmd_map(argv: List[str]) -> int:
         engine.params.insert_max = max(engine.params.insert_max, ihist.insizhi)
     fix_primary = (a.scorediff is not None and
                    a.oformat.startswith(("sam", "bam")))
-    reads_iter = (PairedReader(a.reads, a.mates) if a.mates
-                  else FastqReader(a.reads))
+    if a.informat == "sam" or a.reads.endswith((".sam", ".sam.gz")):
+        from .seq.io import SamReader
+        sr = SamReader(a.reads)
+        # paired SAM input iterates mate pairs from the single file
+        probe = open_probe = None
+        reads_iter = (pair for pair in sr.pairs()) if _sam_is_paired(a.reads) \
+            else iter(sr)
+    else:
+        reads_iter = (PairedReader(a.reads, a.mates) if a.mates
+                      else FastqReader(a.reads))
     from .map.pipeline import run_pipeline
     fmt = a.oformat.split(":")[0]
     mods = a.oformat.split(":")[1].split(",") if ":" in a.oformat else []
@@ -196,7 +216,7 @@ def cmd_map(argv: List[str]) -> int:
                  soft_clip="clip" not in mods, x_mismatch="x" in mods,
                  nthreads=a.nthreads,
                  seed=(a.randseed if a.randseed is not None else 0),
-                 ihist=ihist, fix_primary=fix_primary)
+                 ihist=ihist, fix_primary=fix_primary, ali_out=a.aliout)
     if out is not sys.stdout:
         out.close()
     return 0

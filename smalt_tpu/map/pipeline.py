@@ -44,14 +44,14 @@ def _init_worker(engine, writer_args, seed):
 def _render_block(args):
     blockno, block = args
     engine = _g["engine"]
-    fmt, soft, xmm, refset = _g["writer_args"]
+    fmt, soft, xmm, refset, ali_out = _g["writer_args"]
     if _g.get("reseed_per_block"):
         # parallel mode: deterministic per-block RNG streams (serial mode
         # keeps the single global drand48 stream for reference parity)
         rand.ranseed((_g["seed"] or 1) + blockno * 7919)
     buf = io.StringIO()
     writer = ReportWriter(buf, refset, fmt=fmt, soft_clip=soft,
-                          x_mismatch=xmm, header=False)
+                          x_mismatch=xmm, header=False, ali_out=ali_out)
     fix_primary = _g.get("fix_primary", False)
     for item in block:
         rep = Report()
@@ -85,11 +85,12 @@ def _blocks(it: Iterable, n: int) -> Iterator[Tuple[int, list]]:
 def run_pipeline(engine, reads_iter: Iterable, out, refset,
                  fmt: str = "sam", soft_clip: bool = True,
                  x_mismatch: bool = False, nthreads: int = 1,
-                 seed: int = 1, ihist=None, fix_primary: bool = False):
+                 seed: int = 1, ihist=None, fix_primary: bool = False,
+                 ali_out: bool = False):
     """Map all reads/pairs from `reads_iter`, writing rendered blocks to
     `out` in input order.  nthreads<=1 runs inline (serial fallback,
     threads.c:985-1014)."""
-    writer_args = (fmt, soft_clip, x_mismatch, refset)
+    writer_args = (fmt, soft_clip, x_mismatch, refset, ali_out)
     if nthreads <= 1:
         _init_worker(engine, writer_args, seed)
         _g["ihist"] = ihist

@@ -212,12 +212,13 @@ class ReportWriter:
     def __init__(self, fp: TextIO, refset, fmt: str = "sam",
                  soft_clip: bool = True, x_mismatch: bool = False,
                  header: bool = True, prog_args: Optional[List[str]] = None,
-                 version: str = "0.7.6"):
+                 version: str = "0.7.6", ali_out: bool = False):
         self.fp = fp
         self.refset = refset
         self.fmt = fmt
         self.soft_clip = soft_clip
         self.x_mismatch = x_mismatch
+        self.ali_out = ali_out  # -a: explicit alignment display
         if fmt == "sam" and header:
             self._write_sam_header(prog_args or [], version)
 
@@ -272,6 +273,9 @@ class ReportWriter:
                 "configure.ac:103-128); write SAM and convert")
         else:
             raise ValueError(f"unsupported output format {self.fmt}")
+        if self.ali_out and rp is not None and \
+           (rp.status & REPMATEFLG.MAPPED):
+            print_alignment(self.fp, self.refset, rp, read)
 
     def _write_sam(self, rp: RepAli, read: Read, mp: Optional[RepAli],
                    isize: int, pairflg: int):
@@ -510,3 +514,85 @@ class ReportWriter:
         if l > 0:
             blocks.append((u, p, l))
         return blocks
+
+
+def print_alignment(fp, refset, rp: RepAli, read: Read, linwidth: int = 60):
+    """fprintAlignment (report.c:248-420): explicit alignment display after
+    a SAM line (-a).  Middle line marks transitions 'i', transversions 'v',
+    non-standard '!' and gaps '-'."""
+    if rp is None or not (rp.status & REPMATEFLG.MAPPED):
+        return
+    is_rev = bool(rp.status & REPMATEFLG.REVERSE)
+    qseg = read.seq[rp.q_start - 1 : rp.q_end]
+    if is_rev:
+        qseg = codec.revcomp_codes(qseg)
+    q_str = codec.decode(qseg).decode()
+    sseg = refset.fetch_by_seq(rp.s_idx, rp.s_start - 1,
+                               rp.s_end - rp.s_start + 1)
+    s_str = codec.decode(sseg).decode()
+
+    def base_class(ch):
+        if ch in "AG":
+            return 1  # purine
+        if ch in "CT":
+            return 2  # pyrimidine
+        return 0
+
+    cols = []  # (qchar, dchar, schar, dq, ds_)
+    q = s = 0
+    diff = rp.diff
+    for i, b in enumerate(diff):
+        if not b:
+            break
+        count, typ = ds.diffstr_get(b)
+        for _ in range(count):
+            cols.append((q_str[q], " ", s_str[s], 1, 1))
+            q += 1
+            s += 1
+        if typ == ds.DIFFCOD_M:
+            cols.append((q_str[q], " ", s_str[s], 1, 1))
+            q += 1
+            s += 1
+        elif typ == ds.DIFFCOD_S:
+            if i + 1 < len(diff) and diff[i + 1]:
+                qc, sc = q_str[q], s_str[s]
+                qb, sb = base_class(qc), base_class(sc)
+                if qb == 0 or sb == 0:
+                    d = "!"
+                elif qb == sb:
+                    d = "i"
+                else:
+                    d = "v"
+                cols.append((qc, d, sc, 1, 1))
+                q += 1
+                s += 1
+        elif typ == ds.DIFFCOD_D:
+            cols.append(("-", "-", s_str[s], 0, 1))
+            s += 1
+        else:  # I
+            cols.append((q_str[q], "-", "-", 1, 0))
+            q += 1
+
+    q0 = s0 = 0
+    for off in range(0, len(cols), linwidth):
+        chunk = cols[off : off + linwidth]
+        qline = "".join(c[0] for c in chunk)
+        dline = "".join(c[1] for c in chunk).rstrip() or ""
+        sline = "".join(c[2] for c in chunk)
+        dq = sum(c[3] for c in chunk)
+        dsu = sum(c[4] for c in chunk)
+        if is_rev:
+            qa = rp.q_end - q0
+            qb = rp.q_end - (q0 + dq) + 1
+        else:
+            qa = rp.q_start + q0
+            qb = rp.q_start + q0 + dq - 1
+        sa = rp.s_start + s0
+        sb = rp.s_start + s0 + dsu - 1
+        # OUFMT_ALIGN (report.c:209-211)
+        fp.write(f"    QUERY: {qa:10d} {qline} {qb:<10d}\n")
+        fp.write(f"                      "
+                 f"{''.join(c[1] for c in chunk)}\n")
+        fp.write(f"REFERENCE: {sa:10d} {sline} {sb:<10d}\n\n\n")
+        q0 += dq
+        s0 += dsu

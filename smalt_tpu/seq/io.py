@@ -132,3 +132,58 @@ class PairedReader:
             if (a is None) != (b is None):
                 raise ValueError("paired files have different read counts")
             yield a, b
+
+
+class SamReader:
+    """SAM text input (infmt.c SAM/BAM path, sans the external bambamc
+    dependency): yields reads in their original orientation (sequences
+    stored reverse-complemented in the SAM are flipped back)."""
+
+    FLAG_PAIRED = 0x1
+    FLAG_REVERSE = 0x10
+    FLAG_MATE1 = 0x40
+    FLAG_MATE2 = 0x80
+    FLAG_SECONDARY = 0x100
+
+    def __init__(self, path: str):
+        self._fh = open_maybe_gzip(path)
+
+    def _records(self):
+        from . import codec as _codec
+        for line in self._fh:
+            if line.startswith(b"@") or not line.strip():
+                continue
+            f = line.rstrip(b"\n").split(b"\t")
+            flag = int(f[1])
+            if flag & self.FLAG_SECONDARY:
+                continue
+            seq = f[9]
+            qual = f[10] if f[10] != b"*" else None
+            codes = _codec.encode(seq)
+            if flag & self.FLAG_REVERSE:
+                codes = _codec.revcomp_codes(codes)
+                qual = qual[::-1] if qual else None
+            yield flag, Read(name=f[0].decode("ascii", "replace"),
+                             seq=codes, qual=qual)
+
+    def __iter__(self) -> Iterator[Read]:
+        for _, r in self._records():
+            yield r
+
+    def pairs(self):
+        """Pair mate1/mate2 records with matching names (adjacent or
+        name-grouped, like the reference's temp-dir staging)."""
+        pending = {}
+        for flag, r in self._records():
+            key = r.sam_name
+            other = pending.pop(key, None)
+            if other is None:
+                pending[key] = (flag, r)
+                continue
+            oflag, oread = other
+            if flag & self.FLAG_MATE1:
+                yield r, oread
+            else:
+                yield oread, r
+        for flag, r in pending.values():
+            yield (r, None)
