@@ -1,17 +1,19 @@
-"""smalt_tpu benchmark: device mapping throughput on one chip.
+"""smalt_tpu benchmark: device mapping throughput on one chip at
+E. coli scale (BASELINE.json config 2: 4.6 Mb genome, 100 bp reads,
+k=13 step=2).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}
 
 Measures the fused device mapping step (k-mer lookup + diagonal voting
 + batched Pallas Smith-Waterman, smalt_tpu/parallel/mesh.py) in steady
-state on the bundled 100bp read fixture against the bundled genome.
+state.  The genome and reads are generated deterministically (seeded)
+at bench time; reads carry 1% substitution errors.
 
-Baseline: reference SMALT 0.7.6 (`smalt map -f sam`) single-threaded on
-one CPU core over the identical genome/index/reads measured at
-35394 reads/s (AMD host, 2026-08-16; 20000 reads in 0.57 s).  If a
-reference binary is present at $SMALT_REF, the baseline is re-measured
-instead of using the constant.
+Baseline: reference SMALT 0.7.6 single-threaded on one CPU core over
+the identical genome/index/reads: 11454 reads/s (measured 2026-08-16:
+10000 reads in 0.873 s, same k/step).  Set $SMALT_REF to a reference
+binary to re-measure instead of using the constant.
 """
 import json
 import os
@@ -24,76 +26,87 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-BASELINE_READS_PER_S = 35394.0
-DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "data")
+BASELINE_READS_PER_S = 11454.0
+GENOME_LEN = 4_600_000
+READLEN = 100
+KMER, NSKIP = 13, 2
 
 
-def measure_reference():
+def _gen_genome(rng):
+    bases = np.array(list(b"ACGT"), np.uint8)
+    return rng.choice(bases, GENOME_LEN).tobytes().decode()
+
+
+def _gen_reads(rng, genome, n):
+    comp = str.maketrans("ACGT", "TGCA")
+    reads = []
+    for _ in range(n):
+        pos = int(rng.integers(0, len(genome) - READLEN))
+        s = list(genome[pos : pos + READLEN])
+        muts = rng.random(READLEN) < 0.01
+        for i in np.flatnonzero(muts):
+            s[i] = "ACGT"[(("ACGT".index(s[i]) + 1 + int(rng.random() * 3)) % 4)]
+        s = "".join(s)
+        if rng.random() < 0.5:
+            s = s.translate(comp)[::-1]
+        reads.append(s)
+    return reads
+
+
+def measure_reference(fa_path, reads):
     ref = os.environ.get("SMALT_REF")
     if not ref or not os.path.exists(ref):
         return BASELINE_READS_PER_S
-    import gzip
     with tempfile.TemporaryDirectory() as d:
-        reads = os.path.join(d, "reads.fq")
-        with gzip.open(os.path.join(DATA, "reads_se.fq.gz"), "rb") as f:
-            data = f.read()
-        with open(reads, "wb") as f:
-            for _ in range(10):
-                f.write(data)
-        subprocess.run([ref, "index", "-k", "13", "-s", "4",
-                        os.path.join(d, "idx"),
-                        os.path.join(DATA, "genome.fa")],
+        fq = os.path.join(d, "reads.fq")
+        with open(fq, "w") as f:
+            for i, s in enumerate(reads):
+                f.write(f"@r{i}\n{s}\n+\n{'5' * len(s)}\n")
+        subprocess.run([ref, "index", "-k", str(KMER), "-s", str(NSKIP),
+                        os.path.join(d, "idx"), fa_path],
                        check=True, capture_output=True)
         t0 = time.time()
         subprocess.run([ref, "map", "-f", "sam", "-o", os.devnull,
-                        os.path.join(d, "idx"), reads],
+                        os.path.join(d, "idx"), fq],
                        check=True, capture_output=True)
-        return 20000 / (time.time() - t0)
+        return len(reads) / (time.time() - t0)
 
 
 def main():
-    import gzip
     import jax
     import jax.numpy as jnp
 
-    from smalt_tpu.seq.refset import RefSet
     from smalt_tpu.seq import codec
-    from smalt_tpu.seq.io import FastqReader
+    from smalt_tpu.seq.refset import RefSet
     from smalt_tpu.index.table import build_index
     from smalt_tpu.align import core as ali
     from smalt_tpu.parallel.mesh import DeviceIndex, device_map_step
 
-    refset = RefSet.from_fasta(os.path.join(DATA, "genome.fa"))
-    idx = build_index(refset, 13, 4)
+    rng = np.random.default_rng(123)
+    genome = _gen_genome(rng)
+    with tempfile.NamedTemporaryFile("w", suffix=".fa", delete=False) as f:
+        f.write(">ecoli_sim\n")
+        for i in range(0, len(genome), 60):
+            f.write(genome[i : i + 60] + "\n")
+        fa_path = f.name
+    refset = RefSet.from_fasta(fa_path)
+    idx = build_index(refset, KMER, NSKIP)
     di = DeviceIndex.build(refset, idx)
     m, go, ge = ali.make_score_matrix()
 
-    # load the fixture reads (all 100bp)
-    import io
-    raw = gzip.open(os.path.join(DATA, "reads_se.fq.gz"), "rb").read()
-    tmp = tempfile.NamedTemporaryFile(suffix=".fq", delete=False)
-    tmp.write(raw)
-    tmp.close()
-    reads = [r for r in FastqReader(tmp.name)]
-    os.unlink(tmp.name)
-    Q = max(len(r.seq) for r in reads)
-    arr = np.full((len(reads), Q), 7, np.int32)
-    for i, r in enumerate(reads):
-        arr[i, : len(r.seq)] = codec.alpha(r.seq)
-
     on_tpu = jax.default_backend() == "tpu"
-    BATCH = 16384 if on_tpu else 512
-    reps = -(-BATCH // len(reads))
-    big = np.tile(arr, (reps, 1))[:BATCH]
-    batch = jnp.asarray(big)
-
-    interpret = not on_tpu
+    BATCH = 8192 if on_tpu else 256
     INNER = 10 if on_tpu else 1
+    reads = _gen_reads(rng, genome, BATCH)
+    arr = np.full((BATCH, READLEN), 7, np.int32)
+    for i, s in enumerate(reads):
+        arr[i] = codec.alpha(codec.encode(s.encode()))
+    batch = jnp.asarray(arr)
+    interpret = not on_tpu
 
-    # The remote-tunnel dispatch latency dwarfs the compute at this scale,
-    # so INNER steps run inside one dispatch (fori_loop) and the cost is
-    # divided out — the steady-state number a streaming input pipeline
-    # sustains on a directly-attached chip.
+    # INNER steps run inside one dispatch (fori_loop) so the remote-tunnel
+    # round-trip latency divides out — the steady state a streaming input
+    # pipeline sustains on a directly-attached chip.
     def many(b):
         def body(i, acc):
             out = device_map_step(di, b + (i - i), m, -go, -ge,
@@ -110,15 +123,15 @@ def main():
     dt = (time.time() - t0) / (outer * INNER)
     reads_per_s = BATCH / dt
 
-    # sanity: mapped scores should be high for the fixture reads
     step = jax.jit(lambda b: device_map_step(di, b, m, -go, -ge,
                                              interpret=interpret))
-    sc = np.asarray(step(batch)["score"])[: len(reads)]
+    sc = np.asarray(step(batch)["score"])
     mapped_frac = float((sc >= 50).mean())
 
-    baseline = measure_reference()
+    baseline = measure_reference(fa_path, reads[:2000])
+    os.unlink(fa_path)
     result = {
-        "metric": "device_map_step_throughput",
+        "metric": "ecoli_scale_device_map_throughput",
         "value": round(reads_per_s, 1),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / baseline, 3),
@@ -126,8 +139,8 @@ def main():
     print(json.dumps(result))
     print(f"# backend={jax.default_backend()} batch={BATCH} "
           f"steady={dt*1000:.2f}ms mapped_frac={mapped_frac:.3f} "
-          f"baseline={baseline:.0f} reads/s (reference smalt, 1 CPU core)",
-          file=sys.stderr)
+          f"baseline={baseline:.0f} reads/s (reference smalt, 1 CPU core, "
+          f"same genome/reads/k/step)", file=sys.stderr)
 
 
 if __name__ == "__main__":
