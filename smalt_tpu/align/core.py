@@ -111,6 +111,14 @@ class ScoreProfile:
     def qlen(self) -> int:
         return self.W.shape[1]
 
+    @property
+    def W_addr(self) -> int:
+        a = getattr(self, "_W_addr", None)
+        if a is None:
+            a = self.W.ctypes.data
+            self._W_addr = a
+        return a
+
     @classmethod
     def from_read(cls, qcodes: np.ndarray, matrix, gapopen: int, gapext: int,
                   lam: float) -> "ScoreProfile":
@@ -137,12 +145,34 @@ class AliResult:
 # ------------------------------------------------------------------
 # DP kernels (C extension with exact reference recurrence)
 # ------------------------------------------------------------------
+# Per-module reusable scratch: H/E rows, the traceback matrix, and the
+# subject-alpha conversion buffer.  One mapping worker is one process,
+# so module-level scratch is safe.
 
-def _ctypes_ptrs(prof: ScoreProfile, subj_alpha: np.ndarray):
-    import ctypes
-    Wp = prof.W.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
-    sp = subj_alpha.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
-    return Wp, sp
+from ..native import GrowBuf as _GrowBuf
+
+_scr_H = _GrowBuf(np.int32)
+_scr_E = _GrowBuf(np.int32)
+_scr_dirm = _GrowBuf(np.uint8, 4096)
+_scr_salpha = _GrowBuf(np.uint8, 1024)
+
+
+def _subj_alpha_addr(subj_codes: np.ndarray):
+    """(addr, len) of the subject's 3-bit codes.  The DP kernels mask
+    with &7 internally, so any contiguous uint8 code array works
+    as-is; otherwise convert into the reusable scratch buffer."""
+    n = len(subj_codes)
+    if subj_codes.dtype == np.uint8 and subj_codes.flags.c_contiguous:
+        return subj_codes.ctypes.data, n
+    buf = _scr_salpha.ensure(n)
+    np.bitwise_and(subj_codes[:n], 7, out=buf[:n], casting="unsafe")
+    return _scr_salpha.addr, n
+
+
+def _he_addrs(qlen: int):
+    _scr_H.ensure(qlen + 1)
+    _scr_E.ensure(qlen + 1)
+    return _scr_H.addr, _scr_E.addr
 
 
 def align_band_fast(prof: ScoreProfile, subj_codes: np.ndarray,
@@ -157,31 +187,21 @@ def align_band_fast(prof: ScoreProfile, subj_codes: np.ndarray,
     except BandError:
         return 0
     lib = get_lib()
-    subj_alpha = np.ascontiguousarray(codec.alpha(subj_codes), dtype=np.uint8)
-    H = np.zeros(prof.qlen + 1, dtype=np.int32)
-    E = np.zeros(prof.qlen + 1, dtype=np.int32)
-    import ctypes
-    Wp, sp = _ctypes_ptrs(prof, subj_alpha)
-    return lib.sw_band_fast(Wp, prof.qlen, sp,
+    sp, _ = _subj_alpha_addr(subj_codes)
+    Ha, Ea = _he_addrs(prof.qlen)
+    return lib.sw_band_fast(prof.W_addr, prof.qlen, sp,
                             band.l_edge, band.r_edge, band.q_left, band.q_len,
                             band.s_left, band.s_len,
-                            prof.gap_init_pos, prof.gap_ext_pos,
-                            H.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                            E.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+                            prof.gap_init_pos, prof.gap_ext_pos, Ha, Ea)
 
 
 def sw_full_score(prof: ScoreProfile, subj_codes: np.ndarray) -> int:
     """Full-matrix local SW score (the reference's SIMD pass-1 kernel)."""
     lib = get_lib()
-    subj_alpha = np.ascontiguousarray(codec.alpha(subj_codes), dtype=np.uint8)
-    H = np.zeros(prof.qlen + 1, dtype=np.int32)
-    E = np.zeros(prof.qlen + 1, dtype=np.int32)
-    import ctypes
-    Wp, sp = _ctypes_ptrs(prof, subj_alpha)
-    return lib.sw_full(Wp, prof.qlen, sp, len(subj_alpha),
-                       prof.gap_init_pos, prof.gap_ext_pos,
-                       H.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                       E.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    sp, slen = _subj_alpha_addr(subj_codes)
+    Ha, Ea = _he_addrs(prof.qlen)
+    return lib.sw_full(prof.W_addr, prof.qlen, sp, slen,
+                       prof.gap_init_pos, prof.gap_ext_pos, Ha, Ea)
 
 
 def _align_band_track(prof: ScoreProfile, subj_alpha: np.ndarray,
@@ -190,21 +210,20 @@ def _align_band_track(prof: ScoreProfile, subj_alpha: np.ndarray,
     lib = get_lib()
     import ctypes
     nrows = band.s_len - band.s_left
-    dirm = np.zeros(max(band.band_width * nrows, 1), dtype=np.uint8)
-    H = np.zeros(prof.qlen + 1, dtype=np.int32)
-    E = np.zeros(prof.qlen + 1, dtype=np.int32)
+    ndir = max(band.band_width * nrows, 1)
+    dirm = _scr_dirm.ensure(ndir)
+    dirm[:ndir] = 0
     mi = ctypes.c_int(0)
     mj = ctypes.c_int(0)
-    Wp, sp = _ctypes_ptrs(prof, subj_alpha)
-    sc = lib.sw_band_track(Wp, prof.qlen, sp,
+    sp, _ = _subj_alpha_addr(subj_alpha)
+    Ha, Ea = _he_addrs(prof.qlen)
+    sc = lib.sw_band_track(prof.W_addr, prof.qlen, sp,
                            band.l_edge, band.r_edge, band.q_left, band.q_len,
                            band.s_left, band.s_len,
                            prof.gap_init_pos, prof.gap_ext_pos,
                            band.band_width,
-                           dirm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                           ctypes.byref(mi), ctypes.byref(mj),
-                           H.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                           E.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+                           _scr_dirm.addr,
+                           ctypes.byref(mi), ctypes.byref(mj), Ha, Ea)
     return sc, mi.value, mj.value, dirm
 
 

@@ -51,6 +51,20 @@ class KmerIndex:
         return len(self.pos)
 
     @property
+    def addrs(self):
+        """Cached raw data addresses (words, starts, pos) for the native
+        core.  Arrays are replaced never, only whole indexes rebuilt."""
+        a = getattr(self, "_addrs", None)
+        if a is None:
+            self.words = np.ascontiguousarray(self.words, dtype=np.uint64)
+            self.starts = np.ascontiguousarray(self.starts, dtype=np.int64)
+            self.pos = np.ascontiguousarray(self.pos, dtype=np.uint32)
+            a = (self.words.ctypes.data, self.starts.ctypes.data,
+                 self.pos.ctypes.data)
+            self._addrs = a
+        return a
+
+    @property
     def nwords(self) -> int:
         return len(self.words)
 

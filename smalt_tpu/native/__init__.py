@@ -1,6 +1,15 @@
 """Native host-side kernels, built on first import with the system C
 compiler (no pip dependencies).  Falls back to None if no compiler is
-available — callers must provide pure-Python paths."""
+available — callers must provide pure-Python paths.
+
+Two source files compile into one shared object:
+  swdp.c    — exact-replica Smith-Waterman kernels + NR quicksorts
+  mapcore.c — per-read seeding/collation core (hit info, hit lists,
+              seeds/segments/candidates; hashhit.c + segment.c replicas)
+
+Set SMALT_TPU_NO_NATIVE=1 to force the pure-Python paths (used by the
+differential tests that validate the C against the Python oracle).
+"""
 from __future__ import annotations
 
 import ctypes
@@ -11,56 +20,115 @@ import sys
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "swdp.c")
-_SO = os.path.join(_DIR, f"_swdp_{sys.platform}.so")
+_SRCS = [os.path.join(_DIR, "swdp.c"), os.path.join(_DIR, "mapcore.c")]
+_SO = os.path.join(_DIR, f"_smalt_{sys.platform}.so")
 
 _lib = None
+_loaded = False
 
 
 def _build():
     cc = os.environ.get("CC", "cc")
-    cmd = [cc, "-O3", "-shared", "-fPIC", "-o", _SO, _SRC]
+    cmd = [cc, "-O3", "-shared", "-fPIC", "-o", _SO] + _SRCS
     subprocess.run(cmd, check=True, capture_output=True)
 
 
+def _declare(lib):
+    """All array pointers are declared c_void_p so call sites can pass
+    cached raw addresses (ints) with no per-call ctypes marshalling."""
+    vp = ctypes.c_void_p
+    i64 = ctypes.c_int64
+    ci = ctypes.c_int
+
+    lib.sw_band_fast.restype = ci
+    lib.sw_band_fast.argtypes = [vp, ci, vp] + [ci] * 8 + [vp, vp]
+    lib.sw_band_track.restype = ci
+    lib.sw_band_track.argtypes = [vp, ci, vp] + [ci] * 9 + [vp, vp, vp, vp, vp]
+    lib.sw_full.restype = ci
+    lib.sw_full.argtypes = [vp, ci, vp, ci, ci, ci, vp, vp]
+    lib.nr_sort2.restype = ci
+    lib.nr_sort2.argtypes = [vp, vp, ci]
+    lib.nr_sort2_64_32.restype = ci
+    lib.nr_sort2_64_32.argtypes = [vp, vp, ci]
+    lib.nr_sort64.restype = ci
+    lib.nr_sort64.argtypes = [vp, ci]
+
+    lib.mc_hitinfo_collect.restype = i64
+    lib.mc_hitinfo_collect.argtypes = [
+        vp, vp, i64, ci, ci,                # words, starts, nwords, k, nskip
+        vp, vp, i64, ci, i64, ci,           # codes, qual, qlen, is_rev, maxhit, basq
+        i64, i64,                           # seq_start, seq_end
+        vp, vp, vp, vp]                     # qmask, qoffs, nhits, slot
+    lib.mc_max_rank.restype = i64
+    lib.mc_max_rank.argtypes = [vp, vp, vp, i64, i64, ci, ci,
+                                i64, i64, i64, vp]
+    lib.mc_cover_deficit.restype = i64
+    lib.mc_cover_deficit.argtypes = [vp, vp, i64, ci, i64,
+                                     vp, i64, ci, ci, vp]
+    lib.mc_collect_cutoff.restype = i64
+    lib.mc_collect_cutoff.argtypes = [vp, vp,
+                                      vp, vp, vp, vp, i64,
+                                      i64, ci, ci, i64, i64, vp, vp]
+    lib.mc_collect_segment.restype = i64
+    lib.mc_collect_segment.argtypes = [vp, vp,
+                                       vp, vp, vp, vp, i64, ci,
+                                       i64, ci, ci, i64, i64, i64, i64,
+                                       vp, vp]
+    lib.mc_seg_fill.restype = None
+    lib.mc_seg_fill.argtypes = [vp, i64, vp, i64, ci, ci, i64,
+                                vp, vp, vp, vp, vp, vp, vp,
+                                vp, vp, vp, vp]
+    lib.mc_cands_add.restype = i64
+    lib.mc_cands_add.argtypes = [vp, vp, vp, vp, vp,
+                                 vp, vp, i64, ci, ci, i64, ci,
+                                 i64, vp, vp, vp]
+
+
 def _load():
-    global _lib
-    if _lib is not None:
+    global _lib, _loaded
+    if _loaded:
         return _lib
-    if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+    _loaded = True
+    if os.environ.get("SMALT_TPU_NO_NATIVE"):
+        return None
+    newest_src = max(os.path.getmtime(s) for s in _SRCS)
+    if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < newest_src:
         try:
             _build()
         except Exception:
             return None
     try:
         lib = ctypes.CDLL(_SO)
-    except OSError:
+        _declare(lib)
+    except (OSError, AttributeError):
         return None
-    i32p = ctypes.POINTER(ctypes.c_int32)
-    u8p = ctypes.POINTER(ctypes.c_uint8)
-    u32p = ctypes.POINTER(ctypes.c_uint32)
-    u64p = ctypes.POINTER(ctypes.c_uint64)
-    lib.sw_band_fast.restype = ctypes.c_int
-    lib.sw_band_fast.argtypes = [i32p, ctypes.c_int, u8p] + [ctypes.c_int] * 8 + [i32p, i32p]
-    lib.sw_band_track.restype = ctypes.c_int
-    lib.sw_band_track.argtypes = ([i32p, ctypes.c_int, u8p] + [ctypes.c_int] * 9 +
-                                  [u8p, ctypes.POINTER(ctypes.c_int),
-                                   ctypes.POINTER(ctypes.c_int), i32p, i32p])
-    lib.sw_full.restype = ctypes.c_int
-    lib.sw_full.argtypes = [i32p, ctypes.c_int, u8p, ctypes.c_int,
-                            ctypes.c_int, ctypes.c_int, i32p, i32p]
-    lib.nr_sort2.restype = ctypes.c_int
-    lib.nr_sort2.argtypes = [u32p, u32p, ctypes.c_int]
-    lib.nr_sort2_64_32.restype = ctypes.c_int
-    lib.nr_sort2_64_32.argtypes = [u64p, u32p, ctypes.c_int]
-    lib.nr_sort64.restype = ctypes.c_int
-    lib.nr_sort64.argtypes = [u64p, ctypes.c_int]
     _lib = lib
     return lib
 
 
 def get_lib():
     return _load()
+
+
+def ptr(a: np.ndarray, ct=None):
+    """Raw data address of a contiguous array (for c_void_p args)."""
+    return a.ctypes.data
+
+
+class GrowBuf:
+    """Reusable scratch array with a cached raw address."""
+    __slots__ = ("arr", "addr", "dtype")
+
+    def __init__(self, dtype, n: int = 16):
+        self.dtype = np.dtype(dtype)
+        self.arr = np.empty(max(n, 1), self.dtype)
+        self.addr = self.arr.ctypes.data
+
+    def ensure(self, n: int) -> np.ndarray:
+        if len(self.arr) < n:
+            self.arr = np.empty(n + (n >> 1) + 16, self.dtype)
+            self.addr = self.arr.ctypes.data
+        return self.arr
 
 
 class _NrSortModule:
@@ -72,10 +140,7 @@ class _NrSortModule:
     def sort2(self, a: np.ndarray, b: np.ndarray):
         assert a.dtype == np.uint32 and b.dtype == np.uint32
         assert a.flags.c_contiguous and b.flags.c_contiguous
-        rc = self._lib.nr_sort2(
-            a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-            b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-            len(a))
+        rc = self._lib.nr_sort2(a.ctypes.data, b.ctypes.data, len(a))
         if rc != 0:
             raise RuntimeError("nr_sort2 stack overflow")
 

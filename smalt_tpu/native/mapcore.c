@@ -1,0 +1,587 @@
+/* Native per-read seeding/collation core.
+ *
+ * Exact C replicas of the pure-Python reference implementations in
+ * smalt_tpu/seed/hitinfo.py, seed/hitlist.py and segment/collate.py,
+ * which in turn replicate the reference aligner's semantics
+ * (hashhit.c:482-1770, segment.c:396-1057).  These are the per-read
+ * hot loops of the exact mapping path; the Python versions stay as
+ * the correctness oracle (differential-tested in
+ * tests/test_native_core.py).
+ *
+ * All functions are stateless and fill caller-provided buffers; no
+ * allocation happens here except small per-call scratch on the stack
+ * or via the caller-provided scratch arrays.
+ *
+ * Compiled together with swdp.c into one shared object by
+ * smalt_tpu/native/__init__.py.
+ */
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+/* from swdp.c (same shared object) */
+int nr_sort2(uint32_t *a, uint32_t *b, int n);
+
+/* hit qualifiers (hashhit.h:57-65) */
+#define HQ_TERM 0
+#define HQ_NORMHIT 1
+#define HQ_MULTIHIT 2
+#define HQ_REPEAT 3
+#define HQ_NOHIT 4
+#define HQ_NONSTDNT 5
+
+#define NREPEATS 4            /* hashhit.c:42 */
+#define MINSEEDNUM 3          /* hashhit.c:54 */
+#define MINHIT_PER_TUPLE 16   /* hashhit.c:43 */
+#define QVAL_OFFS 0x21
+
+#define HALFBIT 31
+#define HALFMASK 0x7FFFFFFFll
+#define OFFBIT (1ull << (HALFBIT + 1))
+#define SOFFSMASK 0xFFFFFFFFull
+
+/* ---------------- binary search over the sorted word list ---------------- */
+
+static int64_t word_lookup(const uint64_t *words, int64_t nwords, uint64_t w)
+{
+    int64_t lo = 0, hi = nwords;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (words[mid] < w) lo = mid + 1; else hi = mid;
+    }
+    if (lo < nwords && words[lo] == w) return lo;
+    return -1;
+}
+
+/* ---------------- hit info collection (collectHitInfo) ---------------- */
+
+/* Returns n_seeds >= 0, or -1 for a read shorter than the word.
+ * qmask: u8[qlen] out.  qoffs/nhits/slot: i64[qlen] out (seed arrays). */
+int64_t mc_hitinfo_collect(
+    const uint64_t *words, const int64_t *starts, int64_t nwords,
+    int wordlen, int nskip,
+    const uint8_t *codes, const uint8_t *qual, int64_t qlen,
+    int is_reverse, int64_t maxhit_per_tuple, int basq_thresh,
+    int64_t seq_start, int64_t seq_end,
+    uint8_t *qmask, int64_t *qoffs, int64_t *nhits, int64_t *slot)
+{
+    int64_t t, j, n_seeds = 0;
+    int k = wordlen;
+    uint64_t w = 0, mask2k;
+    uint64_t ring[NREPEATS];
+    int ring_n = 0, ring_at = 0;
+    int64_t badrun;    /* windows remaining with a bad base inside */
+    int minq = basq_thresh + QVAL_OFFS;
+
+    (void)nskip;
+    if (qlen < k) return -1;
+    if (seq_end >= qlen) seq_end = qlen - 1;
+    if (seq_end < seq_start + k - 1) { seq_start = 0; seq_end = qlen - 1; }
+
+    memset(qmask, 0, (size_t)qlen);            /* TERM */
+    for (t = 0; t < seq_start; t++) qmask[t] = HQ_NOHIT;
+
+    {
+        int64_t t0 = seq_start, t1 = seq_end - k + 1;
+        if (t1 < t0) return -1;
+        mask2k = (2 * k >= 64) ? ~0ull : ((1ull << (2 * k)) - 1);
+
+        /* prime the rolling word over [t0, t0+k-1) */
+        badrun = 0;
+        for (j = t0; j < t0 + k - 1; j++) {
+            uint8_t c = codes[j];
+            int bad = (c & 4) != 0 || (qual && qual[j] < minq);
+            uint64_t b2 = c & 3;
+            if (bad) badrun = k;
+            else if (badrun > 0) badrun--;
+            if (is_reverse)
+                w = (w >> 2) | ((b2 ^ 3ull) << (2 * (k - 1)));
+            else
+                w = ((w << 2) | b2) & mask2k;
+        }
+        for (t = t0; t <= t1; t++) {
+            uint8_t c = codes[t + k - 1];
+            int bad = (c & 4) != 0 || (qual && qual[t + k - 1] < minq);
+            uint64_t b2 = c & 3;
+            int ok, rep = 0;
+            if (bad) badrun = k;
+            else if (badrun > 0) badrun--;
+            if (is_reverse)
+                w = (w >> 2) | ((b2 ^ 3ull) << (2 * (k - 1)));
+            else
+                w = ((w << 2) | b2) & mask2k;
+            ok = (badrun == 0);
+            if (!ok) { qmask[t] = HQ_NONSTDNT; continue; }
+            for (j = 0; j < ring_n; j++)
+                if (ring[j] == w) { rep = 1; break; }
+            ring[ring_at] = w;
+            ring_at = (ring_at + 1) % NREPEATS;
+            if (ring_n < NREPEATS) ring_n++;
+            if (rep) { qmask[t] = HQ_REPEAT; continue; }
+            {
+                int64_t ix = word_lookup(words, nwords, w);
+                int64_t cnt = (ix >= 0) ? starts[ix + 1] - starts[ix] : 0;
+                if (cnt < 1) { qmask[t] = HQ_NOHIT; continue; }
+                if (maxhit_per_tuple > 0 && cnt > maxhit_per_tuple) {
+                    qmask[t] = HQ_MULTIHIT;
+                    continue;
+                }
+                qmask[t] = HQ_NORMHIT;
+                qoffs[n_seeds] = t;
+                nhits[n_seeds] = cnt;
+                slot[n_seeds] = ix;
+                n_seeds++;
+            }
+        }
+    }
+    return n_seeds;
+}
+
+/* ---------------- rank selection (getHitInfoMaxRank) ---------------- */
+
+/* sidx: u32[n_seeds] rank -> seed index (already sorted by caller).
+ * qbuf: u8[qlen] scratch.  Returns seed_rank. */
+int64_t mc_max_rank(
+    const int64_t *qoffs, const int64_t *nhits, const uint32_t *sidx,
+    int64_t n_seeds, int64_t qlen, int ktup, int nskip,
+    int64_t mincover, int64_t maxcover, int64_t maxhit,
+    uint8_t *qbuf)
+{
+    int64_t i, f, rank, ntot, n, nmax;
+
+    ntot = nhits[sidx[0]];
+    i = 1;
+    while (i <= n_seeds && ntot <= maxhit) {
+        if (i < n_seeds) ntot += nhits[sidx[i]];
+        i++;
+    }
+    n = nmax = i - 1;
+
+    for (f = 0; f < nskip; f++) {
+        int64_t cover = 0, last_rank = -1, used = 0;
+        memset(qbuf, 0, (size_t)qlen);
+        for (rank = 0; rank < n_seeds; rank++) {
+            int64_t ix = sidx[rank], qo, e;
+            if (qoffs[ix] % nskip != f) continue;
+            if (!(cover <= maxcover && (cover < mincover || rank <= n)))
+                break;
+            qo = qoffs[ix];
+            e = qo + ktup - 1;
+            if (e > qlen) e = qlen;
+            for (i = qo; i < e; i++) {
+                if (!qbuf[i]) { cover++; qbuf[i] = 1; }
+            }
+            last_rank = rank;
+            used++;
+        }
+        if (used > 0 && last_rank > nmax) nmax = last_rank;
+    }
+    if (nmax < MINSEEDNUM)
+        return (MINSEEDNUM < n_seeds) ? MINSEEDNUM : n_seeds;
+    return nmax;
+}
+
+/* ---------------- cover deficit (hashCalcHitInfoCoverDeficit) -------- */
+
+int64_t mc_cover_deficit(
+    const int64_t *qoffs, const uint32_t *sidx, int64_t n_seeds,
+    int has_rank, int64_t seed_rank,
+    const uint8_t *qmask, int64_t qlen, int ktup, int nskip,
+    uint8_t *qbuf)
+{
+    int64_t f, i, rank;
+    if (has_rank) {
+        int64_t d = qlen, maxcover = 0;
+        for (f = 0; f < nskip; f++) {
+            int64_t cover = 0, any = 0;
+            memset(qbuf, 0, (size_t)qlen);
+            for (rank = 0; rank < n_seeds; rank++) {
+                int64_t ix = sidx[rank], qo, e;
+                if (qoffs[ix] % nskip != f) continue;
+                any = 1;
+                if (rank >= seed_rank) break;
+                qo = qoffs[ix];
+                e = qo + ktup;
+                if (e > qlen) e = qlen;
+                for (i = qo; i < e; i++)
+                    if (!qbuf[i]) { cover++; qbuf[i] = 1; }
+            }
+            if (!any) continue;
+            if (cover < d) d = cover;
+            if (cover > maxcover) maxcover = cover;
+        }
+        return maxcover - d + 1;
+    }
+    {
+        int64_t k = ktup / nskip, deficit = 0, s;
+        if (k > 0) k--;
+        for (s = 0; s < nskip; s++) {
+            int64_t d = 0, ctr = 0;
+            for (i = s; i < qlen; i += nskip) {
+                if (qmask[i] == HQ_NORMHIT) ctr = k;
+                else if (ctr) ctr--;
+                else d += nskip;
+            }
+            if (d > deficit) deficit = d;
+        }
+        return deficit;
+    }
+}
+
+/* ---------------- packed hit-list collection ---------------- */
+
+static inline uint64_t pack_hit(uint64_t p, int64_t q, int nskip, int is_rev)
+{
+    uint64_t qo = (uint64_t)(q / nskip);
+    if (is_rev) return ((p + qo) << HALFBIT) + (uint64_t)q;
+    return (((p | OFFBIT) - qo) << HALFBIT) + (uint64_t)q;
+}
+
+static int cmp_u64(const void *a, const void *b)
+{
+    uint64_t x = *(const uint64_t *)a, y = *(const uint64_t *)b;
+    return (x < y) ? -1 : (x > y);
+}
+
+/* hashCollectHitsUsingCutoff (hashhit.c:1593).  Fills sqdat (cap budget)
+ * and qm u8[qlen].  Returns total hit count. */
+int64_t mc_collect_cutoff(
+    const int64_t *starts, const uint32_t *pos,
+    const int64_t *qoffs, const int64_t *nhits, const int64_t *slot,
+    const uint32_t *sidx, int64_t n_seeds,
+    int64_t qlen, int nskip, int is_reverse,
+    int64_t max_nhit_per_tup, int64_t budget,
+    uint64_t *sqdat, uint8_t *qm)
+{
+    int64_t total = 0;
+    for (;;) {
+        int64_t rank;
+        int reached_ceiling = 0;
+        total = 0;
+        memset(qm, HQ_NOHIT, (size_t)qlen);
+        for (rank = 0; rank < n_seeds; rank++) {
+            int64_t ix = sidx[rank];
+            int64_t nh = nhits[ix], q = qoffs[ix], p0, l;
+            if (nh < 1) continue;
+            if (max_nhit_per_tup > 0 && nh > max_nhit_per_tup) {
+                qm[q] = HQ_MULTIHIT;
+                continue;
+            }
+            if (total + nh > budget) { reached_ceiling = 1; break; }
+            qm[q] = HQ_NORMHIT;
+            p0 = starts[slot[ix]];
+            for (l = 0; l < nh; l++)
+                sqdat[total + l] = pack_hit(pos[p0 + l], q, nskip, is_reverse);
+            total += nh;
+        }
+        max_nhit_per_tup /= 2;
+        if (!(reached_ceiling && max_nhit_per_tup > MINHIT_PER_TUPLE))
+            break;
+    }
+    qsort(sqdat, (size_t)total, sizeof(uint64_t), cmp_u64);
+    return total;
+}
+
+/* positions p with lo_t <= p < hi_t inside one word's ascending list */
+static void pos_range(const uint32_t *pos, int64_t p0, int64_t p1,
+                      int64_t lo_t, int64_t hi_t,
+                      int64_t *out_a, int64_t *out_b)
+{
+    int64_t lo = p0, hi = p1, mid;
+    while (lo < hi) { mid = (lo + hi) >> 1;
+        if ((int64_t)pos[mid] < lo_t) lo = mid + 1; else hi = mid; }
+    *out_a = lo;
+    hi = p1;
+    while (lo < hi) { mid = (lo + hi) >> 1;
+        if ((int64_t)pos[mid] < hi_t) lo = mid + 1; else hi = mid; }
+    *out_b = lo;
+}
+
+/* hashCollectHitsForSegment (hashhit.c:1691). */
+int64_t mc_collect_segment(
+    const int64_t *starts, const uint32_t *pos,
+    const int64_t *qoffs, const int64_t *nhits, const int64_t *slot,
+    const uint32_t *sidx, int64_t n_seeds, int use_short,
+    int64_t qlen, int nskip, int is_reverse,
+    int64_t seg_lo, int64_t seg_hi,
+    int64_t nhit_max, int64_t budget,
+    uint64_t *sqdat, uint8_t *qm)
+{
+    int64_t lo_t = seg_lo / nskip, hi_t = seg_hi / nskip;
+    int64_t total = 0;
+    for (;;) {
+        int64_t n;
+        int alloc_boundary = 0;
+        total = 0;
+        memset(qm, HQ_NOHIT, (size_t)qlen);
+        for (n = 0; n < n_seeds; n++) {
+            int64_t ix = use_short ? (int64_t)sidx[n] : n;
+            int64_t key_n = nhits[use_short ? (int64_t)sidx[n] : n];
+            int64_t q = qoffs[ix], a, b, nh, l;
+            if (nhit_max > 0 && key_n > nhit_max) {
+                qm[q] = HQ_MULTIHIT;
+                continue;
+            }
+            pos_range(pos, starts[slot[ix]], starts[slot[ix] + 1],
+                      lo_t, hi_t, &a, &b);
+            nh = b - a;
+            if (total + nh > budget) {
+                if (nhit_max > 0) { alloc_boundary = 1; break; }
+                qm[q] = HQ_MULTIHIT;
+                continue;
+            }
+            for (l = 0; l < nh; l++)
+                sqdat[total + l] = pack_hit(pos[a + l], q, nskip, is_reverse);
+            total += nh;
+        }
+        nhit_max /= 2;
+        if (!(alloc_boundary && nhit_max > MINHIT_PER_TUPLE)) break;
+    }
+    qsort(sqdat, (size_t)total, sizeof(uint64_t), cmp_u64);
+    return total;
+}
+
+/* ---------------- seeds & segments (segLstFillHits) ---------------- */
+
+#define SEGMENTING_DIFFSHIFT 3
+
+/* outputs sized <= nhits each; returns counts via out params. */
+void mc_seg_fill(
+    const uint64_t *sqdat, int64_t nhits, const uint8_t *qm,
+    int64_t min_ktup, int ktup, int nskip, int64_t qlen,
+    uint64_t *seed_sqo, int64_t *seed_len,
+    int64_t *seg_ix, int64_t *seg_nseed, int64_t *seg_cover,
+    int64_t *hreg_idx, int64_t *hreg_num,
+    int64_t *out_nseed, int64_t *out_nseg, int64_t *out_nreg,
+    int64_t *out_maxcover)
+{
+    int64_t i, n_seed = 0, n_seg = 0, n_reg = 0, maxcover = 0;
+    int64_t max_dshift, ds;
+    uint64_t dsthresh;
+
+    /* min_ktup reduction over qmask (segment.c:778-785) */
+    for (i = 0; i < qlen; i++) {
+        uint8_t v = qm[i];
+        if (v == 0) break;
+        if (v == 1) continue;
+        if (min_ktup < 2) break;
+        min_ktup--;
+    }
+
+    max_dshift = (int64_t)ktup * SEGMENTING_DIFFSHIFT / nskip;
+    ds = (qlen - ktup) / nskip + 1;
+    if (ds < max_dshift) max_dshift = ds;
+    dsthresh = (uint64_t)max_dshift << HALFBIT;
+
+    i = 0;
+    while (i < nhits) {
+        /* region [i, e) by shift-gap splitting */
+        int64_t e = i + 1, rs0, rn;
+        while (e < nhits && (sqdat[e] - sqdat[e - 1]) < dsthresh) e++;
+        if (e - i < min_ktup) { i = e; continue; }
+
+        /* seeds within the region */
+        rs0 = n_seed;
+        {
+            int64_t a = i;
+            while (a < e) {
+                uint64_t sqo = sqdat[a];
+                uint64_t shift = sqo >> HALFBIT;
+                int64_t q0 = (int64_t)(sqo & HALFMASK);
+                int64_t lastq = q0 + ktup, b = a + 1;
+                while (b < e) {
+                    uint64_t s2 = sqdat[b];
+                    int64_t q2 = (int64_t)(s2 & HALFMASK);
+                    if ((s2 >> HALFBIT) != shift) break;
+                    if (q2 > lastq || ((q2 - q0) % nskip)) break;
+                    lastq = q2 + ktup;
+                    b++;
+                }
+                seed_sqo[n_seed] = sqo;
+                seed_len[n_seed] = lastq - q0;
+                n_seed++;
+                a = b;
+            }
+        }
+
+        /* constant-shift segments over the region's seeds */
+        hreg_idx[n_reg] = n_seg;
+        rn = 0;
+        {
+            int64_t a = rs0;
+            while (a < n_seed) {
+                uint64_t shift = seed_sqo[a] >> HALFBIT;
+                int64_t q0 = (int64_t)(seed_sqo[a] & HALFMASK);
+                int64_t cover = seed_len[a], b = a + 1;
+                while (b < n_seed) {
+                    if ((seed_sqo[b] >> HALFBIT) != shift ||
+                        (((int64_t)(seed_sqo[b] & HALFMASK)) - q0) % nskip)
+                        break;
+                    cover += seed_len[b];
+                    b++;
+                }
+                seg_ix[n_seg] = a;
+                seg_nseed[n_seg] = b - a;
+                seg_cover[n_seg] = cover;
+                if (cover > maxcover) maxcover = cover;
+                n_seg++;
+                rn++;
+                a = b;
+            }
+        }
+        hreg_num[n_reg] = rn;
+        n_reg++;
+        i = e;
+    }
+    *out_nseed = n_seed;
+    *out_nseg = n_seg;
+    *out_nreg = n_reg;
+    *out_maxcover = maxcover;
+}
+
+/* ---------------- candidates (addCandsFast + derriveSEGCAND) -------- */
+
+#define FLAG_REVERSE 0x01
+#define FLAG_MMALI 0x02
+#define CAND_FIELDS 10
+
+/* calcSegmentBoundaries (segment.c:637-668) */
+static void seg_bounds(const uint64_t *seed_sqo, const int64_t *seed_len,
+                       const int64_t *seg_ix, const int64_t *seg_nseed,
+                       int64_t seg, int ktup, int nskip, int is_rev,
+                       int64_t *oqs, int64_t *oqe, int64_t *ors, int64_t *ore)
+{
+    int64_t i0 = seg_ix[seg];
+    int64_t n = seg_nseed[seg]; if (n < 0) n = -n;
+    uint64_t sp = seed_sqo[i0], ep = seed_sqo[i0 + n - 1];
+    int64_t ep_len = seed_len[i0 + n - 1];
+    int64_t qs = (int64_t)(sp & HALFMASK);
+    int64_t qe = (int64_t)(ep & HALFMASK) + ep_len - 1;
+    int64_t rs, re;
+    if (is_rev) {
+        rs = (int64_t)((((ep >> HALFBIT) - (uint64_t)((ep & HALFMASK) / (uint64_t)nskip))) & SOFFSMASK);
+        rs -= (ep_len - ktup) / nskip;
+        re = (int64_t)(((sp >> HALFBIT) - (uint64_t)(qs / nskip)) & SOFFSMASK);
+    } else {
+        rs = (int64_t)(((sp >> HALFBIT) + (uint64_t)(qs / nskip)) & SOFFSMASK);
+        re = (int64_t)(((ep >> HALFBIT) + (uint64_t)((ep & HALFMASK) / (uint64_t)nskip)) & SOFFSMASK);
+        re += (ep_len - ktup) / nskip;
+    }
+    *oqs = qs; *oqe = qe; *ors = rs; *ore = re;
+}
+
+/* out: n_cands x CAND_FIELDS int64 rows
+ * {qs,qe,rs,re,shiftoffs,shift2mm,srange,cover,flag,nseg}.
+ * maxcov_io: {max_cover, max2nd_cover} updated in place.
+ * Returns number of candidates emitted. */
+int64_t mc_cands_add(
+    const uint64_t *seed_sqo, const int64_t *seed_len,
+    const int64_t *seg_ix, int64_t *seg_nseed, const int64_t *seg_cover,
+    const int64_t *hreg_idx, const int64_t *hreg_num, int64_t nreg,
+    int ktup, int nskip, int64_t qlen, int is_reverse,
+    int64_t mincover, uint8_t *maskbuf,
+    int64_t *out, int64_t *maxcov_io)
+{
+    int64_t r, n_out = 0;
+    for (r = 0; r < nreg; r++) {
+        int64_t base = hreg_idx[r], num = hreg_num[r], i = 0;
+        while (i < num) {
+            int64_t seg = base + i, j, cover, l, i0, nsd;
+            /* seed_cover_init */
+            memset(maskbuf, 0, (size_t)qlen);
+            i0 = seg_ix[seg];
+            nsd = seg_nseed[seg]; if (nsd < 0) nsd = -nsd;
+            for (l = 0; l < nsd; l++) {
+                int64_t qo = (int64_t)(seed_sqo[i0 + l] & HALFMASK);
+                int64_t e = qo + seed_len[i0 + l], t;
+                if (e > qlen) e = qlen;
+                for (t = qo; t < e; t++) maskbuf[t] = 1;
+            }
+            cover = seg_cover[seg];
+            j = i + 1;
+            while (j < num) {
+                int64_t sj = base + j, cover_new = 0;
+                if (seg_nseed[sj] < 0) break;
+                i0 = seg_ix[sj];
+                nsd = seg_nseed[sj]; if (nsd < 0) nsd = -nsd;
+                for (l = 0; l < nsd; l++) {
+                    int64_t qo = (int64_t)(seed_sqo[i0 + l] & HALFMASK);
+                    int64_t e = qo + seed_len[i0 + l], t;
+                    if (e > qlen) e = qlen;
+                    for (t = qo; t < e; t++)
+                        if (!maskbuf[t]) { cover_new++; maskbuf[t] = 1; }
+                }
+                if ((cover_new << 1) < seg_cover[sj] && cover >= mincover)
+                    break;
+                cover += cover_new;
+                j++;
+            }
+            if (cover >= mincover) {
+                /* derriveSEGCAND (segment.c:929-1057) */
+                int64_t nseg = j - i, t;
+                int64_t qs, qe, rs, re, q1, q2, r1, r2;
+                int64_t shift_min, shift_2mm, last_shift, maxcover;
+                int64_t shift_start, shift_range, diff_shift, flag = 0;
+                int64_t *row;
+                seg_bounds(seed_sqo, seed_len, seg_ix, seg_nseed, seg,
+                           ktup, nskip, is_reverse, &qs, &qe, &rs, &re);
+                shift_min = shift_2mm =
+                    (int64_t)(seed_sqo[seg_ix[seg]] >> HALFBIT);
+                maxcover = seg_cover[seg];
+                last_shift = shift_min;
+                for (t = 1; t < nseg; t++) {
+                    int64_t sg = seg + t;
+                    seg_bounds(seed_sqo, seed_len, seg_ix, seg_nseed, sg,
+                               ktup, nskip, is_reverse, &q1, &q2, &r1, &r2);
+                    if (seg_cover[sg] > maxcover) {
+                        shift_2mm = (int64_t)(seed_sqo[seg_ix[sg]] >> HALFBIT);
+                        maxcover = seg_cover[sg];
+                    }
+                    if (q1 < qs) qs = q1;
+                    if (q2 > qe) qe = q2;
+                    if (r1 < rs) rs = r1;
+                    if (r2 > re) re = r2;
+                    last_shift = (int64_t)(seed_sqo[seg_ix[sg]] >> HALFBIT);
+                }
+                if (is_reverse) {
+                    flag |= FLAG_REVERSE;
+                    shift_start = rs + (qe - ktup + 1) / nskip;
+                } else {
+                    shift_start = (int64_t)(((uint64_t)rs | OFFBIT)
+                                            - (uint64_t)(qs / nskip));
+                }
+                shift_range = last_shift - shift_min;
+                diff_shift = shift_min - shift_start;
+
+                row = out + n_out * CAND_FIELDS;
+                row[0] = qs; row[1] = qe; row[2] = rs; row[3] = re;
+                row[4] = diff_shift;
+                row[5] = 0;
+                row[6] = shift_range;
+                row[7] = cover;
+                row[8] = flag;
+                row[9] = nseg;
+                if (maxcover >= mincover) {
+                    row[8] |= FLAG_MMALI;
+                    row[5] = shift_2mm - shift_start;
+                }
+                n_out++;
+
+                for (t = i; t < j; t++) {
+                    int64_t v = seg_nseed[base + t];
+                    seg_nseed[base + t] = (v < 0) ? v : -v;
+                }
+                if (cover > maxcov_io[1]) {
+                    if (cover > maxcov_io[0]) {
+                        maxcov_io[1] = maxcov_io[0];
+                        maxcov_io[0] = cover;
+                    } else if (cover != maxcov_io[0]) {
+                        maxcov_io[1] = cover;
+                    }
+                }
+            }
+            i = j;
+        }
+    }
+    return n_out;
+}

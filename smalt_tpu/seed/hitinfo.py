@@ -29,6 +29,7 @@ import numpy as np
 from ..seq import codec
 from ..index.table import KmerIndex
 from ..sort_nr import paired_sort
+from ..native import get_lib as _get_native
 
 HITQUAL_TERM = 0
 HITQUAL_NORMHIT = 1
@@ -103,6 +104,43 @@ def _repeat_filter(words: np.ndarray, ok: np.ndarray) -> np.ndarray:
     return rep
 
 
+from ..native import GrowBuf as _GrowBuf
+
+_scr_qoffs = _GrowBuf(np.int64)
+_scr_nhits = _GrowBuf(np.int64)
+_scr_slot = _GrowBuf(np.int64)
+_scr_qbuf = _GrowBuf(np.uint8)
+
+
+def _collect_hit_info_native(lib, read_codes, qual, is_reverse, idx,
+                             maxhit_per_tuple, basq_thresh,
+                             seq_start, seq_end) -> HitInfo:
+    qlen = len(read_codes)
+    codes = np.ascontiguousarray(read_codes, dtype=np.uint8)
+    qaddr = 0
+    if qual is not None:
+        qarr = np.frombuffer(qual, dtype=np.uint8)
+        qaddr = qarr.ctypes.data
+    qmask = np.empty(qlen, dtype=np.uint8)
+    _scr_qoffs.ensure(qlen)
+    _scr_nhits.ensure(qlen)
+    _scr_slot.ensure(qlen)
+    wa, sa, _ = idx.addrs
+    n = lib.mc_hitinfo_collect(
+        wa, sa, idx.nwords, idx.wordlen, idx.nskip,
+        codes.ctypes.data, qaddr,
+        qlen, 1 if is_reverse else 0, maxhit_per_tuple, basq_thresh,
+        seq_start, seq_end,
+        qmask.ctypes.data, _scr_qoffs.addr, _scr_nhits.addr, _scr_slot.addr)
+    if n < 0:
+        raise ShortSeqError(qlen)
+    return HitInfo(
+        qlen=qlen, ktup=idx.wordlen, nskip=idx.nskip, is_reverse=is_reverse,
+        qmask=qmask, qoffs=_scr_qoffs.arr[:n].copy(),
+        nhits=_scr_nhits.arr[:n].copy(), slot=_scr_slot.arr[:n].copy(),
+        sidx=np.arange(n, dtype=np.uint32))
+
+
 def collect_hit_info(read_codes: np.ndarray,
                      qual: Optional[bytes],
                      is_reverse: bool,
@@ -113,6 +151,11 @@ def collect_hit_info(read_codes: np.ndarray,
                      seq_end: int = 0) -> HitInfo:
     """collectHitInfo (hashhit.c:482).  seq_start/seq_end restrict to a read
     segment; seq_end < seq_start+k-1 means the whole read."""
+    lib = _get_native()
+    if lib is not None:
+        return _collect_hit_info_native(lib, read_codes, qual, is_reverse,
+                                        idx, maxhit_per_tuple, basq_thresh,
+                                        seq_start, seq_end)
     qlen = len(read_codes)
     k = idx.wordlen
     nskip = idx.nskip
@@ -178,6 +221,13 @@ class ShortSeqError(Exception):
 
 def _max_rank(hi: HitInfo, mincover: int, maxcover: int, maxhit: int) -> int:
     """getHitInfoMaxRank (hashhit.c:769-900), literal replica."""
+    lib = _get_native()
+    if lib is not None:
+        _scr_qbuf.ensure(hi.qlen)
+        return int(lib.mc_max_rank(
+            hi.qoffs.ctypes.data, hi.nhits.ctypes.data, hi.sidx.ctypes.data,
+            hi.n_seeds, hi.qlen, hi.ktup, hi.nskip,
+            mincover, maxcover, maxhit, _scr_qbuf.addr))
     n_seeds = hi.n_seeds
     nskip = hi.nskip
     ktup = hi.ktup
@@ -263,6 +313,14 @@ def collect_hit_info_short(read_codes: np.ndarray,
 
 def cover_deficit(hi: HitInfo) -> int:
     """hashCalcHitInfoCoverDeficit (hashhit.c:1096-1171)."""
+    lib = _get_native()
+    if lib is not None:
+        _scr_qbuf.ensure(hi.qlen)
+        return int(lib.mc_cover_deficit(
+            hi.qoffs.ctypes.data, hi.sidx.ctypes.data,
+            hi.n_seeds, 1 if hi.has_rank else 0, hi.seed_rank,
+            hi.qmask.ctypes.data, hi.qlen, hi.ktup, hi.nskip,
+            _scr_qbuf.addr))
     nskip = hi.nskip
     ktup = hi.ktup
     if hi.has_rank:

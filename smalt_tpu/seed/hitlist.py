@@ -26,6 +26,9 @@ import numpy as np
 
 from ..index.table import KmerIndex
 from .hitinfo import (HitInfo, HITQUAL_NORMHIT, HITQUAL_MULTIHIT)
+from ..native import get_lib as _get_native, GrowBuf as _GrowBuf
+
+_scr_sqdat = _GrowBuf(np.uint64, 8192)
 
 HITLST_MINSIZ = 8192          # hashhit.c:45
 HITLST_MAXSIZ = 2**31 - 1     # hashhit.c:49
@@ -68,6 +71,23 @@ def collect_hits_using_cutoff(hi: HitInfo, max_nhit_per_tup: int,
                               idx: KmerIndex) -> HitList:
     """hashCollectHitsUsingCutoff (hashhit.c:1593): whole-genome collection
     over the rank-selected seeds, with ceiling-halving retry."""
+    lib = _get_native()
+    if lib is not None:
+        n_seeds = hi.seed_rank if hi.seed_rank else hi.n_seeds
+        budget = _budget(hi.qlen)
+        _scr_sqdat.ensure(budget)
+        qm = np.empty(hi.qlen, dtype=np.uint8)
+        _, sa, pa = idx.addrs
+        n = lib.mc_collect_cutoff(
+            sa, pa,
+            hi.qoffs.ctypes.data, hi.nhits.ctypes.data,
+            hi.slot.ctypes.data, hi.sidx.ctypes.data,
+            n_seeds, hi.qlen, hi.nskip, 1 if hi.is_reverse else 0,
+            max_nhit_per_tup, budget,
+            _scr_sqdat.addr, qm.ctypes.data)
+        return HitList(qlen=hi.qlen, ktup=hi.ktup, nskip=hi.nskip,
+                       is_reverse=hi.is_reverse,
+                       sqdat=_scr_sqdat.arr[:n].copy(), qmask=qm)
     qmask = np.full(hi.qlen, 4, dtype=np.uint8)  # blankHitList: HITQUAL_NOHIT
     n_seeds = hi.seed_rank if hi.seed_rank else hi.n_seeds
     budget = _budget(hi.qlen)
@@ -111,6 +131,25 @@ def collect_hits_for_segment(hi: HitInfo,
     range [seg_lo, seg_hi) of the concatenated reference; bounds convert to
     tuple serials by integer division (hashhit.c:1712-1717): positions p
     with seg_lo//nskip <= p < seg_hi//nskip."""
+    lib = _get_native()
+    if lib is not None:
+        n_seeds = (hi.seed_rank if (use_short_hitinfo and hi.seed_rank > 0)
+                   else hi.n_seeds)
+        budget = _budget(hi.qlen)
+        _scr_sqdat.ensure(budget)
+        qm = np.empty(hi.qlen, dtype=np.uint8)
+        _, sa, pa = idx.addrs
+        n = lib.mc_collect_segment(
+            sa, pa,
+            hi.qoffs.ctypes.data, hi.nhits.ctypes.data,
+            hi.slot.ctypes.data, hi.sidx.ctypes.data,
+            n_seeds, 1 if use_short_hitinfo else 0,
+            hi.qlen, hi.nskip, 1 if hi.is_reverse else 0,
+            seg_lo, seg_hi, nhit_max, budget,
+            _scr_sqdat.addr, qm.ctypes.data)
+        return HitList(qlen=hi.qlen, ktup=hi.ktup, nskip=hi.nskip,
+                       is_reverse=hi.is_reverse,
+                       sqdat=_scr_sqdat.arr[:n].copy(), qmask=qm)
     lo_t = seg_lo // hi.nskip
     hi_t = seg_hi // hi.nskip
     qmask0 = np.full(hi.qlen, 4, dtype=np.uint8)

@@ -27,6 +27,7 @@ from typing import List, Optional
 import numpy as np
 
 from ..sort_nr import paired_sort
+from ..native import get_lib as _get_native, GrowBuf as _GrowBuf
 
 HALFBIT = 31
 HALFMASK = 0x7FFFFFFF
@@ -65,8 +66,54 @@ class SegLst:
     maxcover: int = 0
 
 
+_scr_seed_sqo = _GrowBuf(np.uint64)
+_scr_seed_len = _GrowBuf(np.int64)
+_scr_seg_ix = _GrowBuf(np.int64)
+_scr_seg_nseed = _GrowBuf(np.int64)
+_scr_seg_cover = _GrowBuf(np.int64)
+_scr_hreg_idx = _GrowBuf(np.int64)
+_scr_hreg_num = _GrowBuf(np.int64)
+_scr_counts = np.zeros(4, dtype=np.int64)
+_scr_mask = _GrowBuf(np.uint8)
+_scr_out = _GrowBuf(np.int64)
+_scr_maxcov = np.zeros(2, dtype=np.int64)
+
+
+def _seg_lst_fill_hits_native(lib, hitlist, min_ktup: int) -> SegLst:
+    shdat = np.ascontiguousarray(hitlist.sqdat, dtype=np.uint64)
+    nhits = len(shdat)
+    cap = max(nhits, 1)
+    for b in (_scr_seed_sqo, _scr_seed_len, _scr_seg_ix, _scr_seg_nseed,
+              _scr_seg_cover, _scr_hreg_idx, _scr_hreg_num):
+        b.ensure(cap)
+    ca = _scr_counts.ctypes.data
+    lib.mc_seg_fill(
+        shdat.ctypes.data, nhits,
+        hitlist.qmask.ctypes.data, min_ktup,
+        hitlist.ktup, hitlist.nskip, hitlist.qlen,
+        _scr_seed_sqo.addr, _scr_seed_len.addr,
+        _scr_seg_ix.addr, _scr_seg_nseed.addr, _scr_seg_cover.addr,
+        _scr_hreg_idx.addr, _scr_hreg_num.addr,
+        ca, ca + 8, ca + 16, ca + 24)
+    n_seed, n_seg, n_reg, maxcover = (int(v) for v in _scr_counts)
+    return SegLst(
+        is_reverse=hitlist.is_reverse, ktup=hitlist.ktup,
+        nskip=hitlist.nskip, qlen=hitlist.qlen,
+        seed_sqo=_scr_seed_sqo.arr[:n_seed].copy(),
+        seed_len=_scr_seed_len.arr[:n_seed].copy(),
+        seg_ix=_scr_seg_ix.arr[:n_seg].copy(),
+        seg_nseed=_scr_seg_nseed.arr[:n_seg].copy(),
+        seg_cover=_scr_seg_cover.arr[:n_seg].copy(),
+        hreg_idx=_scr_hreg_idx.arr[:n_reg].copy(),
+        hreg_num=_scr_hreg_num.arr[:n_reg].copy(),
+        maxcover=maxcover)
+
+
 def seg_lst_fill_hits(hitlist, min_ktup: int) -> SegLst:
     """segLstFillHits (segment.c:763)."""
+    lib = _get_native()
+    if lib is not None:
+        return _seg_lst_fill_hits_native(lib, hitlist, min_ktup)
     shdat = hitlist.sqdat
     nhits = len(shdat)
     ktup, nskip, qlen = hitlist.ktup, hitlist.nskip, hitlist.qlen
@@ -286,6 +333,35 @@ def seg_cands_add_fast(sac: SegAliCands, sgl: SegLst, mincover: int,
     if not sac.cands:
         sac.ktup = sgl.ktup
         sac.nskip = sgl.nskip
+    lib = _get_native()
+    if lib is not None and len(sgl.hreg_idx):
+        nseg = len(sgl.seg_ix)
+        nseed_state = np.array(sgl.seg_nseed, dtype=np.int64)  # private copy
+        _scr_out.ensure(max(nseg, 1) * 10)
+        _scr_mask.ensure(sgl.qlen)
+        _scr_maxcov[0] = sac.max_cover
+        _scr_maxcov[1] = sac.max2nd_cover
+        n = lib.mc_cands_add(
+            sgl.seed_sqo.ctypes.data, sgl.seed_len.ctypes.data,
+            sgl.seg_ix.ctypes.data, nseed_state.ctypes.data,
+            sgl.seg_cover.ctypes.data,
+            sgl.hreg_idx.ctypes.data, sgl.hreg_num.ctypes.data,
+            len(sgl.hreg_idx),
+            sgl.ktup, sgl.nskip, sgl.qlen, 1 if sgl.is_reverse else 0,
+            mincover, _scr_mask.addr,
+            _scr_out.addr, _scr_maxcov.ctypes.data)
+        out = _scr_out.arr
+        for r in range(n):
+            o = r * 10
+            sac.cands.append(Cand(
+                qs=int(out[o]), qe=int(out[o + 1]), rs=int(out[o + 2]),
+                re=int(out[o + 3]), shiftoffs=int(out[o + 4]),
+                shift2mm=int(out[o + 5]), srange=int(out[o + 6]),
+                cover=int(out[o + 7]), flag=int(out[o + 8]),
+                nseg=int(out[o + 9]), seqidx=seqidx))
+        sac.max_cover = int(_scr_maxcov[0])
+        sac.max2nd_cover = int(_scr_maxcov[1])
+        return
     mask = np.zeros(sgl.qlen, dtype=bool)
     nreg = len(sgl.hreg_idx)
     nseed_state = sgl.seg_nseed.copy()
