@@ -31,7 +31,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map as _shard_map_raw  # jax >= 0.8
+    _SM_KW = {"check_vma": False}
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map_raw
+    _SM_KW = {"check_rep": False}
+
+
+def shard_map(f, mesh, in_specs, out_specs, **_ignored):
+    return _shard_map_raw(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, **_SM_KW)
 
 from ..seq import codec
 from ..index.table import KmerIndex
@@ -141,9 +151,10 @@ def _best_diagonal(shift, ok, tol):
 
 
 def _gather_windows(di: DeviceIndex, shifts, S, origin_off):
-    """Reference windows [B, S] starting at shift*nskip + origin_off."""
+    """Reference windows [B, S] starting at shift*nskip + origin_off.
+    di.ref_len may be a traced scalar (sharded local lengths)."""
     start = shifts * di.nskip + origin_off
-    start = jnp.clip(start, 0, max(di.ref_len - S, 0))
+    start = jnp.clip(start, 0, jnp.maximum(di.ref_len - S, 0))
     offs = jnp.arange(S, dtype=jnp.int32)
     gidx = start[:, None] + offs[None, :]
     gidx = jnp.clip(gidx, 0, di.ref_len - 1)
@@ -229,6 +240,140 @@ def _revcomp_batch(reads):
     rev = reads[:, ::-1]
     std = (rev & 4) == 0
     return jnp.where(std, rev ^ 3, rev)
+
+
+@dataclass
+class ShardedDeviceIndex:
+    """Range-sharded index + reference for genomes beyond one HBM.
+
+    The concatenated reference splits into `n_shards` contiguous base
+    ranges (aligned to nskip); each shard holds its slice of the
+    reference (plus a right halo of `halo` bases so alignment windows
+    crossing the cut are complete) and the index entries whose sampled
+    position falls in its range, with positions rebased to shard-local
+    tuple serials.  Per-shard arrays are padded to common sizes and
+    stacked on a leading `ip` axis; under shard_map each device scans
+    only its own shard and the per-read best combines with a max
+    collective (SURVEY §2.3 P3: the seq-by-seq scan re-expressed as a
+    reduction over position-range shards).
+
+    Word-list padding uses an int32 sentinel larger than any packed
+    2k-bit word, so binary-search lookups miss cleanly on pad rows.
+    """
+    wordlen: int
+    nskip: int
+    n_shards: int
+    words: jnp.ndarray       # [ip, Wmax] int32, sentinel-padded
+    starts: jnp.ndarray      # [ip, Wmax+1] int32
+    pos: jnp.ndarray         # [ip, Pmax] int32 shard-local tuple serials
+    ref_alpha: jnp.ndarray   # [ip, Lmax] int32, pad code 7 (scores 0)
+    shard_base: jnp.ndarray  # [ip] int32 global base offset of the slice
+    local_len: jnp.ndarray   # [ip] int32 valid bases in the slice
+    ref_len: int             # global reference length
+
+    WORD_SENTINEL = np.int32(0x7FFFFFFF)
+
+    @classmethod
+    def build(cls, refset: RefSet, idx: KmerIndex, n_shards: int,
+              halo: int = 640) -> "ShardedDeviceIndex":
+        if 2 * idx.wordlen > 31:
+            raise ValueError("device path packs words in int32: wordlen<=15")
+        L = refset.total_len
+        nskip = idx.nskip
+        chunk = -(-L // n_shards)
+        chunk = -(-chunk // nskip) * nskip          # multiple of nskip
+        alpha = codec.alpha(refset.codes).astype(np.int32)
+        words_np = idx.words.astype(np.int64)
+        starts_np = idx.starts.astype(np.int64)
+        pos_np = idx.pos.astype(np.int64)
+
+        shards = []
+        for s in range(n_shards):
+            lo_b = min(s * chunk, L)
+            hi_b = min((s + 1) * chunk, L)
+            lo_t, hi_t = lo_b // nskip, -(-hi_b // nskip)
+            sel = (pos_np >= lo_t) & (pos_np < hi_t)
+            # word slots with at least one position in range
+            pidx = np.flatnonzero(sel)
+            wslot = np.searchsorted(starts_np, pidx, side="right") - 1
+            uw, first, counts = np.unique(wslot, return_index=True,
+                                          return_counts=True)
+            w = words_np[uw].astype(np.int32)
+            st = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+            p_local = (pos_np[pidx] - lo_t).astype(np.int32)
+            sl_end = min(hi_b + halo, L)
+            ref_slice = alpha[lo_b:sl_end]
+            shards.append((w, st, p_local, ref_slice, lo_b, sl_end - lo_b))
+
+        Wmax = max(max(len(s[0]) for s in shards), 1)
+        Pmax = max(max(len(s[2]) for s in shards), 1)
+        Lmax = max(max(len(s[3]) for s in shards), 1)
+        words = np.full((n_shards, Wmax), cls.WORD_SENTINEL, np.int32)
+        starts = np.zeros((n_shards, Wmax + 1), np.int32)
+        pos = np.zeros((n_shards, Pmax), np.int32)
+        refa = np.full((n_shards, Lmax), 7, np.int32)
+        base = np.zeros(n_shards, np.int32)
+        llen = np.zeros(n_shards, np.int32)
+        for s, (w, st, p, r, lo_b, ln) in enumerate(shards):
+            words[s, : len(w)] = w
+            starts[s, : len(st)] = st
+            starts[s, len(st):] = st[-1] if len(st) else 0
+            pos[s, : len(p)] = p
+            refa[s, : len(r)] = r
+            base[s] = lo_b
+            llen[s] = ln
+        return cls(wordlen=idx.wordlen, nskip=nskip, n_shards=n_shards,
+                   words=jnp.asarray(words), starts=jnp.asarray(starts),
+                   pos=jnp.asarray(pos), ref_alpha=jnp.asarray(refa),
+                   shard_base=jnp.asarray(base), local_len=jnp.asarray(llen),
+                   ref_len=L)
+
+
+def make_index_sharded_step(sdi: ShardedDeviceIndex, mesh: Mesh, matrix,
+                            gapopen_pos, gapext_pos, interpret=None):
+    """SPMD mapping step with a REAL range-sharded index over `ip`:
+    reads are data-parallel over `dp` and replicated over `ip`; each
+    `ip` member scans its own index/reference shard; per-read winners
+    combine with pmax collectives and window starts are returned in
+    global coordinates."""
+    ip = mesh.shape["ip"]
+    assert ip == sdi.n_shards, (ip, sdi.n_shards)
+
+    def step(reads, words, starts, pos, refa, base, llen):
+        di = DeviceIndex(
+            wordlen=sdi.wordlen, nskip=sdi.nskip,
+            words=words[0], starts=starts[0], pos=pos[0],
+            ref_alpha=refa[0], ref_len=llen[0])
+        out = device_map_step(di, reads, matrix, gapopen_pos, gapext_pos,
+                              interpret=interpret)
+        score = out["score"]
+        gstart = out["start"] + base[0]
+        best = jax.lax.pmax(score, "ip")
+        is_best = score == best
+
+        def pick(x):
+            return jax.lax.pmax(jnp.where(is_best, x, -(1 << 30)), "ip")
+
+        return {
+            "score": best,
+            "score2": jax.lax.pmax(out["score2"], "ip"),
+            "start": pick(gstart),
+            "strand": pick(out["strand"]),
+        }
+
+    in_specs = (P("dp", None),        # reads
+                P("ip", None), P("ip", None), P("ip", None),
+                P("ip", None), P("ip"), P("ip"))
+    out_specs = {k: P("dp") for k in ("score", "score2", "start", "strand")}
+    fn = shard_map(step, mesh=mesh, in_specs=in_specs,
+                   out_specs=out_specs, check_rep=False)
+    jfn = jax.jit(fn)
+
+    def run(reads):
+        return jfn(reads, sdi.words, sdi.starts, sdi.pos, sdi.ref_alpha,
+                   sdi.shard_base, sdi.local_len)
+
+    return run
 
 
 def make_sharded_step(di: DeviceIndex, mesh: Mesh, matrix,

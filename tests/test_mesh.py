@@ -10,7 +10,9 @@ from jax.sharding import Mesh
 
 from smalt_tpu.seq import codec
 from smalt_tpu.align import core as ali
-from smalt_tpu.parallel.mesh import DeviceIndex, device_map_step, make_sharded_step
+from smalt_tpu.parallel.mesh import (DeviceIndex, ShardedDeviceIndex,
+                                     device_map_step, make_sharded_step,
+                                     make_index_sharded_step)
 
 
 @pytest.fixture(scope="module")
@@ -65,6 +67,48 @@ def test_sharded_step_matches_single_device(device_setup):
 
     for k in ("score", "score2", "start", "strand"):
         assert np.array_equal(np.asarray(single[k]), np.asarray(sharded[k])), k
+
+
+def test_index_sharded_step(device_setup):
+    """REAL range-sharded index: each ip member holds only its slice of
+    the reference + positions; every perfect read must still be found,
+    including reads straddling the shard boundary, with window starts
+    in global coordinates."""
+    refset, di, m, go, ge = device_setup
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from smalt_tpu.index.table import build_index
+    idx = build_index(refset, 13, 4)
+    sdi = ShardedDeviceIndex.build(refset, idx, n_shards=2, halo=640)
+
+    rng = np.random.default_rng(21)
+    B, Q = 32, 100
+    reads = np.zeros((B, Q), np.int32)
+    truth = np.zeros(B, np.int64)
+    half = refset.total_len // 2
+    for i in range(B):
+        if i < 8:   # straddle the shard cut
+            st = half - Q // 2 - i
+        else:
+            st = int(rng.integers(0, refset.total_len - Q))
+        seg = codec.alpha(refset.codes[st : st + Q]).astype(np.int32)
+        if i % 2:
+            seg = seg[::-1] ^ 3
+        reads[i] = seg
+        truth[i] = st
+
+    mesh = Mesh(np.array(devs[:8]).reshape(4, 2), ("dp", "ip"))
+    step = make_index_sharded_step(sdi, mesh, m, -go, -ge, interpret=True)
+    with mesh:
+        out = step(jnp.asarray(reads))
+    score = np.asarray(out["score"])
+    start = np.asarray(out["start"])
+    strand = np.asarray(out["strand"])
+    assert (score == Q).all(), score
+    assert (strand == np.arange(B) % 2).all()
+    # window start is global and within the pad slack of the truth
+    assert (np.abs(start - truth) <= 64).all(), (start, truth)
 
 
 def test_dp_only_mesh(device_setup):
