@@ -215,10 +215,10 @@ int sw_band_track(const int32_t *W, int qlen_prof,
 /* Full-matrix affine local SW, score only (mathematically equal to the
  * Farrar striped kernels in swsimd.c: both gaps open from the cell
  * maximum; running max over diagonal H' = Hdiag + W). */
-int sw_full(const int32_t *W, int qlen,
-            const uint8_t *subj, int slen,
-            int gap_init, int gap_ext,
-            int32_t *Hbuf, int32_t *Ebuf)
+static int sw_full_scalar(const int32_t *W, int qlen,
+                          const uint8_t *subj, int slen,
+                          int gap_init, int gap_ext,
+                          int32_t *Hbuf, int32_t *Ebuf)
 {
     int i, j, max_scor = 0;
     int32_t *Hp = Hbuf, *Ep = Ebuf;
@@ -241,6 +241,147 @@ int sw_full(const int32_t *W, int qlen,
         }
     }
     return max_scor;
+}
+
+#ifdef __SSE2__
+#include <emmintrin.h>
+#include <stdlib.h>
+
+/* Striped Smith-Waterman, score only, 8 x int16 lanes (Farrar 2007,
+ * the algorithm the reference also builds on, swsimd.c:443-660).
+ * Computes the same maximum as sw_full_scalar: the global optimum of
+ * a local alignment always ends on a diagonal move, so the max over
+ * diagonal-extended values equals the max over corrected H.
+ * Returns -1 when the int16 range may have saturated (caller falls
+ * back to the scalar kernel).  Query positions beyond qlen are padded
+ * with -32768 so their H clamps to <= F < max and never contributes. */
+static int sw_full_sse2(const int32_t *W, int qlen,
+                        const uint8_t *subj, int slen,
+                        int gap_init, int gap_ext)
+{
+    const int seglen = (qlen + 7) / 8;
+    const int nvec = seglen * 8;
+    int i, j, a, lane;
+    int16_t *mem;
+    for (j = 0; j < 8 * qlen; j++)       /* int16-safe profile scores? */
+        if (W[j] > 16384 || W[j] < -16384) return -1;
+    mem = (int16_t *)malloc(((size_t)8 * nvec + 3 * nvec + 8)
+                            * sizeof(int16_t) + 16);
+    if (!mem) return -1;
+    /* 16-byte align */
+    int16_t *base = (int16_t *)(((uintptr_t)mem + 15) & ~(uintptr_t)15);
+    int16_t *prof = base;                 /* 8 codes x seglen vectors */
+    __m128i *vprof = (__m128i *)prof;
+    __m128i *vHStore = (__m128i *)(prof + 8 * nvec);
+    __m128i *vHLoad = vHStore + seglen;
+    __m128i *vE = vHLoad + seglen;
+
+    for (a = 0; a < 8; a++) {
+        const int32_t *rs = W + a * qlen;
+        int16_t *p = prof + a * nvec;
+        for (j = 0; j < seglen; j++)
+            for (lane = 0; lane < 8; lane++) {
+                int q = j + lane * seglen;
+                p[j * 8 + lane] = (q < qlen) ? (int16_t)rs[q] : -32768;
+            }
+    }
+    {
+        __m128i vzero = _mm_setzero_si128();
+        for (j = 0; j < seglen; j++) {
+            vHStore[j] = vzero;
+            vHLoad[j] = vzero;
+            vE[j] = vzero;
+        }
+        __m128i vGapI = _mm_set1_epi16((int16_t)gap_init);
+        __m128i vGapE = _mm_set1_epi16((int16_t)gap_ext);
+        __m128i vMax = vzero;
+
+        for (i = 0; i < slen; i++) {
+            const __m128i *vP = vprof + (size_t)(subj[i] & 7) * seglen;
+            __m128i vF = vzero;
+            __m128i vH = _mm_slli_si128(vHStore[seglen - 1], 2);
+            __m128i *tmp = vHLoad; vHLoad = vHStore; vHStore = tmp;
+            for (j = 0; j < seglen; j++) {
+                __m128i e = vE[j];
+                vH = _mm_adds_epi16(vH, vP[j]);
+                vMax = _mm_max_epi16(vMax, vH);   /* diagonal-extended max */
+                vH = _mm_max_epi16(vH, e);
+                vH = _mm_max_epi16(vH, vF);
+                vH = _mm_max_epi16(vH, vzero);
+                vHStore[j] = vH;
+                {
+                    __m128i hg = _mm_subs_epi16(vH, vGapI);
+                    vE[j] = _mm_max_epi16(_mm_subs_epi16(e, vGapE), hg);
+                    vF = _mm_max_epi16(_mm_subs_epi16(vF, vGapE), hg);
+                }
+                vH = vHLoad[j];
+            }
+            /* lazy-F: propagate the lane-wrapped F until it is
+             * dominated everywhere by the main pass (vF <= H - ginit:
+             * the same contribution already flowed with the same
+             * decay, so nothing downstream can change). */
+            {
+                /* lane-0 inserts must be -inf, not the 0 that
+                 * _mm_slli_si128 shifts in: a 0 is an invalid
+                 * "free gap from nowhere" that never raises H (H>=0)
+                 * but keeps the dominance check alive forever at
+                 * cells with H < gap_init. */
+                const __m128i vNegInf = _mm_set1_epi16(-32768);
+                vF = _mm_slli_si128(vF, 2);
+                vF = _mm_insert_epi16(vF, -32768, 0);
+                j = 0;
+                for (;;) {
+                    __m128i h = vHStore[j];
+                    __m128i dom = _mm_cmpgt_epi16(vF, _mm_subs_epi16(h, vGapI));
+                    __m128i raised;
+                    if (_mm_movemask_epi8(dom) == 0) break;
+                    raised = _mm_cmpgt_epi16(vF, h);
+                    h = _mm_max_epi16(h, vF);
+                    vHStore[j] = h;
+                    vE[j] = _mm_max_epi16(vE[j], _mm_subs_epi16(h, vGapI));
+                    /* a raised H opens a fresh gap (needed when
+                     * gap_ext > gap_init); only in raised lanes, else
+                     * -inf so vF strictly decreases and terminates */
+                    {
+                        __m128i open = _mm_or_si128(
+                            _mm_and_si128(raised, _mm_subs_epi16(vF, vGapI)),
+                            _mm_andnot_si128(raised, vNegInf));
+                        vF = _mm_max_epi16(_mm_subs_epi16(vF, vGapE), open);
+                    }
+                    if (++j >= seglen) {
+                        j = 0;
+                        vF = _mm_slli_si128(vF, 2);
+                        vF = _mm_insert_epi16(vF, -32768, 0);
+                    }
+                }
+            }
+        }
+        {
+            int16_t out[8];
+            int m = 0;
+            _mm_storeu_si128((__m128i *)out, vMax);
+            for (lane = 0; lane < 8; lane++)
+                if (out[lane] > m) m = out[lane];
+            free(mem);
+            if (m >= 32000) return -1;   /* possible saturation: rerun */
+            return m;
+        }
+    }
+}
+#endif /* __SSE2__ */
+
+int sw_full(const int32_t *W, int qlen,
+            const uint8_t *subj, int slen,
+            int gap_init, int gap_ext,
+            int32_t *Hbuf, int32_t *Ebuf)
+{
+#ifdef __SSE2__
+    if (qlen >= 16) {
+        int r = sw_full_sse2(W, qlen, subj, slen, gap_init, gap_ext);
+        if (r >= 0) return r;
+    }
+#endif
+    return sw_full_scalar(W, qlen, subj, slen, gap_init, gap_ext, Hbuf, Ebuf);
 }
 
 /* ---------- Numerical-Recipes quicksort replicas (sort.c) ---------- */
