@@ -106,26 +106,41 @@ def main():
 
     # INNER steps run inside one dispatch (fori_loop) so the remote-tunnel
     # round-trip latency divides out — the steady state a streaming input
-    # pipeline sustains on a directly-attached chip.
-    def many(b):
+    # pipeline sustains on a directly-attached chip.  Index arrays pass
+    # as jit arguments (pytree), not closure constants: the k13 direct
+    # lookup table is 256 MB and must stay a runtime parameter.
+    arrs = {"words": di.words, "starts": di.starts, "pos": di.pos,
+            "ref": di.ref_alpha}
+    if di.table is not None:
+        arrs["table"] = di.table
+    meta = (di.wordlen, di.nskip, di.ref_len)
+
+    def _di(a):
+        return DeviceIndex(wordlen=meta[0], nskip=meta[1], words=a["words"],
+                           starts=a["starts"], pos=a["pos"],
+                           ref_alpha=a["ref"], ref_len=meta[2],
+                           table=a.get("table"))
+
+    def many(b, a):
+        d = _di(a)
         def body(i, acc):
-            out = device_map_step(di, b + (i - i), m, -go, -ge,
+            out = device_map_step(d, b + (i - i), m, -go, -ge,
                                   interpret=interpret)
             return acc + jnp.sum(out["score"])
         return jax.lax.fori_loop(0, INNER, body, jnp.int32(0))
 
     f = jax.jit(many)
-    int(f(batch))  # compile + warm
+    int(f(batch, arrs))  # compile + warm
     outer = 3
     t0 = time.time()
     for _ in range(outer):
-        int(f(batch))
+        int(f(batch, arrs))
     dt = (time.time() - t0) / (outer * INNER)
     reads_per_s = BATCH / dt
 
-    step = jax.jit(lambda b: device_map_step(di, b, m, -go, -ge,
-                                             interpret=interpret))
-    sc = np.asarray(step(batch)["score"])
+    step = jax.jit(lambda b, a: device_map_step(_di(a), b, m, -go, -ge,
+                                                interpret=interpret))
+    sc = np.asarray(step(batch, arrs)["score"])
     mapped_frac = float((sc >= 50).mean())
 
     baseline = measure_reference(fa_path, reads[:2000])

@@ -55,7 +55,13 @@ WIN_PAD = 16   # reference window padding around the seed diagonal
 
 @dataclass
 class DeviceIndex:
-    """Flat device arrays of a KmerIndex + packed reference codes."""
+    """Flat device arrays of a KmerIndex + packed reference codes.
+
+    For word lengths with 2k <= DIRECT_BITS, `table` holds a
+    direct-addressed cumulative-offset table (4^k + 1 int32): a lookup
+    is then two HBM gathers instead of a batched binary search — the
+    searchsorted path sorts millions of (table ∪ query) keys per step
+    and dominated the non-DP time.  256 MB at k=13."""
     wordlen: int
     nskip: int
     words: jnp.ndarray    # [W] int32 packed 2k-bit words (k <= 15)
@@ -63,11 +69,24 @@ class DeviceIndex:
     pos: jnp.ndarray      # [Npos] int32 tuple serial numbers
     ref_alpha: jnp.ndarray  # [L] int32 3-bit reference codes (concatenated)
     ref_len: int
+    table: Optional[jnp.ndarray] = None  # [4^k+1] int32 cumulative offsets
+
+    DIRECT_BITS = 28
 
     @classmethod
-    def build(cls, refset: RefSet, idx: KmerIndex) -> "DeviceIndex":
+    def build(cls, refset: RefSet, idx: KmerIndex,
+              direct: Optional[bool] = None) -> "DeviceIndex":
         if 2 * idx.wordlen > 31:
             raise ValueError("device path packs words in int32: wordlen<=15")
+        table = None
+        if direct is None:
+            direct = 2 * idx.wordlen <= cls.DIRECT_BITS
+        if direct and 2 * idx.wordlen <= cls.DIRECT_BITS:
+            nw = 1 << (2 * idx.wordlen)
+            counts = np.zeros(nw + 1, np.int64)
+            w = idx.words.astype(np.int64)
+            counts[w + 1] = np.diff(idx.starts)
+            table = jnp.asarray(np.cumsum(counts).astype(np.int32))
         return cls(
             wordlen=idx.wordlen,
             nskip=idx.nskip,
@@ -76,6 +95,7 @@ class DeviceIndex:
             pos=jnp.asarray(idx.pos.astype(np.int32)),
             ref_alpha=jnp.asarray(codec.alpha(refset.codes).astype(np.int32)),
             ref_len=refset.total_len,
+            table=table,
         )
 
 
@@ -98,23 +118,34 @@ def _query_words(reads, k):
 
 
 def _lookup(di: DeviceIndex, qwords, valid):
-    """Binary-search lookup: (counts, slots) with miss -> count 0.
-    method='sort' batches all queries through one sort instead of the
-    default scan path, which lowers to a slow while_loop on TPU."""
+    """Index lookup: (counts, pos_base, hit) with miss -> count 0.
+    pos_base is the offset of the word's first position in di.pos.
+
+    Direct-table path: two gathers from the cumulative-offset table.
+    Fallback: batched binary search (method='sort' batches all queries
+    through one sort instead of the default scan path, which lowers to
+    a slow while_loop on TPU)."""
+    if di.table is not None:
+        s0 = di.table[qwords]
+        s1 = di.table[qwords + 1]
+        counts = jnp.where(valid, s1 - s0, 0)
+        hit = counts > 0
+        return counts, s0, hit
     ix = jnp.searchsorted(di.words, qwords, method="sort").astype(jnp.int32)
     ixc = jnp.clip(ix, 0, di.words.shape[0] - 1)
     hit = (di.words[ixc] == qwords) & valid
     counts = jnp.where(hit, di.starts[ixc + 1] - di.starts[ixc], 0)
-    return counts, jnp.where(hit, ixc, 0), hit
+    base = di.starts[jnp.where(hit, ixc, 0)]
+    return counts, base, hit
 
 
-def _expand_hits(di: DeviceIndex, slots, counts, qoffs, is_reverse):
+def _expand_hits(di: DeviceIndex, base, counts, qoffs, is_reverse):
     """Expand up to MAXC positions per selected seed into diagonal shifts
     (tuple units): forward  pos - qoffs//nskip,
                    reverse  pos + qoffs//nskip   (hashhit.h:67-72 packing).
+    base: [B, NSEED] offsets of each word's first position in di.pos.
     Returns (shift, ok): [B, NSEED*MAXC]."""
-    B = slots.shape[0]
-    base = di.starts[slots]                      # [B, NSEED]
+    B = base.shape[0]
     offs = jnp.arange(MAXC, dtype=jnp.int32)
     pidx = base[:, :, None] + offs[None, None, :]
     pidx = jnp.clip(pidx, 0, di.pos.shape[0] - 1)
@@ -178,23 +209,26 @@ def device_map_step(di: DeviceIndex, reads, matrix, gapopen_pos, gapext_pos,
                              fwd.shape)
 
     tol = max(k * 3 // di.nskip, 1)
-    # subject window: Q plus slack, rounded up to a lane multiple so the
-    # SW kernel's blocks stay aligned
-    S = -(-(Q + 2 * WIN_PAD) // 128) * 128
+    # subject window: Q plus slack, rounded up to a lane multiple — the
+    # SW loop length scales cost linearly and unaligned sizes lower
+    # poorly, so prefer the smallest 128-multiple with >= 2*14 slack
+    # (the slack only absorbs diagonal quantization + small indels).
+    S = max(128, -(-(Q + 28) // 128) * 128)
+    pad = min((S - Q) // 2, 2 * WIN_PAD)
 
     outs = []
     for is_reverse, words in ((False, fwd), (True, rc)):
-        counts, slots, hit = _lookup(di, words, valid)
+        counts, base, hit = _lookup(di, words, valid)
         # rarest seeds first: top-k of negated counts (0 = miss sorts last)
         key = jnp.where(hit, counts, 1 << 30)
         _, sel = jax.lax.top_k(-key, NSEED)
-        sel_slots = jnp.take_along_axis(slots, sel, 1)
+        sel_base = jnp.take_along_axis(base, sel, 1)
         sel_counts = jnp.take_along_axis(counts, sel, 1)
         sel_counts = jnp.minimum(sel_counts, MAXC)
         sel_qoffs = jnp.take_along_axis(qoffs, sel, 1)
         sel_hit = jnp.take_along_axis(hit, sel, 1)
         sel_counts = jnp.where(sel_hit, sel_counts, 0)
-        shift, ok = _expand_hits(di, sel_slots, sel_counts, sel_qoffs,
+        shift, ok = _expand_hits(di, sel_base, sel_counts, sel_qoffs,
                                  is_reverse)
         b1, v1, b2, v2 = _best_diagonal(shift, ok, tol)
         outs.append((b1, v1, b2, v2))
@@ -204,7 +238,7 @@ def device_map_step(di: DeviceIndex, reads, matrix, gapopen_pos, gapext_pos,
     # window ends at the last seed, so the origin backs off by Q-k.
     cands = []
     for strand, (b1, v1, b2, v2) in enumerate(outs):
-        origin = -WIN_PAD if strand == 0 else -(Q - k) - WIN_PAD
+        origin = -pad if strand == 0 else -(Q - k) - pad
         for diag, votes in ((b1, v1), (b2, v2)):
             win, start = _gather_windows(di, diag, S, origin)
             cands.append((win, start, votes, strand))
@@ -374,6 +408,30 @@ def make_index_sharded_step(sdi: ShardedDeviceIndex, mesh: Mesh, matrix,
                    sdi.shard_base, sdi.local_len)
 
     return run
+
+
+def make_device_step(di: DeviceIndex, matrix, gapopen_pos, gapext_pos,
+                     interpret=None):
+    """Single-device jitted mapping step with the index arrays passed
+    as jit ARGUMENTS (pytree leaves), not closure constants — large
+    closed-over arrays (the 256 MB direct table) otherwise get baked
+    into the HLO and blow up remote-compile request limits."""
+    arrs = {"words": di.words, "starts": di.starts, "pos": di.pos,
+            "ref": di.ref_alpha}
+    if di.table is not None:
+        arrs["table"] = di.table
+    meta = (di.wordlen, di.nskip, di.ref_len)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def step(reads, arrs):
+        d = DeviceIndex(wordlen=meta[0], nskip=meta[1],
+                        words=arrs["words"], starts=arrs["starts"],
+                        pos=arrs["pos"], ref_alpha=arrs["ref"],
+                        ref_len=meta[2], table=arrs.get("table"))
+        return device_map_step(d, reads, matrix, gapopen_pos, gapext_pos,
+                               interpret=interpret)
+
+    return lambda reads: step(reads, arrs)
 
 
 def make_sharded_step(di: DeviceIndex, mesh: Mesh, matrix,
