@@ -97,6 +97,11 @@ def _map_argparser(prog):
     ap.add_argument("-w", action="store_true", dest="complexw")
     ap.add_argument("-x", action="store_true", dest="exhaustive")
     ap.add_argument("-y", type=float, default=None, dest="minid")
+    ap.add_argument("--fast", action="store_true", dest="fastmode",
+                    help="TPU device pass-1 + host traceback tail "
+                         "(single-end, SAM; reference-style output, "
+                         "not bit-identical — extension over the "
+                         "reference CLI)")
     ap.add_argument("index_name")
     ap.add_argument("reads")
     ap.add_argument("mates", nargs="?", default=None)
@@ -190,6 +195,8 @@ def _writer(a, refset, argv, out):
 
 def cmd_map(argv: List[str]) -> int:
     a = _map_argparser("smalt_tpu map").parse_args(argv)
+    if a.fastmode:
+        return _cmd_map_fast(a, argv)
     engine, refset, idx = _build_engine(a, argv)
     out = _open_out(a)
     writer = _writer(a, refset, argv, out)  # emits the SAM header
@@ -217,6 +224,28 @@ def cmd_map(argv: List[str]) -> int:
                  nthreads=a.nthreads,
                  seed=(a.randseed if a.randseed is not None else 0),
                  ihist=ihist, fix_primary=fix_primary, ali_out=a.aliout)
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
+def _cmd_map_fast(a, argv) -> int:
+    """smalt_tpu map --fast: device pass-1 + host traceback tail."""
+    from .map.fastmode import run_fast_pipeline
+    if a.mates:
+        print("--fast supports single-end reads only", file=sys.stderr)
+        return 1
+    if a.oformat.split(":")[0] != "sam":
+        print("--fast emits SAM only", file=sys.stderr)
+        return 1
+    refset = RefSet.load(a.index_name)
+    idx = KmerIndex.load(a.index_name)
+    out = _open_out(a)
+    _writer(a, refset, argv, out)  # emits the SAM header
+    run_fast_pipeline(refset, idx, a.reads, out,
+                      penalties=_parse_penalties(a.scorspec),
+                      minscor=(a.minscor if a.minscor is not None else 18),
+                      nthreads=a.nthreads)
     if out is not sys.stdout:
         out.close()
     return 0

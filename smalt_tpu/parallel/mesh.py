@@ -53,6 +53,19 @@ MAXC = 8       # positions expanded per k-mer word
 WIN_PAD = 16   # reference window padding around the seed diagonal
 
 
+def window_len(Q: int) -> int:
+    """Subject-window length for query length Q: the smallest 128-lane
+    multiple with at least 2*4 slack — the SW loop length scales kernel
+    cost linearly and unaligned sizes lower poorly; the slack only
+    absorbs diagonal quantization + small indels."""
+    return max(128, -(-(Q + 8) // 128) * 128)
+
+
+def window_pad(Q: int) -> int:
+    """Left backoff of the gathered window before the seed diagonal."""
+    return min((window_len(Q) - Q) // 2, 2 * WIN_PAD)
+
+
 @dataclass
 class DeviceIndex:
     """Flat device arrays of a KmerIndex + packed reference codes.
@@ -198,10 +211,12 @@ def device_map_step(di: DeviceIndex, reads, matrix, gapopen_pos, gapext_pos,
                     interpret=None):
     """Fast mapping step for a padded read batch.
 
-    reads: [B, Q] int32 mangled-alpha codes (0..7), padded reads all-7.
+    reads: [B, Q] integer mangled-alpha codes (0..7), padded reads
+    all-7; any integer dtype (uint8 minimizes host->device transfer).
     Returns dict of per-read arrays: best score, second score, global
     window start, strand (0 fwd / 1 rc), seed votes.
     """
+    reads = reads.astype(jnp.int32)
     B, Q = reads.shape
     k = di.wordlen
     fwd, rc, valid = _query_words(reads, k)
@@ -209,12 +224,8 @@ def device_map_step(di: DeviceIndex, reads, matrix, gapopen_pos, gapext_pos,
                              fwd.shape)
 
     tol = max(k * 3 // di.nskip, 1)
-    # subject window: Q plus slack, rounded up to a lane multiple — the
-    # SW loop length scales cost linearly and unaligned sizes lower
-    # poorly, so prefer the smallest 128-multiple with >= 2*14 slack
-    # (the slack only absorbs diagonal quantization + small indels).
-    S = max(128, -(-(Q + 28) // 128) * 128)
-    pad = min((S - Q) // 2, 2 * WIN_PAD)
+    S = window_len(Q)
+    pad = window_pad(Q)
 
     outs = []
     for is_reverse, words in ((False, fwd), (True, rc)):
@@ -261,11 +272,15 @@ def device_map_step(di: DeviceIndex, reads, matrix, gapopen_pos, gapext_pos,
     second = jnp.take_along_axis(sc, order[1:2], 0)[0]
     best_start = jnp.take_along_axis(st, order[0:1], 0)[0]
     best_strand = (order[0] >= 2).astype(jnp.int32)
+    second_start = jnp.take_along_axis(st, order[1:2], 0)[0]
+    second_strand = (order[1] >= 2).astype(jnp.int32)
     return {
         "score": best,
         "score2": second,
         "start": best_start,
         "strand": best_strand,
+        "start2": second_start,
+        "strand2": second_strand,
     }
 
 
@@ -393,12 +408,15 @@ def make_index_sharded_step(sdi: ShardedDeviceIndex, mesh: Mesh, matrix,
             "score2": jax.lax.pmax(out["score2"], "ip"),
             "start": pick(gstart),
             "strand": pick(out["strand"]),
+            "start2": pick(out["start2"] + base[0]),
+            "strand2": pick(out["strand2"]),
         }
 
     in_specs = (P("dp", None),        # reads
                 P("ip", None), P("ip", None), P("ip", None),
                 P("ip", None), P("ip"), P("ip"))
-    out_specs = {k: P("dp") for k in ("score", "score2", "start", "strand")}
+    out_specs = {k: P("dp") for k in ("score", "score2", "start", "strand",
+                                      "start2", "strand2")}
     fn = shard_map(step, mesh=mesh, in_specs=in_specs,
                    out_specs=out_specs, check_rep=False)
     jfn = jax.jit(fn)
@@ -464,11 +482,14 @@ def make_sharded_step(di: DeviceIndex, mesh: Mesh, matrix,
                 "score2": jax.lax.pmax(out["score2"], "ip"),
                 "start": pick(out["start"]),
                 "strand": pick(out["strand"]),
+                "start2": pick(out["start2"]),
+                "strand2": pick(out["strand2"]),
             }
         return out
 
     specs_in = P("dp", None)
-    specs_out = {k: P("dp") for k in ("score", "score2", "start", "strand")}
+    specs_out = {k: P("dp") for k in ("score", "score2", "start", "strand",
+                                      "start2", "strand2")}
     fn = shard_map(step, mesh=mesh, in_specs=(specs_in,),
                    out_specs=specs_out, check_rep=False)
     return jax.jit(fn)
