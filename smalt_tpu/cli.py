@@ -9,6 +9,7 @@
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import List, Optional
 
@@ -81,6 +82,8 @@ def _map_argparser(prog):
     ap.add_argument("-F", default=None, dest="informat",
                     choices=["fastq", "sam"])
     ap.add_argument("-g", default=None, dest="insfil")
+    ap.add_argument("-H", action="store_true", dest="printhash",
+                    help="print index statistics to stderr (menu.c -H)")
     ap.add_argument("-i", type=int, default=500, dest="insertmax")
     ap.add_argument("-j", type=int, default=0, dest="insertmin")
     ap.add_argument("-l", default=None, dest="pairtyp",
@@ -194,10 +197,15 @@ def _writer(a, refset, argv, out):
 
 
 def cmd_map(argv: List[str]) -> int:
+    import time
+    t_start = time.time()
     a = _map_argparser("smalt_tpu map").parse_args(argv)
     if a.fastmode:
         return _cmd_map_fast(a, argv)
     engine, refset, idx = _build_engine(a, argv)
+    if a.printhash:
+        idx.print_stats(sys.stderr)
+    t_setup = time.time()
     out = _open_out(a)
     writer = _writer(a, refset, argv, out)  # emits the SAM header
     ihist = InsHist.read(a.insfil) if a.insfil else None
@@ -226,6 +234,11 @@ def cmd_map(argv: List[str]) -> int:
                  ihist=ihist, fix_primary=fix_primary, ali_out=a.aliout)
     if out is not sys.stdout:
         out.close()
+    if os.environ.get("SMALT_TIMING"):
+        # menuPrintWallClockTime analog (smalt.c:30,1342-1424)
+        t_end = time.time()
+        print(f"# SMALT_TIMING setup: {t_setup - t_start:.2f} s, "
+              f"mapping: {t_end - t_setup:.2f} s", file=sys.stderr)
     return 0
 
 

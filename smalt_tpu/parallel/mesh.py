@@ -55,15 +55,17 @@ WIN_PAD = 16   # reference window padding around the seed diagonal
 
 def window_len(Q: int) -> int:
     """Subject-window length for query length Q: the smallest 128-lane
-    multiple with at least 2*4 slack — the SW loop length scales kernel
-    cost linearly and unaligned sizes lower poorly; the slack only
-    absorbs diagonal quantization + small indels."""
-    return max(128, -(-(Q + 8) // 128) * 128)
+    multiple with enough slack — the SW loop length scales kernel cost
+    linearly and unaligned sizes lower poorly.  The slack absorbs
+    diagonal quantization + indel drift, so it grows with Q (long
+    noisy reads accumulate indels)."""
+    slack = max(8, Q // 8)
+    return max(128, -(-(Q + slack) // 128) * 128)
 
 
 def window_pad(Q: int) -> int:
     """Left backoff of the gathered window before the seed diagonal."""
-    return min((window_len(Q) - Q) // 2, 2 * WIN_PAD)
+    return min((window_len(Q) - Q) // 2, max(2 * WIN_PAD, Q // 16))
 
 
 @dataclass
