@@ -257,6 +257,11 @@ class CplxCounter:
         return adj, False
 
 
+_scr_back = _GrowBuf(np.uint8, 4096)
+_scr_tbout = np.zeros(6, dtype=np.int64)
+_scr_tbcnt = np.zeros(8, dtype=np.int64)
+
+
 def _make_meta_from_track(prof: ScoreProfile, subj_alpha: np.ndarray,
                           band: AliBand, max_i: int, max_j: int,
                           max_scor: int, dirm: np.ndarray,
@@ -264,6 +269,29 @@ def _make_meta_from_track(prof: ScoreProfile, subj_alpha: np.ndarray,
     """makeMetaFromTrack (alignment.c:628-784).  Returns
     (score, prof_start, prof_end, nonprof_start, nonprof_end, back_diff)
     or raises ValueError on checksum mismatch."""
+    lib = get_lib()
+    if lib is not None:
+        cap = 2 * (prof.qlen + len(subj_alpha)) + 8
+        _scr_back.ensure(cap)
+        sp, _ = _subj_alpha_addr(subj_alpha)
+        rc = lib.mc_traceback(
+            prof.W_addr, prof.qlen, sp,
+            band.s_left, band.q_left, band.l_edge, band.band_width,
+            max_i, max_j, max_scor,
+            dirm.ctypes.data,
+            prof.gap_init_pos, prof.gap_ext_pos,
+            1 if cplx is not None else 0,
+            _scr_back.addr, cap,
+            _scr_tbout.ctypes.data, _scr_tbcnt.ctypes.data)
+        if rc != 0:
+            raise ValueError("traceback checksum mismatch")
+        nback, ps, pe, ss, se, checksum = (int(v) for v in _scr_tbout)
+        back = _scr_back.arr[:nback].tolist()
+        score = checksum
+        cplx_exceeded = False
+        if cplx is not None:
+            score, cplx_exceeded = cplx.scale(_scr_tbcnt.copy(), max_scor)
+        return score, ps, pe, ss, se, back, cplx_exceeded
     W = prof.W
     gi, ge = prof.gap_init_pos, prof.gap_ext_pos
     bw = band.band_width

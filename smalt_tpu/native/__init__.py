@@ -82,6 +82,11 @@ def _declare(lib):
     lib.mc_cands_add.argtypes = [vp, vp, vp, vp, vp,
                                  vp, vp, i64, ci, ci, i64, ci,
                                  i64, vp, vp, vp]
+    lib.mc_traceback.restype = i64
+    lib.mc_traceback.argtypes = [vp, i64, vp,
+                                 i64, i64, i64, i64,
+                                 i64, i64, i64, vp,
+                                 ci, ci, ci, vp, i64, vp, vp]
 
 
 def _load():

@@ -585,3 +585,84 @@ int64_t mc_cands_add(
     }
     return n_out;
 }
+
+/* ---------------- traceback decode (makeMetaFromTrack) ---------------- */
+
+#define DIFFCOD_M 0
+#define DIFFCOD_D 1
+#define DIFFCOD_I 2
+#define DIFFCOD_S 3
+#define MAXMISMATCH 61
+
+/* Decode the banded direction matrix into the reversed diff string.
+ * Mirrors alignment.c:628-784 via the Python replica in
+ * smalt_tpu/align/core.py (_make_meta_from_track).
+ * Returns 0, or -1 on checksum mismatch / bad traceback code.
+ * out[0..5] = {nback, prof_start, prof_end, nonprof_start,
+ * nonprof_end, checksum}; counts[8] filled when do_counts. */
+int64_t mc_traceback(
+    const int32_t *W, int64_t qlen, const uint8_t *subj,
+    int64_t s_left, int64_t q_left, int64_t l_edge, int64_t band_width,
+    int64_t max_i, int64_t max_j, int64_t max_scor,
+    const uint8_t *dirm,
+    int gap_init, int gap_ext, int do_counts,
+    uint8_t *back, int64_t back_cap,
+    int64_t *out, int64_t *counts)
+{
+    int64_t i = max_i, j = max_j;
+    int64_t dpos = (max_i - s_left) * (band_width - 1) + max_j - l_edge;
+    int64_t checksum = 0, nmatch = 0, nback = 0;
+    int is_gap_open = 0;
+    if (do_counts) memset(counts, 0, 8 * sizeof(int64_t));
+
+    while (i >= s_left && j >= q_left && dirm[dpos]) {
+        uint8_t d = dirm[dpos];
+        if (nback + 2 > back_cap) return -1;
+        if (d == 3) {                       /* DIA */
+            int32_t s = W[(int64_t)(subj[i] & 7) * qlen + j];
+            if (s > 0) {
+                if (nmatch > MAXMISMATCH) {
+                    back[nback++] = (uint8_t)((DIFFCOD_M << 6) | MAXMISMATCH);
+                    nmatch -= MAXMISMATCH;
+                } else {
+                    nmatch++;
+                }
+            } else {
+                back[nback++] = (uint8_t)((DIFFCOD_S << 6) | nmatch);
+                nmatch = 0;
+            }
+            checksum += s;
+            if (do_counts) counts[subj[i] & 7]++;
+            is_gap_open = 0;
+            dpos -= band_width;
+            i--; j--;
+            continue;
+        }
+        if (is_gap_open) checksum -= gap_ext;
+        else { checksum -= gap_init; is_gap_open = 1; }
+        if (d & 1) {                        /* COL: deletion */
+            back[nback++] = (uint8_t)((DIFFCOD_D << 6) | nmatch);
+            nmatch = 0;
+            dpos -= band_width - 1;
+            i--;
+            continue;
+        }
+        if (!(d & 2)) return -1;            /* bad traceback code */
+        back[nback++] = (uint8_t)((DIFFCOD_I << 6) | nmatch);
+        nmatch = 0;
+        dpos -= 1;
+        j--;
+    }
+    if (nback + 2 > back_cap) return -1;
+    back[nback++] = (uint8_t)((DIFFCOD_S << 6) | nmatch);
+    back[nback++] = (uint8_t)(DIFFCOD_M << 6);
+
+    if (checksum != max_scor) return -1;
+    out[0] = nback;
+    out[1] = j + 1;       /* prof_start */
+    out[2] = max_j;       /* prof_end */
+    out[3] = i + 1;       /* nonprof_start */
+    out[4] = max_i;       /* nonprof_end */
+    out[5] = checksum;
+    return 0;
+}
