@@ -179,7 +179,7 @@ def _best_diagonal(shift, ok, tol):
     B, N = shift.shape
     s = jnp.sort(shift, axis=1)                  # invalid = -2^30 sort first
     votes = jnp.zeros((B, N), jnp.int32)
-    for d in range(1, min(N, 32)):
+    for d in range(1, min(N, 16)):
         nb = jnp.concatenate(
             [s[:, d:], jnp.full((B, d), 1 << 30, jnp.int32)], axis=1)
         votes = votes + ((nb - s) <= tol).astype(jnp.int32)
