@@ -102,9 +102,9 @@ def _map_argparser(prog):
     ap.add_argument("-y", type=float, default=None, dest="minid")
     ap.add_argument("--fast", action="store_true", dest="fastmode",
                     help="TPU device pass-1 + host traceback tail "
-                         "(single-end, SAM; reference-style output, "
-                         "not bit-identical — extension over the "
-                         "reference CLI)")
+                         "(SAM; single or paired with mate rescue; "
+                         "reference-style output, not bit-identical — "
+                         "extension over the reference CLI)")
     ap.add_argument("index_name")
     ap.add_argument("reads")
     ap.add_argument("mates", nargs="?", default=None)
@@ -245,9 +245,6 @@ def cmd_map(argv: List[str]) -> int:
 def _cmd_map_fast(a, argv) -> int:
     """smalt_tpu map --fast: device pass-1 + host traceback tail."""
     from .map.fastmode import run_fast_pipeline
-    if a.mates:
-        print("--fast supports single-end reads only", file=sys.stderr)
-        return 1
     if a.oformat.split(":")[0] != "sam":
         print("--fast emits SAM only", file=sys.stderr)
         return 1
@@ -258,7 +255,8 @@ def _cmd_map_fast(a, argv) -> int:
     run_fast_pipeline(refset, idx, a.reads, out,
                       penalties=_parse_penalties(a.scorspec),
                       minscor=(a.minscor if a.minscor is not None else 18),
-                      nthreads=a.nthreads)
+                      nthreads=a.nthreads, mates_path=a.mates,
+                      insert_min=a.insertmin, insert_max=a.insertmax)
     if out is not sys.stdout:
         out.close()
     return 0

@@ -158,59 +158,171 @@ class FastTail:
             return None
         return score, ps, pe, ss, se, ds.diffstr_reverse(back)
 
+    def _finish(self, win_start, tb, is_rev, mapq) -> RepAli:
+        sw, ps, pe, ss, se, diff = tb
+        refset = self.refset
+        g = win_start + ss
+        sidx = int(refset.find_seqidx(np.asarray([g]))[0])
+        local = g - int(refset.offsets[sidx]) + 1
+        rp = RepAli()
+        rp.status = REPMATEFLG.MAPPED | (REPMATEFLG.REVERSE if is_rev else 0)
+        rp.swatscor = sw
+        rp.mapscor = mapq
+        rp.q_start = ps + 1
+        rp.q_end = pe + 1
+        rp.s_start = local
+        rp.s_end = local + (se - ss)
+        rp.s_idx = sidx
+        rp.diff = diff
+        return rp
+
+    def map_one(self, read: Read, sc1: int, sc2: int, ws: int, is_rev: bool,
+                win_len: int, pad: int, q_padded: int) -> Optional[RepAli]:
+        """SE mapping tail for one read given its device-pass winner."""
+        qlen = len(read.seq)
+        if sc1 < self.minscor or qlen < 5:
+            return None
+        qcodes = read.seq
+        if is_rev:
+            qcodes = codec.revcomp_codes(qcodes)
+        prof = self._prof(qcodes)
+        win = self.ref_codes[ws : ws + win_len]
+        # the alignment diagonal sits near the window pad (plus the
+        # batch padding shift for RC reads); a narrow band suffices,
+        # with a full-band retry whenever the banded score misses the
+        # device's full-matrix score
+        center = -(pad + (q_padded - qlen)) if is_rev else -pad
+        tb = self._traceback(prof, win, center - 24, center + 48)
+        if tb is None or tb[0] < sc1:
+            full = self._traceback(prof, win, -(len(win) - 1),
+                                   prof.qlen - 1)
+            if full is not None and (tb is None or full[0] > tb[0]):
+                tb = full
+        if tb is None:
+            return None
+        return self._finish(ws, tb, is_rev, fast_mapq(sc1, sc2, qlen))
+
+    def rescue_mate(self, read: Read, anchor: RepAli,
+                    insert_min: int, insert_max: int) -> Optional[RepAli]:
+        """Mate rescue (the fast-mode analogue of rmap.c:1934-2060):
+        full-band SW of the unmapped mate against the insert window on
+        the proper-pair strand implied by the anchor."""
+        qlen = len(read.seq)
+        if qlen < 5:
+            return None
+        refset = self.refset
+        a_glob = int(refset.offsets[anchor.s_idx]) + anchor.s_start - 1
+        anchor_rev = bool(anchor.status & REPMATEFLG.REVERSE)
+        if anchor_rev:
+            lo = a_glob + (anchor.s_end - anchor.s_start) - insert_max
+            hi = a_glob + (anchor.s_end - anchor.s_start)
+        else:
+            lo = a_glob
+            hi = a_glob + insert_max
+        lo = max(0, lo - qlen)
+        hi = min(refset.total_len, hi + qlen)
+        if hi - lo < qlen:
+            return None
+        is_rev = not anchor_rev
+        qcodes = read.seq
+        if is_rev:
+            qcodes = codec.revcomp_codes(qcodes)
+        prof = self._prof(qcodes)
+        win = self.ref_codes[lo:hi]
+        tb = self._traceback(prof, win, -(len(win) - 1), prof.qlen - 1)
+        if tb is None:
+            return None
+        rp = self._finish(lo, tb, is_rev, 0)
+        rp.mapscor = fast_mapq(rp.swatscor, 0, qlen) // 2  # rescued: damp
+        return rp
+
     def render(self, names, seqs, quals, outs, win_len: int, pad: int,
                q_padded: int, writer: ReportWriter) -> None:
-        refset = self.refset
-        offsets = refset.offsets
         score = outs["score"]
         score2 = outs["score2"]
         start = outs["start"]
         strand = outs["strand"]
         for i, name in enumerate(names):
-            seq = seqs[i]
-            qlen = len(seq)
-            read = Read(name=name.decode(), seq=codec.encode(seq),
+            read = Read(name=name.decode(), seq=codec.encode(seqs[i]),
                         qual=quals[i])
-            rp = None
-            if int(score[i]) >= self.minscor and qlen >= 5:
-                is_rev = bool(strand[i])
-                qcodes = read.seq
-                if is_rev:
-                    qcodes = codec.revcomp_codes(qcodes)
-                prof = self._prof(qcodes)
-                ws = int(start[i])
-                win = self.ref_codes[ws : ws + win_len]
-                # the alignment diagonal sits near the window pad (plus
-                # the batch padding shift for RC reads); a narrow band
-                # suffices, with a full-band retry whenever the banded
-                # score misses the device's full-matrix score
-                center = -(pad + (q_padded - qlen)) if is_rev else -pad
-                tb = self._traceback(prof, win, center - 24, center + 48)
-                if tb is None or tb[0] < int(score[i]):
-                    full = self._traceback(prof, win, -(len(win) - 1),
-                                           prof.qlen - 1)
-                    if full is not None and (tb is None or full[0] > tb[0]):
-                        tb = full
-                if tb is not None:
-                    sw, ps, pe, ss, se, diff = tb
-                    g = ws + ss
-                    sidx = int(refset.find_seqidx(np.asarray([g]))[0])
-                    local = g - int(offsets[sidx]) + 1
-                    rp = RepAli()
-                    rp.status = REPMATEFLG.MAPPED | (
-                        REPMATEFLG.REVERSE if is_rev else 0)
-                    rp.swatscor = sw
-                    rp.mapscor = fast_mapq(int(score[i]), int(score2[i]),
-                                           qlen)
-                    rp.q_start = ps + 1
-                    rp.q_end = pe + 1
-                    rp.s_start = local
-                    rp.s_end = local + (se - ss)
-                    rp.s_idx = sidx
-                    rp.diff = diff
+            rp = self.map_one(read, int(score[i]), int(score2[i]),
+                              int(start[i]), bool(strand[i]),
+                              win_len, pad, q_padded)
             if rp is None:
                 rp = RepAli()   # unmapped record
             writer._write_one(rp, read, None, 0, 0)
+
+    # ---------------- paired-end ----------------
+
+    def _glob(self, rp: RepAli) -> int:
+        return int(self.refset.offsets[rp.s_idx]) + rp.s_start - 1
+
+    def _pair_geometry(self, rpA, rpB, insert_min, insert_max):
+        """(pairflg, isizeA): proper-pair test for the pe library
+        (opposite strands, leftmost mate forward, insert in range) and
+        the SAM-spec TLEN for mate A."""
+        from ..report.report import REPPAIR
+        pairflg = REPPAIR.MAPPED
+        if rpA.s_idx != rpB.s_idx:
+            return pairflg, 0
+        pairflg |= REPPAIR.CONTIG
+        a_rev = bool(rpA.status & REPMATEFLG.REVERSE)
+        b_rev = bool(rpB.status & REPMATEFLG.REVERSE)
+        if a_rev == b_rev:
+            return pairflg, 0
+        if rpA.s_start <= rpB.s_start:
+            left, right = rpA, rpB
+            left_rev = a_rev
+        else:
+            left, right = rpB, rpA
+            left_rev = b_rev
+        isiz = right.s_end - left.s_start + 1
+        isizeA = isiz if left is rpA else -isiz
+        if left_rev:
+            return pairflg, isizeA      # outward: improper for pe
+        pairflg |= REPPAIR.PROPER
+        if insert_min <= isiz <= insert_max:
+            pairflg |= REPPAIR.WITHIN
+        return pairflg, isizeA
+
+    def render_pairs(self, names, seqs, quals, outs, win_len: int,
+                     pad: int, q_padded: int, insert_min: int,
+                     insert_max: int, writer: ReportWriter) -> None:
+        from ..report.report import REPPAIR
+        score = outs["score"]
+        score2 = outs["score2"]
+        start = outs["start"]
+        strand = outs["strand"]
+        B = len(names) // 2
+        for i in range(B):
+            ia, ib = i, B + i
+            readA = Read(name=names[ia].decode(),
+                         seq=codec.encode(seqs[ia]), qual=quals[ia])
+            readB = Read(name=names[ib].decode(),
+                         seq=codec.encode(seqs[ib]), qual=quals[ib])
+            rpA = self.map_one(readA, int(score[ia]), int(score2[ia]),
+                               int(start[ia]), bool(strand[ia]),
+                               win_len, pad, q_padded)
+            rpB = self.map_one(readB, int(score[ib]), int(score2[ib]),
+                               int(start[ib]), bool(strand[ib]),
+                               win_len, pad, q_padded)
+            if rpA is None and rpB is not None:
+                rpA = self.rescue_mate(readA, rpB, insert_min, insert_max)
+            elif rpB is None and rpA is not None:
+                rpB = self.rescue_mate(readB, rpA, insert_min, insert_max)
+            pairflg = 0
+            isizeA = 0
+            if rpA is not None and rpB is not None:
+                pairflg, isizeA = self._pair_geometry(
+                    rpA, rpB, insert_min, insert_max)
+            if rpA is None:
+                rpA = RepAli()
+            if rpB is None:
+                rpB = RepAli()
+            rpA.status |= REPMATEFLG.PAIRED
+            rpB.status |= REPMATEFLG.PAIRED | REPMATEFLG.MATE2
+            writer._write_one(rpA, readA, rpB, isizeA, pairflg)
+            writer._write_one(rpB, readB, rpA, isizeA, pairflg)
 
 
 # ------------------------------------------------------------------
@@ -220,28 +332,39 @@ class FastTail:
 _g = {}
 
 
-def _tail_init(refset, penalties, minscor, writer_args):
+def _tail_init(refset, penalties, minscor, writer_args, inserts=(0, 500)):
     _g["tail"] = FastTail(refset, penalties, minscor)
     _g["writer_args"] = writer_args
+    _g["inserts"] = inserts
 
 
 def _tail_render(args):
-    names, seqs, quals, outs, win_len, pad, q_padded = args
+    paired, names, seqs, quals, outs, win_len, pad, q_padded = args
     tail = _g["tail"]
     soft, xmm = _g["writer_args"]
     buf = io.StringIO()
     writer = ReportWriter(buf, tail.refset, fmt="sam", soft_clip=soft,
                           x_mismatch=xmm, header=False)
-    tail.render(names, seqs, quals, outs, win_len, pad, q_padded, writer)
+    if paired:
+        imin, imax = _g["inserts"]
+        tail.render_pairs(names, seqs, quals, outs, win_len, pad, q_padded,
+                          imin, imax, writer)
+    else:
+        tail.render(names, seqs, quals, outs, win_len, pad, q_padded, writer)
     return buf.getvalue()
 
 
 def run_fast_pipeline(refset: RefSet, idx: KmerIndex, reads_path: str,
                       out, penalties=(1, -2, -4, -3), minscor: int = 18,
                       nthreads: int = 1, batch: int = 4096,
-                      interpret=None) -> None:
-    """Map single-end reads with the device pass + host traceback tail,
-    writing SAM records (headerless body; caller writes the header)."""
+                      interpret=None, mates_path: Optional[str] = None,
+                      insert_min: int = 0, insert_max: int = 500) -> None:
+    """Map reads with the device pass + host traceback tail, writing
+    SAM records (headerless body; caller writes the header).  With
+    `mates_path`, pairs map together: both mates go through the device
+    pass in one batch, failed mates get a banded rescue inside the
+    insert window of their anchor, and pe proper-pair flags/TLEN are
+    emitted."""
     import jax
     import jax.numpy as jnp
     from ..parallel.mesh import DeviceIndex, make_device_step
@@ -258,15 +381,28 @@ def run_fast_pipeline(refset: RefSet, idx: KmerIndex, reads_path: str,
     from collections import deque
     from ..parallel.mesh import window_len, window_pad
 
+    paired = mates_path is not None
+
+    def raw_batches():
+        if not paired:
+            yield from iter_fastq_batches(reads_path, batch)
+            return
+        it2 = iter_fastq_batches(mates_path, batch)
+        for n1, s1, q1 in iter_fastq_batches(reads_path, batch):
+            n2, s2, q2 = next(it2)
+            if len(n2) != len(n1):
+                raise ValueError("mate files differ in read count")
+            yield n1 + n2, s1 + s2, q1 + q2
+
     def batches():
         pending = deque()
 
         def force(item):
             names, seqs, quals, o, wl, wp, Q = item
-            return (names, seqs, quals,
+            return (paired, names, seqs, quals,
                     {k: np.asarray(v) for k, v in o.items()}, wl, wp, Q)
 
-        for names, seqs, quals in iter_fastq_batches(reads_path, batch):
+        for names, seqs, quals in raw_batches():
             qmax = max((len(s) for s in seqs), default=0)
             # round Q to a small multiple (bounded recompiles) — NOT to
             # 128: the device window formula would jump S to the next
@@ -281,15 +417,16 @@ def run_fast_pipeline(refset: RefSet, idx: KmerIndex, reads_path: str,
         while pending:
             yield force(pending.popleft())
 
+    inserts = (insert_min, insert_max)
     if nthreads <= 1:
-        _tail_init(refset, penalties, minscor, writer_args)
+        _tail_init(refset, penalties, minscor, writer_args, inserts)
         for args in batches():
             out.write(_tail_render(args))
         return
 
     ctx = mp.get_context("fork")
     with ctx.Pool(processes=nthreads, initializer=_tail_init,
-                  initargs=(refset, penalties, minscor,
-                            writer_args)) as pool:
+                  initargs=(refset, penalties, minscor, writer_args,
+                            inserts)) as pool:
         for text in pool.imap(_tail_render, batches(), chunksize=1):
             out.write(text)

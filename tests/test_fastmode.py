@@ -89,3 +89,75 @@ def test_fast_mapq_shape():
     assert fast_mapq(100, 100, 100) == 0
     assert fast_mapq(100, 0, 100) == 60
     assert 0 < fast_mapq(60, 50, 100) <= 60
+
+
+@pytest.fixture(scope="module")
+def simulated_pairs(tmp_path_factory, indexed):
+    """Proper pe pairs (insert ~300) plus some mates too corrupted for
+    seeding — rescue targets."""
+    refset, idx = indexed
+    rng = np.random.default_rng(9)
+    from smalt_tpu.seq import codec
+    n, qlen, insert = 120, 80, 300
+    r1, r2, truth = [], [], []
+    comp = str.maketrans("ACGT", "TGCA")
+    for i in range(n):
+        # keep the fragment inside one reference sequence
+        while True:
+            st = int(rng.integers(0, refset.total_len - insert))
+            sx = int(refset.find_seqidx(np.asarray([st]))[0])
+            if st + insert < int(refset.offsets[sx + 1]):
+                break
+        frag = codec.decode(refset.codes[st : st + insert]).decode()
+        a = list(frag[:qlen])
+        b = list(frag[-qlen:])
+        for j in np.flatnonzero(rng.random(qlen) < 0.02):
+            a[j] = "ACGT"[int(rng.integers(0, 4))]
+        if i % 10 == 0:
+            # corrupt mate B so that no 13-mer survives (device seeding
+            # fails) but SW identity stays well above the score floor:
+            # rescue must still place it inside the insert window
+            for j in range(0, qlen, 7):
+                b[j] = "ACGT"[(("ACGT".index(b[j]) + 1) % 4)]
+        a = "".join(a)
+        b = "".join(b).translate(comp)[::-1]
+        r1.append(f"@p{i}\n{a}\n+\n{'I' * qlen}\n")
+        r2.append(f"@p{i}\n{b}\n+\n{'I' * qlen}\n")
+        truth.append(st)
+    d = tmp_path_factory.mktemp("fastpe")
+    fq1, fq2 = os.path.join(d, "r1.fq"), os.path.join(d, "r2.fq")
+    open(fq1, "w").write("".join(r1))
+    open(fq2, "w").write("".join(r2))
+    return refset, idx, fq1, fq2, truth, qlen, insert
+
+
+def test_fast_pipeline_paired(simulated_pairs):
+    refset, idx, fq1, fq2, truth, qlen, insert = simulated_pairs
+    buf = io.StringIO()
+    run_fast_pipeline(refset, idx, fq1, buf, nthreads=1, batch=64,
+                      interpret=True, mates_path=fq2,
+                      insert_min=0, insert_max=500)
+    lines = [l.split("\t") for l in buf.getvalue().splitlines() if l]
+    assert len(lines) == 2 * len(truth)
+    by_read = {}
+    for f in lines:
+        by_read.setdefault(f[0], []).append(f)
+    n_proper = n_rescued_ok = 0
+    for rname, recs in by_read.items():
+        assert len(recs) == 2, rname
+        a = next(f for f in recs if int(f[1]) & 0x40)
+        b = next(f for f in recs if int(f[1]) & 0x80)
+        fa, fb = int(a[1]), int(b[1])
+        assert fa & 0x1 and fb & 0x1          # paired
+        i = int(rname[1:])
+        if fa & 0x2:                           # proper pair
+            n_proper += 1
+            assert not (fa & 0x4) and not (fb & 0x4)
+            assert int(a[8]) == -int(b[8]) != 0     # TLEN mirrored
+            assert abs(int(a[8])) <= 500
+            assert a[6] == "=" or a[6] == a[2] or a[2] == b[2]
+        if i % 10 == 0 and not (fb & 0x4):
+            n_rescued_ok += 1
+    assert n_proper >= 0.9 * len(truth), n_proper
+    # most corrupted mates should be rescued into the window
+    assert n_rescued_ok >= len(truth) // 10 * 0.6
