@@ -100,6 +100,9 @@ def _map_argparser(prog):
     ap.add_argument("-w", action="store_true", dest="complexw")
     ap.add_argument("-x", action="store_true", dest="exhaustive")
     ap.add_argument("-y", type=float, default=None, dest="minid")
+    ap.add_argument("--profile", default=None, dest="profdir",
+                    help="write a jax profiler trace of the device "
+                         "mapping loop to this directory (--fast only)")
     ap.add_argument("--fast", action="store_true", dest="fastmode",
                     help="TPU device pass-1 + host traceback tail "
                          "(SAM; single or paired with mate rescue; "
@@ -252,11 +255,17 @@ def _cmd_map_fast(a, argv) -> int:
     idx = KmerIndex.load(a.index_name)
     out = _open_out(a)
     _writer(a, refset, argv, out)  # emits the SAM header
-    run_fast_pipeline(refset, idx, a.reads, out,
-                      penalties=_parse_penalties(a.scorspec),
-                      minscor=(a.minscor if a.minscor is not None else 18),
-                      nthreads=a.nthreads, mates_path=a.mates,
-                      insert_min=a.insertmin, insert_max=a.insertmax)
+    import contextlib
+    prof_ctx = contextlib.nullcontext()
+    if a.profdir:
+        import jax
+        prof_ctx = jax.profiler.trace(a.profdir)
+    with prof_ctx:
+        run_fast_pipeline(refset, idx, a.reads, out,
+                          penalties=_parse_penalties(a.scorspec),
+                          minscor=(a.minscor if a.minscor is not None else 18),
+                          nthreads=a.nthreads, mates_path=a.mates,
+                          insert_min=a.insertmin, insert_max=a.insertmax)
     if out is not sys.stdout:
         out.close()
     return 0

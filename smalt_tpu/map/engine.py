@@ -71,6 +71,20 @@ class ShortSeq(Exception):
     pass
 
 
+import os as _os
+import sys as _sys
+
+_TRACE_READ = _os.environ.get("SMALT_TRACE_READ")
+
+
+def _trace(read, phase: str, msg: str) -> None:
+    """Read-fate tracing (the RESULTS_TRACKER analogue, hashhit.h:46-48):
+    set SMALT_TRACE_READ=<name substring> to follow named reads through
+    seeding, collation, both DP passes and result assignment on stderr."""
+    if _TRACE_READ and _TRACE_READ in read.sam_name:
+        print(f"#TRACE {read.sam_name} [{phase}] {msg}", file=_sys.stderr)
+
+
 @dataclass
 class MapParams:
     ktuple_maxhit: int = 10000          # -c ncut (menu.c:603)
@@ -311,12 +325,21 @@ class MapEngine:
             if mincov_below_max < ktup or (rmapflg & RMAPFLG_BEST):
                 mincov_below_max = ktup + 2 * (nskip - 1)
 
+        if _TRACE_READ:
+            _trace(read, "seed", f"seeds F={hf.n_seeds} R={hr.n_seeds} "
+                   f"rankF={hf.seed_rank} rankR={hr.seed_rank} "
+                   f"min_ktup={min_ktup} min_cover={min_cover}")
         sac = self._collect(hf, hr, idx, min_ktup, min_cover, intervals)
 
         deficit = (hi_mod.cover_deficit(hf), hi_mod.cover_deficit(hr))
         seg_mod.seg_cands_stats(sac, mincov_below_max, deficit[0], deficit[1],
                                 p.target_depth, p.max_depth,
                                 bool(rmapflg & RMAPFLG_SENSITIVE))
+        if _TRACE_READ:
+            _trace(read, "collate", f"cands={len(sac.cands)} "
+                   f"selected={sac.n_sort} mincover_ok={sac.n_mincover} "
+                   f"maxcov={sac.max_cover}/{sac.max2nd_cover} "
+                   f"deficit={deficit}")
 
         nseg = sac.n_sort
         nseg_tot = sac.n_mincover
@@ -327,6 +350,9 @@ class MapEngine:
 
         cands, max1, max2 = self._score_cands(sac, prof_f, prof_r, qlen,
                                               rmapflg, deficit, nskip)
+        if _TRACE_READ:
+            _trace(read, "pass1", f"scored={len(cands)} "
+                   f"max1={max1} max2={max2}")
         if max1 < 1:
             return
         bandwidth_min = (maxscor_perfect - max1) // (-prof_f.gap_ext)
@@ -352,6 +378,12 @@ class MapEngine:
         rs.sort_and_assign(read.qual, qlen,
                            search_split=bool(rmapflg & RMAPFLG_SPLIT),
                            refset=self.refset, prof_f=prof_f, prof_r=prof_r)
+        if _TRACE_READ:
+            tops = [(r.swatscor, r.mapscor, r.sidx, r.s_start, r.s_end,
+                     r.q_start, r.q_end) for r in rs.sortr[:3]]
+            _trace(read, "pass2", f"results={len(rs.results)} "
+                   f"min_swatscor={min_swatscor} band_min={bandwidth_min} "
+                   f"top(sw,mapq,sidx,s,e,qs,qe)={tops}")
 
     # ---------------- single-read entry ----------------
 
