@@ -176,9 +176,114 @@ class MapEngine:
 
     # ---------------- candidate collection ----------------
 
+    @property
+    def _seq_ivals(self) -> np.ndarray:
+        """[nseq, 3] {start, end, seqidx} base intervals (seq-by-seq)."""
+        iv = getattr(self, "_seq_ivals_cache", None)
+        if iv is None:
+            offs = self.refset.offsets
+            n = self.refset.nseq
+            iv = np.empty((n, 3), np.int64)
+            iv[:, 0] = offs[:n]
+            iv[:, 1] = offs[1 : n + 1]
+            iv[:, 2] = np.arange(n)
+            self._seq_ivals_cache = iv
+        return iv
+
+    def _collect_native(self, lib, hf, hr, idx, min_ktup, min_cover,
+                        intervals) -> Optional[seg_mod.SegAliCands]:
+        """Fused C path of _collect: one mc_collect_all call per strand."""
+        import ctypes
+        from ..seed.hitlist import _budget
+        from ..native import GrowBuf
+        p = self.params
+        scr = getattr(self, "_collect_scr", None)
+        if scr is None:
+            scr = self._collect_scr = {
+                "sqdat": GrowBuf(np.uint64, 8192),
+                "qm": GrowBuf(np.uint8), "seed_sqo": GrowBuf(np.uint64),
+                "seed_len": GrowBuf(np.int64), "seg_ix": GrowBuf(np.int64),
+                "seg_nseed": GrowBuf(np.int64),
+                "seg_cover": GrowBuf(np.int64),
+                "hreg_idx": GrowBuf(np.int64), "hreg_num": GrowBuf(np.int64),
+                "mask": GrowBuf(np.uint8), "rows10": GrowBuf(np.int64),
+                "out11": GrowBuf(np.int64),
+            }
+        budget = _budget(hf.qlen)
+        scr["sqdat"].ensure(budget)
+        scr["qm"].ensure(hf.qlen)
+        scr["mask"].ensure(hf.qlen)
+        for k in ("seed_sqo", "seed_len", "seg_ix", "seg_nseed",
+                  "seg_cover", "hreg_idx", "hreg_num"):
+            scr[k].ensure(budget)
+        scr["rows10"].ensure(budget * 10)
+        scr["out11"].ensure(budget * 11)
+
+        if intervals is not None:
+            mode, use_short = 1, 0
+            offs = self.refset.offsets
+            iv = np.empty((max(len(intervals), 1), 3), np.int64)
+            for n, (lo, hi_b, sx) in enumerate(intervals):
+                o = int(offs[sx])
+                iv[n] = (o + lo, o + hi_b + 1, sx)
+            nivals = len(intervals)
+        elif p.rmapflg & RMAPFLG_SEQBYSEQ:
+            mode, use_short = 1, 1
+            iv = self._seq_ivals
+            nivals = len(iv)
+        else:
+            mode, use_short = 0, 0
+            iv = np.zeros((1, 3), np.int64)
+            nivals = 0
+
+        sac = seg_mod.SegAliCands()
+        sac.blank()
+        sac.ktup, sac.nskip = idx.wordlen, idx.nskip
+        maxcov = np.zeros(2, np.int64)
+        _, sa, pa = idx.addrs
+        for hi in (hf, hr):
+            n = lib.mc_collect_all(
+                sa, pa,
+                hi.qoffs.ctypes.data, hi.nhits.ctypes.data,
+                hi.slot.ctypes.data, hi.sidx.ctypes.data,
+                hi.n_seeds, hi.seed_rank,
+                hi.qlen, hi.ktup, hi.nskip, 1 if hi.is_reverse else 0,
+                mode, use_short, iv.ctypes.data, nivals,
+                p.ktuple_maxhit, budget, min_ktup, min_cover,
+                scr["sqdat"].addr, scr["qm"].addr,
+                scr["seed_sqo"].addr, scr["seed_len"].addr,
+                scr["seg_ix"].addr, scr["seg_nseed"].addr,
+                scr["seg_cover"].addr,
+                scr["hreg_idx"].addr, scr["hreg_num"].addr,
+                scr["mask"].addr,
+                scr["rows10"].addr, budget,
+                scr["out11"].addr, budget,
+                maxcov.ctypes.data)
+            if n < 0:
+                return None     # capacity overflow: unfused fallback
+            out = scr["out11"].arr
+            for r in range(n):
+                o = r * 11
+                sac.cands.append(seg_mod.Cand(
+                    qs=int(out[o]), qe=int(out[o + 1]), rs=int(out[o + 2]),
+                    re=int(out[o + 3]), shiftoffs=int(out[o + 4]),
+                    shift2mm=int(out[o + 5]), srange=int(out[o + 6]),
+                    cover=int(out[o + 7]), flag=int(out[o + 8]),
+                    nseg=int(out[o + 9]), seqidx=int(out[o + 10])))
+        sac.max_cover = int(maxcov[0])
+        sac.max2nd_cover = int(maxcov[1])
+        return sac
+
     def _collect(self, hf, hr, idx: KmerIndex, min_ktup: int, min_cover: int,
                  intervals) -> seg_mod.SegAliCands:
         """fillRMAPBUFF (rmap.c:1153-1227)."""
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None:
+            sac = self._collect_native(lib, hf, hr, idx, min_ktup,
+                                       min_cover, intervals)
+            if sac is not None:
+                return sac
         sac = seg_mod.SegAliCands()
         sac.blank()
         p = self.params

@@ -82,6 +82,15 @@ def _declare(lib):
     lib.mc_cands_add.argtypes = [vp, vp, vp, vp, vp,
                                  vp, vp, i64, ci, ci, i64, ci,
                                  i64, vp, vp, vp]
+    lib.mc_collect_all.restype = i64
+    lib.mc_collect_all.argtypes = [
+        vp, vp,                              # starts, pos
+        vp, vp, vp, vp, i64, i64,            # hitinfo arrays, n_all, rank
+        i64, ci, ci, ci,                     # qlen, ktup, nskip, is_rev
+        ci, ci, vp, i64,                     # mode, use_short, ivals, nivals
+        i64, i64, i64, i64,                  # maxhit, budget, min_ktup, mincover
+        vp, vp, vp, vp, vp, vp, vp, vp, vp, vp,  # scratch
+        vp, i64, vp, i64, vp]                # rows10, cap10, out11, cap, maxcov
     lib.mc_traceback.restype = i64
     lib.mc_traceback.argtypes = [vp, i64, vp,
                                  i64, i64, i64, i64,

@@ -666,3 +666,72 @@ int64_t mc_traceback(
     out[5] = checksum;
     return 0;
 }
+
+/* ---------------- fused per-strand collection ---------------- */
+
+/* The whole of fillRMAPBUFF for one strand (rmap.c:1153-1227): hit
+ * collection (whole-genome cutoff, or one pass per base interval /
+ * reference sequence), seed/segment collation and candidate
+ * derivation — one call instead of hundreds of crossings for
+ * seq-by-seq references.
+ *
+ * mode 0: whole-genome cutoff (seqidx -1); mode 1: one pass per
+ * ivals[v] = {lo_base, hi_base_excl, seqidx}.
+ * out11 rows: {qs,qe,rs,re,shiftoffs,shift2mm,srange,cover,flag,nseg,
+ * seqidx}.  Returns candidate count, or -1 if cap would overflow
+ * (caller falls back to the unfused path). */
+int64_t mc_collect_all(
+    const int64_t *starts, const uint32_t *pos,
+    const int64_t *qoffs, const int64_t *nhits, const int64_t *slot,
+    const uint32_t *sidx, int64_t n_seeds_all, int64_t seed_rank,
+    int64_t qlen, int ktup, int nskip, int is_reverse,
+    int mode, int use_short, const int64_t *ivals, int64_t nivals,
+    int64_t maxhit, int64_t budget,
+    int64_t min_ktup, int64_t mincover,
+    uint64_t *sqdat, uint8_t *qm,
+    uint64_t *seed_sqo, int64_t *seed_len,
+    int64_t *seg_ix, int64_t *seg_nseed, int64_t *seg_cover,
+    int64_t *hreg_idx, int64_t *hreg_num, uint8_t *maskbuf,
+    int64_t *rows10, int64_t rows10_cap,
+    int64_t *out11, int64_t cap,
+    int64_t *maxcov_io)
+{
+    int64_t n_out = 0, v;
+    int64_t passes = (mode == 0) ? 1 : nivals;
+    for (v = 0; v < passes; v++) {
+        int64_t nh, nseed, nseg, nreg, maxcover, nc, seqidx, r;
+        if (mode == 0) {
+            int64_t nsel = seed_rank ? seed_rank : n_seeds_all;
+            nh = mc_collect_cutoff(starts, pos, qoffs, nhits, slot, sidx,
+                                   nsel, qlen, nskip, is_reverse,
+                                   maxhit, budget, sqdat, qm);
+            seqidx = -1;
+        } else {
+            int64_t nsel = (use_short && seed_rank > 0) ? seed_rank
+                                                        : n_seeds_all;
+            nh = mc_collect_segment(starts, pos, qoffs, nhits, slot, sidx,
+                                    nsel, use_short, qlen, nskip,
+                                    is_reverse, ivals[v * 3],
+                                    ivals[v * 3 + 1], maxhit, budget,
+                                    sqdat, qm);
+            seqidx = ivals[v * 3 + 2];
+        }
+        if (nh == 0) continue;
+        mc_seg_fill(sqdat, nh, qm, min_ktup, ktup, nskip, qlen,
+                    seed_sqo, seed_len, seg_ix, seg_nseed, seg_cover,
+                    hreg_idx, hreg_num, &nseed, &nseg, &nreg, &maxcover);
+        if (nreg == 0) continue;
+        if (nseg > rows10_cap) return -1;
+        nc = mc_cands_add(seed_sqo, seed_len, seg_ix, seg_nseed, seg_cover,
+                          hreg_idx, hreg_num, nreg, ktup, nskip, qlen,
+                          is_reverse, mincover, maskbuf, rows10, maxcov_io);
+        if (n_out + nc > cap) return -1;
+        for (r = 0; r < nc; r++) {
+            memcpy(out11 + n_out * 11, rows10 + r * 10,
+                   10 * sizeof(int64_t));
+            out11[n_out * 11 + 10] = seqidx;
+            n_out++;
+        }
+    }
+    return n_out;
+}
