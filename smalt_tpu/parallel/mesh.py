@@ -246,36 +246,48 @@ def device_map_step(di: DeviceIndex, reads, matrix, gapopen_pos, gapext_pos,
         b1, v1, b2, v2 = _best_diagonal(shift, ok, tol)
         outs.append((b1, v1, b2, v2))
 
-    # two candidates per strand -> 4 windows per read.
+    # three windows per read: the best diagonal of each strand plus the
+    # better (by votes) of the two second diagonals — a 4th window adds
+    # SW cost but only matters when BOTH strands' runner-ups do.
     # forward: alignment starts near diag*nskip; reverse: the RC read's
     # window ends at the last seed, so the origin backs off by Q-k.
-    cands = []
-    for strand, (b1, v1, b2, v2) in enumerate(outs):
-        origin = -pad if strand == 0 else -(Q - k) - pad
-        for diag, votes in ((b1, v1), (b2, v2)):
-            win, start = _gather_windows(di, diag, S, origin)
-            cands.append((win, start, votes, strand))
+    (b1f, v1f, b2f, v2f), (b1r, v1r, b2r, v2r) = outs
+    org_f = -pad
+    org_r = -(Q - k) - pad
+    sel_rev = v2r > v2f
+    b2 = jnp.where(sel_rev, b2r, b2f)
+    v2 = jnp.where(sel_rev, v2r, v2f)
+    org2 = jnp.where(sel_rev, org_r, org_f)
+
+    win_f, start_f = _gather_windows(di, b1f, S, org_f)
+    win_r, start_r = _gather_windows(di, b1r, S, org_r)
+    win_2, start_2 = _gather_windows(di, b2, S, org2)
 
     qc_f = reads
     qc_r = _revcomp_batch(reads)
-    wins = jnp.concatenate([c[0] for c in cands], axis=0)       # [4B, S]
-    starts = jnp.concatenate([c[1] for c in cands], axis=0)
-    votes = jnp.concatenate([jnp.asarray(c[2]) for c in cands], axis=0)
-    qcs = jnp.concatenate([qc_f, qc_f, qc_r, qc_r], axis=0)
-    slens = jnp.full((4 * B,), S, jnp.int32)
+    qc_2 = jnp.where(sel_rev[:, None], qc_r, qc_f)
+    wins = jnp.concatenate([win_f, win_r, win_2], axis=0)       # [3B, S]
+    starts = jnp.concatenate([start_f, start_r, start_2], axis=0)
+    votes = jnp.concatenate([v1f, v1r, v2], axis=0)
+    strands = jnp.concatenate(
+        [jnp.zeros(B, jnp.int32), jnp.ones(B, jnp.int32),
+         sel_rev.astype(jnp.int32)], axis=0)
+    qcs = jnp.concatenate([qc_f, qc_r, qc_2], axis=0)
+    slens = jnp.full((3 * B,), S, jnp.int32)
     has_seed = votes > 0
     scores = sw_score_batch(qcs, wins, slens, matrix, gapopen_pos,
                             gapext_pos, interpret=interpret)
     scores = jnp.where(has_seed, scores, 0)
-    sc = scores.reshape(4, B)
-    st = starts.reshape(4, B)
+    sc = scores.reshape(3, B)
+    st = starts.reshape(3, B)
+    sd = strands.reshape(3, B)
     order = jnp.argsort(-sc, axis=0)
     best = jnp.take_along_axis(sc, order[0:1], 0)[0]
     second = jnp.take_along_axis(sc, order[1:2], 0)[0]
     best_start = jnp.take_along_axis(st, order[0:1], 0)[0]
-    best_strand = (order[0] >= 2).astype(jnp.int32)
+    best_strand = jnp.take_along_axis(sd, order[0:1], 0)[0]
     second_start = jnp.take_along_axis(st, order[1:2], 0)[0]
-    second_strand = (order[1] >= 2).astype(jnp.int32)
+    second_strand = jnp.take_along_axis(sd, order[1:2], 0)[0]
     return {
         "score": best,
         "score2": second,
