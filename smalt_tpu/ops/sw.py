@@ -36,8 +36,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -(1 << 28)
-CB = 32  # candidates per grid step (sublane tile; 32 sublanes
-         # x 128 lanes sustains ~50 GCUPS on TPU v5e)
+
+
+def _cb_for(Q: int) -> int:
+    """Candidates per grid step.  128 sublanes x 128 lanes is the v5e
+    sweet spot for short reads (545k reads/s end-of-step at Q=128);
+    shrink for long queries so the per-step profile (8 x CB x Q int32)
+    and H/E state stay well inside VMEM."""
+    if Q <= 256:
+        return 128
+    if Q <= 512:
+        return 64
+    return 32
 
 
 def _sw_kernel(qcodes_ref, subj_ref, slen_ref, matrix_ref, params_ref,
@@ -45,6 +55,7 @@ def _sw_kernel(qcodes_ref, subj_ref, slen_ref, matrix_ref, params_ref,
     """One grid step: CB candidates, query on lanes."""
     go = params_ref[0, 0]
     ge = params_ref[0, 1]
+    CB = qcodes_ref.shape[0]
     Q = qcodes_ref.shape[-1]
     S = subj_ref.shape[-1]
     qc = qcodes_ref[:, :]                       # [CB, Q] int32 codes 0..7
@@ -70,12 +81,7 @@ def _sw_kernel(qcodes_ref, subj_ref, slen_ref, matrix_ref, params_ref,
             d *= 2
         return x
 
-    def body(i, carry):
-        # Dynamic lane indexing is not lowerable on TPU, so the subject
-        # buffer is carried in the loop state and rolled left one lane per
-        # row: the current subject column is always lane 0 (static index).
-        H, E, vmax, sstate = carry
-        col = sstate[:, 0:1]                    # [CB, 1]
+    def one_row(H, E, vmax, col, i):
         Wrow = prof[0]
         for a in range(1, 8):
             Wrow = jnp.where(col == a, prof[a], Wrow)
@@ -94,14 +100,24 @@ def _sw_kernel(qcodes_ref, subj_ref, slen_ref, matrix_ref, params_ref,
         keep = (i < slens)
         Hn = jnp.where(keep[:, None], Hn, H)
         En = jnp.where(keep[:, None], En, E)
-        vmaxn = jnp.where(keep, jnp.maximum(vmax, rowmax), vmax)
-        return (Hn, En, vmaxn, pltpu.roll(sstate, S - 1, 1))
+        vmax = jnp.where(keep, jnp.maximum(vmax, rowmax), vmax)
+        return Hn, En, vmax
+
+    def body(i, carry):
+        # Dynamic lane indexing is not lowerable on TPU, so the subject
+        # buffer is carried in the loop state and rolled left two lanes
+        # per iteration (two subject rows per step: lanes 0 and 1 are
+        # the current columns at static indices).
+        H, E, vmax, sstate = carry
+        H, E, vmax = one_row(H, E, vmax, sstate[:, 0:1], 2 * i)
+        H, E, vmax = one_row(H, E, vmax, sstate[:, 1:2], 2 * i + 1)
+        return (H, E, vmax, pltpu.roll(sstate, S - 2, 1))
 
     H0 = jnp.zeros((CB, Q), jnp.int32)
     E0 = jnp.zeros((CB, Q), jnp.int32)
     sstate0 = subj_ref[:, :]
     _, _, vmax, _ = jax.lax.fori_loop(
-        0, S, body, (H0, E0, jnp.zeros((CB,), jnp.int32), sstate0))
+        0, S // 2, body, (H0, E0, jnp.zeros((CB,), jnp.int32), sstate0))
     out_ref[:, :] = jnp.broadcast_to(vmax[:, None], (CB, 128))
 
 
@@ -109,6 +125,7 @@ def _sw_kernel(qcodes_ref, subj_ref, slen_ref, matrix_ref, params_ref,
 def _sw_batch_call(qcodes, subj, slens, matrix, params, interpret=False):
     B, Q = qcodes.shape
     S = subj.shape[1]
+    CB = _cb_for(Q)
     grid = (B // CB,)
     out = pl.pallas_call(
         _sw_kernel,
@@ -155,8 +172,9 @@ def sw_score_batch(qcodes, subj, slens, matrix, gapopen_pos, gapext_pos,
     matrix = jnp.asarray(matrix, jnp.int32)
     B, Q = qcodes.shape
     S = subj.shape[1]
-    Bp = -(-B // CB) * CB
     Qp = -(-Q // 128) * 128
+    CB = _cb_for(Qp)
+    Bp = -(-B // CB) * CB
     Sp = -(-S // 128) * 128
     # pad query positions with code 7 (N class, scores 0 everywhere): padded
     # lanes can propagate H at zero gain but never raise the diagonal max.
