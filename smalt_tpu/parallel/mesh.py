@@ -114,21 +114,36 @@ class DeviceIndex:
         )
 
 
+def _rev_groups2(x):
+    """Reverse the sixteen 2-bit groups of an int32 lane-wise (4 masked
+    butterfly steps)."""
+    x = ((x & 0x33333333) << 2) | ((x >> 2) & 0x33333333)
+    x = ((x & 0x0F0F0F0F) << 4) | ((x >> 4) & 0x0F0F0F0F)
+    x = ((x & 0x00FF00FF) << 8) | ((x >> 8) & 0x00FF00FF)
+    return ((x & 0xFFFF) << 16) | ((x >> 16) & 0xFFFF)
+
+
 def _query_words(reads, k):
     """Forward and reverse-complement k-mer words per query position.
-    reads: [B, Q] int32 3-bit codes.  Returns (fwd, rc, valid): [B, P]."""
+    reads: [B, Q] int32 3-bit codes.  Returns (fwd, rc, valid): [B, P].
+
+    Only the forward word accumulates over k steps; the RC word is its
+    bitwise 2-bit-group reversal after complementing, and window
+    validity comes from a prefix sum of bad-base flags."""
     B, Q = reads.shape
     P_ = Q - k + 1
     std = reads & 3
-    bad = (reads & 4) != 0
     fwd = jnp.zeros((B, P_), jnp.int32)
-    rc = jnp.zeros((B, P_), jnp.int32)
-    nbad = jnp.zeros((B, P_), jnp.int32)
     for j in range(k):
-        col = std[:, j : j + P_]
-        fwd = (fwd << 2) | col
-        rc = rc | ((col ^ 3) << (2 * j))
-        nbad = nbad + bad[:, j : j + P_].astype(jnp.int32)
+        fwd = (fwd << 2) | std[:, j : j + P_]
+    # mask after the shift: the reversed value can carry the sign bit
+    # and int32 >> sign-extends
+    rc = (_rev_groups2(fwd ^ ((1 << (2 * k)) - 1)) >> (2 * (16 - k))) \
+        & ((1 << (2 * k)) - 1)
+    bad = (reads & 4).astype(jnp.int32) >> 2
+    cbad = jnp.cumsum(bad, axis=1)
+    prev = jnp.pad(cbad[:, : Q - k], ((0, 0), (1, 0)))
+    nbad = cbad[:, k - 1 :] - prev
     return fwd, rc, nbad == 0
 
 
