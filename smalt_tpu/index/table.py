@@ -50,17 +50,36 @@ class KmerIndex:
     def npos(self) -> int:
         return len(self.pos)
 
+    HOST_DIRECT_BITS = 26   # build the O(1) table up to k=13 (268 MB)
+
+    @property
+    def host_table(self):
+        """Direct-address cumulative-offset table (int32 [4^k+1]) for
+        O(1) host lookups — the cost model of the reference's hash
+        table.  None when 2k exceeds HOST_DIRECT_BITS."""
+        t = getattr(self, "_host_table", None)
+        if t is None and 2 * self.wordlen <= self.HOST_DIRECT_BITS:
+            nw = 1 << (2 * self.wordlen)
+            counts = np.zeros(nw + 1, np.int64)
+            counts[self.words.astype(np.int64) + 1] = np.diff(self.starts)
+            t = np.cumsum(counts).astype(np.int32)
+            self._host_table = t
+        return t
+
     @property
     def addrs(self):
-        """Cached raw data addresses (words, starts, pos) for the native
-        core.  Arrays are replaced never, only whole indexes rebuilt."""
+        """Cached raw data addresses (words, starts, pos, table) for the
+        native core (table address 0 when no direct table).  Arrays are
+        replaced never, only whole indexes rebuilt."""
         a = getattr(self, "_addrs", None)
         if a is None:
             self.words = np.ascontiguousarray(self.words, dtype=np.uint64)
             self.starts = np.ascontiguousarray(self.starts, dtype=np.int64)
             self.pos = np.ascontiguousarray(self.pos, dtype=np.uint32)
+            t = self.host_table
             a = (self.words.ctypes.data, self.starts.ctypes.data,
-                 self.pos.ctypes.data)
+                 self.pos.ctypes.data,
+                 t.ctypes.data if t is not None else 0)
             self._addrs = a
         return a
 
@@ -71,18 +90,19 @@ class KmerIndex:
     # ---------------- lookup ----------------
 
     def lookup_counts(self, qwords: np.ndarray):
-        """For each query word: (nhits, word_slot) with word_slot = -1 on miss."""
+        """For each query word: (nhits, pos_base) where pos_base is the
+        offset of the word's first position in pos[] (-1 on miss)."""
         qwords = np.asarray(qwords, dtype=np.uint64)
         ix = np.searchsorted(self.words, qwords)
         ix_c = np.minimum(ix, self.nwords - 1) if self.nwords else np.zeros_like(ix)
         hit = (self.nwords > 0) & (self.words[ix_c] == qwords)
-        slot = np.where(hit, ix_c, -1)
+        base = np.where(hit, self.starts[ix_c], -1)
         counts = np.where(hit, self.starts[ix_c + 1] - self.starts[ix_c], 0)
-        return counts.astype(np.int64), slot.astype(np.int64)
+        return counts.astype(np.int64), base.astype(np.int64)
 
-    def fetch_positions(self, slot: int) -> np.ndarray:
-        """Ascending tuple serial numbers for a word slot."""
-        return self.pos[self.starts[slot] : self.starts[slot + 1]]
+    def fetch_positions(self, base: int, count: int) -> np.ndarray:
+        """Ascending tuple serial numbers for a word (by pos offset)."""
+        return self.pos[base : base + count]
 
     # ---------------- persistence ----------------
 

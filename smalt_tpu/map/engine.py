@@ -240,7 +240,7 @@ class MapEngine:
         sac.blank()
         sac.ktup, sac.nskip = idx.wordlen, idx.nskip
         maxcov = np.zeros(2, np.int64)
-        _, sa, pa = idx.addrs
+        _, sa, pa, _ = idx.addrs
         for hi in (hf, hr):
             n = lib.mc_collect_all(
                 sa, pa,

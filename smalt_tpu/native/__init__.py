@@ -55,7 +55,7 @@ def _declare(lib):
 
     lib.mc_hitinfo_collect.restype = i64
     lib.mc_hitinfo_collect.argtypes = [
-        vp, vp, i64, ci, ci,                # words, starts, nwords, k, nskip
+        vp, vp, i64, vp, ci, ci,            # words, starts, nwords, table, k, nskip
         vp, vp, i64, ci, i64, ci,           # codes, qual, qlen, is_rev, maxhit, basq
         i64, i64,                           # seq_start, seq_end
         vp, vp, vp, vp]                     # qmask, qoffs, nhits, slot

@@ -56,9 +56,14 @@ static int64_t word_lookup(const uint64_t *words, int64_t nwords, uint64_t w)
 /* ---------------- hit info collection (collectHitInfo) ---------------- */
 
 /* Returns n_seeds >= 0, or -1 for a read shorter than the word.
- * qmask: u8[qlen] out.  qoffs/nhits/slot: i64[qlen] out (seed arrays). */
+ * qmask: u8[qlen] out.  qoffs/nhits/slot: i64[qlen] out (seed arrays);
+ * `slot` holds each word's first-position OFFSET into pos[] (the
+ * count is in nhits).  With a non-NULL direct-address cumulative
+ * table (int32 [4^k+1]) the lookup is O(1) like the reference hash
+ * table; otherwise a binary search over the sorted word list. */
 int64_t mc_hitinfo_collect(
     const uint64_t *words, const int64_t *starts, int64_t nwords,
+    const int32_t *table,
     int wordlen, int nskip,
     const uint8_t *codes, const uint8_t *qual, int64_t qlen,
     int is_reverse, int64_t maxhit_per_tuple, int basq_thresh,
@@ -119,8 +124,15 @@ int64_t mc_hitinfo_collect(
             if (ring_n < NREPEATS) ring_n++;
             if (rep) { qmask[t] = HQ_REPEAT; continue; }
             {
-                int64_t ix = word_lookup(words, nwords, w);
-                int64_t cnt = (ix >= 0) ? starts[ix + 1] - starts[ix] : 0;
+                int64_t cnt, base;
+                if (table) {
+                    base = table[w];
+                    cnt = (int64_t)table[w + 1] - base;
+                } else {
+                    int64_t ix = word_lookup(words, nwords, w);
+                    base = (ix >= 0) ? starts[ix] : -1;
+                    cnt = (ix >= 0) ? starts[ix + 1] - starts[ix] : 0;
+                }
                 if (cnt < 1) { qmask[t] = HQ_NOHIT; continue; }
                 if (maxhit_per_tuple > 0 && cnt > maxhit_per_tuple) {
                     qmask[t] = HQ_MULTIHIT;
@@ -129,7 +141,7 @@ int64_t mc_hitinfo_collect(
                 qmask[t] = HQ_NORMHIT;
                 qoffs[n_seeds] = t;
                 nhits[n_seeds] = cnt;
-                slot[n_seeds] = ix;
+                slot[n_seeds] = base;
                 n_seeds++;
             }
         }
@@ -269,7 +281,7 @@ int64_t mc_collect_cutoff(
             }
             if (total + nh > budget) { reached_ceiling = 1; break; }
             qm[q] = HQ_NORMHIT;
-            p0 = starts[slot[ix]];
+            p0 = slot[ix];          /* slot = first-position offset */
             for (l = 0; l < nh; l++)
                 sqdat[total + l] = pack_hit(pos[p0 + l], q, nskip, is_reverse);
             total += nh;
@@ -322,7 +334,7 @@ int64_t mc_collect_segment(
                 qm[q] = HQ_MULTIHIT;
                 continue;
             }
-            pos_range(pos, starts[slot[ix]], starts[slot[ix] + 1],
+            pos_range(pos, slot[ix], slot[ix] + nhits[ix],
                       lo_t, hi_t, &a, &b);
             nh = b - a;
             if (total + nh > budget) {

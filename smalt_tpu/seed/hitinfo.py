@@ -125,9 +125,9 @@ def _collect_hit_info_native(lib, read_codes, qual, is_reverse, idx,
     _scr_qoffs.ensure(qlen)
     _scr_nhits.ensure(qlen)
     _scr_slot.ensure(qlen)
-    wa, sa, _ = idx.addrs
+    wa, sa, _, ta = idx.addrs
     n = lib.mc_hitinfo_collect(
-        wa, sa, idx.nwords, idx.wordlen, idx.nskip,
+        wa, sa, idx.nwords, ta, idx.wordlen, idx.nskip,
         codes.ctypes.data, qaddr,
         qlen, 1 if is_reverse else 0, maxhit_per_tuple, basq_thresh,
         seq_start, seq_end,

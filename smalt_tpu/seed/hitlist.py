@@ -77,7 +77,7 @@ def collect_hits_using_cutoff(hi: HitInfo, max_nhit_per_tup: int,
         budget = _budget(hi.qlen)
         _scr_sqdat.ensure(budget)
         qm = np.empty(hi.qlen, dtype=np.uint8)
-        _, sa, pa = idx.addrs
+        _, sa, pa, _ = idx.addrs
         n = lib.mc_collect_cutoff(
             sa, pa,
             hi.qoffs.ctypes.data, hi.nhits.ctypes.data,
@@ -110,7 +110,7 @@ def collect_hits_using_cutoff(hi: HitInfo, max_nhit_per_tup: int,
                 reached_ceiling = True
                 break
             qm[q] = HITQUAL_NORMHIT
-            pos = idx.fetch_positions(int(hi.slot[ix]))
+            pos = idx.fetch_positions(int(hi.slot[ix]), int(hi.nhits[ix]))
             chunks.append(_pack(pos, q, hi.nskip, hi.is_reverse))
             total += nh
         max_nhit_per_tup //= 2
@@ -138,7 +138,7 @@ def collect_hits_for_segment(hi: HitInfo,
         budget = _budget(hi.qlen)
         _scr_sqdat.ensure(budget)
         qm = np.empty(hi.qlen, dtype=np.uint8)
-        _, sa, pa = idx.addrs
+        _, sa, pa, _ = idx.addrs
         n = lib.mc_collect_segment(
             sa, pa,
             hi.qoffs.ctypes.data, hi.nhits.ctypes.data,
@@ -170,7 +170,7 @@ def collect_hits_for_segment(hi: HitInfo,
             if nhit_max > 0 and key_n > nhit_max:
                 qm[q] = HITQUAL_MULTIHIT
                 continue
-            pos = idx.fetch_positions(int(hi.slot[ix]))
+            pos = idx.fetch_positions(int(hi.slot[ix]), int(hi.nhits[ix]))
             sel = pos[(pos >= lo_t) & (pos < hi_t)]
             nh = len(sel)
             if total + nh > budget:

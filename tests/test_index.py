@@ -36,7 +36,7 @@ def test_nonstd_windows_skipped():
     idx = build_index(rs, 4, 1)
     counts, slots = idx.lookup_counts(np.array([_word("ACGT")]))
     # windows containing N (positions 1..4) are skipped
-    pos = idx.fetch_positions(int(slots[0]))
+    pos = idx.fetch_positions(int(slots[0]), int(counts[0]))
     assert list(pos) == [0, 5]
 
 
@@ -47,7 +47,7 @@ def test_multi_sequence_offsets():
     idx = build_index(rs, 4, 4)
     counts, slots = idx.lookup_counts(np.array([_word("TTTA")]))
     assert counts[0] == 1
-    assert list(idx.fetch_positions(int(slots[0]))) == [2]  # global 8 / 4
+    assert list(idx.fetch_positions(int(slots[0]), int(counts[0]))) == [2]  # global 8 / 4
 
 
 def test_lookup_miss():
