@@ -376,11 +376,63 @@ def align_band_recursive(prof: ScoreProfile, subj_codes: np.ndarray,
         raise ValueError("minscorlen too small")
     subj_alpha = np.ascontiguousarray(codec.alpha(subj_codes), dtype=np.uint8)
     slen = len(subj_alpha)
+    lib = get_lib()
+    if lib is not None and not use_cplx:
+        r = _align_band_recursive_native(
+            lib, prof, subj_alpha, slen, l_edge, r_edge, q_left, q_right,
+            s_left, s_right, minscore, minscorlen)
+        if r is not None:
+            return r
     cplx = CplxCounter(prof.lam) if use_cplx else None
     out: List[AliResult] = []
     _recurse(prof, subj_alpha, prof.qlen, slen, l_edge, r_edge,
              q_left, q_right, s_left, s_right, minscore, minscorlen,
              cplx, out)
+    return out
+
+
+_scr_res = _GrowBuf(np.int64, 7 * 64)
+_scr_diffpool = _GrowBuf(np.uint8, 4096)
+
+
+def _align_band_recursive_native(lib, prof, subj_alpha, slen,
+                                 l_edge, r_edge, q_left, q_right,
+                                 s_left, s_right, minscore, minscorlen):
+    qlen = prof.qlen
+    ndir_cap = (qlen + slen + 2) * (slen + 1)
+    _scr_dirm.ensure(ndir_cap)
+    back_cap = 2 * (qlen + slen) + 8
+    _scr_back.ensure(back_cap)
+    diff_cap = 4 * (qlen + slen) + 1024
+    _scr_diffpool.ensure(diff_cap)
+    res_cap = slen // ALILEN_MIN + 4
+    _scr_res.ensure(res_cap * 7)
+    Ha, Ea = _he_addrs(qlen)
+    sp, _ = _subj_alpha_addr(subj_alpha)
+    n = lib.mc_align_recursive(
+        prof.W_addr, qlen, sp, slen,
+        l_edge, r_edge, q_left, q_right, s_left, s_right,
+        minscore, minscorlen,
+        prof.gap_init_pos, prof.gap_ext_pos,
+        Ha, Ea,
+        _scr_dirm.addr, ndir_cap,
+        _scr_back.addr, back_cap,
+        _scr_diffpool.addr, diff_cap,
+        _scr_res.addr, res_cap)
+    if n == -1:
+        return None          # scratch overflow: Python fallback
+    if n == -2:
+        raise ValueError("traceback checksum mismatch")
+    res = _scr_res.arr
+    pool = _scr_diffpool.arr
+    out: List[AliResult] = []
+    for r in range(int(n)):
+        o = r * 7
+        off, dn = int(res[o + 5]), int(res[o + 6])
+        out.append(AliResult(
+            score=int(res[o]), qs=int(res[o + 1]), qe=int(res[o + 2]),
+            rs=int(res[o + 3]), re=int(res[o + 4]),
+            diff=pool[off : off + dn].tolist()))
     return out
 
 

@@ -96,6 +96,13 @@ def _declare(lib):
                                  i64, i64, i64, i64,
                                  i64, i64, i64, vp,
                                  ci, ci, ci, vp, i64, vp, vp]
+    lib.mc_align_recursive.restype = i64
+    lib.mc_align_recursive.argtypes = [
+        vp, i64, vp, i64,                    # W, qlen, subj, slen
+        i64, i64, i64, i64, i64, i64,        # band + q/s segments
+        i64, i64, ci, ci,                    # minscore, minscorlen, gaps
+        vp, vp, vp, i64, vp, i64,            # H, E, dirm/cap, back/cap
+        vp, i64, vp, i64]                    # diffpool/cap, res/cap
 
 
 def _load():

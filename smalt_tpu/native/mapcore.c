@@ -747,3 +747,184 @@ int64_t mc_collect_all(
     }
     return n_out;
 }
+
+/* ---------------- recursive multi-alignment driver ---------------- */
+
+/* from swdp.c (same shared object) */
+int sw_band_track(const int32_t *W, int qlen_prof,
+                  const uint8_t *subj,
+                  int l_edge, int r_edge, int q_left, int q_len,
+                  int s_left, int s_len,
+                  int gap_init, int gap_ext, int band_width,
+                  uint8_t *dirm, int *max_i, int *max_j,
+                  int32_t *Hbuf, int32_t *Ebuf);
+
+/* initALIBAND (alignment.c:310-398), mirroring align/band.py.
+ * Returns 0 ok, -1 band error. */
+static int ali_band_make(int64_t l_edge, int64_t r_edge,
+                         int64_t q_left, int64_t q_right, int64_t q_len,
+                         int64_t s_left, int64_t s_right, int64_t s_len,
+                         int64_t *o_ledge, int64_t *o_redge,
+                         int64_t *o_sleft, int64_t *o_slen,
+                         int64_t *o_qleft, int64_t *o_qlen, int64_t *o_bw)
+{
+    int64_t b_s_len = (s_right < 0 || s_right >= s_len) ? s_len : s_right + 1;
+    int64_t b_q_len = (q_right < 0 || q_right >= q_len) ? q_len : q_right + 1;
+    int64_t b_s_left = (0 < s_left && s_left < b_s_len) ? s_left : 0;
+    int64_t b_q_left = (0 < q_left && q_left < b_q_len) ? q_left : 0;
+    int64_t l_orig = l_edge, r_orig = r_edge;
+    int64_t bw = r_edge - l_edge + 1;
+    if (bw <= 0) {
+        l_edge = b_q_left;
+        r_edge = b_q_len - 1;
+    } else {
+        if (l_orig + b_s_len > b_q_len) b_s_len = b_q_len - l_orig;
+        l_edge += b_s_left;
+        if (l_edge >= b_q_len || r_orig + b_s_len <= b_q_left) return -1;
+        r_edge += b_s_left;
+        if (r_edge < b_q_left) {
+            b_s_left += b_q_left - r_edge;
+            l_edge += b_q_left - r_edge;
+            r_edge = b_q_left;
+        }
+        if (r_edge > b_q_len - 1) r_edge = b_q_len - 1;
+    }
+    bw = r_edge - l_edge + 1;
+    if (bw < 0) return -1;
+    *o_ledge = l_edge; *o_redge = r_edge;
+    *o_sleft = b_s_left; *o_slen = b_s_len;
+    *o_qleft = b_q_left; *o_qlen = b_q_len;
+    *o_bw = bw;
+    return 0;
+}
+
+/* diffStrReverse (diffstr.c), mirroring align/diffstr.py. */
+static int64_t diff_reverse(const uint8_t *back, int64_t nback,
+                            uint8_t *out, int64_t cap)
+{
+    int64_t l = 0, i, n = 0;
+    int64_t count_prev, typ, count;
+    while (l < nback && back[l]) l++;
+    l--;
+    count_prev = back[l] & 63;
+    if ((back[l] >> 6) != DIFFCOD_S) return -1;
+    for (i = l - 1; i >= 0; i--) {
+        count = back[i] & 63;
+        typ = back[i] >> 6;
+        if (typ == DIFFCOD_M) {
+            count_prev = (count_prev + count + 1) & 0xFF;
+            if (count_prev > MAXMISMATCH) {
+                if (n + 1 > cap) return -1;
+                out[n++] = (uint8_t)((DIFFCOD_M << 6) | MAXMISMATCH);
+                count_prev -= MAXMISMATCH + 1;
+            }
+        } else {
+            if (n + 1 > cap) return -1;
+            out[n++] = (uint8_t)((typ << 6) | count_prev);
+            count_prev = count;
+        }
+    }
+    if (n + 2 > cap) return -1;
+    out[n++] = (uint8_t)((DIFFCOD_S << 6) | count_prev);
+    out[n++] = (uint8_t)(DIFFCOD_M << 6);
+    return n;
+}
+
+#define REC_STACK 128
+
+/* alignSmiWatBandRecursive (alignment.c:1300-1434): after the best
+ * local alignment of a band, recurse on the subject intervals left
+ * and right of it; iterative worklist in the identical pre-order.
+ * Complexity-weighted scoring (-w) stays on the Python path.
+ *
+ * res rows: {score, qs, qe, rs, re, diff_off, diff_len}; diff bytes
+ * accumulate (forward-form) in diffpool.
+ * Returns n results; -1 on scratch overflow; -2 on checksum error. */
+int64_t mc_align_recursive(
+    const int32_t *W, int64_t qlen, const uint8_t *subj, int64_t slen,
+    int64_t l_edge, int64_t r_edge,
+    int64_t q_left, int64_t q_right,
+    int64_t s_left0, int64_t s_right0,
+    int64_t minscore, int64_t minscorlen,
+    int gap_init, int gap_ext,
+    int32_t *Hbuf, int32_t *Ebuf,
+    uint8_t *dirm, int64_t dirm_cap,
+    uint8_t *back, int64_t back_cap,
+    uint8_t *diffpool, int64_t diff_cap,
+    int64_t *res, int64_t res_cap)
+{
+    int64_t stack[REC_STACK][2];
+    int sp = 0;
+    int64_t n_res = 0, diff_used = 0;
+
+    if (minscorlen < 2) return -2;
+    stack[sp][0] = s_left0;
+    stack[sp][1] = s_right0;
+    sp++;
+    while (sp > 0) {
+        int64_t sl, sr, bl, br, bsl, bslen, bql, bqlen, bw;
+        int max_i_, max_j_;
+        int mi, mj;
+        int64_t sc, rc, out6[6];
+        sp--;
+        sl = stack[sp][0];
+        sr = stack[sp][1];
+        if (ali_band_make(l_edge, r_edge, q_left, q_right, qlen,
+                          sl, sr, slen,
+                          &bl, &br, &bsl, &bslen, &bql, &bqlen, &bw) != 0)
+            continue;
+        {
+            int64_t nrows = bslen - bsl;
+            int64_t ndir = bw * nrows;
+            if (ndir < 1) ndir = 1;
+            if (ndir > dirm_cap) return -1;
+            memset(dirm, 0, (size_t)ndir);
+        }
+        sc = sw_band_track(W, (int)qlen, subj,
+                           (int)bl, (int)br, (int)bql, (int)bqlen,
+                           (int)bsl, (int)bslen,
+                           gap_init, gap_ext, (int)bw,
+                           dirm, &mi, &mj, Hbuf, Ebuf);
+        if (sc < minscore) continue;
+        max_i_ = mi; max_j_ = mj;
+        rc = mc_traceback(W, qlen, subj, bsl, bql, bl, bw,
+                          max_i_, max_j_, sc, dirm,
+                          gap_init, gap_ext, 0,
+                          back, back_cap, out6, NULL);
+        if (rc != 0) return -2;
+        {
+            int64_t ps = out6[1], pe = out6[2], ss = out6[3], se = out6[4];
+            if (ps + minscorlen > pe + 1) continue;
+            /* score >= minscore (no cplx rescale on this path) */
+            {
+                int64_t dn = diff_reverse(back, out6[0],
+                                          diffpool + diff_used,
+                                          diff_cap - diff_used);
+                if (dn < 0) return -1;
+                if (n_res >= res_cap) return -1;
+                res[n_res * 7 + 0] = sc;
+                res[n_res * 7 + 1] = ps;
+                res[n_res * 7 + 2] = pe;
+                res[n_res * 7 + 3] = ss;
+                res[n_res * 7 + 4] = se;
+                res[n_res * 7 + 5] = diff_used;
+                res[n_res * 7 + 6] = dn;
+                diff_used += dn;
+                n_res++;
+            }
+            /* pre-order: left sub-interval first -> push right, then left */
+            if (sp + 2 > REC_STACK) return -1;
+            if (sr > se + minscorlen) {
+                stack[sp][0] = se + 1;
+                stack[sp][1] = sr;
+                sp++;
+            }
+            if (sl + minscorlen < ss) {
+                stack[sp][0] = sl;
+                stack[sp][1] = ss - 1;
+                sp++;
+            }
+        }
+    }
+    return n_res;
+}
