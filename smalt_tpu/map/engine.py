@@ -128,6 +128,9 @@ class MapEngine:
         self.refset = refset
         self.index = index
         self.params = params
+        # native core reads these raw: pin dtypes/contiguity once
+        refset.offsets = np.ascontiguousarray(refset.offsets, np.int64)
+        refset.codes = np.ascontiguousarray(refset.codes, np.uint8)
         match, mismatch, gapopen, gapext = penalties
         self.matrix, self.gapopen, self.gapext = ali_mod.make_score_matrix(
             match, mismatch, gapopen, gapext)
@@ -240,6 +243,7 @@ class MapEngine:
         sac.blank()
         sac.ktup, sac.nskip = idx.wordlen, idx.nskip
         maxcov = np.zeros(2, np.int64)
+        row_parts = []
         _, sa, pa, _ = idx.addrs
         for hi in (hf, hr):
             n = lib.mc_collect_all(
@@ -262,6 +266,7 @@ class MapEngine:
             if n < 0:
                 return None     # capacity overflow: unfused fallback
             out = scr["out11"].arr
+            row_parts.append(out[: n * 11].reshape(n, 11).copy())
             for r in range(n):
                 o = r * 11
                 sac.cands.append(seg_mod.Cand(
@@ -272,6 +277,8 @@ class MapEngine:
                     nseg=int(out[o + 9]), seqidx=int(out[o + 10])))
         sac.max_cover = int(maxcov[0])
         sac.max2nd_cover = int(maxcov[1])
+        sac.rows_arr = (np.concatenate(row_parts) if row_parts
+                        else np.zeros((0, 11), np.int64))
         return sac
 
     def _collect(self, hf, hr, idx: KmerIndex, min_ktup: int, min_cover: int,
@@ -326,10 +333,60 @@ class MapEngine:
                   is_rev=bool(w.flag & seg_mod.FLAG_REVERSE))
         return c, w.cover, subj
 
+    def _score_cands_native(self, lib, sac, prof_f, prof_r, qlen,
+                            rmapflg, deficit, nskip):
+        """Fused C pass 1 (mc_score_cands)."""
+        from ..native import GrowBuf
+        n_sort = sac.n_sort
+        scr = getattr(self, "_score_scr", None)
+        if scr is None:
+            scr = self._score_scr = {
+                "out": GrowBuf(np.int64), "H": GrowBuf(np.int32),
+                "E": GrowBuf(np.int32),
+                "max": np.zeros(3, np.int64),
+            }
+        scr["out"].ensure(max(n_sort, 1) * 10)
+        scr["H"].ensure(qlen + 1)
+        scr["E"].ensure(qlen + 1)
+        rows = sac.rows_arr
+        offsets = self.refset.offsets
+        rc = lib.mc_score_cands(
+            rows.ctypes.data, sac.sort_idx.ctypes.data, n_sort,
+            sac.ktup, nskip,
+            self.refset.codes.ctypes.data, offsets.ctypes.data,
+            self.refset.nseq, qlen,
+            prof_f.W_addr, prof_r.W_addr,
+            prof_f.gap_init_pos, prof_f.gap_ext_pos,
+            prof_f.match_avg, prof_f.mismatch_avg,
+            1 if (rmapflg & RMAPFLG_BEST) else 0,
+            deficit[0], deficit[1],
+            scr["H"].addr, scr["E"].addr,
+            scr["out"].addr, scr["max"].ctypes.data)
+        if rc != 0:
+            raise AssertionError("candidate window geometry")
+        max1, max2, n_out = (int(v) for v in scr["max"])
+        out = scr["out"].arr
+        cands = []
+        for r in range(n_out):
+            o = r * 10
+            cands.append(_Cand(
+                qs=int(out[o]), qe=int(out[o + 1]), rs=int(out[o + 2]),
+                re=int(out[o + 3]), band_l=int(out[o + 4]),
+                band_r=int(out[o + 5]), sqidx=int(out[o + 6]),
+                is_rev=bool(out[o + 7]), swscor=int(out[o + 8]),
+                scored=True))
+        return cands, max1, max2
+
     def _score_cands(self, sac, prof_f, prof_r, qlen, rmapflg,
                      deficit, nskip) -> Tuple[List[_Cand], int, int]:
         """scoreRMAPCAND (rmap.c:588-788).  nskip is the active index's
         skip step (differs from the main index during fine-hash rescue)."""
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None and getattr(sac, "rows_arr", None) is not None \
+                and len(sac.sort_idx):
+            return self._score_cands_native(lib, sac, prof_f, prof_r, qlen,
+                                            rmapflg, deficit, nskip)
         n_candseg = sac.n_sort
         mmscordiff = prof_f.match_avg - prof_f.mismatch_avg
         max1 = max2 = 0

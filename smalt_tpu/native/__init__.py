@@ -96,6 +96,14 @@ def _declare(lib):
                                  i64, i64, i64, i64,
                                  i64, i64, i64, vp,
                                  ci, ci, ci, vp, i64, vp, vp]
+    lib.mc_score_cands.restype = i64
+    lib.mc_score_cands.argtypes = [
+        vp, vp, i64,                         # rows, sort_idx, n_sort
+        ci, ci,                              # ktup, nskip
+        vp, vp, i64, i64,                    # refcodes, offsets, nseq, qlen
+        vp, vp, ci, ci, i64, i64,            # Wf, Wr, gaps, avgs
+        ci, i64, i64,                        # best flag, deficits
+        vp, vp, vp, vp]                      # H, E, out, out_max
     lib.mc_align_recursive.restype = i64
     lib.mc_align_recursive.argtypes = [
         vp, i64, vp, i64,                    # W, qlen, subj, slen

@@ -928,3 +928,182 @@ int64_t mc_align_recursive(
     }
     return n_res;
 }
+
+/* ---------------- pass-1 candidate scoring ---------------- */
+
+/* from swdp.c */
+int sw_band_fast(const int32_t *W, int qlen_prof, const uint8_t *subj,
+                 int l_edge, int r_edge, int q_left, int q_len,
+                 int s_left, int s_len, int gap_init, int gap_ext,
+                 int32_t *Hbuf, int32_t *Ebuf);
+int sw_full(const int32_t *W, int qlen, const uint8_t *subj, int slen,
+            int gap_init, int gap_ext, int32_t *Hbuf, int32_t *Ebuf);
+
+#define EDGE_BAND_FACTOR 4     /* segment.c:137 */
+#define MAX_BANDEDGE_2POW 4    /* segment.c:142 */
+#define MINLEN_QUERY_STRIPED 32
+#define BWSCAL_QLEN 48
+
+/* segAliCandsCalcSegmentOffsets (segment.c:1861-1985) for one cand
+ * row (edgelen = 0, the SIMD build).  Returns 0 ok, -1 assert-fail. */
+static int calc_seg_offsets(const int64_t *row, int ktup, int nskip,
+                            const int64_t *offsets, int64_t nseq,
+                            int64_t qlen,
+                            int64_t *o_qs, int64_t *o_qe,
+                            int64_t *o_rs, int64_t *o_re,
+                            int64_t *o_bl, int64_t *o_br)
+{
+    int64_t c_qs = row[0], c_qe = row[1], c_rs = row[2], c_re = row[3];
+    int64_t shiftoffs = row[4], srange = row[6], cover = row[7];
+    int64_t flag = row[8], seqidx = row[10];
+    int64_t roffs, rlen, rs, re, qs, qe;
+    int64_t edge_band, br, bl, q_edge_l, q_edge_r, r_edge_l, r_edge_r;
+    int64_t band_offs;
+
+    if (seqidx < 0 || seqidx >= nseq) {
+        roffs = 0;
+        rlen = offsets[nseq];
+    } else {
+        roffs = offsets[seqidx];
+        rlen = offsets[seqidx + 1] - roffs;
+    }
+    rs = c_rs * nskip;
+    re = c_re * nskip + ktup - 1;
+    if (rs < roffs || re < rs) return -1;
+    rs -= roffs;
+    re -= roffs;
+    if (re >= rlen) return -1;
+    if (c_qe < c_qs || c_qs >= qlen) return -1;
+
+    if (flag & FLAG_REVERSE) {
+        qs = qlen - c_qe - 1;
+        qe = qlen - c_qs - 1;
+    } else {
+        qs = c_qs;
+        qe = c_qe;
+    }
+    edge_band = (qlen - cover) / EDGE_BAND_FACTOR;
+    if (edge_band > nskip) {
+        if (edge_band > (qlen >> MAX_BANDEDGE_2POW))
+            edge_band = qlen >> MAX_BANDEDGE_2POW;
+        edge_band -= nskip - 1;
+    } else {
+        edge_band = 0;
+    }
+    br = (-shiftoffs + 1) * nskip + edge_band + 1;
+    bl = br - (srange + 2) * nskip - 2 * edge_band - 2;
+
+    q_edge_l = qs;          /* edgelen = 0 */
+    q_edge_r = qlen - qe - 1;
+    qs -= q_edge_l;
+    qe += q_edge_r;
+
+    r_edge_l = q_edge_l + br;
+    r_edge_r = q_edge_r - bl;
+
+    if (r_edge_l > 0 && rs < r_edge_l) {
+        r_edge_l = rs;
+        rs = 0;
+    } else {
+        rs -= r_edge_l;
+    }
+    if (re + r_edge_r >= rlen) {
+        re = rlen - 1;
+    } else {
+        re += r_edge_r;
+    }
+    if (re < rs) return -1;
+
+    band_offs = q_edge_l - r_edge_l;
+    *o_bl = bl + band_offs + qs;
+    *o_br = br + band_offs + qs;
+    *o_qs = qs;
+    *o_qe = qe;
+    *o_rs = rs;
+    *o_re = re;
+    return 0;
+}
+
+/* scoreRMAPCAND (rmap.c:588-788): score the depth-selected candidates
+ * with the full-matrix kernel (full-length reads in wide bands) or
+ * the banded-fast kernel, applying the early-break coverage logic and
+ * running maxima.
+ * out rows [i, 10]: {qs,qe,rs,re,band_l,band_r,sqidx,is_rev,swscor,
+ * scored(=1)}.  out_max = {max1, max2, n_emitted}.
+ * Returns 0, or -1 on a window-geometry assert (caller falls back). */
+int64_t mc_score_cands(
+    const int64_t *rows, const uint32_t *sort_idx, int64_t n_sort,
+    int ktup, int nskip,
+    const uint8_t *refcodes, const int64_t *offsets, int64_t nseq,
+    int64_t qlen,
+    const int32_t *Wf, const int32_t *Wr,
+    int gap_init, int gap_ext,
+    int64_t match_avg, int64_t mismatch_avg,
+    int rmapflg_best, int64_t deficit_f, int64_t deficit_r,
+    int32_t *Hbuf, int32_t *Ebuf,
+    int64_t *out, int64_t *out_max)
+{
+    int64_t mmscordiff = match_avg - mismatch_avg;
+    int64_t max1 = 0, max2 = 0, min_cover = 0, max_cover = 0;
+    int64_t i, n_out = 0;
+    for (i = 0; i < n_sort; i++) {
+        const int64_t *row = rows + (int64_t)sort_idx[i] * 11;
+        int64_t qs, qe, rs, re, bl, br;
+        int64_t cover = row[7], seqidx = row[10], cdf;
+        int is_rev = (int)(row[8] & FLAG_REVERSE);
+        const uint8_t *subj;
+        int64_t slen, swscor;
+        const int32_t *W = is_rev ? Wr : Wf;
+        if (calc_seg_offsets(row, ktup, nskip, offsets, nseq, qlen,
+                             &qs, &qe, &rs, &re, &bl, &br) != 0)
+            return -1;
+        subj = refcodes + ((seqidx >= 0 && seqidx < nseq)
+                           ? offsets[seqidx] + rs : rs);
+        slen = re - rs + 1;
+        if (qlen >= MINLEN_QUERY_STRIPED &&
+            (br - bl) * BWSCAL_QLEN > qlen && qs == 0 && qe >= qlen - 1) {
+            swscor = sw_full(W, (int)qlen, subj, (int)slen,
+                             gap_init, gap_ext, Hbuf, Ebuf);
+        } else {
+            int64_t abl, abr, asl, aslen, aql, aqlen, abw;
+            if (ali_band_make(bl, br, qs, qe, qlen, 0, slen - 1, slen,
+                              &abl, &abr, &asl, &aslen, &aql, &aqlen,
+                              &abw) != 0)
+                swscor = 0;
+            else
+                swscor = sw_band_fast(W, (int)qlen, subj,
+                                      (int)abl, (int)abr, (int)aql,
+                                      (int)aqlen, (int)asl, (int)aslen,
+                                      gap_init, gap_ext, Hbuf, Ebuf);
+        }
+        cdf = is_rev ? deficit_r : deficit_f;
+        if (rmapflg_best && cover + cdf < min_cover)
+            break;                      /* truncate at the break index */
+        {
+            int64_t *o = out + n_out * 10;
+            o[0] = qs; o[1] = qe; o[2] = rs; o[3] = re;
+            o[4] = bl; o[5] = br; o[6] = seqidx;
+            o[7] = is_rev; o[8] = swscor; o[9] = 1;
+            n_out++;
+        }
+        if (swscor > max2) {
+            if (swscor > max1) {
+                max2 = max1;
+                max1 = swscor;
+                if (cover + cdf > max_cover)
+                    max_cover = (cover > cdf) ? cover - cdf : 0;
+            } else {
+                max2 = swscor;
+            }
+            {
+                int64_t dcov = ((max1 - max2) / mmscordiff + 1) * nskip;
+                if (dcov + cdf + min_cover < max_cover)
+                    min_cover = max_cover - dcov;
+            }
+        }
+    }
+    out_max[0] = max1;
+    out_max[1] = max2;
+    out_max[2] = n_out;
+    return 0;
+}
