@@ -267,14 +267,6 @@ class MapEngine:
                 return None     # capacity overflow: unfused fallback
             out = scr["out11"].arr
             row_parts.append(out[: n * 11].reshape(n, 11).copy())
-            for r in range(n):
-                o = r * 11
-                sac.cands.append(seg_mod.Cand(
-                    qs=int(out[o]), qe=int(out[o + 1]), rs=int(out[o + 2]),
-                    re=int(out[o + 3]), shiftoffs=int(out[o + 4]),
-                    shift2mm=int(out[o + 5]), srange=int(out[o + 6]),
-                    cover=int(out[o + 7]), flag=int(out[o + 8]),
-                    nseg=int(out[o + 9]), seqidx=int(out[o + 10])))
         sac.max_cover = int(maxcov[0])
         sac.max2nd_cover = int(maxcov[1])
         sac.rows_arr = (np.concatenate(row_parts) if row_parts

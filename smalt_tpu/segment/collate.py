@@ -422,7 +422,6 @@ def seg_cands_stats(sac: SegAliCands,
                     target_depth: int, max_depth: int,
                     is_sensitive: bool) -> None:
     """segAliCandsStats (segment.c:1616-1786)."""
-    n_cands = len(sac.cands)
     nskip = sac.nskip
     if max_depth < 1 or max_depth > MAXIMUM_DEPTH:
         max_depth = MAXIMUM_DEPTH
@@ -444,16 +443,19 @@ def seg_cands_stats(sac: SegAliCands,
         # sacp->cover_deficit[0]")
         cda.append(d - cdf if d > cdf else 0)
 
-    keys = []
-    idxs = []
-    for i, c in enumerate(sac.cands):
-        is_rev = 1 if (c.flag & FLAG_REVERSE) else 0
-        if c.cover + cda[is_rev] < min_cover:
-            continue
-        keys.append(sac.max_cover - c.cover)
-        idxs.append(i)
-    keys_a = np.asarray(keys, dtype=np.uint32)
-    idxs_a = np.asarray(idxs, dtype=np.uint32)
+    rows = getattr(sac, "rows_arr", None)
+    if rows is not None:
+        covers = rows[:, 7]
+        flags = rows[:, 8]
+    else:
+        covers = np.fromiter((c.cover for c in sac.cands), np.int64,
+                             len(sac.cands))
+        flags = np.fromiter((c.flag for c in sac.cands), np.int64,
+                            len(sac.cands))
+    cda_vec = np.where((flags & FLAG_REVERSE) != 0, cda[1], cda[0])
+    mask = covers + cda_vec >= min_cover
+    idxs_a = np.flatnonzero(mask).astype(np.uint32)
+    keys_a = (sac.max_cover - covers[mask]).astype(np.uint32)
     keys_a, idxs_a = paired_sort(keys_a, idxs_a)
     sac.sort_keys = keys_a
     sac.sort_idx = idxs_a
@@ -461,11 +463,12 @@ def seg_cands_stats(sac: SegAliCands,
 
     if j > target_depth:
         maxj = j if j < max_depth else max_depth
-        cands = sac.cands
         if is_sensitive:
             jj = target_depth
             while jj < maxj:
-                is_rev = 1 if (cands[jj].flag & FLAG_REVERSE) else 0
+                # NB: indexes the UNSORTED candidate order here, exactly
+                # like the replica always has (segment.c semantics)
+                is_rev = 1 if (int(flags[jj]) & FLAG_REVERSE) else 0
                 if int(keys_a[jj]) >= cda[is_rev]:
                     break
                 jj += 1
