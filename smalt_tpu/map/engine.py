@@ -158,12 +158,8 @@ class MapEngine:
                  seq_start=0, seq_end=0):
         try:
             if short:
-                hf = hi_mod.collect_hit_info_short(
-                    read.seq, read.qual, False, idx,
-                    self.params.ktuple_maxhit, HASH_MAXNHITS,
-                    self.params.min_basq)
-                hr = hi_mod.collect_hit_info_short(
-                    read.seq, read.qual, True, idx,
+                hf, hr = hi_mod.collect_hit_info_short_pair(
+                    read.seq, read.qual, idx,
                     self.params.ktuple_maxhit, HASH_MAXNHITS,
                     self.params.min_basq)
             else:

@@ -96,6 +96,13 @@ def _declare(lib):
                                  i64, i64, i64, i64,
                                  i64, i64, i64, vp,
                                  ci, ci, ci, vp, i64, vp, vp]
+    lib.mc_hitinfo_short2.restype = i64
+    lib.mc_hitinfo_short2.argtypes = [
+        vp, vp, i64, vp, ci, ci,             # index + table, k, nskip
+        vp, vp, i64, i64, i64, ci,           # codes, qual, qlen, limits, basq
+        vp, vp, vp, vp, vp,                  # F outputs
+        vp, vp, vp, vp, vp,                  # R outputs
+        vp, vp, vp]                          # qbuf, keybuf, out
     lib.mc_score_cands.restype = i64
     lib.mc_score_cands.argtypes = [
         vp, vp, i64,                         # rows, sort_idx, n_sort

@@ -1107,3 +1107,56 @@ int64_t mc_score_cands(
     out_max[2] = n_out;
     return 0;
 }
+
+/* ---------------- fused two-strand short hit info ---------------- */
+
+/* hashCollectHitInfoShort for BOTH strands in one call (collect, NR
+ * sort by hit count, rank selection with the short-variant cover
+ * thresholds, hashhit.c:1007-1082).  out = {nF, rankF, nR, rankR}.
+ * Returns 0, or -1 for a read shorter than the word. */
+int64_t mc_hitinfo_short2(
+    const uint64_t *words, const int64_t *starts, int64_t nwords,
+    const int32_t *table, int wordlen, int nskip,
+    const uint8_t *codes, const uint8_t *qual, int64_t qlen,
+    int64_t maxhit_per_tuple, int64_t maxhit_total, int basq_thresh,
+    uint8_t *qmaskF, int64_t *qoffsF, int64_t *nhitsF, int64_t *slotF,
+    uint32_t *sidxF,
+    uint8_t *qmaskR, int64_t *qoffsR, int64_t *nhitsR, int64_t *slotR,
+    uint32_t *sidxR,
+    uint8_t *qbuf, uint32_t *keybuf,
+    int64_t *out)
+{
+    int strand;
+    int64_t mincover = 2 * (int64_t)wordlen + nskip;
+    int64_t maxcover = qlen * 80 / 100;
+    if (maxcover < wordlen + nskip) maxcover = wordlen + nskip;
+    else if (maxcover > qlen - nskip) maxcover = qlen - nskip;
+    if (mincover > maxcover) { mincover = 0; maxcover = qlen; }
+
+    for (strand = 0; strand < 2; strand++) {
+        uint8_t *qmask = strand ? qmaskR : qmaskF;
+        int64_t *qoffs = strand ? qoffsR : qoffsF;
+        int64_t *nhits = strand ? nhitsR : nhitsF;
+        int64_t *slot = strand ? slotR : slotF;
+        uint32_t *sidx = strand ? sidxR : sidxF;
+        int64_t n, i, rank;
+        n = mc_hitinfo_collect(words, starts, nwords, table,
+                               wordlen, nskip, codes, qual, qlen,
+                               strand, maxhit_per_tuple, basq_thresh,
+                               0, 0, qmask, qoffs, nhits, slot);
+        if (n < 0) return -1;
+        for (i = 0; i < n; i++) sidx[i] = (uint32_t)i;
+        if (n <= 1) {
+            rank = n;
+        } else {
+            for (i = 0; i < n; i++) keybuf[i] = (uint32_t)nhits[i];
+            if (nr_sort2(keybuf, sidx, (int)n) != 0) return -1;
+            rank = mc_max_rank(qoffs, nhits, sidx, n, qlen,
+                               wordlen, nskip, mincover, maxcover,
+                               maxhit_total, qbuf);
+        }
+        out[strand * 2] = n;
+        out[strand * 2 + 1] = rank;
+    }
+    return 0;
+}

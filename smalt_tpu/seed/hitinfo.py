@@ -281,6 +281,76 @@ def sort_hit_info(hi: HitInfo) -> None:
     hi.sorted = True
 
 
+_scr_qoffs2 = _GrowBuf(np.int64)
+_scr_nhits2 = _GrowBuf(np.int64)
+_scr_slot2 = _GrowBuf(np.int64)
+_scr_sidx = _GrowBuf(np.uint32)
+_scr_sidx2 = _GrowBuf(np.uint32)
+_scr_key = _GrowBuf(np.uint32)
+_scr_short_out = np.zeros(4, dtype=np.int64)
+
+
+def collect_hit_info_short_pair(read_codes: np.ndarray,
+                                qual: Optional[bytes],
+                                idx: KmerIndex,
+                                maxhit_per_tuple: int,
+                                maxhit_total: int = HASH_MAXNHITS,
+                                basq_thresh: int = 0):
+    """Both strands' short hit info in one native call; falls back to
+    two collect_hit_info_short calls without the C core."""
+    lib = _get_native()
+    if lib is None:
+        return (collect_hit_info_short(read_codes, qual, False, idx,
+                                       maxhit_per_tuple, maxhit_total,
+                                       basq_thresh),
+                collect_hit_info_short(read_codes, qual, True, idx,
+                                       maxhit_per_tuple, maxhit_total,
+                                       basq_thresh))
+    qlen = len(read_codes)
+    codes = np.ascontiguousarray(read_codes, dtype=np.uint8)
+    qaddr = 0
+    if qual is not None:
+        qarr = np.frombuffer(qual, dtype=np.uint8)
+        qaddr = qarr.ctypes.data
+    qmaskF = np.empty(qlen, dtype=np.uint8)
+    qmaskR = np.empty(qlen, dtype=np.uint8)
+    for b in (_scr_qoffs, _scr_nhits, _scr_slot, _scr_qoffs2, _scr_nhits2,
+              _scr_slot2):
+        b.ensure(qlen)
+    for b in (_scr_sidx, _scr_sidx2, _scr_key):
+        b.ensure(qlen)
+    _scr_qbuf.ensure(qlen)
+    wa, sa, _, ta = idx.addrs
+    rc = lib.mc_hitinfo_short2(
+        wa, sa, idx.nwords, ta, idx.wordlen, idx.nskip,
+        codes.ctypes.data, qaddr, qlen,
+        maxhit_per_tuple, maxhit_total, basq_thresh,
+        qmaskF.ctypes.data, _scr_qoffs.addr, _scr_nhits.addr,
+        _scr_slot.addr, _scr_sidx.addr,
+        qmaskR.ctypes.data, _scr_qoffs2.addr, _scr_nhits2.addr,
+        _scr_slot2.addr, _scr_sidx2.addr,
+        _scr_qbuf.addr, _scr_key.addr,
+        _scr_short_out.ctypes.data)
+    if rc != 0:
+        raise ShortSeqError(qlen)
+    nF, rankF, nR, rankR = (int(v) for v in _scr_short_out)
+    hf = HitInfo(qlen=qlen, ktup=idx.wordlen, nskip=idx.nskip,
+                 is_reverse=False, qmask=qmaskF,
+                 qoffs=_scr_qoffs.arr[:nF].copy(),
+                 nhits=_scr_nhits.arr[:nF].copy(),
+                 slot=_scr_slot.arr[:nF].copy(),
+                 sidx=_scr_sidx.arr[:nF].copy(),
+                 sorted=True, seed_rank=rankF, has_rank=nF > 1)
+    hr = HitInfo(qlen=qlen, ktup=idx.wordlen, nskip=idx.nskip,
+                 is_reverse=True, qmask=qmaskR,
+                 qoffs=_scr_qoffs2.arr[:nR].copy(),
+                 nhits=_scr_nhits2.arr[:nR].copy(),
+                 slot=_scr_slot2.arr[:nR].copy(),
+                 sidx=_scr_sidx2.arr[:nR].copy(),
+                 sorted=True, seed_rank=rankR, has_rank=nR > 1)
+    return hf, hr
+
+
 def collect_hit_info_short(read_codes: np.ndarray,
                            qual: Optional[bytes],
                            is_reverse: bool,
