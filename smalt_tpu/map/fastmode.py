@@ -140,23 +140,22 @@ class FastTail:
             gap_ext=self.gapext, lam=self.lam)
 
     def _traceback(self, prof, win_codes, l_edge, r_edge):
+        """Best local alignment of the window band: the native
+        recursive driver in one crossing; its first result (pre-order)
+        is the whole-interval optimum."""
         slen = len(win_codes)
-        try:
-            band = AliBand.make(l_edge, r_edge, 0, prof.qlen - 1,
-                                prof.qlen, 0, slen - 1, slen)
-        except BandError:
-            return None
-        sa = np.ascontiguousarray(codec.alpha(win_codes), dtype=np.uint8)
-        sc, mi, mj, dirm = ali_mod._align_band_track(prof, sa, band)
-        if sc < self.minscor:
+        if slen < 1:
             return None
         try:
-            (score, ps, pe, ss, se, back,
-             _) = ali_mod._make_meta_from_track(prof, sa, band, mi, mj,
-                                                sc, dirm, None)
-        except ValueError:
+            res = ali_mod.align_band_recursive(
+                prof, win_codes, l_edge, r_edge, 0, prof.qlen - 1,
+                0, slen - 1, max(self.minscor, 1), ali_mod.ALILEN_MIN)
+        except (ValueError, BandError):
             return None
-        return score, ps, pe, ss, se, ds.diffstr_reverse(back)
+        if not res:
+            return None
+        r = res[0]
+        return r.score, r.qs, r.qe, r.rs, r.re, r.diff
 
     def _finish(self, win_start, tb, is_rev, mapq) -> RepAli:
         sw, ps, pe, ss, se, diff = tb
