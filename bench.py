@@ -95,7 +95,7 @@ def main():
     m, go, ge = ali.make_score_matrix()
 
     on_tpu = jax.default_backend() == "tpu"
-    BATCH = 8192 if on_tpu else 256
+    BATCH = 32768 if on_tpu else 256  # 32k is the v5e sweet spot (64k spills)
     INNER = 10 if on_tpu else 1
     reads = _gen_reads(rng, genome, BATCH)
     arr = np.full((BATCH, READLEN), 7, np.int32)
