@@ -12,7 +12,7 @@ Fast mode trades the reference's exhaustive candidate search for the
 device heuristic: output is reference-STYLE SAM (same fields, flags,
 CIGAR/NM/AS conventions, reference mapq formula shape) but NOT
 bit-identical to `smalt map` — use the default exact mode for that.
-Single-end only.
+Single-end, or paired with insert-window mate rescue.
 
 The input side is a bulk FASTQ reader (bytes.split + one vectorized
 codec gather per batch) so parsing keeps up with the device rate; the
@@ -22,7 +22,6 @@ pipeline (threads.c analog).
 from __future__ import annotations
 
 import io
-import math
 import multiprocessing as mp
 import sys
 from typing import Iterator, List, Optional, Tuple
@@ -34,8 +33,7 @@ from ..seq.io import Read, open_maybe_gzip
 from ..seq.refset import RefSet
 from ..index.table import KmerIndex
 from ..align import core as ali_mod
-from ..align.band import AliBand, BandError
-from ..align import diffstr as ds
+from ..align.band import BandError
 from ..report.report import Report, ReportWriter, RepAli, REPMATEFLG
 
 MAPQ_MAX = 60           # results.c:70 MAPSCOR_MAX
