@@ -36,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -(1 << 28)
+UNROLL = 16  # subject rows per fori_loop step (fewer rolls/loop overhead)
 
 
 def _cb_for(Q: int) -> int:
@@ -105,19 +106,21 @@ def _sw_kernel(qcodes_ref, subj_ref, slen_ref, matrix_ref, params_ref,
 
     def body(i, carry):
         # Dynamic lane indexing is not lowerable on TPU, so the subject
-        # buffer is carried in the loop state and rolled left two lanes
-        # per iteration (two subject rows per step: lanes 0 and 1 are
-        # the current columns at static indices).
+        # buffer is carried in the loop state and rolled left UNROLL
+        # lanes per iteration; the current subject columns sit at
+        # static lane indices 0..UNROLL-1.  sw_score_batch pads S to a
+        # 128 multiple, so S % UNROLL == 0.
         H, E, vmax, sstate = carry
-        H, E, vmax = one_row(H, E, vmax, sstate[:, 0:1], 2 * i)
-        H, E, vmax = one_row(H, E, vmax, sstate[:, 1:2], 2 * i + 1)
-        return (H, E, vmax, pltpu.roll(sstate, S - 2, 1))
+        for r in range(UNROLL):
+            H, E, vmax = one_row(H, E, vmax, sstate[:, r : r + 1],
+                                 UNROLL * i + r)
+        return (H, E, vmax, pltpu.roll(sstate, S - UNROLL, 1))
 
     H0 = jnp.zeros((CB, Q), jnp.int32)
     E0 = jnp.zeros((CB, Q), jnp.int32)
     sstate0 = subj_ref[:, :]
     _, _, vmax, _ = jax.lax.fori_loop(
-        0, S // 2, body, (H0, E0, jnp.zeros((CB,), jnp.int32), sstate0))
+        0, S // UNROLL, body, (H0, E0, jnp.zeros((CB,), jnp.int32), sstate0))
     out_ref[:, :] = jnp.broadcast_to(vmax[:, None], (CB, 128))
 
 
