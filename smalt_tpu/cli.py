@@ -45,6 +45,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     if sub == "version":
         print(f"smalt_tpu {__version__} (behavioural parity with SMALT {SMALT_VERSION})")
         return 0
+    if sub == "help":
+        # smalt help <subprog> (menu.h:42-50)
+        target = argv[1] if len(argv) > 1 else None
+        cmds = {"index": cmd_index, "map": cmd_map,
+                "sample": cmd_sample, "check": cmd_check}
+        if target in cmds:
+            try:
+                return cmds[target](["--help"])
+            except SystemExit as e:
+                return int(e.code or 0)
+        _usage()
+        return 0
     _usage()
     return 1
 

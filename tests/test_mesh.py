@@ -111,6 +111,41 @@ def test_index_sharded_step(device_setup):
     assert (np.abs(start - truth) <= 64).all(), (start, truth)
 
 
+def test_repeat_ambiguity_detected(device_setup):
+    """Reads from a duplicated segment must map with score2 == score —
+    the device pass's ambiguity signal (downstream mapq -> 0)."""
+    refset, di, m, go, ge = device_setup
+    import tempfile, os
+    from smalt_tpu.seq.refset import RefSet
+    from smalt_tpu.index.table import build_index
+    rng = np.random.default_rng(33)
+    bases = np.array(list(b"ACGT"), np.uint8)
+    seg = rng.choice(bases, 5000).tobytes().decode()
+    filler1 = rng.choice(bases, 20000).tobytes().decode()
+    filler2 = rng.choice(bases, 20000).tobytes().decode()
+    g = filler1 + seg + filler2 + seg   # the 5 kb segment appears twice
+    with tempfile.NamedTemporaryFile("w", suffix=".fa", delete=False) as fa:
+        fa.write(">rep\n")
+        for i in range(0, len(g), 60):
+            fa.write(g[i : i + 60] + "\n")
+        path = fa.name
+    rs2 = RefSet.from_fasta(path)
+    os.unlink(path)
+    idx2 = build_index(rs2, 13, 4)
+    di2 = DeviceIndex.build(rs2, idx2, direct=False)
+    B, Q = 8, 100
+    reads = np.zeros((B, Q), np.int32)
+    for i in range(B):
+        st = 20000 + 500 * i            # inside the first copy
+        reads[i] = codec.alpha(rs2.codes[st : st + Q]).astype(np.int32)
+    out = device_map_step(di2, jnp.asarray(reads), m, -go, -ge,
+                          interpret=True)
+    score = np.asarray(out["score"])
+    second = np.asarray(out["score2"])
+    assert (score == Q).all()
+    assert (second == Q).all(), (score, second)   # ambiguity visible
+
+
 def test_dp_only_mesh(device_setup):
     refset, di, m, go, ge = device_setup
     devs = jax.devices()
