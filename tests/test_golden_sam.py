@@ -139,3 +139,32 @@ def test_gff2_output_format(index_prefix, data_dir, tmp_path):
     first = open(out).readline()
     assert first.startswith("gff: ") and "\tSMALT\tsimilarity\t" in first
     assert " Align " in first
+
+
+VARIANTS = {
+    "d5": ["-d", "5"],
+    "dm1": ["-d", "-1"],
+    "w": ["-w"],
+    "x": ["-x"],
+    "m30": ["-m", "30"],
+    "S2m3": ["-S", "match=2,subst=-3"],
+    "q5": ["-q", "5"],
+    "y09": ["-y", "0.9"],
+}
+
+
+@pytest.mark.parametrize("name", sorted(VARIANTS))
+def test_option_variants_bit_identical(index_prefix, data_dir, tmp_path,
+                                       name):
+    """Flag-variant parity: goldens minted from the reference binary
+    with `map -f sam -r 1 <flags>` on the same index/reads."""
+    out = str(tmp_path / f"{name}.sam")
+    args = (["map", "-f", "sam", "-r", "1"] + VARIANTS[name] +
+            ["-o", out, index_prefix,
+             os.path.join(data_dir, "reads_se.fq.gz")])
+    assert main(args) == 0
+    got = _read_lines(out)
+    want = _read_lines(os.path.join(data_dir,
+                                    f"golden_se_r1_{name}.sam.gz"))
+    assert len(got) == len(want) == 2000
+    assert got == want
