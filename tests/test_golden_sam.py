@@ -168,3 +168,29 @@ def test_option_variants_bit_identical(index_prefix, data_dir, tmp_path,
                                     f"golden_se_r1_{name}.sam.gz"))
     assert len(got) == len(want) == 2000
     assert got == want
+
+
+PE_VARIANTS = {
+    "mp": ["-l", "mp"],
+    "pp": ["-l", "pp"],
+    "i300j100": ["-i", "300", "-j", "100"],
+    "x": ["-x"],
+}
+
+
+@pytest.mark.parametrize("name", sorted(PE_VARIANTS))
+def test_pe_option_variants_bit_identical(index_prefix, data_dir, tmp_path,
+                                          name):
+    """Paired-end flag parity: library types (mate-pair, same-strand),
+    insert bounds, exhaustive mode."""
+    out = str(tmp_path / f"pe_{name}.sam")
+    args = (["map", "-f", "sam", "-r", "1"] + PE_VARIANTS[name] +
+            ["-o", out, index_prefix,
+             os.path.join(data_dir, "reads_pe_1.fq"),
+             os.path.join(data_dir, "reads_pe_2.fq")])
+    assert main(args) == 0
+    got = _read_lines(out)
+    want = _read_lines(os.path.join(data_dir,
+                                    f"golden_pe_r1_{name}.sam.gz"))
+    assert len(got) == len(want) == 240
+    assert got == want
