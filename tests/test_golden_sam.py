@@ -194,3 +194,45 @@ def test_pe_option_variants_bit_identical(index_prefix, data_dir, tmp_path,
                                     f"golden_pe_r1_{name}.sam.gz"))
     assert len(got) == len(want) == 240
     assert got == want
+
+
+FORMAT_VARIANTS = {
+    "cigar": ["-f", "cigar"],
+    "ssaha": ["-f", "ssaha"],
+    "samclip": ["-f", "sam:clip"],
+    "samx": ["-f", "sam:x"],
+    "c05x": ["-f", "sam", "-x", "-c", "0.5"],
+}
+
+
+@pytest.mark.parametrize("name", sorted(FORMAT_VARIANTS))
+def test_format_variants_bit_identical(index_prefix, data_dir, tmp_path,
+                                       name):
+    """Output-format/modifier parity: CIGAR lines, SSAHA lines, hard
+    clips, X-mismatch cigars, exhaustive search with a cover floor."""
+    out = str(tmp_path / f"{name}.out")
+    args = (["map", "-r", "1"] + FORMAT_VARIANTS[name] +
+            ["-o", out, index_prefix,
+             os.path.join(data_dir, "reads_se.fq.gz")])
+    assert main(args) == 0
+    got = _read_lines(out)
+    want = _read_lines(os.path.join(data_dir,
+                                    f"golden_se_r1_{name}.out.gz"))
+    assert len(got) == len(want) == 2000
+    assert got == want
+
+
+def test_pe_insert_histogram_weighting(index_prefix, data_dir, tmp_path):
+    """map -g <histogram>: pair likelihoods weighted by the sampled
+    insert distribution (insert.c read-back)."""
+    out = str(tmp_path / "pe_g.sam")
+    args = ["map", "-f", "sam", "-r", "1",
+            "-g", os.path.join(data_dir, "golden_sample.txt"),
+            "-o", out, index_prefix,
+            os.path.join(data_dir, "reads_pe_1.fq"),
+            os.path.join(data_dir, "reads_pe_2.fq")]
+    assert main(args) == 0
+    got = _read_lines(out)
+    want = _read_lines(os.path.join(data_dir, "golden_pe_r1_g.sam.gz"))
+    assert len(got) == len(want) == 240
+    assert got == want
