@@ -11,9 +11,12 @@ state.  The genome and reads are generated deterministically (seeded)
 at bench time; reads carry 1% substitution errors.
 
 Baseline: reference SMALT 0.7.6 single-threaded on one CPU core over
-the identical genome/index/reads: 11454 reads/s (measured 2026-08-16:
-10000 reads in 0.873 s, same k/step).  Set $SMALT_REF to a reference
-binary to re-measure instead of using the constant.
+the identical genome/index/reads: 15812 reads/s (best of repeated
+2026-08-16 measurements on this host, same k/step — the conservative
+choice for the ratio).  Set $SMALT_REF to a reference binary, or have
+a build at /tmp/refbuild/src/smalt, to re-measure live; the measured
+value is used only if it exceeds the constant (host-load noise must
+not inflate the ratio).
 """
 import json
 import os
@@ -26,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-BASELINE_READS_PER_S = 11454.0
+BASELINE_READS_PER_S = 15812.0
 GENOME_LEN = 4_600_000
 READLEN = 100
 KMER, NSKIP = 13, 2
@@ -54,8 +57,8 @@ def _gen_reads(rng, genome, n):
 
 
 def measure_reference(fa_path, reads):
-    ref = os.environ.get("SMALT_REF")
-    if not ref or not os.path.exists(ref):
+    ref = os.environ.get("SMALT_REF") or "/tmp/refbuild/src/smalt"
+    if not os.path.exists(ref):
         return BASELINE_READS_PER_S
     with tempfile.TemporaryDirectory() as d:
         fq = os.path.join(d, "reads.fq")
@@ -65,11 +68,14 @@ def measure_reference(fa_path, reads):
         subprocess.run([ref, "index", "-k", str(KMER), "-s", str(NSKIP),
                         os.path.join(d, "idx"), fa_path],
                        check=True, capture_output=True)
-        t0 = time.time()
-        subprocess.run([ref, "map", "-f", "sam", "-o", os.devnull,
-                        os.path.join(d, "idx"), fq],
-                       check=True, capture_output=True)
-        return len(reads) / (time.time() - t0)
+        best = 0.0
+        for _ in range(3):
+            t0 = time.time()
+            subprocess.run([ref, "map", "-f", "sam", "-o", os.devnull,
+                            os.path.join(d, "idx"), fq],
+                           check=True, capture_output=True)
+            best = max(best, len(reads) / (time.time() - t0))
+        return max(best, BASELINE_READS_PER_S)
 
 
 def main():
