@@ -236,3 +236,37 @@ def test_pe_insert_histogram_weighting(index_prefix, data_dir, tmp_path):
     want = _read_lines(os.path.join(data_dir, "golden_pe_r1_g.sam.gz"))
     assert len(got) == len(want) == 240
     assert got == want
+
+
+def test_ecoli_scale_bit_identical(data_dir, tmp_path):
+    """E. coli-scale parity (BASELINE config 2): 10,000 reads over a
+    4.6 Mb genome at k13 s2 through the full native stack.  Inputs are
+    regenerated deterministically from the bench generators (numpy
+    Generator bit streams are stable); only the reference's SAM is a
+    fixture."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import numpy as np
+    import bench as B
+
+    rng = np.random.default_rng(123)
+    genome = B._gen_genome(rng)
+    fa = str(tmp_path / "g.fa")
+    with open(fa, "w") as f:
+        f.write(">ecoli_sim\n")
+        for i in range(0, len(genome), 60):
+            f.write(genome[i : i + 60] + "\n")
+    reads = B._gen_reads(rng, genome, 10000)
+    fq = str(tmp_path / "r.fq")
+    with open(fq, "w") as f:
+        for i, s in enumerate(reads):
+            f.write(f"@r{i}\n{s}\n+\n{'5' * len(s)}\n")
+    pref = str(tmp_path / "idx")
+    assert main(["index", "-k", "13", "-s", "2", pref, fa]) == 0
+    out = str(tmp_path / "out.sam")
+    assert main(["map", "-f", "sam", "-r", "1", "-o", out, pref, fq]) == 0
+    got = _read_lines(out)
+    want = _read_lines(os.path.join(data_dir, "golden_ecoli_r1.sam.gz"))
+    assert len(got) == len(want) == 10000
+    assert got == want
