@@ -270,3 +270,49 @@ def test_ecoli_scale_bit_identical(data_dir, tmp_path):
     want = _read_lines(os.path.join(data_dir, "golden_ecoli_r1.sam.gz"))
     assert len(got) == len(want) == 10000
     assert got == want
+
+
+def test_ecoli_scale_paired_bit_identical(data_dir, tmp_path):
+    """Paired-end E. coli-scale parity (BASELINE config 3): 3,000
+    2x150 bp pairs (insert ~N(400,40), 1% errors) — exercises mate
+    rescue and restricted re-mapping at scale.  Inputs regenerate
+    deterministically; the reference SAM is the fixture."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import numpy as np
+    import bench as B
+
+    rng = np.random.default_rng(777)
+    genome = B._gen_genome(rng)
+    fa = str(tmp_path / "g.fa")
+    with open(fa, "w") as f:
+        f.write(">ecoli_sim\n")
+        for i in range(0, len(genome), 60):
+            f.write(genome[i : i + 60] + "\n")
+    comp = str.maketrans("ACGT", "TGCA")
+    N, RL = 3000, 150
+    fq1, fq2 = str(tmp_path / "r1.fq"), str(tmp_path / "r2.fq")
+    with open(fq1, "w") as f1, open(fq2, "w") as f2:
+        for i in range(N):
+            ins = int(rng.normal(400, 40))
+            ins = max(2 * RL + 10, min(600, ins))
+            st = int(rng.integers(0, len(genome) - ins))
+            frag = genome[st : st + ins]
+            a = list(frag[:RL])
+            b = list(frag[-RL:])
+            for arr in (a, b):
+                for j in np.flatnonzero(rng.random(RL) < 0.01):
+                    arr[j] = "ACGT"[int(rng.integers(0, 4))]
+            f1.write(f"@p{i}\n{''.join(a)}\n+\n{'5' * RL}\n")
+            f2.write(f"@p{i}\n{''.join(b).translate(comp)[::-1]}\n+\n"
+                     f"{'5' * RL}\n")
+    pref = str(tmp_path / "idx")
+    assert main(["index", "-k", "13", "-s", "2", pref, fa]) == 0
+    out = str(tmp_path / "out.sam")
+    assert main(["map", "-f", "sam", "-r", "1", "-o", out, pref,
+                 fq1, fq2]) == 0
+    got = _read_lines(out)
+    want = _read_lines(os.path.join(data_dir, "golden_ecoli_pe_r1.sam.gz"))
+    assert len(got) == len(want) == 6000
+    assert got == want
