@@ -1,0 +1,92 @@
+"""Memory-safety net for the native core: build the shared object with
+AddressSanitizer and push SE, PE and long-indel reads through the full
+engine in a subprocess (LD_PRELOAD'd ASan runtime).  Skips when the
+toolchain lacks ASan.  The reference relies on checked-malloc macros
+(elib.h) for the same class of bugs; this is the sanitizer-backed
+equivalent (SURVEY §5 race/sanitizer row).
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DRIVER = r"""
+import os, sys
+sys.path.insert(0, %(root)r)
+import smalt_tpu.native as native
+import ctypes
+lib = ctypes.CDLL(%(so)r)
+native._declare(lib)
+native._lib = lib
+native._loaded = True
+native.nrsort = native._NrSortModule(lib)
+import smalt_tpu.sort_nr as sn
+sn._nrsort_ext = native.nrsort
+
+import gzip
+import numpy as np
+from smalt_tpu.seq.refset import RefSet
+from smalt_tpu.seq.io import Read
+from smalt_tpu.index.table import build_index
+from smalt_tpu.map.engine import MapEngine, MapParams
+from smalt_tpu.seq import codec
+
+refset = RefSet.from_fasta(os.path.join(%(root)r, 'tests/data/genome.fa'))
+idx = build_index(refset, 13, 4)
+eng = MapEngine(refset, idx, MapParams())
+with gzip.open(os.path.join(%(root)r, 'tests/data/reads_se.fq.gz'),
+               'rt') as f:
+    lines = f.read().splitlines()
+reads = []
+for i in range(0, 2000, 4):
+    reads.append(Read(name=lines[i][1:],
+                      seq=codec.encode(lines[i + 1].encode()),
+                      qual=lines[i + 3].encode()))
+for r in reads:
+    eng.rmap_single(r)
+for a, b in list(zip(reads[::2], reads[1::2]))[:60]:
+    eng.rmap_pair(a, b)
+rng = np.random.default_rng(42)
+g = refset.codes
+for i in range(8):
+    st = int(rng.integers(0, refset.total_len - 3000))
+    seg = codec.decode(g[st : st + 2000]).decode()
+    out = []
+    for ch in seg:
+        r = rng.random()
+        if r < 0.01:
+            continue
+        if r < 0.02:
+            out.append('ACGT'[int(rng.integers(0, 4))])
+        if rng.random() < 0.05:
+            ch = 'ACGT'[int(rng.integers(0, 4))]
+        out.append(ch)
+    s = ''.join(out)
+    eng.rmap_single(Read(name=f'L{i}', seq=codec.encode(s.encode()),
+                         qual=b'I' * len(s)))
+print('ASAN RUN CLEAN')
+"""
+
+
+def test_native_core_asan(tmp_path):
+    asan = subprocess.run(["cc", "-print-file-name=libasan.so"],
+                          capture_output=True, text=True).stdout.strip()
+    if not asan or not os.path.exists(asan):
+        pytest.skip("no libasan")
+    so = str(tmp_path / "_smalt_asan.so")
+    srcs = [os.path.join(ROOT, "smalt_tpu/native/swdp.c"),
+            os.path.join(ROOT, "smalt_tpu/native/mapcore.c")]
+    r = subprocess.run(["cc", "-O1", "-g", "-fsanitize=address", "-shared",
+                        "-fPIC", "-o", so] + srcs, capture_output=True)
+    if r.returncode != 0:
+        pytest.skip("ASan build failed")
+    script = DRIVER % {"root": ROOT, "so": so}
+    env = dict(os.environ, LD_PRELOAD=asan,
+               ASAN_OPTIONS="detect_leaks=0")
+    p = subprocess.run([sys.executable, "-c", script], env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert p.returncode == 0, p.stderr[-3000:]
+    assert "ASAN RUN CLEAN" in p.stdout
