@@ -58,3 +58,25 @@ def test_multiworker_runs_repeatable(index_prefix, data_dir, tmp_path):
         outs.append(body)
     # parallel mode is fully reproducible (per-block RNG streams)
     assert outs[0] == outs[1]
+
+
+def test_multiworker_determinism_paired(index_prefix, data_dir, tmp_path):
+    """Paired analogue of the reference's mthread_test.py: 1-worker vs
+    3-worker paired mapping must agree on all confident placements."""
+    r1 = os.path.join(data_dir, "reads_pe_1.fq")
+    r2 = os.path.join(data_dir, "reads_pe_2.fq")
+    out1 = str(tmp_path / "p1.sam")
+    out3 = str(tmp_path / "p3.sam")
+    assert main(["map", "-f", "sam", "-r", "1", "-n", "1",
+                 "-o", out1, index_prefix, r1, r2]) == 0
+    assert main(["map", "-f", "sam", "-r", "1", "-n", "3",
+                 "-o", out3, index_prefix, r1, r2]) == 0
+    b1 = [l for l in open(out1).read().splitlines() if not l.startswith("@")]
+    b3 = [l for l in open(out3).read().splitlines() if not l.startswith("@")]
+    assert len(b1) == len(b3) == 240
+    n_same = sum(1 for a, b in zip(b1, b3) if a == b)
+    # only low-mapq random placements may differ between worker counts
+    for a, b in zip(b1, b3):
+        if a != b:
+            assert int(a.split("\t")[4]) <= 6, a
+    assert n_same >= 230
