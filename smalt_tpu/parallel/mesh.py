@@ -237,8 +237,27 @@ def device_map_step(di: DeviceIndex, reads, matrix, gapopen_pos, gapext_pos,
     B, Q = reads.shape
     k = di.wordlen
     fwd, rc, valid = _query_words(reads, k)
-    qoffs = jnp.broadcast_to(jnp.arange(fwd.shape[1], dtype=jnp.int32),
-                             fwd.shape)
+    # query-side seed sampling: table gathers dominate the seeding
+    # cost, so skip query positions when there are plenty — but the
+    # stride MUST be coprime with the index stride (nskip), otherwise
+    # only alignments in matching phase keep any sampled seeds at all.
+    # keep >= ~12 phase-matching positions: P/stride/nskip >= 12
+    import math as _math
+    stride = 0
+    for c in (2, 3):
+        if _math.gcd(c, di.nskip) == 1 and \
+                fwd.shape[1] >= 12 * c * di.nskip:
+            stride = c
+            break
+    if stride:
+        fwd = fwd[:, ::stride]
+        rc = rc[:, ::stride]
+        valid = valid[:, ::stride]
+        qoffs = jnp.broadcast_to(
+            stride * jnp.arange(fwd.shape[1], dtype=jnp.int32), fwd.shape)
+    else:
+        qoffs = jnp.broadcast_to(jnp.arange(fwd.shape[1], dtype=jnp.int32),
+                                 fwd.shape)
 
     tol = max(k * 3 // di.nskip, 1)
     S = window_len(Q)
