@@ -73,10 +73,13 @@ class DeviceIndex:
     """Flat device arrays of a KmerIndex + packed reference codes.
 
     For word lengths with 2k <= DIRECT_BITS, `table` holds a
-    direct-addressed cumulative-offset table (4^k + 1 int32): a lookup
-    is then two HBM gathers instead of a batched binary search — the
+    direct-addressed offset table laid out as int32 [4^k, 2] pairs
+    (table[w] = {starts[w], starts[w+1]}): a lookup is then ONE
+    slice-2 HBM gather instead of a batched binary search — the
     searchsorted path sorts millions of (table ∪ query) keys per step
-    and dominated the non-DP time.  256 MB at k=13."""
+    and dominated the non-DP time, and gather op overhead (not
+    bandwidth) dominates the table path, so one wide gather beats two
+    narrow ones.  512 MB at k=13."""
     wordlen: int
     nskip: int
     words: jnp.ndarray    # [W] int32 packed 2k-bit words (k <= 15)
@@ -84,7 +87,7 @@ class DeviceIndex:
     pos: jnp.ndarray      # [Npos] int32 tuple serial numbers
     ref_alpha: jnp.ndarray  # [L] int32 3-bit reference codes (concatenated)
     ref_len: int
-    table: Optional[jnp.ndarray] = None  # [4^k+1] int32 cumulative offsets
+    table: Optional[jnp.ndarray] = None  # [4^k] int64 packed offset pairs
 
     DIRECT_BITS = 28
 
@@ -101,7 +104,9 @@ class DeviceIndex:
             counts = np.zeros(nw + 1, np.int64)
             w = idx.words.astype(np.int64)
             counts[w + 1] = np.diff(idx.starts)
-            table = jnp.asarray(np.cumsum(counts).astype(np.int32))
+            t32 = np.cumsum(counts).astype(np.int32)
+            pairs = np.stack([t32[:-1], t32[1:]], axis=1)  # [4^k, 2]
+            table = jnp.asarray(np.ascontiguousarray(pairs))
         return cls(
             wordlen=idx.wordlen,
             nskip=idx.nskip,
@@ -156,8 +161,9 @@ def _lookup(di: DeviceIndex, qwords, valid):
     through one sort instead of the default scan path, which lowers to
     a slow while_loop on TPU)."""
     if di.table is not None:
-        s0 = di.table[qwords]
-        s1 = di.table[qwords + 1]
+        pair = di.table[qwords]                  # [..., 2]: one gather
+        s0 = pair[..., 0]
+        s1 = pair[..., 1]
         counts = jnp.where(valid, s1 - s0, 0)
         hit = counts > 0
         return counts, s0, hit
