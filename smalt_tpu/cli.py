@@ -92,7 +92,7 @@ def _map_argparser(prog):
     ap.add_argument("-d", type=int, default=None, dest="scorediff")
     ap.add_argument("-f", default="sam", dest="oformat")
     ap.add_argument("-F", default=None, dest="informat",
-                    choices=["fastq", "sam"])
+                    choices=["fastq", "sam", "bam"])
     ap.add_argument("-g", default=None, dest="insfil")
     ap.add_argument("-H", action="store_true", dest="printhash",
                     help="print index statistics to stderr (menu.c -H)")
@@ -221,15 +221,37 @@ def cmd_map(argv: List[str]) -> int:
     if a.printhash:
         idx.print_stats(sys.stderr)
     t_setup = time.time()
-    out = _open_out(a)
-    writer = _writer(a, refset, argv, out)  # emits the SAM header
+    bam_writer = None
+    if a.oformat.split(":")[0] == "bam":
+        from .report.bam import BamWriter
+        mods = a.oformat.split(":")[1].split(",") if ":" in a.oformat else []
+        fp = (open(a.oufilnam, "wb") if a.oufilnam else sys.stdout.buffer)
+        bam_writer = BamWriter(fp, refset, soft_clip="clip" not in mods,
+                               x_mismatch="x" in mods,
+                               prog_args=["smalt_tpu", "map"] + argv,
+                               version=SMALT_VERSION)
+
+        class _BamSink:
+            def write(self, b):
+                bam_writer.write_raw(b)
+
+        out = _BamSink()
+    else:
+        out = _open_out(a)
+        writer = _writer(a, refset, argv, out)  # emits the SAM header
     ihist = InsHist.read(a.insfil) if a.insfil else None
     if ihist is not None:
         engine.params.insert_min = min(engine.params.insert_min, ihist.insizlo)
         engine.params.insert_max = max(engine.params.insert_max, ihist.insizhi)
     fix_primary = (a.scorediff is not None and
                    a.oformat.startswith(("sam", "bam")))
-    if a.informat == "sam" or a.reads.endswith((".sam", ".sam.gz")):
+    if a.informat == "bam" or a.reads.endswith(".bam"):
+        from .seq.io import BamReader
+        br = BamReader(a.reads)
+        any_paired = any(f & 0x1 for f, _ in br._records())
+        reads_iter = (pair for pair in br.pairs()) if any_paired \
+            else iter(br)
+    elif a.informat == "sam" or a.reads.endswith((".sam", ".sam.gz")):
         from .seq.io import SamReader
         sr = SamReader(a.reads)
         # paired SAM input iterates mate pairs from the single file
@@ -247,7 +269,9 @@ def cmd_map(argv: List[str]) -> int:
                  nthreads=a.nthreads,
                  seed=(a.randseed if a.randseed is not None else 0),
                  ihist=ihist, fix_primary=fix_primary, ali_out=a.aliout)
-    if out is not sys.stdout:
+    if bam_writer is not None:
+        bam_writer.close()
+    elif out is not sys.stdout:
         out.close()
     if os.environ.get("SMALT_TIMING"):
         # menuPrintWallClockTime analog (smalt.c:30,1342-1424)

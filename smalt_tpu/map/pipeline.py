@@ -49,9 +49,14 @@ def _render_block(args):
         # parallel mode: deterministic per-block RNG streams (serial mode
         # keeps the single global drand48 stream for reference parity)
         rand.ranseed((_g["seed"] or 1) + blockno * 7919)
-    buf = io.StringIO()
-    writer = ReportWriter(buf, refset, fmt=fmt, soft_clip=soft,
-                          x_mismatch=xmm, header=False, ali_out=ali_out)
+    if fmt == "bam":
+        from ..report.bam import BamRecordEncoder
+        buf = None
+        writer = BamRecordEncoder(refset, soft_clip=soft, x_mismatch=xmm)
+    else:
+        buf = io.StringIO()
+        writer = ReportWriter(buf, refset, fmt=fmt, soft_clip=soft,
+                              x_mismatch=xmm, header=False, ali_out=ali_out)
     fix_primary = _g.get("fix_primary", False)
     for item in block:
         rep = Report()
@@ -69,7 +74,7 @@ def _render_block(args):
             if fix_primary:
                 rep.fix_multiple_primary()
             writer.write(rep, item, None)
-    return buf.getvalue()
+    return writer.take() if buf is None else buf.getvalue()
 
 
 def _blocks(it: Iterable, n: int) -> Iterator[Tuple[int, list]]:

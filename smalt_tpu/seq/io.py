@@ -187,3 +187,27 @@ class SamReader:
                 yield oread, r
         for flag, r in pending.values():
             yield (r, None)
+
+
+class BamReader(SamReader):
+    """BAM input via the native BGZF/BAM codec (report/bam.py) — the
+    reference needs bambamc for this (infmt.c:42-127); here it is
+    built in.  Loads the file into memory (read staging, like the
+    reference's temp-dir approach)."""
+
+    def __init__(self, path: str):  # noqa: super not useful here
+        self._path = path
+
+    def _records(self):
+        from . import codec as _codec
+        from ..report.bam import read_bam
+        _, _, recs = read_bam(self._path)
+        for r in recs:
+            if r.flag & self.FLAG_SECONDARY:
+                continue
+            codes = _codec.encode(r.seq.encode())
+            qual = r.qual.encode() if r.qual else None
+            if r.flag & self.FLAG_REVERSE:
+                codes = _codec.revcomp_codes(codes)
+                qual = qual[::-1] if qual else None
+            yield r.flag, Read(name=r.name, seq=codes, qual=qual)
