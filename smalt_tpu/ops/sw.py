@@ -72,12 +72,14 @@ def _sw_kernel(qcodes_ref, subj_ref, slen_ref, matrix_ref, params_ref,
     jidx = jax.lax.broadcasted_iota(jnp.int32, (CB, Q), 1)
     slens = slen_ref[:, 0]                      # [CB]
 
+    lane = jax.lax.broadcasted_iota(jnp.int32, (CB, Q), 1)
+
     def cummax(x):
-        # log-depth inclusive prefix max along lanes (Hillis-Steele)
+        # log-depth inclusive prefix max along lanes (Hillis-Steele);
+        # lane rotate + mask lowers better than concatenate
         d = 1
         while d < Q:
-            shifted = jnp.concatenate(
-                [jnp.full((CB, d), NEG, jnp.int32), x[:, :-d]], axis=1)
+            shifted = jnp.where(lane < d, NEG, pltpu.roll(x, d, 1))
             x = jnp.maximum(x, shifted)
             d *= 2
         return x
@@ -86,15 +88,13 @@ def _sw_kernel(qcodes_ref, subj_ref, slen_ref, matrix_ref, params_ref,
         Wrow = prof[0]
         for a in range(1, 8):
             Wrow = jnp.where(col == a, prof[a], Wrow)
-        Hdiag = jnp.concatenate(
-            [jnp.zeros((CB, 1), jnp.int32), H[:, :-1]], axis=1)
+        Hdiag = jnp.where(lane < 1, 0, pltpu.roll(H, 1, 1))
         T = Hdiag + Wrow
         rowmax = jnp.max(T, axis=1)
         H0 = jnp.maximum(jnp.maximum(T, E), 0)
         c = H0 + jidx * ge
         cm = cummax(c)
-        cm_shift = jnp.concatenate(
-            [jnp.full((CB, 1), NEG, jnp.int32), cm[:, :-1]], axis=1)
+        cm_shift = jnp.where(lane < 1, NEG, pltpu.roll(cm, 1, 1))
         F = cm_shift - go - (jidx - 1) * ge
         Hn = jnp.maximum(H0, F)
         En = jnp.maximum(E - ge, Hn - go)
