@@ -127,33 +127,63 @@ class FastTail:
         self.lam = ali_mod.matrix_lambda(m)
         self.avgs = ali_mod.avg_penalties(m)
         self.ref_codes = refset.codes
+        import numpy as _np
+        self._mat32 = _np.ascontiguousarray(m, dtype=_np.int32)
+        self._scr = None
 
-    def _prof(self, qcodes):
-        qa = codec.alpha(qcodes)
-        W = np.ascontiguousarray(self.matrix[:, qa], dtype=np.int32)
-        return ali_mod.ScoreProfile(
-            qcodes=qcodes, W=W, gap_init_pos=-self.gapopen,
-            gap_ext_pos=-self.gapext, match_avg=self.avgs[0],
-            mismatch_avg=self.avgs[1], gap_init=self.gapopen,
-            gap_ext=self.gapext, lam=self.lam)
-
-    def _traceback(self, prof, win_codes, l_edge, r_edge):
-        """Best local alignment of the window band: the native
-        recursive driver in one crossing; its first result (pre-order)
-        is the whole-interval optimum."""
+    def _traceback(self, qcodes, is_rev, win_codes, l_edge, r_edge):
+        """Best local alignment of the window band: revcomp + profile
+        build + recursive driver fused into one native crossing; the
+        pre-order first result is the whole-interval optimum."""
+        from ..native import get_lib, GrowBuf
+        import numpy as np
+        lib = get_lib()
+        qlen = len(qcodes)
         slen = len(win_codes)
-        if slen < 1:
+        if slen < 1 or qlen < ali_mod.ALILEN_MIN:
             return None
-        try:
-            res = ali_mod.align_band_recursive(
-                prof, win_codes, l_edge, r_edge, 0, prof.qlen - 1,
-                0, slen - 1, max(self.minscor, 1), ali_mod.ALILEN_MIN)
-        except (ValueError, BandError):
+        scr = self._scr
+        if scr is None:
+            scr = self._scr = {
+                "W": GrowBuf(np.int32), "H": GrowBuf(np.int32),
+                "E": GrowBuf(np.int32), "dirm": GrowBuf(np.uint8, 4096),
+                "back": GrowBuf(np.uint8), "pool": GrowBuf(np.uint8),
+                "res": GrowBuf(np.int64),
+            }
+        scr["W"].ensure(8 * qlen)
+        scr["H"].ensure(qlen + 1)
+        scr["E"].ensure(qlen + 1)
+        ndir_cap = (qlen + slen + 2) * (slen + 1)
+        scr["dirm"].ensure(ndir_cap)
+        back_cap = 2 * (qlen + slen) + 8
+        scr["back"].ensure(back_cap)
+        diff_cap = 4 * (qlen + slen) + 1024
+        scr["pool"].ensure(diff_cap)
+        res_cap = slen // ali_mod.ALILEN_MIN + 4
+        scr["res"].ensure(res_cap * 7)
+        q = np.ascontiguousarray(qcodes, dtype=np.uint8)
+        w = np.ascontiguousarray(win_codes, dtype=np.uint8)
+        minscore = max(self.minscor, 1)
+        minscorlen = ali_mod.ALILEN_MIN
+        if minscorlen * self.avgs[0] < minscore:
+            minscorlen = minscore // self.avgs[0]
+        n = lib.mc_fast_align(
+            q.ctypes.data, qlen, 1 if is_rev else 0,
+            self._mat32.ctypes.data, w.ctypes.data, slen,
+            l_edge, r_edge, minscore, minscorlen,
+            -self.gapopen, -self.gapext,
+            scr["W"].addr, scr["H"].addr, scr["E"].addr,
+            scr["dirm"].addr, ndir_cap,
+            scr["back"].addr, back_cap,
+            scr["pool"].addr, diff_cap,
+            scr["res"].addr, res_cap)
+        if n <= 0:
             return None
-        if not res:
-            return None
-        r = res[0]
-        return r.score, r.qs, r.qe, r.rs, r.re, r.diff
+        r = scr["res"].arr
+        off, dn = int(r[5]), int(r[6])
+        diff = scr["pool"].arr[off : off + dn].tolist()
+        return (int(r[0]), int(r[1]), int(r[2]), int(r[3]), int(r[4]),
+                diff)
 
     def _finish(self, win_start, tb, is_rev, mapq) -> RepAli:
         sw, ps, pe, ss, se, diff = tb
@@ -179,20 +209,17 @@ class FastTail:
         qlen = len(read.seq)
         if sc1 < self.minscor or qlen < 5:
             return None
-        qcodes = read.seq
-        if is_rev:
-            qcodes = codec.revcomp_codes(qcodes)
-        prof = self._prof(qcodes)
         win = self.ref_codes[ws : ws + win_len]
         # the alignment diagonal sits near the window pad (plus the
         # batch padding shift for RC reads); a narrow band suffices,
         # with a full-band retry whenever the banded score misses the
         # device's full-matrix score
         center = -(pad + (q_padded - qlen)) if is_rev else -pad
-        tb = self._traceback(prof, win, center - 24, center + 48)
+        tb = self._traceback(read.seq, is_rev, win, center - 24,
+                             center + 48)
         if tb is None or tb[0] < sc1:
-            full = self._traceback(prof, win, -(len(win) - 1),
-                                   prof.qlen - 1)
+            full = self._traceback(read.seq, is_rev, win,
+                                   -(len(win) - 1), qlen - 1)
             if full is not None and (tb is None or full[0] > tb[0]):
                 tb = full
         if tb is None:
@@ -221,12 +248,9 @@ class FastTail:
         if hi - lo < qlen:
             return None
         is_rev = not anchor_rev
-        qcodes = read.seq
-        if is_rev:
-            qcodes = codec.revcomp_codes(qcodes)
-        prof = self._prof(qcodes)
         win = self.ref_codes[lo:hi]
-        tb = self._traceback(prof, win, -(len(win) - 1), prof.qlen - 1)
+        tb = self._traceback(read.seq, is_rev, win, -(len(win) - 1),
+                             qlen - 1)
         if tb is None:
             return None
         rp = self._finish(lo, tb, is_rev, 0)

@@ -103,6 +103,12 @@ def _declare(lib):
         vp, vp, vp, vp, vp,                  # F outputs
         vp, vp, vp, vp, vp,                  # R outputs
         vp, vp, vp]                          # qbuf, keybuf, out
+    lib.mc_fast_align.restype = i64
+    lib.mc_fast_align.argtypes = [
+        vp, i64, ci, vp, vp, i64,            # qcodes, qlen, rc, matrix, subj, slen
+        i64, i64, i64, i64, ci, ci,          # band, minscore/len, gaps
+        vp, vp, vp, vp, i64, vp, i64,        # W, H, E, dirm/cap, back/cap
+        vp, i64, vp, i64]                    # diffpool/cap, res/cap
     lib.mc_score_cands.restype = i64
     lib.mc_score_cands.argtypes = [
         vp, vp, i64,                         # rows, sort_idx, n_sort

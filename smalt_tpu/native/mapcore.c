@@ -1160,3 +1160,40 @@ int64_t mc_hitinfo_short2(
     }
     return 0;
 }
+
+/* ---------------- fast-mode tail: one-call align ---------------- */
+
+/* Fast-mode traceback helper: optional reverse complement, profile
+ * build (W[a][j] = matrix[a][alpha(q[j])]) and the recursive banded
+ * alignment in a single crossing.  Returns mc_align_recursive's
+ * result count / error codes. */
+int64_t mc_fast_align(
+    const uint8_t *qcodes, int64_t qlen, int do_revcomp,
+    const int32_t *matrix,
+    const uint8_t *subj, int64_t slen,
+    int64_t l_edge, int64_t r_edge,
+    int64_t minscore, int64_t minscorlen,
+    int gap_init, int gap_ext,
+    int32_t *Wbuf,
+    int32_t *Hbuf, int32_t *Ebuf,
+    uint8_t *dirm, int64_t dirm_cap,
+    uint8_t *back, int64_t back_cap,
+    uint8_t *diffpool, int64_t diff_cap,
+    int64_t *res, int64_t res_cap)
+{
+    int64_t j;
+    int a;
+    for (j = 0; j < qlen; j++) {
+        uint8_t c = do_revcomp ? qcodes[qlen - 1 - j] : qcodes[j];
+        uint8_t al = (uint8_t)((c & 4) ? (c & 7)
+                               : (do_revcomp ? ((~c) & 3) : (c & 3)));
+        for (a = 0; a < 8; a++)
+            Wbuf[(int64_t)a * qlen + j] = matrix[a * 8 + al];
+    }
+    return mc_align_recursive(Wbuf, qlen, subj, slen,
+                              l_edge, r_edge, 0, qlen - 1, 0, slen - 1,
+                              minscore, minscorlen, gap_init, gap_ext,
+                              Hbuf, Ebuf, dirm, dirm_cap,
+                              back, back_cap, diffpool, diff_cap,
+                              res, res_cap);
+}
