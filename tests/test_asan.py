@@ -67,6 +67,17 @@ for i in range(8):
     s = ''.join(out)
     eng.rmap_single(Read(name=f'L{i}', seq=codec.encode(s.encode()),
                          qual=b'I' * len(s)))
+# fast-mode tail (mc_fast_align) on narrow and full bands, both strands
+from smalt_tpu.map.fastmode import FastTail
+ft = FastTail(refset)
+for i in range(60):
+    st = int(rng.integers(0, refset.total_len - 300))
+    win = refset.codes[st : st + 160]
+    q = refset.codes[st + 14 : st + 14 + 100]
+    for rev in (False, True):
+        qc = codec.revcomp_codes(q) if rev else q
+        ft._traceback(qc, rev, win, -40, 40)
+        ft._traceback(qc, rev, win, -(len(win) - 1), len(qc) - 1)
 print('ASAN RUN CLEAN')
 """
 
