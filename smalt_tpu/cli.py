@@ -14,7 +14,7 @@ import sys
 from typing import List, Optional
 
 from . import __version__, rand
-from .seq.io import FastqReader, PairedReader, Read
+from .seq.io import FastqReader, PairedReader
 from .seq.refset import RefSet
 from .index.table import KmerIndex, build_index
 from .map.engine import MapEngine, MapParams, RMAPFLG_CMPLXW, RMAPFLG_SPLIT, \
@@ -23,7 +23,7 @@ from .results import pairs as pairs_mod
 from .results.insert import InsHist, InsSample
 from .results.result import MAPSCOR_THRESH_CONFIDENT
 from .report.report import Report, ReportWriter
-from .results.pairs import add_pair_to_report, add_single_to_report
+from .results.pairs import add_pair_to_report
 
 SMALT_VERSION = "0.7.6"  # behavioural parity target
 

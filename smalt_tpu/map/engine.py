@@ -20,7 +20,7 @@ SIMD eligibility qlen>=32 and band*48>qlen with a full-read segment
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -33,9 +33,8 @@ from ..seed import hitinfo as hi_mod
 from ..seed import hitlist as hl_mod
 from ..segment import collate as seg_mod
 from ..align import core as ali_mod
-from ..results.result import ResultSet, ResultFilter, RSLTFLAG_REVERSE
+from ..results.result import ResultSet, ResultFilter
 from ..results import pairs as pairs_mod
-from ..results.insert import InsHist
 
 # smalt.c:57-89
 SMALT_TARGET_DEPTH = 512

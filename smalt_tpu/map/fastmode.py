@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import io
 import multiprocessing as mp
-import sys
 from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -33,8 +32,7 @@ from ..seq.io import Read, open_maybe_gzip
 from ..seq.refset import RefSet
 from ..index.table import KmerIndex
 from ..align import core as ali_mod
-from ..align.band import BandError
-from ..report.report import Report, ReportWriter, RepAli, REPMATEFLG
+from ..report.report import ReportWriter, RepAli, REPMATEFLG
 
 MAPQ_MAX = 60           # results.c:70 MAPSCOR_MAX
 
