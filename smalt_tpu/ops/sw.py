@@ -98,10 +98,10 @@ def _sw_kernel(qcodes_ref, subj_ref, slen_ref, matrix_ref, params_ref,
         F = cm_shift - go - (jidx - 1) * ge
         Hn = jnp.maximum(H0, F)
         En = jnp.maximum(E - ge, Hn - go)
-        keep = (i < slens)
-        Hn = jnp.where(keep[:, None], Hn, H)
-        En = jnp.where(keep[:, None], En, E)
-        vmax = jnp.where(keep, jnp.maximum(vmax, rowmax), vmax)
+        keep = (i < slens)[:, None]
+        Hn = jnp.where(keep, Hn, H)
+        En = jnp.where(keep, En, E)
+        vmax = jnp.where(keep, jnp.maximum(vmax, T), vmax)
         return Hn, En, vmax
 
     def body(i, carry):
@@ -120,8 +120,10 @@ def _sw_kernel(qcodes_ref, subj_ref, slen_ref, matrix_ref, params_ref,
     E0 = jnp.zeros((CB, Q), jnp.int32)
     sstate0 = subj_ref[:, :]
     _, _, vmax, _ = jax.lax.fori_loop(
-        0, S // UNROLL, body, (H0, E0, jnp.zeros((CB,), jnp.int32), sstate0))
-    out_ref[:, :] = jnp.broadcast_to(vmax[:, None], (CB, 128))
+        0, S // UNROLL, body,
+        (H0, E0, jnp.zeros((CB, Q), jnp.int32), sstate0))
+    best = jnp.maximum(jnp.max(vmax, axis=1), 0)
+    out_ref[:, :] = jnp.broadcast_to(best[:, None], (CB, 128))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
