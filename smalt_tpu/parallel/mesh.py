@@ -49,7 +49,7 @@ from ..seq.refset import RefSet
 from ..ops.sw import sw_score_batch, sw_score_ref
 
 NSEED = 16     # rarest query k-mers expanded per strand
-MAXC = 8       # positions expanded per k-mer word
+MAXC = 6       # positions expanded per k-mer word
 WIN_PAD = 16   # reference window padding around the seed diagonal
 
 
