@@ -161,3 +161,37 @@ def test_fast_pipeline_paired(simulated_pairs):
     assert n_proper >= 0.9 * len(truth), n_proper
     # most corrupted mates should be rescued into the window
     assert n_rescued_ok >= len(truth) // 10 * 0.6
+
+
+def test_fast_concordance_with_exact(simulated, indexed):
+    """Fast-mode placements must agree with the exact engine's primary
+    placements on well-behaved reads (measured 100% at E. coli scale;
+    asserted >=98% here on the small simulated set)."""
+    refset, idx, fq, truth, qlen = simulated
+    buf_fast = io.StringIO()
+    run_fast_pipeline(refset, idx, fq, buf_fast, nthreads=1, batch=64,
+                      interpret=True)
+    from smalt_tpu.map.engine import MapEngine, MapParams
+    from smalt_tpu.map.pipeline import run_pipeline
+    from smalt_tpu.seq.io import FastqReader
+    eng = MapEngine(refset, idx, MapParams())
+    buf_exact = io.StringIO()
+    run_pipeline(eng, FastqReader(fq), buf_exact, refset, nthreads=1,
+                 seed=1)
+
+    def parse(text):
+        out = {}
+        for ln in text.splitlines():
+            if not ln or ln.startswith("@"):
+                continue
+            f = ln.split("\t")
+            if int(f[1]) & 0x100:
+                continue
+            out[f[0]] = (int(f[1]) & 16, f[2], int(f[3]))
+        return out
+
+    fp, ep = parse(buf_fast.getvalue()), parse(buf_exact.getvalue())
+    same = sum(1 for k in ep
+               if k in fp and fp[k][0] == ep[k][0] and fp[k][1] == ep[k][1]
+               and abs(fp[k][2] - ep[k][2]) <= 2)
+    assert same >= 0.98 * len(ep), f"{same}/{len(ep)} concordant"
