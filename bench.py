@@ -114,7 +114,8 @@ def main():
     # round-trip latency divides out — the steady state a streaming input
     # pipeline sustains on a directly-attached chip.  Index arrays pass
     # as jit arguments (pytree), not closure constants: the k13 direct
-    # lookup table is 256 MB and must stay a runtime parameter.
+    # lookup table is 512 MB (4^13 int32 pairs) and must stay a runtime
+    # parameter.
     arrs = {"words": di.words, "starts": di.starts, "pos": di.pos,
             "ref": di.ref_alpha}
     if di.table is not None:

@@ -207,12 +207,26 @@ class FastTail:
         qlen = len(read.seq)
         if sc1 < self.minscor or qlen < 5:
             return None
-        win = self.ref_codes[ws : ws + win_len]
+        refset = self.refset
+        # clamp the window to the contig containing the seed diagonal:
+        # an unclamped window near a contig end lets the alignment run
+        # into the next contig (POS+CIGAR past LN / straddling records)
+        shift = (q_padded - qlen) if is_rev else 0
+        anchor_g = min(max(ws + pad + shift + qlen // 2, 0),
+                       refset.total_len - 1)
+        sidx = int(refset.find_seqidx(np.asarray([anchor_g]))[0])
+        c_lo = int(refset.offsets[sidx])
+        c_hi = int(refset.offsets[sidx + 1])
+        w0 = max(ws, c_lo)
+        w1 = min(ws + win_len, c_hi)
+        if w1 - w0 < 1:
+            return None
+        win = self.ref_codes[w0:w1]
         # the alignment diagonal sits near the window pad (plus the
         # batch padding shift for RC reads); a narrow band suffices,
         # with a full-band retry whenever the banded score misses the
         # device's full-matrix score
-        center = -(pad + (q_padded - qlen)) if is_rev else -pad
+        center = -(pad + shift) + (w0 - ws)
         tb = self._traceback(read.seq, is_rev, win, center - 24,
                              center + 48)
         if tb is None or tb[0] < sc1:
@@ -222,7 +236,7 @@ class FastTail:
                 tb = full
         if tb is None:
             return None
-        return self._finish(ws, tb, is_rev, fast_mapq(sc1, sc2, qlen))
+        return self._finish(w0, tb, is_rev, fast_mapq(sc1, sc2, qlen))
 
     def rescue_mate(self, read: Read, anchor: RepAli,
                     insert_min: int, insert_max: int) -> Optional[RepAli]:
@@ -241,8 +255,11 @@ class FastTail:
         else:
             lo = a_glob
             hi = a_glob + insert_max
-        lo = max(0, lo - qlen)
-        hi = min(refset.total_len, hi + qlen)
+        # rescue stays inside the anchor's contig (no straddling records)
+        c_lo = int(refset.offsets[anchor.s_idx])
+        c_hi = int(refset.offsets[anchor.s_idx + 1])
+        lo = max(c_lo, lo - qlen)
+        hi = min(c_hi, hi + qlen)
         if hi - lo < qlen:
             return None
         is_rev = not anchor_rev

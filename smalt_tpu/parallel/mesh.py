@@ -432,6 +432,42 @@ class ShardedDeviceIndex:
                    ref_len=L)
 
 
+def _combine_over_ip(score, score2, start, strand, start2, strand2):
+    """Combine per-shard winners over the `ip` axis.
+
+    The runner-up must consider BOTH each shard's own second-best AND
+    the best of every other shard: a repeat whose two copies land in
+    different shards has score2==score globally (mapq tie -> 0) even
+    though every shard sees a unique local best.  Per shard, the
+    runner-up candidate is its second if it holds the global best,
+    else its best; a cross-shard tie of bests forces second=best with
+    the secondary placement taken from a different best shard."""
+    NEG = -(1 << 30)
+    best = jax.lax.pmax(score, "ip")
+    is_best = score == best
+
+    def pickmax(x, m):
+        return jax.lax.pmax(jnp.where(m, x, NEG), "ip")
+
+    out_start = pickmax(start, is_best)
+    out_strand = pickmax(strand, is_best)
+    # A best-score shard whose placement differs from the picked primary
+    # is genuine ambiguity; one at the SAME start is a duplicate sighting
+    # (replicated index, or a halo overlap in the range-sharded index).
+    genuine = is_best & (start != out_start)
+    tie = jax.lax.psum(genuine.astype(jnp.int32), "ip") > 0
+    v = jnp.where(is_best, score2, score)
+    l2 = jnp.where(is_best, start2, start)
+    d2 = jnp.where(is_best, strand2, strand)
+    v2max = jax.lax.pmax(v, "ip")
+    is2 = v == v2max
+    second = jnp.where(tie, best, v2max)
+    s2 = jnp.where(tie, pickmax(start, genuine), pickmax(l2, is2))
+    t2 = jnp.where(tie, pickmax(strand, genuine), pickmax(d2, is2))
+    return {"score": best, "score2": second, "start": out_start,
+            "strand": out_strand, "start2": s2, "strand2": t2}
+
+
 def make_index_sharded_step(sdi: ShardedDeviceIndex, mesh: Mesh, matrix,
                             gapopen_pos, gapext_pos, interpret=None):
     """SPMD mapping step with a REAL range-sharded index over `ip`:
@@ -449,22 +485,9 @@ def make_index_sharded_step(sdi: ShardedDeviceIndex, mesh: Mesh, matrix,
             ref_alpha=refa[0], ref_len=llen[0])
         out = device_map_step(di, reads, matrix, gapopen_pos, gapext_pos,
                               interpret=interpret)
-        score = out["score"]
-        gstart = out["start"] + base[0]
-        best = jax.lax.pmax(score, "ip")
-        is_best = score == best
-
-        def pick(x):
-            return jax.lax.pmax(jnp.where(is_best, x, -(1 << 30)), "ip")
-
-        return {
-            "score": best,
-            "score2": jax.lax.pmax(out["score2"], "ip"),
-            "start": pick(gstart),
-            "strand": pick(out["strand"]),
-            "start2": pick(out["start2"] + base[0]),
-            "strand2": pick(out["strand2"]),
-        }
+        return _combine_over_ip(out["score"], out["score2"],
+                                out["start"] + base[0], out["strand"],
+                                out["start2"] + base[0], out["strand2"])
 
     in_specs = (P("dp", None),        # reads
                 P("ip", None), P("ip", None), P("ip", None),
@@ -524,21 +547,9 @@ def make_sharded_step(di: DeviceIndex, mesh: Mesh, matrix,
         out = device_map_step(di, reads, matrix, gapopen_pos, gapext_pos,
                               interpret=interpret)
         if ip > 1:
-            # combine best across index shards: pick the shard with max score
-            score = out["score"]
-            best = jax.lax.pmax(score, "ip")
-            is_best = score == best
-            def pick(x):
-                masked = jnp.where(is_best, x, -(1 << 30))
-                return jax.lax.pmax(masked, "ip")
-            out = {
-                "score": best,
-                "score2": jax.lax.pmax(out["score2"], "ip"),
-                "start": pick(out["start"]),
-                "strand": pick(out["strand"]),
-                "start2": pick(out["start2"]),
-                "strand2": pick(out["strand2"]),
-            }
+            out = _combine_over_ip(out["score"], out["score2"],
+                                   out["start"], out["strand"],
+                                   out["start2"], out["strand2"])
         return out
 
     specs_in = P("dp", None)

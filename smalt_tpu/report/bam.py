@@ -53,7 +53,9 @@ class BgzfWriter:
         co = zlib.compressobj(6, zlib.DEFLATED, -15)
         cdata = co.compress(bytes(chunk)) + co.flush()
         crc = zlib.crc32(bytes(chunk)) & 0xFFFFFFFF
-        bsize = len(cdata) + 25 + 1  # header(12)+extra(6)+footer(8) - 1
+        # BSIZE field = total block size MINUS ONE (SAM spec 4.1); total =
+        # header(12) + extra(6) + cdata + footer(8).
+        bsize = len(cdata) + 25
         header = struct.pack("<BBBBIBBHBBHH",
                              31, 139, 8, 4,      # magic, CM, FLG=FEXTRA
                              0, 0, 255,          # MTIME, XFL, OS

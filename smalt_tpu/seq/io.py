@@ -197,17 +197,24 @@ class BamReader(SamReader):
 
     def __init__(self, path: str):  # noqa: super not useful here
         self._path = path
+        self._cached = None
 
     def _records(self):
-        from . import codec as _codec
-        from ..report.bam import read_bam
-        _, _, recs = read_bam(self._path)
-        for r in recs:
-            if r.flag & self.FLAG_SECONDARY:
-                continue
-            codes = _codec.encode(r.seq.encode())
-            qual = r.qual.encode() if r.qual else None
-            if r.flag & self.FLAG_REVERSE:
-                codes = _codec.revcomp_codes(codes)
-                qual = qual[::-1] if qual else None
-            yield r.flag, Read(name=r.name, seq=codes, qual=qual)
+        # decode once and cache: read_bam materializes the whole file
+        # anyway, and callers iterate twice (paired probe + mapping)
+        if self._cached is None:
+            from . import codec as _codec
+            from ..report.bam import read_bam
+            _, _, recs = read_bam(self._path)
+            out = []
+            for r in recs:
+                if r.flag & self.FLAG_SECONDARY:
+                    continue
+                codes = _codec.encode(r.seq.encode())
+                qual = r.qual.encode() if r.qual else None
+                if r.flag & self.FLAG_REVERSE:
+                    codes = _codec.revcomp_codes(codes)
+                    qual = qual[::-1] if qual else None
+                out.append((r.flag, Read(name=r.name, seq=codes, qual=qual)))
+            self._cached = out
+        return iter(self._cached)

@@ -99,3 +99,45 @@ def test_bgzf_gzip_compatible(index_prefix, data_dir, tmp_path):
                  os.path.join(data_dir, "reads_se.fq.gz")]) == 0
     with gzip.open(bam, "rb") as f:
         assert f.read(4) == b"BAM\x01"
+
+
+def test_bgzf_bsize_block_walk(index_prefix, data_dir, tmp_path):
+    """Walk the BGZF container via the BSIZE extra field alone (the way
+    htslib/IGV seek blocks, SAM spec 4.1): every block must inflate and
+    pass its CRC32/ISIZE footer, and the file must end in the EOF block."""
+    import struct
+    import zlib
+    from smalt_tpu.report.bam import BGZF_EOF
+
+    bam = str(tmp_path / "w.bam")
+    assert main(["map", "-f", "bam", "-r", "1", "-o", bam, index_prefix,
+                 os.path.join(data_dir, "reads_se.fq.gz")]) == 0
+    data = open(bam, "rb").read()
+    off = 0
+    nblocks = 0
+    payload = bytearray()
+    while off < len(data):
+        assert data[off:off + 4] == b"\x1f\x8b\x08\x04"
+        (xlen,) = struct.unpack_from("<H", data, off + 10)
+        # scan extra subfields for BC
+        p, bsize = off + 12, None
+        while p < off + 12 + xlen:
+            si1, si2, slen = data[p], data[p + 1], \
+                struct.unpack_from("<H", data, p + 2)[0]
+            if (si1, si2) == (66, 67):
+                (bsize,) = struct.unpack_from("<H", data, p + 4)
+            p += 4 + slen
+        assert bsize is not None
+        total = bsize + 1
+        cdata = data[off + 12 + xlen : off + total - 8]
+        crc, isize = struct.unpack_from("<II", data, off + total - 8)
+        raw = zlib.decompress(cdata, -15)
+        assert len(raw) == isize
+        assert (zlib.crc32(raw) & 0xFFFFFFFF) == crc
+        payload += raw
+        off += total
+        nblocks += 1
+    assert off == len(data)
+    assert data.endswith(BGZF_EOF)
+    assert nblocks >= 2
+    assert payload[:4] == b"BAM\x01"

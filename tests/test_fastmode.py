@@ -195,3 +195,53 @@ def test_fast_concordance_with_exact(simulated, indexed):
                if k in fp and fp[k][0] == ep[k][0] and fp[k][1] == ep[k][1]
                and abs(fp[k][2] - ep[k][2]) <= 2)
     assert same >= 0.98 * len(ep), f"{same}/{len(ep)} concordant"
+
+
+def test_fast_mode_contig_boundary_clamp(tmp_path_factory):
+    """Alignment windows must be clamped to the contig of the seed: a
+    read near a contig end must never produce POS+CIGAR beyond LN or a
+    record straddling into the next contig (the concatenated reference
+    is contiguous in memory, so an unclamped window reads the
+    neighbour's bases)."""
+    import re
+    rng = np.random.default_rng(17)
+    bases = np.array(list(b"ACGT"), np.uint8)
+    contigs = [rng.choice(bases, n).tobytes().decode()
+               for n in (3000, 2500, 3500)]
+    d = tmp_path_factory.mktemp("clamp")
+    fa = os.path.join(d, "g.fa")
+    with open(fa, "w") as f:
+        for i, c in enumerate(contigs):
+            f.write(f">c{i}\n")
+            for j in range(0, len(c), 60):
+                f.write(c[j : j + 60] + "\n")
+    refset = RefSet.from_fasta(fa)
+    idx = build_index(refset, 11, 2)
+    qlen = 80
+    recs = []
+    comp = str.maketrans("ACGT", "TGCA")
+    for i, c in enumerate(contigs):
+        # reads ending exactly at / near the contig end, both strands
+        for off in (0, 3, 7, 11):
+            s = c[len(c) - qlen - off : len(c) - off]
+            recs.append(f"@e{i}_{off}f\n{s}\n+\n{'I' * qlen}\n")
+            recs.append(f"@e{i}_{off}r\n"
+                        f"{s.translate(comp)[::-1]}\n+\n{'I' * qlen}\n")
+            s2 = c[off : off + qlen]
+            recs.append(f"@b{i}_{off}f\n{s2}\n+\n{'I' * qlen}\n")
+    fq = os.path.join(d, "r.fq")
+    open(fq, "w").write("".join(recs))
+    buf = io.StringIO()
+    run_fast_pipeline(refset, idx, fq, buf, nthreads=1, batch=32,
+                      interpret=True)
+    lens = {f"c{i}": len(c) for i, c in enumerate(contigs)}
+    nmapped = 0
+    for ln in buf.getvalue().splitlines():
+        f = ln.split("\t")
+        if int(f[1]) & 4:
+            continue
+        nmapped += 1
+        span = sum(int(n) for n, op in re.findall(r"(\d+)([MDN=X])", f[5]))
+        assert int(f[3]) >= 1, ln
+        assert int(f[3]) + span - 1 <= lens[f[2]], ln
+    assert nmapped >= 30   # nearly all reads are perfect copies

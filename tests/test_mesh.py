@@ -159,3 +159,52 @@ def test_dp_only_mesh(device_setup):
     with mesh:
         out = step(reads)
     assert (np.asarray(out["score"]) == Q).all()
+
+
+def test_cross_shard_repeat_ambiguity(device_setup):
+    """A repeat whose two copies land in DIFFERENT index shards: every
+    shard sees a unique local best, but the combined runner-up must be
+    the other shard's best (score2 == score => downstream mapq 0)."""
+    refset, di, m, go, ge = device_setup
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import tempfile, os
+    from smalt_tpu.seq.refset import RefSet
+    from smalt_tpu.index.table import build_index
+    rng = np.random.default_rng(44)
+    bases = np.array(list(b"ACGT"), np.uint8)
+    seg = rng.choice(bases, 4000).tobytes().decode()
+    fill1 = rng.choice(bases, 8000).tobytes().decode()
+    fill2 = rng.choice(bases, 16000).tobytes().decode()
+    fill3 = rng.choice(bases, 8000).tobytes().decode()
+    # copy 1 in the lower half, copy 2 in the upper half of the genome
+    g = fill1 + seg + fill2 + seg + fill3
+    with tempfile.NamedTemporaryFile("w", suffix=".fa", delete=False) as fa:
+        fa.write(">xrep\n")
+        for i in range(0, len(g), 60):
+            fa.write(g[i : i + 60] + "\n")
+        path = fa.name
+    rs2 = RefSet.from_fasta(path)
+    os.unlink(path)
+    idx2 = build_index(rs2, 13, 4)
+    sdi = ShardedDeviceIndex.build(rs2, idx2, n_shards=2, halo=640)
+    # the cut is at total_len/2 = 20000: copy 1 at [8000,12000) is in
+    # shard 0, copy 2 at [28000,32000) in shard 1
+    B, Q = 8, 100
+    reads = np.zeros((B, Q), np.int32)
+    for i in range(B):
+        st = 8000 + 400 * i
+        reads[i] = codec.alpha(rs2.codes[st : st + Q]).astype(np.int32)
+    mesh = Mesh(np.array(devs[:8]).reshape(4, 2), ("dp", "ip"))
+    step = make_index_sharded_step(sdi, mesh, m, -go, -ge, interpret=True)
+    with mesh:
+        out = step(jnp.asarray(reads))
+    score = np.asarray(out["score"])
+    second = np.asarray(out["score2"])
+    start = np.asarray(out["start"])
+    start2 = np.asarray(out["start2"])
+    assert (score == Q).all()
+    assert (second == Q).all(), (score, second)
+    # the two placements are in different shards ~20000 apart
+    assert (np.abs(start - start2) > 10000).all(), (start, start2)
