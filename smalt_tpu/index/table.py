@@ -60,9 +60,12 @@ class KmerIndex:
         t = getattr(self, "_host_table", None)
         if t is None and 2 * self.wordlen <= self.HOST_DIRECT_BITS:
             nw = 1 << (2 * self.wordlen)
-            counts = np.zeros(nw + 1, np.int64)
-            counts[self.words.astype(np.int64) + 1] = np.diff(self.starts)
-            t = np.cumsum(counts).astype(np.int32)
+            # int32 end to end: the int64 intermediate + astype cost
+            # ~4.5 s at k=13 (npos < 2^31 always, hashidx.c:110-147)
+            counts = np.zeros(nw + 1, np.int32)
+            counts[self.words.astype(np.int64) + 1] = \
+                np.diff(self.starts).astype(np.int32)
+            t = np.cumsum(counts, dtype=np.int32)
             self._host_table = t
         return t
 

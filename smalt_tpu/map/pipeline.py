@@ -39,6 +39,7 @@ def _init_worker(engine, writer_args, seed):
     _g["engine"] = engine
     _g["writer_args"] = writer_args
     _g["seed"] = seed
+    _g.pop("lane", None)   # rebuilt per run: it pins engine + buffers
 
 
 def _render_block(args):
@@ -49,6 +50,18 @@ def _render_block(args):
         # parallel mode: deterministic per-block RNG streams (serial mode
         # keeps the single global drand48 stream for reference parity)
         rand.ranseed((_g["seed"] or 1) + blockno * 7919)
+    if "lane" not in _g:
+        if os.environ.get("SMALT_TPU_NO_FASTLANE"):
+            _g["lane"] = None
+        else:
+            from .fastlane import FastLane
+            _g["lane"] = FastLane.make(engine, fmt, soft, xmm, ali_out,
+                                       _g.get("fix_primary", False))
+    lane = _g["lane"]
+    if lane is not None and not any(isinstance(it, tuple) for it in block):
+        text = lane.render_block(block)
+        if text is not None:
+            return text
     if fmt == "bam":
         from ..report.bam import BamRecordEncoder
         buf = None

@@ -20,7 +20,8 @@ import sys
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRCS = [os.path.join(_DIR, "swdp.c"), os.path.join(_DIR, "mapcore.c")]
+_SRCS = [os.path.join(_DIR, "swdp.c"), os.path.join(_DIR, "mapcore.c"),
+         os.path.join(_DIR, "fastlane.c")]
 _SO = os.path.join(_DIR, f"_smalt_{sys.platform}.so")
 
 _lib = None
@@ -126,6 +127,23 @@ def _declare(lib):
         vp, i64, vp, i64]                    # diffpool/cap, res/cap
 
 
+def _declare_fastlane(lib):
+    vp = ctypes.c_void_p
+    i64 = ctypes.c_int64
+    ci = ctypes.c_int
+    dbl = ctypes.c_double
+    lib.fl_map_block.restype = i64
+    lib.fl_map_block.argtypes = [
+        vp, vp, i64, vp, vp, ci, ci,        # index
+        vp, vp, i64, vp, vp, vp,            # reference + names
+        vp, ci, ci, i64, i64,               # scoring
+        i64, i64, dbl, i64, i64, ci,        # params 1
+        i64, i64, ci, ci,                   # params 2
+        i64, i64, dbl, ci, ci,              # filter + sam opts
+        i64, vp, vp, vp, vp, vp, vp,        # reads
+        vp, vp, i64]                        # rng + output
+
+
 def _load():
     global _lib, _loaded
     if _loaded:
@@ -142,6 +160,7 @@ def _load():
     try:
         lib = ctypes.CDLL(_SO)
         _declare(lib)
+        _declare_fastlane(lib)
     except (OSError, AttributeError):
         return None
     _lib = lib

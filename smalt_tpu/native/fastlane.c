@@ -1,0 +1,1513 @@
+/* C fast-lane for the exact single-end mapping path.
+ *
+ * One call maps a whole block of encoded reads to final SAM text,
+ * replicating the Python reference path exactly:
+ *
+ *   rmap_single          map/engine.py:539  (rmap.c:1648)
+ *   map_single_read      map/engine.py:447  (rmap.c:1228)
+ *   seg_cands_stats      segment/collate.py:419 (segment.c:1616)
+ *   ResultSet            results/result.py  (results.c)
+ *   add_single_to_report results/pairs.py:521 (results.c:2282)
+ *   SAM line             report/report.py:280 (report.c:762-906)
+ *   drand48 stream       rand.py            (randef.h:19-20)
+ *
+ * The Python path stays as the oracle: the pipeline falls back to it
+ * for any mode this lane does not cover, and for any block where this
+ * lane reports an error (no RNG state is consumed on failure).
+ *
+ * Coverage: single-end reads, RMAPFLG_BEST + SEQBYSEQ, no split mode,
+ * no complexity weighting, SAM output (soft/hard clip, optional -x).
+ */
+#include <math.h>
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+
+/* from mapcore.c / swdp.c (same shared object) */
+int64_t mc_hitinfo_short2(
+    const uint64_t *words, const int64_t *starts, int64_t nwords,
+    const int32_t *table, int wordlen, int nskip,
+    const uint8_t *codes, const uint8_t *qual, int64_t qlen,
+    int64_t maxhit_per_tuple, int64_t maxhit_total, int basq_thresh,
+    uint8_t *qmaskF, int64_t *qoffsF, int64_t *nhitsF, int64_t *slotF,
+    uint32_t *sidxF,
+    uint8_t *qmaskR, int64_t *qoffsR, int64_t *nhitsR, int64_t *slotR,
+    uint32_t *sidxR,
+    uint8_t *qbuf, uint32_t *keybuf, int64_t *out);
+int64_t mc_cover_deficit(
+    const int64_t *qoffs, const uint32_t *sidx, int64_t n_seeds,
+    int has_rank, int64_t seed_rank,
+    const uint8_t *qmask, int64_t qlen, int ktup, int nskip,
+    uint8_t *qbuf);
+int64_t mc_collect_all(
+    const int64_t *starts, const uint32_t *pos,
+    const int64_t *qoffs, const int64_t *nhits, const int64_t *slot,
+    const uint32_t *sidx, int64_t n_seeds_all, int64_t seed_rank,
+    int64_t qlen, int ktup, int nskip, int is_reverse,
+    int mode, int use_short, const int64_t *ivals, int64_t nivals,
+    int64_t maxhit, int64_t budget,
+    int64_t min_ktup, int64_t mincover,
+    uint64_t *sqdat, uint8_t *qm,
+    uint64_t *seed_sqo, int64_t *seed_len,
+    int64_t *seg_ix, int64_t *seg_nseed, int64_t *seg_cover,
+    int64_t *hreg_idx, int64_t *hreg_num, uint8_t *maskbuf,
+    int64_t *rows10, int64_t rows10_cap,
+    int64_t *out11, int64_t cap,
+    int64_t *maxcov_io);
+int64_t mc_score_cands(
+    const int64_t *rows, const uint32_t *sort_idx, int64_t n_sort,
+    int ktup, int nskip,
+    const uint8_t *refcodes, const int64_t *offsets, int64_t nseq,
+    int64_t qlen,
+    const int32_t *Wf, const int32_t *Wr,
+    int gap_init, int gap_ext,
+    int64_t match_avg, int64_t mismatch_avg,
+    int rmapflg_best, int64_t deficit_f, int64_t deficit_r,
+    int32_t *Hbuf, int32_t *Ebuf,
+    int64_t *out, int64_t *out_max);
+int64_t mc_align_recursive(
+    const int32_t *W, int64_t qlen, const uint8_t *subj, int64_t slen,
+    int64_t l_edge, int64_t r_edge,
+    int64_t q_left, int64_t q_right,
+    int64_t s_left0, int64_t s_right0,
+    int64_t minscore, int64_t minscorlen,
+    int gap_init, int gap_ext,
+    int32_t *Hbuf, int32_t *Ebuf,
+    uint8_t *dirm, int64_t dirm_cap,
+    uint8_t *back, int64_t back_cap,
+    uint8_t *diffpool, int64_t diff_cap,
+    int64_t *res, int64_t res_cap);
+int nr_sort2(uint32_t *a, uint32_t *b, int n);
+
+/* ---------------- constants (results.c / rmap.c / segment.c) -------- */
+
+#define FL_ERR_CAP    (-1)   /* scratch capacity exceeded -> fallback */
+#define FL_ERR_ASSERT (-2)   /* semantic assert -> fallback           */
+#define FL_ERR_TEXT   (-3)   /* output text buffer too small          */
+
+#define MAPSCOR_MAX 60
+#define MAPSCOR_DUMMY_COUNT 3
+#define MAPSCOR_MAX_RANDOM 3
+#define MAPSCOR_MIN_UNIQ 4
+#define MAPSCOR_EXPFAC 10
+#define QUALSCOR_SCAL 10
+#define MINLOGARG 1e-7
+#define SAMPLESIZ_MAPQ_RANDOM 9
+#define MIN_QSEGOVERLAP_PERCENT 80
+#define QVAL_OFFS 0x21
+#define ALILEN_MIN 5
+
+#define RSLTFLAG_REVERSE 0x01
+#define RSLTFLAG_SELECT 0x08
+#define RSLTFLAG_NOOUTPUT 0x10
+#define RSLTFLAG_BELOWRELSW 0x20
+#define RSLTFLAG_HASSECOND 0x80
+#define RSLTFLAG_REPORTED 0x100
+
+#define RESULTFLG_BEST 0x01
+#define RESULTFLG_SINGLE 0x02
+#define RESULTFLG_RANDSEL 0x04
+#define RESULTFLG_SPLIT 0x08
+
+#define RMAPFLG_BEST 0x02
+#define RMAPFLG_SENSITIVE 0x20
+
+#define REPFLG_MAPPED 0x01
+#define REPFLG_REVERSE 0x02
+#define REPFLG_PRIMARY 0x10
+#define REPFLG_MULTI 0x40
+
+#define SAMFLAG_NOMAP 0x0004
+#define SAMFLAG_STRAND 0x0010
+#define SAMFLAG_NOTPRIMARY 0x0100
+
+#define CANDFLAG_REVERSE 0x01
+
+#define MAXIMUM_DEPTH 8000        /* segment.c:133 */
+#define DEFAULT_TARGET_DEPTH 200  /* segment.c:135 */
+
+#define DIFFCOD_M 0
+#define DIFFCOD_D 1
+#define DIFFCOD_I 2
+#define DIFFCOD_S 3
+
+#define RES_MAX 4096
+#define DIFFPOOL_CAP (1 << 20)
+
+static const double LOGBASE = (double)(float)2.30259;  /* results.c:104 */
+
+/* ---------------- drand48 replica (rand.py) ---------------- */
+
+static double fl_drand48(uint64_t *x)
+{
+    *x = (0x5DEECE66Dull * *x + 0xBull) & ((1ull << 48) - 1);
+    return (double)*x / 281474976710656.0;   /* 2^48 */
+}
+
+/* ---------------- result records ---------------- */
+
+typedef struct {
+    int64_t q_start, q_end;     /* 1-based */
+    int64_t s_start, s_end;     /* 1-based, within sequence */
+    int64_t sidx;
+    int64_t swatscor;
+    int64_t mapscor;
+    int32_t status;
+    int32_t diff_off, diff_len;
+    int32_t swrank, qsegx, tmpord;
+} FLRes;
+
+typedef struct {
+    FLRes res[RES_MAX];
+    int n_res;
+    int sortr[RES_MAX];     /* output-ordered selected indices */
+    int n_sortr;
+    int segsrtr[RES_MAX];   /* per-segment, SW-ordered indices */
+    int segnor[RES_MAX + 1];
+    int qsegno;
+    uint8_t diffpool[DIFFPOOL_CAP];
+    int diff_used;
+    int64_t swatscor_max, swatscor_2ndmax;
+    int64_t n_ali_done, n_ali_tot, n_ali_max;
+    int64_t n_hits_used, n_hits_tot;
+} FLResultSet;
+
+static void rs_blank(FLResultSet *rs)
+{
+    rs->n_res = 0;
+    rs->n_sortr = 0;
+    rs->qsegno = 0;
+    rs->diff_used = 0;
+    rs->swatscor_max = rs->swatscor_2ndmax = 0;
+    rs->n_ali_done = rs->n_ali_tot = rs->n_ali_max = 0;
+    rs->n_hits_used = rs->n_hits_tot = 0;
+}
+
+/* UPDATE_SWATSCORMAX (result.py:160-167) */
+static void rs_update_swatmax(FLResultSet *rs, int64_t sw)
+{
+    if (sw > rs->swatscor_2ndmax) {
+        if (sw > rs->swatscor_max) {
+            rs->swatscor_2ndmax = rs->swatscor_max;
+            rs->swatscor_max = sw;
+        } else if (sw != rs->swatscor_max) {
+            rs->swatscor_2ndmax = sw;
+        }
+    }
+}
+
+/* resultSetAddFromAli (result.py:169-198); ali rows from
+ * mc_align_recursive: {score, qs, qe, rs, re, diff_off, diff_len} with
+ * diff bytes already in rs->diffpool (written there directly). */
+static int rs_add_from_ali(FLResultSet *rs, const int64_t *ali, int64_t nali,
+                           int64_t soffs, int64_t qlen, int64_t seqidx,
+                           int is_reverse)
+{
+    int64_t a;
+    for (a = 0; a < nali; a++) {
+        const int64_t *r = ali + a * 7;
+        int64_t q_start, q_end, s_start, s_end;
+        FLRes *prev, *nr;
+        if (is_reverse) {
+            q_start = qlen - r[2];
+            q_end = qlen - r[1];
+        } else {
+            q_start = r[1] + 1;
+            q_end = r[2] + 1;
+        }
+        s_start = soffs + r[3] + 1;
+        s_end = soffs + r[4] + 1;
+        prev = rs->n_res ? &rs->res[rs->n_res - 1] : NULL;
+        if (prev && prev->s_start == s_start && prev->s_end == s_end &&
+            prev->q_start == q_start && prev->q_end == q_end &&
+            prev->swatscor == r[0] && prev->sidx == seqidx)
+            continue;
+        if (rs->n_res >= RES_MAX) return FL_ERR_CAP;
+        nr = &rs->res[rs->n_res++];
+        nr->q_start = q_start;
+        nr->q_end = q_end;
+        nr->s_start = s_start;
+        nr->s_end = s_end;
+        nr->sidx = seqidx;
+        nr->swatscor = r[0];
+        nr->mapscor = 0;
+        nr->status = RSLTFLAG_SELECT | (is_reverse ? RSLTFLAG_REVERSE : 0);
+        nr->diff_off = (int32_t)r[5];
+        nr->diff_len = (int32_t)r[6];
+        nr->swrank = 0;
+        nr->qsegx = -1;
+        nr->tmpord = 0;
+        rs_update_swatmax(rs, r[0]);
+    }
+    return 0;
+}
+
+/* ---------------- stable sorts over result indices ---------------- */
+/* Python list.sort is stable; insertion sort reproduces it exactly
+ * (result counts are tiny).  cmp returns <0/0/>0 on the key tuple. */
+
+typedef int (*fl_cmp)(const FLResultSet *, int, int);
+
+static void stable_sort_idx(const FLResultSet *rs, int *idx, int n, fl_cmp cmp)
+{
+    int i, j;
+    for (i = 1; i < n; i++) {
+        int v = idx[i];
+        j = i - 1;
+        while (j >= 0 && cmp(rs, idx[j], v) > 0) {
+            idx[j + 1] = idx[j];
+            j--;
+        }
+        idx[j + 1] = v;
+    }
+}
+
+/* cmpRes (result.py:117-120): (sidx, rev, s_start, -(qe-qs)) */
+static int cmp_res(const FLResultSet *rs, int a, int b)
+{
+    const FLRes *x = &rs->res[a], *y = &rs->res[b];
+    int64_t dx, dy;
+    if (x->sidx != y->sidx) return x->sidx < y->sidx ? -1 : 1;
+    {
+        int rx = x->status & RSLTFLAG_REVERSE, ry = y->status & RSLTFLAG_REVERSE;
+        if (rx != ry) return rx < ry ? -1 : 1;
+    }
+    if (x->s_start != y->s_start) return x->s_start < y->s_start ? -1 : 1;
+    dx = x->q_end - x->q_start;
+    dy = y->q_end - y->q_start;
+    if (dx != dy) return dx > dy ? -1 : 1;
+    return 0;
+}
+
+/* cmpResOutput (result.py:123-126): (-sw, rev, sidx, s_start, -dlen) */
+static int cmp_output(const FLResultSet *rs, int a, int b)
+{
+    const FLRes *x = &rs->res[a], *y = &rs->res[b];
+    int64_t dx, dy;
+    if (x->swatscor != y->swatscor) return x->swatscor > y->swatscor ? -1 : 1;
+    {
+        int rx = x->status & RSLTFLAG_REVERSE, ry = y->status & RSLTFLAG_REVERSE;
+        if (rx != ry) return rx < ry ? -1 : 1;
+    }
+    if (x->sidx != y->sidx) return x->sidx < y->sidx ? -1 : 1;
+    if (x->s_start != y->s_start) return x->s_start < y->s_start ? -1 : 1;
+    dx = x->q_end - x->q_start;
+    dy = y->q_end - y->q_start;
+    if (dx != dy) return dx > dy ? -1 : 1;
+    return 0;
+}
+
+/* cmpResSegLen (result.py:129-132): (-sw, -dlen, rev, sidx, s_start) */
+static int cmp_seglen(const FLResultSet *rs, int a, int b)
+{
+    const FLRes *x = &rs->res[a], *y = &rs->res[b];
+    int64_t dx = x->q_end - x->q_start, dy = y->q_end - y->q_start;
+    if (x->swatscor != y->swatscor) return x->swatscor > y->swatscor ? -1 : 1;
+    if (dx != dy) return dx > dy ? -1 : 1;
+    {
+        int rx = x->status & RSLTFLAG_REVERSE, ry = y->status & RSLTFLAG_REVERSE;
+        if (rx != ry) return rx < ry ? -1 : 1;
+    }
+    if (x->sidx != y->sidx) return x->sidx < y->sidx ? -1 : 1;
+    if (x->s_start != y->s_start) return x->s_start < y->s_start ? -1 : 1;
+    return 0;
+}
+
+/* cmpResSegSW (result.py:135-137): (qsegx, -sw) */
+static int cmp_seg_sw(const FLResultSet *rs, int a, int b)
+{
+    const FLRes *x = &rs->res[a], *y = &rs->res[b];
+    if (x->qsegx != y->qsegx) return x->qsegx < y->qsegx ? -1 : 1;
+    if (x->swatscor != y->swatscor) return x->swatscor > y->swatscor ? -1 : 1;
+    return 0;
+}
+
+/* sortAndPrune (result.py:312-340) */
+static void rs_sort_and_prune(FLResultSet *rs)
+{
+    int i, n_sel = 0;
+    for (i = 0; i < rs->n_res; i++)
+        rs->res[i].swrank = 0;
+    for (i = 0; i < rs->n_res; i++)
+        if (rs->res[i].status & RSLTFLAG_SELECT)
+            rs->sortr[n_sel++] = i;
+    if (n_sel < 2) {
+        rs->n_sortr = n_sel;
+        return;
+    }
+    stable_sort_idx(rs, rs->sortr, n_sel, cmp_res);
+    {
+        int out_n = 1, prev = rs->sortr[0];
+        for (i = 1; i < n_sel; i++) {
+            FLRes *r = &rs->res[rs->sortr[i]];
+            const FLRes *p = &rs->res[prev];
+            if (r->s_end > p->s_end || r->swatscor > p->swatscor ||
+                r->q_start < p->q_start || r->q_end > p->q_end ||
+                r->sidx != p->sidx ||
+                (r->status & RSLTFLAG_REVERSE) != (p->status & RSLTFLAG_REVERSE)) {
+                rs->sortr[out_n++] = rs->sortr[i];
+                prev = rs->sortr[i];
+            } else {
+                r->status &= ~RSLTFLAG_SELECT;
+            }
+        }
+        n_sel = out_n;
+    }
+    stable_sort_idx(rs, rs->sortr, n_sel, cmp_output);
+    rs->n_sortr = n_sel;
+    rs->res[rs->sortr[0]].swrank = 0;
+    for (i = 1; i < n_sel; i++) {
+        FLRes *cur = &rs->res[rs->sortr[i]];
+        const FLRes *prv = &rs->res[rs->sortr[i - 1]];
+        cur->swrank = (cur->swatscor < prv->swatscor)
+                      ? prv->swrank + 1 : prv->swrank;
+    }
+}
+
+/* labelComplementarySegments (result.py:342-376) */
+static void rs_label_segments(FLResultSet *rs)
+{
+    int n = rs->n_sortr, i_start = 0, i;
+    for (i = 0; i < n; i++)
+        rs->res[rs->sortr[i]].qsegx = -1;
+    rs->qsegno = 0;
+    for (;;) {
+        FLRes *r1 = &rs->res[rs->sortr[i_start]];
+        int64_t l1 = r1->q_end - r1->q_start;
+        r1->qsegx = rs->qsegno;
+        i = i_start + 1;
+        i_start = 0;
+        for (; i < n; i++) {
+            FLRes *r2 = &rs->res[rs->sortr[i]];
+            if (r2->qsegx < 0) {
+                int64_t l2 = r2->q_end - r2->q_start;
+                int64_t mn = l1 < l2 ? l1 : l2;
+                int64_t min_ovl =
+                    (int64_t)((double)mn * (MIN_QSEGOVERLAP_PERCENT / 100.0));
+                if (r1->q_start + min_ovl < r2->q_end &&
+                    r2->q_start + min_ovl < r1->q_end)
+                    r2->qsegx = rs->qsegno;
+                else if (i_start == 0)
+                    i_start = i;
+            }
+        }
+        rs->qsegno++;
+        if (i_start == 0) break;
+    }
+    memcpy(rs->segsrtr, rs->sortr, (size_t)n * sizeof(int));
+    stable_sort_idx(rs, rs->segsrtr, n, cmp_seg_sw);
+    rs->segnor[0] = 0;
+    {
+        int nb = 1;
+        for (i = 1; i < n; i++)
+            if (rs->res[rs->segsrtr[i]].qsegx > rs->res[rs->segsrtr[i - 1]].qsegx)
+                rs->segnor[nb++] = i;
+        rs->segnor[nb] = n;
+    }
+}
+
+/* sumQualOverMisMatch (result.py:92-114); returns sum or <0 error */
+static int64_t sum_qual_over_mismatch(const uint8_t *qual,
+                                      int64_t pos_start, int64_t pos_end,
+                                      const uint8_t *diff, int diff_len)
+{
+    int64_t qs = 0;
+    int64_t spos = pos_start > 0 ? pos_start - 1 : 0;
+    int i;
+    for (i = 0; i < diff_len; i++) {
+        uint8_t b = diff[i];
+        int gap, typ;
+        if (!b) break;
+        gap = b & 0x3F;
+        typ = b >> 6;
+        spos += gap;
+        if (typ == DIFFCOD_D) continue;
+        if (typ == DIFFCOD_S) {
+            if (i + 1 >= diff_len || !diff[i + 1]) continue;
+            if (qual[spos] < QVAL_OFFS) return FL_ERR_ASSERT;
+            qs += qual[spos] - QVAL_OFFS;
+        }
+        spos += 1;
+    }
+    if (spos != pos_end) return FL_ERR_ASSERT;
+    return qs;
+}
+
+/* calcPhredScaledMappingQuality (result.py:381-468).
+ * Operates in place on the segsrtr slice [lo, hi). */
+static int rs_calc_mapq(FLResultSet *rs, int qsegx, const uint8_t *qual,
+                        int64_t qlen)
+{
+    int lo = rs->segnor[qsegx], hi = rs->segnor[qsegx + 1];
+    int *rspp = rs->segsrtr + lo;
+    int n = hi - lo, i;
+    int64_t sw1, sw2, n2, qn, mapscor, maxmapscor;
+    double fs, fa;
+    if (n < 1) return 0;
+    sw1 = rs->res[rspp[0]].swatscor;
+    if (sw1 < 1) {
+        rs->res[rspp[0]].mapscor = 0;
+        return 0;
+    }
+    fs = (double)rs->n_hits_used / (double)(rs->n_hits_tot + MAPSCOR_DUMMY_COUNT);
+    fa = (double)rs->n_ali_done / (double)(rs->n_ali_tot + MAPSCOR_DUMMY_COUNT);
+    if (fs > fa) fs = fa;
+    fs = (fs > MINLOGARG) ? (-QUALSCOR_SCAL * log(fs) / LOGBASE)
+                          : (double)MAPSCOR_MAX;
+    maxmapscor = (fs < MAPSCOR_MAX) ? MAPSCOR_MAX - (int64_t)fs : 0;
+
+    if (n > 1) {
+        sw2 = rs->res[rspp[1]].swatscor;
+        i = 2;
+        while (i < n && rs->res[rspp[i]].swatscor == sw2) i++;
+        n2 = i - 1;
+        qn = (int64_t)(QUALSCOR_SCAL * log((double)n2) / LOGBASE);
+    } else {
+        sw2 = 0;
+        n2 = 0;
+        qn = 0;
+    }
+
+    if (sw2 == sw1 && n > 1) {
+        /* multiple best: longest query segment, then lowest quality sum
+         * over mismatches (results.c:1228-1294) */
+        int64_t seglen_1st, seglen;
+        stable_sort_idx(rs, rspp, (int)(n2 + 1), cmp_seglen);
+        {
+            const FLRes *h0 = &rs->res[rspp[0]], *h1 = &rs->res[rspp[1]];
+            seglen_1st = h0->q_end - h0->q_start;
+            seglen = h1->q_end - h1->q_start;
+            if (seglen_1st == seglen && qual != NULL) {
+                int64_t qv1, qv2, qv;
+                int i_min = 1;
+                qv1 = sum_qual_over_mismatch(qual, h0->q_start, h0->q_end,
+                                             rs->diffpool + h0->diff_off,
+                                             h0->diff_len);
+                qv2 = sum_qual_over_mismatch(qual, h1->q_start, h1->q_end,
+                                             rs->diffpool + h1->diff_off,
+                                             h1->diff_len);
+                if (qv1 < 0 || qv2 < 0) return FL_ERR_ASSERT;
+                i = 2;
+                while (i < n && rs->res[rspp[i]].swatscor == sw1) {
+                    const FLRes *ri = &rs->res[rspp[i]];
+                    int64_t sl = ri->q_end - ri->q_start;
+                    if (sl < seglen_1st) break;
+                    qv = sum_qual_over_mismatch(qual, ri->q_start, ri->q_end,
+                                                rs->diffpool + ri->diff_off,
+                                                ri->diff_len);
+                    if (qv < 0) return FL_ERR_ASSERT;
+                    if (qv < qv2) { qv2 = qv; i_min = i; }
+                    i++;
+                }
+                if (qv1 > qv2) {
+                    int t = rspp[i_min];
+                    rspp[i_min] = rspp[0];
+                    rspp[0] = t;
+                    mapscor = MAPSCOR_MIN_UNIQ;
+                } else {
+                    mapscor = (qv1 == qv2) ? 0 : MAPSCOR_MIN_UNIQ;
+                }
+            } else if (seglen_1st == seglen) {
+                mapscor = 0;
+            } else {
+                mapscor = MAPSCOR_MIN_UNIQ;
+            }
+        }
+        if (mapscor < 1)
+            stable_sort_idx(rs, rspp, (int)(n2 + 1), cmp_output);
+    } else {
+        /* exponential scaling (results.c:1310-1315) */
+        mapscor = (int64_t)(MAPSCOR_MAX *
+                  (1.0 - exp((double)((sw2 - sw1) * MAPSCOR_EXPFAC) /
+                             (double)qlen)) - (double)qn);
+        if (mapscor >= 0) mapscor += MAPSCOR_MIN_UNIQ;
+        if (mapscor > maxmapscor) mapscor = maxmapscor;
+    }
+    if (mapscor > MAPSCOR_MAX) mapscor = MAPSCOR_MAX;
+    else if (mapscor < 0) mapscor = 0;
+    rs->res[rspp[0]].mapscor = mapscor;
+    for (i = 1; i < n; i++)
+        rs->res[rspp[i]].mapscor = 0;
+    return 0;
+}
+
+/* diffStrCalcAliLen (diffstr.py:128-143) */
+static void fl_ali_len(const uint8_t *diff, int n, int64_t *alilen,
+                       int64_t *matchnum)
+{
+    int64_t al = 0, mn = 0;
+    int typ = DIFFCOD_M, i;
+    for (i = 0; i < n; i++) {
+        uint8_t b = diff[i];
+        if (!b) break;
+        typ = b >> 6;
+        al += (b & 0x3F) + 1;
+        mn += b & 0x3F;
+        if (typ == DIFFCOD_M) mn++;
+    }
+    if (typ == DIFFCOD_S) al--;
+    *alilen = al;
+    *matchnum = mn;
+}
+
+/* resultSetFilterResults (result.py:596-616) */
+static void rs_filter(FLResultSet *rs, int64_t qlen, int64_t min_swscor,
+                      int64_t below_max, double min_identity)
+{
+    int64_t minid, maxsw, minrel = 0;
+    int i;
+    if (rs->n_sortr < 1) return;
+    minid = (min_identity <= 1.0) ? (int64_t)(min_identity * (double)qlen)
+                                  : (int64_t)min_identity;
+    maxsw = rs->res[rs->sortr[0]].swatscor;
+    if (below_max >= 0 && min_swscor + below_max < maxsw)
+        minrel = maxsw - below_max;
+    for (i = 0; i < rs->n_sortr; i++) {
+        FLRes *r = &rs->res[rs->sortr[i]];
+        int64_t alilen, matchnum;
+        fl_ali_len(rs->diffpool + r->diff_off, r->diff_len,
+                   &alilen, &matchnum);
+        if (r->swatscor < min_swscor || matchnum < minid)
+            r->status |= RSLTFLAG_NOOUTPUT;
+        else if (r->swatscor < minrel)
+            r->status |= RSLTFLAG_BELOWRELSW;
+    }
+}
+
+/* getNumberOfTopSwatRESULTs (result.py:577-592) */
+static void rs_top_count(const FLResultSet *rs, int *is_single, int *ntop)
+{
+    int n = rs->n_sortr, nb = n;
+    *is_single = (n < 2 ||
+                  rs->res[rs->sortr[1]].swatscor != rs->res[rs->sortr[0]].swatscor);
+    if (n > 2) {
+        int64_t thresh = rs->res[rs->sortr[1]].swatscor;
+        int i = 2;
+        while (i < n && rs->res[rs->sortr[i]].swatscor == thresh) i++;
+        nb = i;
+    }
+    *ntop = nb;
+}
+
+/* assignPhredScaledMappingScoreToRandomDraw (result.py:78-89) */
+static int64_t mapscor_random_draw(int samplesiz)
+{
+    int64_t mapq;
+    if (samplesiz < 1 || samplesiz > SAMPLESIZ_MAPQ_RANDOM) return 0;
+    if (samplesiz == 1) return MAPSCOR_MAX_RANDOM + 1;
+    mapq = (int64_t)(-QUALSCOR_SCAL *
+                     log10((double)(samplesiz - 1) / (double)samplesiz) + 0.499);
+    if (mapq > MAPSCOR_MAX_RANDOM) mapq = MAPSCOR_MAX_RANDOM;
+    else if (mapq < 0) mapq = 0;
+    return mapq;
+}
+
+/* ---------------- stats / depth selection ---------------- */
+
+/* segAliCandsStats (collate.py:419-486).  rows11 = candidate rows,
+ * sort keys/idx are u32 scratch.  Returns n_sort; n_mincover via out. */
+static int64_t fl_cands_stats(const int64_t *rows11, int64_t ncand,
+                              int64_t max_cover, int64_t max2nd_cover,
+                              int nskip,
+                              int64_t min_cover_below_max,
+                              int64_t deficit_f, int64_t deficit_r,
+                              int64_t target_depth, int64_t max_depth,
+                              int is_sensitive,
+                              uint32_t *keys, uint32_t *idxs,
+                              int64_t *out_nmincover)
+{
+    int64_t cdf = 0, min_cover, cda0, cda1, i, j;
+    (void)deficit_r;
+    if (max_depth < 1 || max_depth > MAXIMUM_DEPTH) max_depth = MAXIMUM_DEPTH;
+    if (target_depth < 1) target_depth = DEFAULT_TARGET_DEPTH;
+    if (target_depth > max_depth) target_depth = max_depth;
+
+    min_cover = (min_cover_below_max > max_cover)
+                ? 0 : max_cover - min_cover_below_max;
+    if (min_cover > max2nd_cover) {
+        cdf = min_cover - max2nd_cover;
+        min_cover = max2nd_cover;
+    }
+    /* reference quirk: cover_deficit[0] used for BOTH strands
+     * (segment.c:1676; collate.py:441-444) */
+    cda0 = cda1 = (deficit_f > cdf) ? deficit_f - cdf : 0;
+
+    j = 0;
+    for (i = 0; i < ncand; i++) {
+        int64_t cover = rows11[i * 11 + 7];
+        int64_t cda = (rows11[i * 11 + 8] & CANDFLAG_REVERSE) ? cda1 : cda0;
+        if (cover + cda >= min_cover) {
+            keys[j] = (uint32_t)(max_cover - cover);
+            idxs[j] = (uint32_t)i;
+            j++;
+        }
+    }
+    if (j > 1 && nr_sort2(keys, idxs, (int)j) != 0) return FL_ERR_CAP;
+    *out_nmincover = j;
+
+    if (j > target_depth) {
+        int64_t maxj = j < max_depth ? j : max_depth, jj;
+        if (is_sensitive) {
+            jj = target_depth;
+            while (jj < maxj) {
+                /* indexes the UNSORTED candidate order (collate.py:469-474) */
+                int is_rev = (rows11[jj * 11 + 8] & CANDFLAG_REVERSE) ? 1 : 0;
+                if ((int64_t)keys[jj] >= (is_rev ? cda1 : cda0)) break;
+                jj++;
+            }
+            while (jj < *out_nmincover && (int64_t)keys[jj] < nskip) jj++;
+            j = jj;
+        } else {
+            int64_t cov = keys[j / 2];
+            if (cov < nskip) cov = nskip;
+            jj = target_depth;
+            while (jj < maxj && (int64_t)keys[jj] < cov) jj++;
+            j = jj;
+        }
+    }
+    return j;
+}
+
+/* ---------------- SAM emission ---------------- */
+
+/* mangled code -> ASCII letter (codec.py decode table) */
+static char fl_decode1(uint8_t c)
+{
+    int offs = c >> 3;
+    if (offs > 0 && offs < 32) return (char)('A' + offs - 1);
+    return 'N';
+}
+
+/* complement letter of a mangled code (codec.py revcomp_codes) */
+static char fl_decode1_comp(uint8_t c)
+{
+    if (c & 4) return fl_decode1(c);          /* non-standard unchanged */
+    return "TGCA"[c & 3];
+}
+
+/* diffStrGetLevenshteinDistance (diffstr.py:113-125) */
+static int64_t fl_levenshtein(const uint8_t *diff, int n)
+{
+    int64_t ed = 0;
+    int typ = DIFFCOD_M, i;
+    for (i = 0; i < n; i++) {
+        if (!diff[i]) break;
+        typ = diff[i] >> 6;
+        if (typ != DIFFCOD_M) ed++;
+    }
+    if (ed > 0 && typ == DIFFCOD_S) ed--;
+    return ed;
+}
+
+typedef struct {
+    char *p;
+    char *end;
+    int overflow;
+} FLText;
+
+static void tx_putc(FLText *t, char c)
+{
+    if (t->p < t->end) *t->p++ = c;
+    else t->overflow = 1;
+}
+
+static void tx_puts(FLText *t, const char *s)
+{
+    while (*s) tx_putc(t, *s++);
+}
+
+static void tx_putn(FLText *t, const char *s, int64_t n)
+{
+    int64_t i;
+    for (i = 0; i < n; i++) tx_putc(t, s[i]);
+}
+
+static void tx_puti(FLText *t, int64_t v)
+{
+    char buf[24];
+    int n = 0;
+    if (v < 0) { tx_putc(t, '-'); v = -v; }
+    do { buf[n++] = (char)('0' + v % 10); v /= 10; } while (v);
+    while (n) tx_putc(t, buf[--n]);
+}
+
+/* writeDiffStrCIGAR (diffstr.py:59-110), extended=True */
+static int tx_cigar(FLText *t, const uint8_t *diff, int diff_len,
+                    int silent_mismatch, int64_t clip_start, int64_t clip_end,
+                    int soft_clip)
+{
+    static const char symx[4] = {'M', 'D', 'I', 'X'};
+    char clipchar = soft_clip ? 'S' : 'H';
+    int64_t prev_count = 0;
+    int prev_typ = DIFFCOD_M, typ = DIFFCOD_M, i = 0;
+
+    if (diff_len < 1) { tx_putc(t, '*'); return 0; }
+    if (clip_start > 0) { tx_puti(t, clip_start); tx_putc(t, clipchar); }
+
+    while (i < diff_len && diff[i]) {
+        int64_t count = diff[i] & 0x3F;
+        typ = diff[i] >> 6;
+        i++;
+        if (prev_typ == DIFFCOD_M) {
+            prev_count += count;
+            if (typ == DIFFCOD_M || (typ == DIFFCOD_S && silent_mismatch)) {
+                prev_count += 1;
+                continue;
+            }
+        } else if (typ == prev_typ && count < 1) {
+            prev_count += 1;
+            continue;
+        }
+        if (prev_count > 0) {
+            tx_puti(t, prev_count);
+            tx_putc(t, symx[prev_typ]);
+        }
+        if (typ == DIFFCOD_M || (typ == DIFFCOD_S && silent_mismatch)) {
+            prev_count = count + 1;
+            prev_typ = DIFFCOD_M;
+        } else {
+            if (count > 0 && prev_typ != DIFFCOD_M) {
+                tx_puti(t, count);
+                tx_putc(t, symx[DIFFCOD_M]);
+            }
+            prev_count = 1;
+            prev_typ = typ;
+        }
+    }
+    if (typ != DIFFCOD_S) return FL_ERR_ASSERT;
+    if (prev_count > 1) {
+        tx_puti(t, prev_count - 1);
+        tx_putc(t, symx[silent_mismatch ? DIFFCOD_M : DIFFCOD_S]);
+    }
+    if (clip_end > 0) { tx_puti(t, clip_end); tx_putc(t, clipchar); }
+    return 0;
+}
+
+/* fprintREPALIsam (report.py:280-355), single-end subset: no pairing
+ * fields (RNEXT/PNEXT/TLEN = * 0 0).  mateflg = REPFLG_* bits. */
+static int tx_sam_line(FLText *t,
+                       const char *name, int64_t name_len,
+                       const uint8_t *codes, const uint8_t *qual, int64_t qlen,
+                       const FLResultSet *rs, const FLRes *rp, int mateflg,
+                       int64_t mapscor,
+                       const char *const *seq_names,
+                       const int64_t *seq_name_lens,
+                       int soft_clip, int x_mismatch)
+{
+    int samflg = 0;
+    int64_t pos = 0, i;
+    int mapped = (mateflg & REPFLG_MAPPED) != 0;
+
+    tx_putn(t, name, name_len);
+    if (!mapped) samflg |= SAMFLAG_NOMAP;
+    if (mapped && (mateflg & REPFLG_REVERSE)) samflg |= SAMFLAG_STRAND;
+    if (mapped) pos = rp->s_start;
+    tx_putc(t, '\t');
+    tx_puti(t, samflg);
+    tx_putc(t, '\t');
+    if (mapped) tx_putn(t, seq_names[rp->sidx], seq_name_lens[rp->sidx]);
+    else tx_putc(t, '*');
+    tx_putc(t, '\t');
+    tx_puti(t, pos);
+    tx_putc(t, '\t');
+    tx_puti(t, mapscor);
+    tx_putc(t, '\t');
+
+    if (mapped) {
+        int is_rev = (mateflg & REPFLG_REVERSE) != 0;
+        int64_t clip_start, clip_end, q0, q1;
+        int rc2;
+        if (is_rev) {
+            clip_start = qlen - rp->q_end;
+            clip_end = rp->q_start - 1;
+        } else {
+            clip_start = rp->q_start - 1;
+            clip_end = qlen - rp->q_end;
+        }
+        rc2 = tx_cigar(t, rs->diffpool + rp->diff_off, rp->diff_len,
+                       !x_mismatch, clip_start, clip_end, soft_clip);
+        if (rc2 != 0) return rc2;
+        tx_puts(t, "\t*\t0\t0\t");
+        /* SEQ/QUAL: whole read when soft-clipping, the aligned segment
+         * when hard-clipping; reverse-complemented on the - strand */
+        if (soft_clip) { q0 = 0; q1 = qlen; }
+        else { q0 = rp->q_start - 1; q1 = rp->q_end; }
+        if (q1 > q0) {
+            if (is_rev)
+                for (i = q1 - 1; i >= q0; i--)
+                    tx_putc(t, fl_decode1_comp(codes[i]));
+            else
+                for (i = q0; i < q1; i++)
+                    tx_putc(t, fl_decode1(codes[i]));
+        } else {
+            tx_putc(t, '*');
+        }
+        tx_putc(t, '\t');
+        if (qual && q1 > q0) {
+            if (is_rev)
+                for (i = q1 - 1; i >= q0; i--) tx_putc(t, (char)qual[i]);
+            else
+                for (i = q0; i < q1; i++) tx_putc(t, (char)qual[i]);
+        } else {
+            tx_putc(t, '*');
+        }
+        tx_puts(t, "\tNM:i:");
+        tx_puti(t, fl_levenshtein(rs->diffpool + rp->diff_off, rp->diff_len));
+        tx_puts(t, "\tAS:i:");
+        tx_puti(t, rp->swatscor);
+    } else {
+        tx_puts(t, "*\t*\t0\t0\t");
+        if (soft_clip) {
+            for (i = 0; i < qlen; i++) tx_putc(t, fl_decode1(codes[i]));
+            tx_putc(t, '\t');
+            if (qual) for (i = 0; i < qlen; i++) tx_putc(t, (char)qual[i]);
+            else tx_putc(t, '*');
+        } else {
+            tx_puts(t, "*\t*");
+        }
+        tx_puts(t, "\tNM:i:0\tAS:i:0");
+    }
+    tx_putc(t, '\n');
+    return 0;
+}
+
+/* ---------------- the per-block report stage ---------------- */
+
+/* One report record queued for output (Report.add_map collapses to a
+ * dedup against already-queued records for the single-end case,
+ * report.py:98-169 with pp=None). */
+typedef struct {
+    int mateflg;         /* REPFLG_* incl. MAPPED/REVERSE */
+    int res_idx;         /* -1 when unmapped */
+    int64_t mapscor;
+} FLRepRec;
+
+#define REP_MAX 256
+
+static int rep_add(FLRepRec *rep, int *n_rep, const FLResultSet *rs,
+                   int res_idx, int mateflg)
+{
+    int64_t mapscor = 0;
+    if (res_idx >= 0 && !(rs->res[res_idx].status & RSLTFLAG_NOOUTPUT)) {
+        const FLRes *r = &rs->res[res_idx];
+        int i;
+        mateflg |= REPFLG_MAPPED;
+        if (r->status & RSLTFLAG_REVERSE) mateflg |= REPFLG_REVERSE;
+        mapscor = r->mapscor;
+        /* findREPALI dedup (report.py:86-96): same coordinates and
+         * REVERSE/MATE2 bits -> known single mapping, ignored */
+        for (i = *n_rep - 1; i >= 0; i--) {
+            if (rep[i].res_idx >= 0) {
+                const FLRes *p = &rs->res[rep[i].res_idx];
+                if (p->s_start == r->s_start && p->s_end == r->s_end &&
+                    p->sidx == r->sidx && p->q_start == r->q_start &&
+                    p->q_end == r->q_end &&
+                    (rep[i].mateflg & REPFLG_REVERSE) ==
+                        (mateflg & REPFLG_REVERSE))
+                    return 0;
+            }
+        }
+    } else {
+        res_idx = -1;
+        mateflg &= ~(REPFLG_MAPPED | REPFLG_REVERSE);
+    }
+    if (*n_rep >= REP_MAX) return FL_ERR_CAP;
+    rep[*n_rep].mateflg = mateflg;
+    rep[*n_rep].res_idx = res_idx;
+    rep[*n_rep].mapscor = mapscor;
+    (*n_rep)++;
+    return 0;
+}
+
+/* resultSetAddToReport (pairs.py:521-556) */
+static int fl_add_single_to_report(FLResultSet *rs, int rsltouflg,
+                                   uint64_t *rng, FLRepRec *rep, int *n_rep)
+{
+    int mateflg = 0, rc;
+    int top = rs->n_sortr ? rs->sortr[0] : -1;
+    if (top >= 0) {
+        int is_single, ns;
+        rs_top_count(rs, &is_single, &ns);
+        if (rs->res[top].mapscor == 0 && !is_single && ns > 1 &&
+            (rsltouflg & RESULTFLG_BEST) && !(rsltouflg & RESULTFLG_SPLIT)) {
+            mateflg |= REPFLG_MULTI;
+            if (rsltouflg & RESULTFLG_RANDSEL) {
+                int ri = (int)(fl_drand48(rng) * ns);
+                top = rs->sortr[ri];
+                rs->res[top].mapscor = mapscor_random_draw(ns);
+            } else if (rsltouflg & RESULTFLG_SINGLE) {
+                top = -1;
+            }
+        }
+    }
+    rc = rep_add(rep, n_rep, rs, top, mateflg | REPFLG_PRIMARY);
+    if (rc != 0) return rc;
+    if (top >= 0) rs->res[top].status |= RSLTFLAG_REPORTED;
+
+    if ((rsltouflg & RESULTFLG_SINGLE) && !(rsltouflg & RESULTFLG_SPLIT))
+        return 0;
+    {
+        int i;
+        for (i = 1; i < rs->n_sortr; i++) {
+            FLRes *r = &rs->res[rs->sortr[i]];
+            if ((rsltouflg & RESULTFLG_BEST) &&
+                r->swatscor < rs->res[rs->sortr[i - 1]].swatscor)
+                break;
+            if (!(r->status & (RSLTFLAG_NOOUTPUT | RSLTFLAG_BELOWRELSW))) {
+                rc = rep_add(rep, n_rep, rs, rs->sortr[i], mateflg);
+                if (rc != 0) return rc;
+                r->status |= RSLTFLAG_REPORTED;
+            }
+        }
+    }
+    return 0;
+}
+
+/* ---------------- per-read mapping driver ---------------- */
+
+typedef struct {
+    /* index */
+    const uint64_t *words;
+    const int64_t *starts;
+    int64_t nwords;
+    const int32_t *table;
+    const uint32_t *pos;
+    int wordlen, nskip;
+    /* reference */
+    const uint8_t *refcodes;
+    const int64_t *offsets;
+    int64_t nseq;
+    const int64_t *seq_ivals;
+    /* scoring */
+    const int32_t *matrix;      /* 8x8 int32 */
+    int gap_init, gap_ext;      /* positive */
+    int64_t match_avg, mismatch_avg;
+    /* params */
+    int64_t ktuple_maxhit, maxhit_total;
+    double min_cover_frac;
+    int64_t min_swatscor, min_swatscor_below_max;
+    int min_basq;
+    int64_t target_depth, max_depth;
+    int rmapflg, rsltouflg;
+    int64_t filter_minscor, filter_belowmax;
+    double filter_minid;
+    int soft_clip, x_mismatch;
+} FLParams;
+
+typedef struct {
+    int64_t qmax, budget;
+    int32_t *Wf, *Wr;
+    uint8_t *qmaskF, *qmaskR, *qbuf, *qm, *maskbuf;
+    int64_t *qoffsF, *nhitsF, *slotF, *qoffsR, *nhitsR, *slotR;
+    uint32_t *sidxF, *sidxR, *keybuf;
+    uint64_t *sqdat, *seed_sqo;
+    int64_t *seed_len, *seg_ix, *seg_nseed, *seg_cover, *hreg_idx, *hreg_num;
+    int64_t *rows10, *out11, *score_out;
+    uint32_t *stat_keys, *stat_idxs;
+    int32_t *Hbuf, *Ebuf;
+    uint8_t *dirm;
+    int64_t dirm_cap;
+    uint8_t *back;
+    int64_t back_cap;
+    int64_t *ares;
+    int64_t ares_cap;
+    FLResultSet *rs;
+    FLRepRec rep[REP_MAX];
+} FLScratch;
+
+static void *fl_alloc(int64_t n) { return malloc((size_t)(n > 0 ? n : 1)); }
+
+static int fl_scratch_init(FLScratch *s, int64_t qmax)
+{
+    int64_t budget;
+    double t;
+    memset(s, 0, sizeof(*s));
+    s->qmax = qmax;
+    /* _budget (hitlist.py:56-58) on the block's max read length; reads
+     * are shorter -> their own budget is <= this one, and the budget
+     * only sizes buffers (capacity checks use the per-read value) */
+    t = qmax > 1 ? (double)qmax * log((double)qmax) * 32.0 : 0.0;
+    budget = t > 8192.0 ? (int64_t)t : 8192;
+    s->budget = budget;
+    s->Wf = fl_alloc(8 * qmax * 4);
+    s->Wr = fl_alloc(8 * qmax * 4);
+    s->qmaskF = fl_alloc(qmax);
+    s->qmaskR = fl_alloc(qmax);
+    s->qbuf = fl_alloc(qmax);
+    s->qm = fl_alloc(qmax);
+    s->maskbuf = fl_alloc(qmax);
+    s->qoffsF = fl_alloc(qmax * 8);
+    s->nhitsF = fl_alloc(qmax * 8);
+    s->slotF = fl_alloc(qmax * 8);
+    s->qoffsR = fl_alloc(qmax * 8);
+    s->nhitsR = fl_alloc(qmax * 8);
+    s->slotR = fl_alloc(qmax * 8);
+    s->sidxF = fl_alloc(qmax * 4);
+    s->sidxR = fl_alloc(qmax * 4);
+    s->keybuf = fl_alloc(qmax * 4);
+    s->sqdat = fl_alloc(budget * 8);
+    s->seed_sqo = fl_alloc(budget * 8);
+    s->seed_len = fl_alloc(budget * 8);
+    s->seg_ix = fl_alloc(budget * 8);
+    s->seg_nseed = fl_alloc(budget * 8);
+    s->seg_cover = fl_alloc(budget * 8);
+    s->hreg_idx = fl_alloc(budget * 8);
+    s->hreg_num = fl_alloc(budget * 8);
+    s->rows10 = fl_alloc(budget * 10 * 8);
+    s->out11 = fl_alloc(2 * budget * 11 * 8);
+    s->score_out = fl_alloc(2 * budget * 10 * 8);
+    s->stat_keys = fl_alloc(2 * budget * 4);
+    s->stat_idxs = fl_alloc(2 * budget * 4);
+    s->Hbuf = fl_alloc((qmax + 1) * 4);
+    s->Ebuf = fl_alloc((qmax + 1) * 4);
+    s->dirm_cap = 1 << 20;
+    s->dirm = fl_alloc(s->dirm_cap);
+    s->back_cap = 1 << 16;
+    s->back = fl_alloc(s->back_cap);
+    s->ares_cap = 4096;
+    s->ares = fl_alloc(s->ares_cap * 7 * 8);
+    s->rs = fl_alloc(sizeof(FLResultSet));
+    if (!s->Wf || !s->Wr || !s->qmaskF || !s->qmaskR || !s->qbuf || !s->qm ||
+        !s->maskbuf || !s->qoffsF || !s->nhitsF || !s->slotF || !s->qoffsR ||
+        !s->nhitsR || !s->slotR || !s->sidxF || !s->sidxR || !s->keybuf ||
+        !s->sqdat || !s->seed_sqo || !s->seed_len || !s->seg_ix ||
+        !s->seg_nseed || !s->seg_cover || !s->hreg_idx || !s->hreg_num ||
+        !s->rows10 || !s->out11 || !s->score_out || !s->stat_keys ||
+        !s->stat_idxs || !s->Hbuf || !s->Ebuf || !s->dirm || !s->back ||
+        !s->ares || !s->rs)
+        return FL_ERR_CAP;
+    return 0;
+}
+
+static void fl_scratch_free(FLScratch *s)
+{
+    free(s->Wf); free(s->Wr); free(s->qmaskF); free(s->qmaskR);
+    free(s->qbuf); free(s->qm); free(s->maskbuf);
+    free(s->qoffsF); free(s->nhitsF); free(s->slotF);
+    free(s->qoffsR); free(s->nhitsR); free(s->slotR);
+    free(s->sidxF); free(s->sidxR); free(s->keybuf);
+    free(s->sqdat); free(s->seed_sqo); free(s->seed_len);
+    free(s->seg_ix); free(s->seg_nseed); free(s->seg_cover);
+    free(s->hreg_idx); free(s->hreg_num);
+    free(s->rows10); free(s->out11); free(s->score_out);
+    free(s->stat_keys); free(s->stat_idxs);
+    free(s->Hbuf); free(s->Ebuf); free(s->dirm); free(s->back);
+    free(s->ares); free(s->rs);
+}
+
+static int fl_grow(void **buf, int64_t *cap, int64_t need, int64_t elem)
+{
+    if (need <= *cap) return 0;
+    {
+        int64_t ncap = need + (need >> 1);
+        void *nb = realloc(*buf, (size_t)(ncap * elem));
+        if (!nb) return FL_ERR_CAP;
+        *buf = nb;
+        *cap = ncap;
+    }
+    return 0;
+}
+
+/* profile build (align/core.py:122-131 via codec alpha/revcomp) */
+static void fl_profiles(const FLParams *P, const uint8_t *codes, int64_t qlen,
+                        int32_t *Wf, int32_t *Wr)
+{
+    int64_t j;
+    int a;
+    for (j = 0; j < qlen; j++) {
+        uint8_t c = codes[j];
+        uint8_t al = (uint8_t)(c & 7);
+        uint8_t cr = codes[qlen - 1 - j];
+        uint8_t ar = (uint8_t)((cr & 4) ? (cr & 7) : ((~cr) & 3));
+        for (a = 0; a < 8; a++) {
+            Wf[(int64_t)a * qlen + j] = P->matrix[a * 8 + al];
+            Wr[(int64_t)a * qlen + j] = P->matrix[a * 8 + ar];
+        }
+    }
+}
+
+/* rmapSingle + mapSingleRead (engine.py:539-560, 447-529) for one read.
+ * Fills s->rs.  Returns 0 or FL_ERR_*. */
+static int fl_map_read(const FLParams *P, FLScratch *s,
+                       const uint8_t *codes, const uint8_t *qual,
+                       int64_t qlen)
+{
+    FLResultSet *rs = s->rs;
+    int64_t hout[4], nF, rankF, nR, rankR;
+    int64_t min_cover, min_ktup, mincov_below_max;
+    int64_t deficit_f, deficit_r, maxcov[2] = {0, 0};
+    int64_t ncand = 0, n_sort, n_mincover = 0;
+    int64_t budget_rd;
+    int64_t out_max[3];
+    int64_t max1, max2, n_out;
+    int64_t min_swatscor = P->min_swatscor;
+    int64_t min_swatscor_below_max = P->min_swatscor_below_max;
+    int64_t scorlen_min = P->wordlen + P->nskip;
+    int64_t matchscor = P->match_avg;
+    int64_t mismatchdiff = P->match_avg - P->mismatch_avg;
+    int64_t maxscor_perfect, bandwidth_min;
+    int strand;
+    int rc;
+    double t;
+
+    rs_blank(rs);
+    if (qlen < P->wordlen) return 0;    /* ShortSeq -> empty result set */
+
+    fl_profiles(P, codes, qlen, s->Wf, s->Wr);
+
+    rc = (int)mc_hitinfo_short2(P->words, P->starts, P->nwords, P->table,
+                                P->wordlen, P->nskip, codes, qual, qlen,
+                                P->ktuple_maxhit, P->maxhit_total,
+                                P->min_basq,
+                                s->qmaskF, s->qoffsF, s->nhitsF, s->slotF,
+                                s->sidxF,
+                                s->qmaskR, s->qoffsR, s->nhitsR, s->slotR,
+                                s->sidxR, s->qbuf, s->keybuf, hout);
+    if (rc != 0) return 0;              /* ShortSeq -> empty result set */
+    nF = hout[0]; rankF = hout[1]; nR = hout[2]; rankR = hout[3];
+
+    /* _covermin (engine.py:562-568) */
+    if (P->min_cover_frac < 1.01) {
+        int64_t c = (int64_t)(P->min_cover_frac * (double)qlen);
+        min_cover = c < qlen ? c : qlen;
+    } else {
+        min_cover = (int64_t)P->min_cover_frac;
+    }
+
+    maxscor_perfect = qlen * matchscor;
+    /* calcMinKtup (engine.py:464-468) */
+    if (min_cover >= P->wordlen + P->nskip)
+        min_ktup = (min_cover - P->wordlen) / P->nskip;
+    else
+        min_ktup = 1;
+    min_cover = (min_ktup - 1) * P->nskip + P->wordlen;
+
+    if (min_swatscor_below_max < 0) {
+        mincov_below_max = qlen - 1;
+    } else {
+        mincov_below_max = (min_swatscor_below_max / mismatchdiff) * P->nskip;
+        if (mincov_below_max < P->wordlen || (P->rmapflg & RMAPFLG_BEST))
+            mincov_below_max = P->wordlen + 2 * (P->nskip - 1);
+    }
+
+    /* _budget for this read (hitlist.py:56-58) */
+    t = qlen > 1 ? (double)qlen * log((double)qlen) * 32.0 : 0.0;
+    budget_rd = t > 8192.0 ? (int64_t)t : 8192;
+    if (budget_rd > s->budget) return FL_ERR_CAP;
+
+    /* collect both strands (engine.py:191-269 _collect_native; fused
+     * fillRMAPBUFF, mode 1 = seq-by-seq over seq_ivals) */
+    for (strand = 0; strand < 2; strand++) {
+        int64_t n = mc_collect_all(
+            P->starts, P->pos,
+            strand ? s->qoffsR : s->qoffsF,
+            strand ? s->nhitsR : s->nhitsF,
+            strand ? s->slotR : s->slotF,
+            strand ? s->sidxR : s->sidxF,
+            strand ? nR : nF,
+            strand ? rankR : rankF,
+            qlen, P->wordlen, P->nskip, strand,
+            1 /* mode: intervals */, 1 /* use_short */,
+            P->seq_ivals, P->nseq,
+            P->ktuple_maxhit, budget_rd, min_ktup, min_cover,
+            s->sqdat, s->qm,
+            s->seed_sqo, s->seed_len,
+            s->seg_ix, s->seg_nseed, s->seg_cover,
+            s->hreg_idx, s->hreg_num, s->maskbuf,
+            s->rows10, s->budget,
+            s->out11 + ncand * 11, 2 * s->budget - ncand,
+            maxcov);
+        if (n < 0) return FL_ERR_CAP;
+        ncand += n;
+    }
+
+    /* cover deficits (engine.py:483) */
+    deficit_f = mc_cover_deficit(s->qoffsF, s->sidxF, nF, nF > 1, rankF,
+                                 s->qmaskF, qlen, P->wordlen, P->nskip,
+                                 s->qbuf);
+    deficit_r = mc_cover_deficit(s->qoffsR, s->sidxR, nR, nR > 1, rankR,
+                                 s->qmaskR, qlen, P->wordlen, P->nskip,
+                                 s->qbuf);
+
+    /* depth selection (engine.py:484-486 -> collate.py:419) */
+    n_sort = fl_cands_stats(s->out11, ncand, maxcov[0], maxcov[1],
+                            P->nskip, mincov_below_max,
+                            deficit_f, deficit_r,
+                            P->target_depth, P->max_depth,
+                            (P->rmapflg & RMAPFLG_SENSITIVE) != 0,
+                            s->stat_keys, s->stat_idxs, &n_mincover);
+    if (n_sort < 0) return (int)n_sort;
+
+    /* set_alignment_stats (engine.py:493-498): hit_numbers per strand */
+    {
+        int64_t totF = 0, totR = 0, nrankF = 0, nrankR = 0, i;
+        for (i = 0; i < nF; i++) totF += s->nhitsF[i];
+        for (i = 0; i < nR; i++) totR += s->nhitsR[i];
+        if (rankF > 0)
+            for (i = 0; i < rankF; i++) nrankF += s->nhitsF[s->sidxF[i]];
+        else
+            nrankF = totF;
+        if (rankR > 0)
+            for (i = 0; i < rankR; i++) nrankR += s->nhitsR[s->sidxR[i]];
+        else
+            nrankR = totR;
+        rs->n_ali_done = n_sort;
+        rs->n_ali_tot = n_mincover;
+        rs->n_ali_max = P->max_depth;
+        rs->n_hits_used = nrankF + nrankR;
+        rs->n_hits_tot = totF + totR;
+    }
+
+    /* pass 1 (engine.py:500-501 -> mc_score_cands) */
+    rc = (int)mc_score_cands(s->out11, s->stat_idxs, n_sort,
+                             P->wordlen, P->nskip,
+                             P->refcodes, P->offsets, P->nseq, qlen,
+                             s->Wf, s->Wr, P->gap_init, P->gap_ext,
+                             P->match_avg, P->mismatch_avg,
+                             (P->rmapflg & RMAPFLG_BEST) != 0,
+                             deficit_f, deficit_r,
+                             s->Hbuf, s->Ebuf, s->score_out, out_max);
+    if (rc != 0) return FL_ERR_ASSERT;
+    max1 = out_max[0];
+    max2 = out_max[1];
+    n_out = out_max[2];
+    if (max1 < 1) return 0;
+    bandwidth_min = (maxscor_perfect - max1) / P->gap_ext;
+
+    /* min-score dynamics (engine.py:509-523) */
+    if (min_swatscor_below_max >= max1) min_swatscor_below_max = max1;
+    if (min_swatscor > max2 && max2 > 0) min_swatscor = max2;
+    if (min_swatscor_below_max >= 0) {
+        int64_t minswc = max2 > 0 ? max2 : max1;
+        if (P->rmapflg & RMAPFLG_BEST) {
+            if (minswc > min_swatscor) min_swatscor = minswc;
+        } else if (min_swatscor + min_swatscor_below_max < max1) {
+            min_swatscor = max1 - min_swatscor_below_max;
+            if (min_swatscor > minswc) min_swatscor = minswc;
+        }
+    }
+    if (min_swatscor > scorlen_min * matchscor && matchscor > 0)
+        scorlen_min = min_swatscor / matchscor;
+
+    /* pass 2: alignRMAPCANDFull (engine.py:416-443) */
+    {
+        int64_t c;
+        for (c = 0; c < n_out; c++) {
+            const int64_t *o = s->score_out + c * 10;
+            int64_t cqs = o[0], cqe = o[1], crs = o[2], cre = o[3];
+            int64_t bl = o[4], br = o[5], sqidx = o[6];
+            int is_rev = (int)o[7];
+            int64_t swscor = o[8];
+            const uint8_t *subj;
+            int64_t slen, bw, band_l, band_r, minscorlen, nali;
+            int64_t ndir_need, back_need, res_need;
+            if (swscor < min_swatscor)   /* scored==1 always on this path */
+                continue;
+            if (sqidx < 0 || sqidx >= P->nseq) return FL_ERR_ASSERT;
+            subj = P->refcodes + P->offsets[sqidx] + crs;
+            slen = cre - crs + 1;
+            if (P->rmapflg & RMAPFLG_BEST) {
+                if (rs->swatscor_2ndmax > min_swatscor)
+                    min_swatscor = rs->swatscor_2ndmax;
+            }
+            bw = br - bl;
+            if (bw < bandwidth_min) {
+                int64_t ext = (bandwidth_min - bw + 1) / 2;
+                band_l = bl - ext;
+                band_r = br + ext;
+            } else {
+                band_l = bl;
+                band_r = br;
+            }
+            /* align_band_recursive preamble (core.py:363-391) */
+            if (min_swatscor < 1 || matchscor <= 0) return FL_ERR_ASSERT;
+            minscorlen = scorlen_min;
+            if (minscorlen * matchscor < min_swatscor)
+                minscorlen = min_swatscor / matchscor;
+            if (minscorlen < ALILEN_MIN) return FL_ERR_ASSERT;
+
+            ndir_need = (qlen + slen + 2) * (slen + 1);
+            if (fl_grow((void **)&s->dirm, &s->dirm_cap, ndir_need, 1) != 0)
+                return FL_ERR_CAP;
+            back_need = 2 * (qlen + slen) + 8;
+            if (fl_grow((void **)&s->back, &s->back_cap, back_need, 1) != 0)
+                return FL_ERR_CAP;
+            res_need = slen / ALILEN_MIN + 4;
+            if (fl_grow((void **)&s->ares, &s->ares_cap, res_need, 7 * 8) != 0)
+                return FL_ERR_CAP;
+
+            nali = mc_align_recursive(
+                is_rev ? s->Wr : s->Wf, qlen, subj, slen,
+                band_l, band_r, cqs, cqe, 0, slen - 1,
+                min_swatscor, minscorlen,
+                P->gap_init, P->gap_ext,
+                s->Hbuf, s->Ebuf,
+                s->dirm, s->dirm_cap,
+                s->back, s->back_cap,
+                rs->diffpool + rs->diff_used,
+                DIFFPOOL_CAP - rs->diff_used,
+                s->ares, res_need);
+            if (nali < 0) return (int)nali;   /* -1 cap / -2 checksum */
+            {
+                /* ares diff offsets are relative to the pool tail */
+                int64_t a, base = rs->diff_used, used_max = 0;
+                for (a = 0; a < nali; a++) {
+                    s->ares[a * 7 + 5] += base;
+                    if (s->ares[a * 7 + 5] + s->ares[a * 7 + 6] - base >
+                        used_max)
+                        used_max = s->ares[a * 7 + 5] + s->ares[a * 7 + 6]
+                                   - base;
+                }
+                rs->diff_used += used_max;
+            }
+            rc = rs_add_from_ali(rs, s->ares, nali, crs, qlen, sqidx, is_rev);
+            if (rc != 0) return rc;
+        }
+    }
+
+    /* sort_and_assign (engine.py:527-529 -> result.py:210-229), seqidx
+     * already assigned (SEQBYSEQ), no split search on this lane */
+    rs_sort_and_prune(rs);
+    rs->qsegno = 0;
+    if (rs->n_sortr) {
+        int q;
+        rs_label_segments(rs);
+        for (q = 0; q < rs->qsegno; q++) {
+            rc = rs_calc_mapq(rs, q, qual, qlen);
+            if (rc != 0) return rc;
+            /* _propagate_prob only feeds the pair model; no effect on
+             * single-end output (result.py:472-505) */
+        }
+    }
+
+    /* filter_results (engine.py:559 -> result.py:596) */
+    rs_filter(rs, qlen, P->filter_minscor, P->filter_belowmax,
+              P->filter_minid);
+    return 0;
+}
+
+/* ---------------- block entry ---------------- */
+
+/* Map a block of single-end reads to SAM text.
+ *
+ * reads: concatenated mangled codes with read_offs[n+1] boundaries;
+ * quals: concatenated raw quality bytes, same boundaries, entry used
+ * only where has_qual[i] != 0; names: concatenated SAM names with
+ * name_offs[n+1] boundaries.  seq_names/name index via two flat
+ * buffers (snames concat + sname_offs[nseq+1]).
+ *
+ * rng_io: drand48 state word (rand.py), updated ONLY on success.
+ *
+ * Returns the text length written to out_text, or FL_ERR_* (<0); on
+ * error nothing is consumed and the caller reruns the block through
+ * the Python path. */
+int64_t fl_map_block(
+    /* index */
+    const uint64_t *words, const int64_t *starts, int64_t nwords,
+    const int32_t *table, const uint32_t *pos, int wordlen, int nskip,
+    /* reference */
+    const uint8_t *refcodes, const int64_t *offsets, int64_t nseq,
+    const int64_t *seq_ivals,
+    const char *snames, const int64_t *sname_offs,
+    /* scoring */
+    const int32_t *matrix, int gap_init, int gap_ext,
+    int64_t match_avg, int64_t mismatch_avg,
+    /* params */
+    int64_t ktuple_maxhit, int64_t maxhit_total,
+    double min_cover_frac, int64_t min_swatscor,
+    int64_t min_swatscor_below_max, int min_basq,
+    int64_t target_depth, int64_t max_depth,
+    int rmapflg, int rsltouflg,
+    int64_t filter_minscor, int64_t filter_belowmax, double filter_minid,
+    int soft_clip, int x_mismatch,
+    /* reads */
+    int64_t n_reads, const uint8_t *codes_concat, const int64_t *read_offs,
+    const uint8_t *quals_concat, const uint8_t *has_qual,
+    const char *names_concat, const int64_t *name_offs,
+    /* rng + output */
+    uint64_t *rng_io, char *out_text, int64_t out_cap)
+{
+    FLParams P;
+    FLScratch s;
+    FLText t;
+    uint64_t rng = *rng_io;
+    int64_t i, qmax = 1;
+    int rc = 0;
+    const char **seq_name_ptr = NULL;
+    int64_t *seq_name_len = NULL;
+
+    P.words = words; P.starts = starts; P.nwords = nwords;
+    P.table = table; P.pos = pos; P.wordlen = wordlen; P.nskip = nskip;
+    P.refcodes = refcodes; P.offsets = offsets; P.nseq = nseq;
+    P.seq_ivals = seq_ivals;
+    P.matrix = matrix; P.gap_init = gap_init; P.gap_ext = gap_ext;
+    P.match_avg = match_avg; P.mismatch_avg = mismatch_avg;
+    P.ktuple_maxhit = ktuple_maxhit; P.maxhit_total = maxhit_total;
+    P.min_cover_frac = min_cover_frac; P.min_swatscor = min_swatscor;
+    P.min_swatscor_below_max = min_swatscor_below_max;
+    P.min_basq = min_basq;
+    P.target_depth = target_depth; P.max_depth = max_depth;
+    P.rmapflg = rmapflg; P.rsltouflg = rsltouflg;
+    P.filter_minscor = filter_minscor; P.filter_belowmax = filter_belowmax;
+    P.filter_minid = filter_minid;
+    P.soft_clip = soft_clip; P.x_mismatch = x_mismatch;
+
+    for (i = 0; i < n_reads; i++) {
+        int64_t ql = read_offs[i + 1] - read_offs[i];
+        if (ql > qmax) qmax = ql;
+    }
+    if (fl_scratch_init(&s, qmax) != 0) {
+        fl_scratch_free(&s);
+        return FL_ERR_CAP;
+    }
+    seq_name_ptr = fl_alloc(nseq * (int64_t)sizeof(char *));
+    seq_name_len = fl_alloc(nseq * 8);
+    if (!seq_name_ptr || !seq_name_len) {
+        rc = FL_ERR_CAP;
+        goto done;
+    }
+    for (i = 0; i < nseq; i++) {
+        seq_name_ptr[i] = snames + sname_offs[i];
+        seq_name_len[i] = sname_offs[i + 1] - sname_offs[i];
+    }
+
+    t.p = out_text;
+    t.end = out_text + out_cap;
+    t.overflow = 0;
+
+    for (i = 0; i < n_reads; i++) {
+        const uint8_t *codes = codes_concat + read_offs[i];
+        const uint8_t *qual = has_qual[i] ? quals_concat + read_offs[i] : NULL;
+        int64_t qlen = read_offs[i + 1] - read_offs[i];
+        int n_rep = 0, r;
+        rc = fl_map_read(&P, &s, codes, qual, qlen);
+        if (rc != 0) goto done;
+        rc = fl_add_single_to_report(s.rs, rsltouflg, &rng, s.rep, &n_rep);
+        if (rc != 0) goto done;
+        for (r = 0; r < n_rep; r++) {
+            const FLRes *rp = s.rep[r].res_idx >= 0
+                              ? &s.rs->res[s.rep[r].res_idx] : NULL;
+            rc = tx_sam_line(&t, names_concat + name_offs[i],
+                             name_offs[i + 1] - name_offs[i],
+                             codes, qual, qlen,
+                             s.rs, rp, s.rep[r].mateflg,
+                             rp ? s.rep[r].mapscor : 0,
+                             seq_name_ptr, seq_name_len,
+                             soft_clip, x_mismatch);
+            if (rc != 0) goto done;
+        }
+        if (t.overflow) {
+            rc = FL_ERR_TEXT;
+            goto done;
+        }
+    }
+
+done:
+    free((void *)seq_name_ptr);
+    free(seq_name_len);
+    fl_scratch_free(&s);
+    if (rc != 0) return rc;
+    *rng_io = rng;
+    return t.p - out_text;
+}
