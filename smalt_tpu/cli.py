@@ -261,14 +261,25 @@ def cmd_map(argv: List[str]) -> int:
     else:
         reads_iter = (PairedReader(a.reads, a.mates) if a.mates
                       else FastqReader(a.reads))
-    from .map.pipeline import run_pipeline
+    from .map.pipeline import run_pipeline, run_pipeline_raw_fastq
     fmt = a.oformat.split(":")[0]
     mods = a.oformat.split(":")[1].split(",") if ":" in a.oformat else []
-    run_pipeline(engine, reads_iter, out, refset, fmt=fmt,
-                 soft_clip="clip" not in mods, x_mismatch="x" in mods,
-                 nthreads=a.nthreads,
-                 seed=(a.randseed if a.randseed is not None else 0),
-                 ihist=ihist, fix_primary=fix_primary, ali_out=a.aliout)
+    ran_raw = False
+    if (a.mates is None and a.nthreads <= 1 and bam_writer is None and
+            a.informat not in ("sam", "bam") and
+            not a.reads.endswith((".sam", ".sam.gz", ".bam"))):
+        # single-end serial FASTQ: bulk parser + C fast-lane end to end
+        ran_raw = run_pipeline_raw_fastq(
+            engine, a.reads, out, refset, fmt=fmt,
+            soft_clip="clip" not in mods, x_mismatch="x" in mods,
+            seed=(a.randseed if a.randseed is not None else 0),
+            ihist=ihist, fix_primary=fix_primary, ali_out=a.aliout)
+    if not ran_raw:
+        run_pipeline(engine, reads_iter, out, refset, fmt=fmt,
+                     soft_clip="clip" not in mods, x_mismatch="x" in mods,
+                     nthreads=a.nthreads,
+                     seed=(a.randseed if a.randseed is not None else 0),
+                     ihist=ihist, fix_primary=fix_primary, ali_out=a.aliout)
     if bam_writer is not None:
         bam_writer.close()
     elif out is not sys.stdout:

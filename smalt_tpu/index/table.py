@@ -51,14 +51,20 @@ class KmerIndex:
         return len(self.pos)
 
     HOST_DIRECT_BITS = 26   # build the O(1) table up to k=13 (268 MB)
+    HOST_DIRECT_MIN_WORDS = 1 << 16  # below this, C binary search wins
 
     @property
     def host_table(self):
         """Direct-address cumulative-offset table (int32 [4^k+1]) for
         O(1) host lookups — the cost model of the reference's hash
-        table.  None when 2k exceeds HOST_DIRECT_BITS."""
+        table.  None when 2k exceeds HOST_DIRECT_BITS, or for small
+        word lists where the native binary-search path is just as fast
+        and the 4^k-entry cumsum would dominate startup.  `load` maps
+        the table straight from the .smh.npy artifact when present
+        (written by save/build), skipping the build entirely."""
         t = getattr(self, "_host_table", None)
-        if t is None and 2 * self.wordlen <= self.HOST_DIRECT_BITS:
+        if t is None and 2 * self.wordlen <= self.HOST_DIRECT_BITS and \
+                self.nwords >= self.HOST_DIRECT_MIN_WORDS:
             nw = 1 << (2 * self.wordlen)
             # int32 end to end: the int64 intermediate + astype cost
             # ~4.5 s at k=13 (npos < 2^31 always, hashidx.c:110-147)
@@ -116,14 +122,26 @@ class KmerIndex:
                              "maxpos": self.maxpos}),
             words=self.words, starts=self.starts, pos=self.pos,
         )
+        # big-genome direct table as a raw .npy sidecar: `load` memory-maps
+        # it, so mapping runs skip the 4^k cumsum (multi-second startup)
+        t = self.host_table
+        if t is not None:
+            np.save(prefix + ".smh.npy", t)
 
     @classmethod
     def load(cls, prefix: str) -> "KmerIndex":
+        import os
         with np.load(prefix + ".smx.npz", allow_pickle=False) as z:
             meta = json.loads(str(z["meta"]))
-            return cls(wordlen=meta["wordlen"], nskip=meta["nskip"],
-                       maxpos=meta["maxpos"],
-                       words=z["words"], starts=z["starts"], pos=z["pos"])
+            idx = cls(wordlen=meta["wordlen"], nskip=meta["nskip"],
+                      maxpos=meta["maxpos"],
+                      words=z["words"], starts=z["starts"], pos=z["pos"])
+        sidecar = prefix + ".smh.npy"
+        if os.path.exists(sidecar):
+            t = np.load(sidecar, mmap_mode="r")
+            if t.dtype == np.int32 and len(t) == (1 << (2 * idx.wordlen)) + 1:
+                idx._host_table = t
+        return idx
 
     def print_stats(self, fp) -> None:
         """Occupancy statistics (hashTablePrintStats, hashidx.c:1030)."""

@@ -70,9 +70,7 @@ class FastLane:
         return cls(engine, soft_clip, x_mismatch)
 
     def render_block(self, block) -> Optional[str]:
-        """One native call for the whole block; None -> Python fallback."""
-        p = self.engine.params
-        filt = self.engine.filter
+        """One native call for a block of Read objects."""
         n = len(block)
         read_offs = np.zeros(n + 1, dtype=np.int64)
         name_offs = np.zeros(n + 1, dtype=np.int64)
@@ -103,7 +101,41 @@ class FastLane:
             np.zeros(1, np.uint8)
         quals = np.frombuffer(b"".join(qual_parts) or b"\0", np.uint8)
         names = np.frombuffer(b"".join(name_parts) or b"\0", np.uint8)
+        return self._call(n, qmax, codes, read_offs, quals, has_qual,
+                          names, name_offs, ascii_codes=False,
+                          names_raw=False)
 
+    def render_raw_block(self, names, seqs, quals) -> Optional[str]:
+        """One native call for raw bulk-reader output (bytes lists):
+        encode + name-strip happen in C."""
+        n = len(names)
+        read_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in seqs], out=read_offs[1:])
+        name_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(x) for x in names], out=name_offs[1:])
+        qmax = int((read_offs[1:] - read_offs[:-1]).max()) if n else 1
+        has_qual = np.empty(n, dtype=np.uint8)
+        qual_parts = []
+        for i, q in enumerate(quals):
+            if q is not None:
+                if len(q) != len(seqs[i]):
+                    return None     # malformed record: exact reader decides
+                has_qual[i] = 1
+                qual_parts.append(q)
+            else:
+                has_qual[i] = 0
+                qual_parts.append(b"\x00" * len(seqs[i]))
+        codes = np.frombuffer(b"".join(seqs) or b"\0", np.uint8)
+        qarr = np.frombuffer(b"".join(qual_parts) or b"\0", np.uint8)
+        narr = np.frombuffer(b"".join(names) or b"\0", np.uint8)
+        return self._call(n, max(qmax, 1), codes, read_offs, qarr, has_qual,
+                          narr, name_offs, ascii_codes=True, names_raw=True)
+
+    def _call(self, n, qmax, codes, read_offs, quals, has_qual,
+              names, name_offs, ascii_codes: bool,
+              names_raw: bool) -> Optional[str]:
+        p = self.engine.params
+        filt = self.engine.filter
         wa, sa, nwords, ta, pa = self._idx_addrs
         idx = self.engine.index
         cap = int(name_offs[-1]) + n * (2 * qmax + 192)
@@ -126,6 +158,7 @@ class FastLane:
                 filt.min_swscor, filt.min_swscor_below_max,
                 filt.min_identity,
                 1 if self.soft_clip else 0, 1 if self.x_mismatch else 0,
+                1 if ascii_codes else 0, 1 if names_raw else 0,
                 n, codes.ctypes.data, read_offs.ctypes.data,
                 quals.ctypes.data, has_qual.ctypes.data,
                 names.ctypes.data, name_offs.ctypes.data,

@@ -100,6 +100,57 @@ def _blocks(it: Iterable, n: int) -> Iterator[Tuple[int, list]]:
         blockno += 1
 
 
+def run_pipeline_raw_fastq(engine, path: str, out, refset,
+                           fmt: str = "sam", soft_clip: bool = True,
+                           x_mismatch: bool = False, seed: int = 1,
+                           ihist=None, fix_primary: bool = False,
+                           ali_out: bool = False) -> bool:
+    """Serial single-end bulk path: C-speed FASTQ parsing feeding the C
+    fast-lane with raw bytes (encode + name handling also native).
+    Returns False when not applicable — the caller then runs the
+    regular run_pipeline.  Output is byte-identical either way: blocks
+    only batch work, the drand48 stream is sequential."""
+    if os.environ.get("SMALT_TPU_NO_FASTLANE"):
+        return False
+    from .fastlane import FastLane
+    lane = FastLane.make(engine, fmt, soft_clip, x_mismatch, ali_out,
+                         fix_primary)
+    if lane is None:
+        return False
+    # the bulk parser needs strict 4-line FASTQ
+    from ..seq.io import open_maybe_gzip
+    with open_maybe_gzip(path) as f:
+        head = [f.readline() for _ in range(4)]
+    if len(head) < 4 or not head[0].startswith(b"@") or \
+            not head[2].startswith(b"+") or head[0].endswith(b"\r\n") or \
+            len(head[1].rstrip(b"\r\n")) != len(head[3].rstrip(b"\r\n")):
+        return False
+
+    from .fastmode import iter_fastq_batches
+    from ..seq import codec
+    from ..seq.io import Read
+    writer_args = (fmt, soft_clip, x_mismatch, refset, ali_out)
+    _init_worker(engine, writer_args, seed)
+    _g["ihist"] = ihist
+    _g["fix_primary"] = fix_primary
+    _g["reseed_per_block"] = False
+    _g["lane"] = lane
+    for names, seqs, quals in iter_fastq_batches(path, 1024):
+        text = lane.render_raw_block(names, seqs, quals)
+        if text is None:
+            # no RNG was consumed: replay this batch through the
+            # regular block renderer (which itself may fall back to
+            # the pure-Python engine)
+            reads = [Read(name=n.decode(), seq=codec.encode(s), qual=q)
+                     for n, s, q in zip(names, seqs, quals)]
+            buf = []
+            for args in _blocks(iter(reads), BLOCK_READS):
+                buf.append(_render_block(args))
+            text = "".join(buf)
+        out.write(text)
+    return True
+
+
 def run_pipeline(engine, reads_iter: Iterable, out, refset,
                  fmt: str = "sam", soft_clip: bool = True,
                  x_mismatch: bool = False, nthreads: int = 1,

@@ -140,6 +140,7 @@ def _declare_fastlane(lib):
         i64, i64, dbl, i64, i64, ci,        # params 1
         i64, i64, ci, ci,                   # params 2
         i64, i64, dbl, ci, ci,              # filter + sam opts
+        ci, ci,                             # codes_are_ascii, names_raw
         i64, vp, vp, vp, vp, vp, vp,        # reads
         vp, vp, i64]                        # rng + output
 

@@ -1005,6 +1005,7 @@ typedef struct {
     int64_t *seed_len, *seg_ix, *seg_nseed, *seg_cover, *hreg_idx, *hreg_num;
     int64_t *rows10, *out11, *score_out;
     uint32_t *stat_keys, *stat_idxs;
+    uint8_t *enc;
     int32_t *Hbuf, *Ebuf;
     uint8_t *dirm;
     int64_t dirm_cap;
@@ -1059,6 +1060,7 @@ static int fl_scratch_init(FLScratch *s, int64_t qmax)
     s->score_out = fl_alloc(2 * budget * 10 * 8);
     s->stat_keys = fl_alloc(2 * budget * 4);
     s->stat_idxs = fl_alloc(2 * budget * 4);
+    s->enc = fl_alloc(qmax);
     s->Hbuf = fl_alloc((qmax + 1) * 4);
     s->Ebuf = fl_alloc((qmax + 1) * 4);
     s->dirm_cap = 1 << 20;
@@ -1074,7 +1076,7 @@ static int fl_scratch_init(FLScratch *s, int64_t qmax)
         !s->sqdat || !s->seed_sqo || !s->seed_len || !s->seg_ix ||
         !s->seg_nseed || !s->seg_cover || !s->hreg_idx || !s->hreg_num ||
         !s->rows10 || !s->out11 || !s->score_out || !s->stat_keys ||
-        !s->stat_idxs || !s->Hbuf || !s->Ebuf || !s->dirm || !s->back ||
+        !s->stat_idxs || !s->enc || !s->Hbuf || !s->Ebuf || !s->dirm || !s->back ||
         !s->ares || !s->rs)
         return FL_ERR_CAP;
     return 0;
@@ -1092,7 +1094,7 @@ static void fl_scratch_free(FLScratch *s)
     free(s->hreg_idx); free(s->hreg_num);
     free(s->rows10); free(s->out11); free(s->score_out);
     free(s->stat_keys); free(s->stat_idxs);
-    free(s->Hbuf); free(s->Ebuf); free(s->dirm); free(s->back);
+    free(s->enc); free(s->Hbuf); free(s->Ebuf); free(s->dirm); free(s->back);
     free(s->ares); free(s->rs);
 }
 
@@ -1387,6 +1389,53 @@ static int fl_map_read(const FLParams *P, FLScratch *s,
     return 0;
 }
 
+/* ---------------- ASCII -> mangled encode (codec.py CODTAB) -------- */
+
+static uint8_t fl_codtab[256];
+static int fl_codtab_ready = 0;
+
+static void fl_codtab_init(void)
+{
+    int i;
+    if (fl_codtab_ready) return;
+    fl_codtab[0] = 7;  /* CODE_TERM */
+    for (i = 1; i < 256; i++) {
+        int cu = i;
+        int offs;
+        if (i < 128 && cu >= 'a' && cu <= 'z') cu -= 32;
+        if (cu == 'U') cu = 'T';
+        offs = cu - 'A' + 1;
+        if (offs > 0 && offs < 32) {
+            int a;
+            switch (cu) {
+            case 'A': a = 0; break;
+            case 'C': a = 1; break;
+            case 'G': a = 2; break;
+            case 'T': a = 3; break;
+            default: a = 5; break;
+            }
+            fl_codtab[i] = (uint8_t)(a + (offs << 3));
+        } else {
+            fl_codtab[i] = (uint8_t)(5 + (('N' - 'A' + 1) << 3));
+        }
+    }
+    fl_codtab_ready = 1;
+}
+
+/* copyReadNamStrToREPSTR semantics (seq/io.py sam_name): cut at first
+ * whitespace, strip a trailing /1 or /2.  Returns effective length. */
+static int64_t fl_sam_name_len(const char *name, int64_t n)
+{
+    int64_t i = 0;
+    while (i < n && name[i] != ' ' && name[i] != '\t' && name[i] != '\r' &&
+           name[i] != '\n' && name[i] != '\v' && name[i] != '\f')
+        i++;
+    if (i > 2 && name[i - 2] == '/' &&
+        (name[i - 1] == '1' || name[i - 1] == '2'))
+        i -= 2;
+    return i;
+}
+
 /* ---------------- block entry ---------------- */
 
 /* Map a block of single-end reads to SAM text.
@@ -1421,7 +1470,10 @@ int64_t fl_map_block(
     int rmapflg, int rsltouflg,
     int64_t filter_minscor, int64_t filter_belowmax, double filter_minid,
     int soft_clip, int x_mismatch,
-    /* reads */
+    /* reads; codes_are_ascii: codes_concat holds raw FASTQ letters to
+     * encode here; names_raw: name extents are full header fields to
+     * cut at whitespace / trailing mate suffix */
+    int codes_are_ascii, int names_raw,
     int64_t n_reads, const uint8_t *codes_concat, const int64_t *read_offs,
     const uint8_t *quals_concat, const uint8_t *has_qual,
     const char *names_concat, const int64_t *name_offs,
@@ -1476,11 +1528,22 @@ int64_t fl_map_block(
     t.end = out_text + out_cap;
     t.overflow = 0;
 
+    fl_codtab_init();
     for (i = 0; i < n_reads; i++) {
         const uint8_t *codes = codes_concat + read_offs[i];
         const uint8_t *qual = has_qual[i] ? quals_concat + read_offs[i] : NULL;
         int64_t qlen = read_offs[i + 1] - read_offs[i];
+        const char *name = names_concat + name_offs[i];
+        int64_t name_len = name_offs[i + 1] - name_offs[i];
         int n_rep = 0, r;
+        if (codes_are_ascii) {
+            int64_t j;
+            for (j = 0; j < qlen; j++)
+                s.enc[j] = fl_codtab[codes[j]];
+            codes = s.enc;
+        }
+        if (names_raw)
+            name_len = fl_sam_name_len(name, name_len);
         rc = fl_map_read(&P, &s, codes, qual, qlen);
         if (rc != 0) goto done;
         rc = fl_add_single_to_report(s.rs, rsltouflg, &rng, s.rep, &n_rep);
@@ -1488,8 +1551,7 @@ int64_t fl_map_block(
         for (r = 0; r < n_rep; r++) {
             const FLRes *rp = s.rep[r].res_idx >= 0
                               ? &s.rs->res[s.rep[r].res_idx] : NULL;
-            rc = tx_sam_line(&t, names_concat + name_offs[i],
-                             name_offs[i + 1] - name_offs[i],
+            rc = tx_sam_line(&t, name, name_len,
                              codes, qual, qlen,
                              s.rs, rp, s.rep[r].mateflg,
                              rp ? s.rep[r].mapscor : 0,
