@@ -115,6 +115,13 @@ def _map_argparser(prog):
     ap.add_argument("--profile", default=None, dest="profdir",
                     help="write a jax profiler trace of the device "
                          "mapping loop to this directory (--fast only)")
+    ap.add_argument("--device-pass1", action="store_true",
+                    dest="device_pass1",
+                    help="score the exact pass-1 candidate windows on "
+                         "the TPU (batched Pallas SW) while the host "
+                         "runs seeding and the exact pass-2; output "
+                         "stays bit-identical (extension over the "
+                         "reference CLI)")
     ap.add_argument("--fast", action="store_true", dest="fastmode",
                     help="TPU device pass-1 + host traceback tail "
                          "(SAM; single or paired with mate rescue; "
@@ -273,7 +280,8 @@ def cmd_map(argv: List[str]) -> int:
             engine, a.reads, out, refset, fmt=fmt,
             soft_clip="clip" not in mods, x_mismatch="x" in mods,
             seed=(a.randseed if a.randseed is not None else 0),
-            ihist=ihist, fix_primary=fix_primary, ali_out=a.aliout)
+            ihist=ihist, fix_primary=fix_primary, ali_out=a.aliout,
+            device_pass1=a.device_pass1)
     if not ran_raw:
         run_pipeline(engine, reads_iter, out, refset, fmt=fmt,
                      soft_clip="clip" not in mods, x_mismatch="x" in mods,

@@ -171,3 +171,291 @@ class FastLane:
             rand._global._x = int(self._rng_io[0])
             return out[:rc].tobytes().decode("ascii")
         return None
+
+
+class DevicePass1:
+    """Device-assisted exact mapping: the TPU scores the pass-1
+    full-matrix candidate windows (the reference's SIMD kernel slot,
+    scoreRMAPCAND rmap.c:588-788 / swsimd.c:868-934) for whole batches
+    while the host C lane does seeding/collation and the exact pass-2.
+    Output is byte-identical to the host lane: the Pallas kernel
+    (ops/sw.py) computes the same integer scores as sw_full, and the
+    phase-B replay reproduces the early-break logic on the precomputed
+    score stream.
+
+    Batches pipeline: phase A (host) -> async device dispatch ->
+    phase B (host) runs one batch behind, so device time overlaps the
+    host tail."""
+
+    def __init__(self, lane: FastLane, batch: int = 4096,
+                 interpret: Optional[bool] = None):
+        self.lane = lane
+        self.batch = batch
+        self.interpret = interpret
+        eng = lane.engine
+        if -eng.gapopen < -eng.gapext:
+            raise ValueError("device kernel needs gapopen >= gapext")
+        self._ref_alpha = None  # built lazily (refcodes & 7)
+
+    @classmethod
+    def make(cls, engine, fmt, soft_clip, x_mismatch, ali_out, fix_primary,
+             batch: int = 4096,
+             interpret: Optional[bool] = None) -> Optional["DevicePass1"]:
+        lane = FastLane.make(engine, fmt, soft_clip, x_mismatch, ali_out,
+                             fix_primary)
+        if lane is None:
+            return None
+        if -engine.gapopen < -engine.gapext:
+            return None
+        return cls(lane, batch=batch, interpret=interpret)
+
+    # ---------------- phase A ----------------
+
+    def _pass1(self, n, qmax, codes, read_offs, quals, has_qual,
+               ascii_codes: bool):
+        lane = self.lane
+        p = lane.engine.params
+        wa, sa, nwords, ta, pa = lane._idx_addrs
+        idx = lane.engine.index
+        state_cap = n * (8 + 64 * 12) + 4096
+        win_cap = n * 8 + 64
+        for _ in range(4):
+            state = np.empty(state_cap, dtype=np.int64)
+            state_offs = np.empty(n + 1, dtype=np.int64)
+            win_desc = np.empty(win_cap * 4, dtype=np.int64)
+            rc = lane.lib.fl_pass1_block(
+                wa, sa, nwords, ta, pa, idx.wordlen, idx.nskip,
+                lane._refcodes.ctypes.data, lane._offsets.ctypes.data,
+                lane.engine.refset.nseq, lane._ivals.ctypes.data,
+                lane._matrix.ctypes.data,
+                -lane.engine.gapopen, -lane.engine.gapext,
+                lane._avgs[0], lane._avgs[1],
+                p.ktuple_maxhit, eng_mod.HASH_MAXNHITS,
+                p.min_cover_frac, p.min_swatscor,
+                p.min_swatscor_below_max, p.min_basq,
+                p.target_depth, p.max_depth,
+                p.rmapflg & ~eng_mod.RMAPFLG_ALLPAIR,
+                1 if ascii_codes else 0,
+                n, codes.ctypes.data, read_offs.ctypes.data,
+                quals.ctypes.data, has_qual.ctypes.data,
+                state.ctypes.data, state_cap, state_offs.ctypes.data,
+                win_desc.ctypes.data, win_cap)
+            if rc == -1:           # capacity: grow and retry
+                state_cap *= 4
+                win_cap *= 4
+                continue
+            if rc < 0:
+                return None
+            return state, state_offs, win_desc[: int(rc) * 4].reshape(-1, 4)
+        return None
+
+    # ---------------- device scoring ----------------
+
+    def _padded_reads(self, codes, read_offs, n, qmax):
+        """([n, qmax] 3-bit codes padded with 7, [n] int32 lengths)."""
+        fwd = np.full((n, qmax), 7, np.uint8)
+        al = codes & 7
+        for i in range(n):
+            o, e = int(read_offs[i]), int(read_offs[i + 1])
+            fwd[i, : e - o] = al[o:e]
+        qlens = (read_offs[1:] - read_offs[:-1]).astype(np.int32)
+        return fwd, qlens
+
+    def _device_fn(self):
+        """Jitted device stage: the REFERENCE stays device-resident and
+        windows are gathered on chip — only read codes (uint8) and the
+        per-window descriptors cross the host link, which matters when
+        the chip sits behind a low-bandwidth tunnel.
+
+        On TPU the scorer is the Pallas kernel (ops/sw.py); elsewhere
+        the jitted pure-jnp reference of the same recurrence (Pallas
+        interpret mode is orders of magnitude slower than XLA:CPU).
+        Both produce scores identical to the host sw_full kernel."""
+        import functools
+        import jax
+        import jax.numpy as jnp
+        from ..ops.sw import sw_score_batch, sw_score_ref
+
+        fn = getattr(self, "_dev_jit", None)
+        if fn is not None:
+            return fn
+        eng = self.lane.engine
+        on_tpu = (jax.default_backend() == "tpu" and
+                  self.interpret is not True)
+        matrix = np.asarray(eng.matrix, np.int32)
+        go, ge = -eng.gapopen, -eng.gapext
+
+        @functools.partial(jax.jit, static_argnames=("S",))
+        def step(ref_alpha, reads, qlens, starts, slens, ridx, is_rev, S):
+            reads = reads.astype(jnp.int32)           # [n, Q] alpha codes
+            n, Q = reads.shape
+            # reverse complement with per-read length (padding code 7)
+            j = jnp.arange(Q, dtype=jnp.int32)[None, :]
+            src = qlens[:, None] - 1 - j
+            valid = src >= 0
+            g = jnp.take_along_axis(reads, jnp.maximum(src, 0), axis=1)
+            std = (g & 4) == 0
+            rcq = jnp.where(valid, jnp.where(std, g ^ 3, g), 7)
+            qcs = jnp.where((is_rev == 1)[:, None], rcq[ridx], reads[ridx])
+            # on-device window gather from the resident reference
+            offs = jnp.arange(S, dtype=jnp.int32)[None, :]
+            gidx = jnp.clip(starts[:, None] + offs, 0,
+                            ref_alpha.shape[0] - 1)
+            wins = jnp.where(offs >= slens[:, None], 7,
+                             ref_alpha[gidx].astype(jnp.int32))
+            if on_tpu:
+                return sw_score_batch(qcs, wins, slens, matrix, go, ge,
+                                      interpret=False)
+            return sw_score_ref(qcs, wins, slens, matrix, go, ge)
+
+        self._dev_jit = step
+        return step
+
+    def _score_windows(self, win_desc, fwd, qlens):
+        """Dispatch one batch of windows; returns a jax array (async)."""
+        import jax
+        lane = self.lane
+        if self._ref_alpha is None:
+            # resident device copy of the reference (alpha codes, uint8)
+            self._ref_alpha = jax.device_put(
+                (lane._refcodes & 7).astype(np.uint8))
+        starts = win_desc[:, 0].astype(np.int32)
+        slens = win_desc[:, 1].astype(np.int32)
+        ridx = win_desc[:, 2].astype(np.int32)
+        is_rev = win_desc[:, 3].astype(np.int32)
+        # pad S to a 128 multiple and the batch to a power of two so the
+        # jit sees a bounded shape family
+        S = int(slens.max()) if len(slens) else 128
+        S = -(-S // 128) * 128
+        nw = len(slens)
+        nwp = 1
+        while nwp < nw:
+            nwp *= 2
+        if nwp > nw:
+            starts = np.pad(starts, (0, nwp - nw))
+            slens = np.pad(slens, (0, nwp - nw))
+            ridx = np.pad(ridx, (0, nwp - nw))
+            is_rev = np.pad(is_rev, (0, nwp - nw))
+        out = self._device_fn()(self._ref_alpha, fwd, qlens, starts,
+                                slens, ridx, is_rev, S)
+        return out[:nw]
+
+    # ---------------- phase B ----------------
+
+    def _pass2(self, n, qmax, codes, read_offs, quals, has_qual,
+               names, name_offs, state, state_offs, scores,
+               ascii_codes: bool, names_raw: bool) -> Optional[str]:
+        lane = self.lane
+        p = lane.engine.params
+        filt = lane.engine.filter
+        wa, sa, nwords, ta, pa = lane._idx_addrs
+        idx = lane.engine.index
+        scores64 = np.ascontiguousarray(scores, dtype=np.int64)
+        cap = int(name_offs[-1]) + n * (2 * qmax + 192)
+        lane._rng_io[0] = rand._global._x
+        for _ in range(3):
+            out = np.empty(cap, dtype=np.uint8)
+            rc = lane.lib.fl_pass2_block(
+                wa, sa, nwords, ta, pa, idx.wordlen, idx.nskip,
+                lane._refcodes.ctypes.data, lane._offsets.ctypes.data,
+                lane.engine.refset.nseq, lane._ivals.ctypes.data,
+                lane._snames.ctypes.data, lane._sname_offs.ctypes.data,
+                lane._matrix.ctypes.data,
+                -lane.engine.gapopen, -lane.engine.gapext,
+                lane._avgs[0], lane._avgs[1],
+                p.ktuple_maxhit, eng_mod.HASH_MAXNHITS,
+                p.min_cover_frac, p.min_swatscor,
+                p.min_swatscor_below_max, p.min_basq,
+                p.target_depth, p.max_depth,
+                p.rmapflg & ~eng_mod.RMAPFLG_ALLPAIR, p.rsltouflg,
+                filt.min_swscor, filt.min_swscor_below_max,
+                filt.min_identity,
+                1 if lane.soft_clip else 0, 1 if lane.x_mismatch else 0,
+                1 if ascii_codes else 0, 1 if names_raw else 0,
+                n, codes.ctypes.data, read_offs.ctypes.data,
+                quals.ctypes.data, has_qual.ctypes.data,
+                names.ctypes.data, name_offs.ctypes.data,
+                state.ctypes.data, state_offs.ctypes.data,
+                scores64.ctypes.data, len(scores64),
+                lane._rng_io.ctypes.data, out.ctypes.data, cap)
+            if rc == -3:
+                cap *= 4
+                continue
+            if rc < 0:
+                return None
+            rand._global._x = int(lane._rng_io[0])
+            return out[:rc].tobytes().decode("ascii")
+        return None
+
+    # ---------------- driver ----------------
+
+    def run_raw_fastq(self, path: str, out, fallback) -> None:
+        """Map a FASTQ file: bulk parse -> phase A -> device -> phase B,
+        one batch in flight so device time hides behind the host tail.
+        `fallback(names, seqs, quals)` renders a batch through the host
+        lane when any native stage errors (no RNG consumed by then)."""
+        from collections import deque
+        from .fastmode import iter_fastq_batches
+
+        pending = deque()
+
+        def prepare(names, seqs, quals):
+            n = len(names)
+            read_offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum([len(s) for s in seqs], out=read_offs[1:])
+            name_offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum([len(x) for x in names], out=name_offs[1:])
+            qmax = int((read_offs[1:] - read_offs[:-1]).max()) if n else 1
+            has_qual = np.empty(n, dtype=np.uint8)
+            qp = []
+            for i, q in enumerate(quals):
+                if q is not None and len(q) == len(seqs[i]):
+                    has_qual[i] = 1
+                    qp.append(q)
+                else:
+                    return None
+            codes = np.frombuffer(b"".join(seqs) or b"\0", np.uint8)
+            qarr = np.frombuffer(b"".join(qp) or b"\0", np.uint8)
+            narr = np.frombuffer(b"".join(names) or b"\0", np.uint8)
+            st = self._pass1(n, qmax, codes, read_offs, qarr, has_qual,
+                             ascii_codes=True)
+            if st is None:
+                return None
+            state, state_offs, win_desc = st
+            if len(win_desc):
+                fwd, qlens = self._padded_reads(
+                    np.frombuffer(codec_encode_bulk(codes), np.uint8),
+                    read_offs, n, qmax)
+                scores = self._score_windows(win_desc, fwd, qlens)
+            else:
+                scores = np.zeros(0, np.int32)
+            return (n, qmax, codes, read_offs, qarr, has_qual, narr,
+                    name_offs, state, state_offs, scores)
+
+        def finish(item, raw):
+            (n, qmax, codes, read_offs, qarr, has_qual, narr, name_offs,
+             state, state_offs, scores) = item
+            text = self._pass2(n, qmax, codes, read_offs, qarr, has_qual,
+                               narr, name_offs, state, state_offs,
+                               np.asarray(scores), ascii_codes=True,
+                               names_raw=True)
+            if text is None:
+                text = fallback(*raw)
+            return text
+
+        for raw in iter_fastq_batches(path, self.batch):
+            item = prepare(*raw)
+            if item is None:
+                out.write(fallback(*raw))
+                continue
+            pending.append((item, raw))
+            while len(pending) > 1:
+                out.write(finish(*pending.popleft()))
+        while pending:
+            out.write(finish(*pending.popleft()))
+
+
+def codec_encode_bulk(ascii_codes: np.ndarray) -> bytes:
+    """ASCII read letters -> mangled codes (vectorized CODTAB gather)."""
+    from ..seq import codec
+    return codec.CODTAB[ascii_codes].tobytes()

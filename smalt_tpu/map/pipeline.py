@@ -104,7 +104,8 @@ def run_pipeline_raw_fastq(engine, path: str, out, refset,
                            fmt: str = "sam", soft_clip: bool = True,
                            x_mismatch: bool = False, seed: int = 1,
                            ihist=None, fix_primary: bool = False,
-                           ali_out: bool = False) -> bool:
+                           ali_out: bool = False,
+                           device_pass1: bool = False) -> bool:
     """Serial single-end bulk path: C-speed FASTQ parsing feeding the C
     fast-lane with raw bytes (encode + name handling also native).
     Returns False when not applicable — the caller then runs the
@@ -135,19 +136,31 @@ def run_pipeline_raw_fastq(engine, path: str, out, refset,
     _g["fix_primary"] = fix_primary
     _g["reseed_per_block"] = False
     _g["lane"] = lane
-    for names, seqs, quals in iter_fastq_batches(path, 1024):
+
+    def fallback_batch(names, seqs, quals):
+        # no RNG was consumed: replay this batch through the regular
+        # block renderer (which itself may fall back to the pure-Python
+        # engine)
         text = lane.render_raw_block(names, seqs, quals)
-        if text is None:
-            # no RNG was consumed: replay this batch through the
-            # regular block renderer (which itself may fall back to
-            # the pure-Python engine)
-            reads = [Read(name=n.decode(), seq=codec.encode(s), qual=q)
-                     for n, s, q in zip(names, seqs, quals)]
-            buf = []
-            for args in _blocks(iter(reads), BLOCK_READS):
-                buf.append(_render_block(args))
-            text = "".join(buf)
-        out.write(text)
+        if text is not None:
+            return text
+        reads = [Read(name=n.decode(), seq=codec.encode(s), qual=q)
+                 for n, s, q in zip(names, seqs, quals)]
+        buf = []
+        for args in _blocks(iter(reads), BLOCK_READS):
+            buf.append(_render_block(args))
+        return "".join(buf)
+
+    if device_pass1:
+        from .fastlane import DevicePass1
+        dev = DevicePass1.make(engine, fmt, soft_clip, x_mismatch,
+                               ali_out, fix_primary)
+        if dev is not None:
+            dev.run_raw_fastq(path, out, fallback_batch)
+            return True
+        # device lane unsupported for these penalties: host lane below
+    for names, seqs, quals in iter_fastq_batches(path, 1024):
+        out.write(fallback_batch(names, seqs, quals))
     return True
 
 

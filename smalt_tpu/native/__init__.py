@@ -143,6 +143,30 @@ def _declare_fastlane(lib):
         ci, ci,                             # codes_are_ascii, names_raw
         i64, vp, vp, vp, vp, vp, vp,        # reads
         vp, vp, i64]                        # rng + output
+    lib.fl_pass1_block.restype = i64
+    lib.fl_pass1_block.argtypes = [
+        vp, vp, i64, vp, vp, ci, ci,        # index
+        vp, vp, i64, vp,                    # reference
+        vp, ci, ci, i64, i64,               # scoring
+        i64, i64, dbl, i64, i64, ci,        # params 1
+        i64, i64, ci,                       # params 2 (rmapflg)
+        ci,                                 # codes_are_ascii
+        i64, vp, vp, vp, vp,                # reads
+        vp, i64, vp,                        # state
+        vp, i64]                            # windows
+    lib.fl_pass2_block.restype = i64
+    lib.fl_pass2_block.argtypes = [
+        vp, vp, i64, vp, vp, ci, ci,        # index
+        vp, vp, i64, vp, vp, vp,            # reference + names
+        vp, ci, ci, i64, i64,               # scoring
+        i64, i64, dbl, i64, i64, ci,        # params 1
+        i64, i64, ci, ci,                   # params 2
+        i64, i64, dbl, ci, ci,              # filter + sam opts
+        ci, ci,                             # codes_are_ascii, names_raw
+        i64, vp, vp, vp, vp, vp, vp,        # reads
+        vp, vp,                             # state
+        vp, i64,                            # scores
+        vp, vp, i64]                        # rng + output
 
 
 def _load():

@@ -79,6 +79,21 @@ int64_t mc_align_recursive(
     uint8_t *diffpool, int64_t diff_cap,
     int64_t *res, int64_t res_cap);
 int nr_sort2(uint32_t *a, uint32_t *b, int n);
+int mc_calc_seg_offsets(const int64_t *row, int ktup, int nskip,
+                        const int64_t *offsets, int64_t nseq, int64_t qlen,
+                        int64_t *o_qs, int64_t *o_qe,
+                        int64_t *o_rs, int64_t *o_re,
+                        int64_t *o_bl, int64_t *o_br);
+int mc_ali_band_make(int64_t l_edge, int64_t r_edge,
+                     int64_t q_left, int64_t q_right, int64_t q_len,
+                     int64_t s_left, int64_t s_right, int64_t s_len,
+                     int64_t *o_ledge, int64_t *o_redge,
+                     int64_t *o_sleft, int64_t *o_slen,
+                     int64_t *o_qleft, int64_t *o_qlen, int64_t *o_bw);
+int sw_band_fast(const int32_t *W, int qlen_prof, const uint8_t *subj,
+                 int l_edge, int r_edge, int q_left, int q_len,
+                 int s_left, int s_len, int gap_init, int gap_ext,
+                 int32_t *Hbuf, int32_t *Ebuf);
 
 /* ---------------- constants (results.c / rmap.c / segment.c) -------- */
 
@@ -1129,35 +1144,36 @@ static void fl_profiles(const FLParams *P, const uint8_t *codes, int64_t qlen,
     }
 }
 
-/* rmapSingle + mapSingleRead (engine.py:539-560, 447-529) for one read.
- * Fills s->rs.  Returns 0 or FL_ERR_*. */
-static int fl_map_read(const FLParams *P, FLScratch *s,
-                       const uint8_t *codes, const uint8_t *qual,
-                       int64_t qlen)
+/* Everything through depth selection: hit info, candidate collection,
+ * deficits, stats (engine.py:539-549 + 447-498 up to pass 1).
+ * Leaves candidate rows in s->out11 and the depth order in
+ * s->stat_idxs.  shortseq=1 means an empty result set (no error). */
+typedef struct {
+    int shortseq;
+    int64_t n_sort, n_mincover;
+    int64_t deficit_f, deficit_r;
+    int64_t hits_used, hits_tot;
+} FLStage1;
+
+static int fl_read_stage1(const FLParams *P, FLScratch *s,
+                          const uint8_t *codes, const uint8_t *qual,
+                          int64_t qlen, FLStage1 *o)
 {
-    FLResultSet *rs = s->rs;
     int64_t hout[4], nF, rankF, nR, rankR;
     int64_t min_cover, min_ktup, mincov_below_max;
-    int64_t deficit_f, deficit_r, maxcov[2] = {0, 0};
+    int64_t maxcov[2] = {0, 0};
     int64_t ncand = 0, n_sort, n_mincover = 0;
     int64_t budget_rd;
-    int64_t out_max[3];
-    int64_t max1, max2, n_out;
-    int64_t min_swatscor = P->min_swatscor;
-    int64_t min_swatscor_below_max = P->min_swatscor_below_max;
-    int64_t scorlen_min = P->wordlen + P->nskip;
-    int64_t matchscor = P->match_avg;
     int64_t mismatchdiff = P->match_avg - P->mismatch_avg;
-    int64_t maxscor_perfect, bandwidth_min;
     int strand;
     int rc;
     double t;
 
-    rs_blank(rs);
-    if (qlen < P->wordlen) return 0;    /* ShortSeq -> empty result set */
-
-    fl_profiles(P, codes, qlen, s->Wf, s->Wr);
-
+    memset(o, 0, sizeof(*o));
+    if (qlen < P->wordlen) {            /* ShortSeq -> empty result set */
+        o->shortseq = 1;
+        return 0;
+    }
     rc = (int)mc_hitinfo_short2(P->words, P->starts, P->nwords, P->table,
                                 P->wordlen, P->nskip, codes, qual, qlen,
                                 P->ktuple_maxhit, P->maxhit_total,
@@ -1166,7 +1182,10 @@ static int fl_map_read(const FLParams *P, FLScratch *s,
                                 s->sidxF,
                                 s->qmaskR, s->qoffsR, s->nhitsR, s->slotR,
                                 s->sidxR, s->qbuf, s->keybuf, hout);
-    if (rc != 0) return 0;              /* ShortSeq -> empty result set */
+    if (rc != 0) {
+        o->shortseq = 1;
+        return 0;
+    }
     nF = hout[0]; rankF = hout[1]; nR = hout[2]; rankR = hout[3];
 
     /* _covermin (engine.py:562-568) */
@@ -1177,7 +1196,6 @@ static int fl_map_read(const FLParams *P, FLScratch *s,
         min_cover = (int64_t)P->min_cover_frac;
     }
 
-    maxscor_perfect = qlen * matchscor;
     /* calcMinKtup (engine.py:464-468) */
     if (min_cover >= P->wordlen + P->nskip)
         min_ktup = (min_cover - P->wordlen) / P->nskip;
@@ -1185,10 +1203,11 @@ static int fl_map_read(const FLParams *P, FLScratch *s,
         min_ktup = 1;
     min_cover = (min_ktup - 1) * P->nskip + P->wordlen;
 
-    if (min_swatscor_below_max < 0) {
+    if (P->min_swatscor_below_max < 0) {
         mincov_below_max = qlen - 1;
     } else {
-        mincov_below_max = (min_swatscor_below_max / mismatchdiff) * P->nskip;
+        mincov_below_max = (P->min_swatscor_below_max / mismatchdiff)
+                           * P->nskip;
         if (mincov_below_max < P->wordlen || (P->rmapflg & RMAPFLG_BEST))
             mincov_below_max = P->wordlen + 2 * (P->nskip - 1);
     }
@@ -1225,23 +1244,25 @@ static int fl_map_read(const FLParams *P, FLScratch *s,
     }
 
     /* cover deficits (engine.py:483) */
-    deficit_f = mc_cover_deficit(s->qoffsF, s->sidxF, nF, nF > 1, rankF,
-                                 s->qmaskF, qlen, P->wordlen, P->nskip,
-                                 s->qbuf);
-    deficit_r = mc_cover_deficit(s->qoffsR, s->sidxR, nR, nR > 1, rankR,
-                                 s->qmaskR, qlen, P->wordlen, P->nskip,
-                                 s->qbuf);
+    o->deficit_f = mc_cover_deficit(s->qoffsF, s->sidxF, nF, nF > 1, rankF,
+                                    s->qmaskF, qlen, P->wordlen, P->nskip,
+                                    s->qbuf);
+    o->deficit_r = mc_cover_deficit(s->qoffsR, s->sidxR, nR, nR > 1, rankR,
+                                    s->qmaskR, qlen, P->wordlen, P->nskip,
+                                    s->qbuf);
 
     /* depth selection (engine.py:484-486 -> collate.py:419) */
     n_sort = fl_cands_stats(s->out11, ncand, maxcov[0], maxcov[1],
                             P->nskip, mincov_below_max,
-                            deficit_f, deficit_r,
+                            o->deficit_f, o->deficit_r,
                             P->target_depth, P->max_depth,
                             (P->rmapflg & RMAPFLG_SENSITIVE) != 0,
                             s->stat_keys, s->stat_idxs, &n_mincover);
     if (n_sort < 0) return (int)n_sort;
+    o->n_sort = n_sort;
+    o->n_mincover = n_mincover;
 
-    /* set_alignment_stats (engine.py:493-498): hit_numbers per strand */
+    /* hit_numbers per strand (engine.py:493-498) */
     {
         int64_t totF = 0, totR = 0, nrankF = 0, nrankR = 0, i;
         for (i = 0; i < nF; i++) totF += s->nhitsF[i];
@@ -1254,26 +1275,28 @@ static int fl_map_read(const FLParams *P, FLScratch *s,
             for (i = 0; i < rankR; i++) nrankR += s->nhitsR[s->sidxR[i]];
         else
             nrankR = totR;
-        rs->n_ali_done = n_sort;
-        rs->n_ali_tot = n_mincover;
-        rs->n_ali_max = P->max_depth;
-        rs->n_hits_used = nrankF + nrankR;
-        rs->n_hits_tot = totF + totR;
+        o->hits_used = nrankF + nrankR;
+        o->hits_tot = totF + totR;
     }
+    return 0;
+}
 
-    /* pass 1 (engine.py:500-501 -> mc_score_cands) */
-    rc = (int)mc_score_cands(s->out11, s->stat_idxs, n_sort,
-                             P->wordlen, P->nskip,
-                             P->refcodes, P->offsets, P->nseq, qlen,
-                             s->Wf, s->Wr, P->gap_init, P->gap_ext,
-                             P->match_avg, P->mismatch_avg,
-                             (P->rmapflg & RMAPFLG_BEST) != 0,
-                             deficit_f, deficit_r,
-                             s->Hbuf, s->Ebuf, s->score_out, out_max);
-    if (rc != 0) return FL_ERR_ASSERT;
-    max1 = out_max[0];
-    max2 = out_max[1];
-    n_out = out_max[2];
+/* Pass 2 onward: min-score dynamics, full alignment of survivors,
+ * result sorting/mapq/filter (engine.py:416-443, 505-529).  Consumes
+ * the pass-1 rows in s->score_out. */
+static int fl_read_finish(const FLParams *P, FLScratch *s,
+                          const uint8_t *qual, int64_t qlen,
+                          int64_t n_out, int64_t max1, int64_t max2)
+{
+    FLResultSet *rs = s->rs;
+    int64_t min_swatscor = P->min_swatscor;
+    int64_t min_swatscor_below_max = P->min_swatscor_below_max;
+    int64_t scorlen_min = P->wordlen + P->nskip;
+    int64_t matchscor = P->match_avg;
+    int64_t maxscor_perfect = qlen * matchscor;
+    int64_t bandwidth_min;
+    int rc;
+
     if (max1 < 1) return 0;
     bandwidth_min = (maxscor_perfect - max1) / P->gap_ext;
 
@@ -1387,6 +1410,44 @@ static int fl_map_read(const FLParams *P, FLScratch *s,
     rs_filter(rs, qlen, P->filter_minscor, P->filter_belowmax,
               P->filter_minid);
     return 0;
+}
+
+/* rmapSingle + mapSingleRead (engine.py:539-560, 447-529) for one read,
+ * all-host: stage 1, host pass-1 (mc_score_cands), then pass 2 onward.
+ * Fills s->rs.  Returns 0 or FL_ERR_*. */
+static int fl_map_read(const FLParams *P, FLScratch *s,
+                       const uint8_t *codes, const uint8_t *qual,
+                       int64_t qlen)
+{
+    FLStage1 st;
+    int64_t out_max[3];
+    int rc;
+
+    rs_blank(s->rs);
+    rc = fl_read_stage1(P, s, codes, qual, qlen, &st);
+    if (rc != 0) return rc;
+    if (st.shortseq) return 0;
+
+    s->rs->n_ali_done = st.n_sort;
+    s->rs->n_ali_tot = st.n_mincover;
+    s->rs->n_ali_max = P->max_depth;
+    s->rs->n_hits_used = st.hits_used;
+    s->rs->n_hits_tot = st.hits_tot;
+
+    fl_profiles(P, codes, qlen, s->Wf, s->Wr);
+
+    /* pass 1 (engine.py:500-501 -> mc_score_cands) */
+    rc = (int)mc_score_cands(s->out11, s->stat_idxs, st.n_sort,
+                             P->wordlen, P->nskip,
+                             P->refcodes, P->offsets, P->nseq, qlen,
+                             s->Wf, s->Wr, P->gap_init, P->gap_ext,
+                             P->match_avg, P->mismatch_avg,
+                             (P->rmapflg & RMAPFLG_BEST) != 0,
+                             st.deficit_f, st.deficit_r,
+                             s->Hbuf, s->Ebuf, s->score_out, out_max);
+    if (rc != 0) return FL_ERR_ASSERT;
+    return fl_read_finish(P, s, qual, qlen, out_max[2],
+                          out_max[0], out_max[1]);
 }
 
 /* ---------------- ASCII -> mangled encode (codec.py CODTAB) -------- */
@@ -1553,6 +1614,346 @@ int64_t fl_map_block(
                               ? &s.rs->res[s.rep[r].res_idx] : NULL;
             rc = tx_sam_line(&t, name, name_len,
                              codes, qual, qlen,
+                             s.rs, rp, s.rep[r].mateflg,
+                             rp ? s.rep[r].mapscor : 0,
+                             seq_name_ptr, seq_name_len,
+                             soft_clip, x_mismatch);
+            if (rc != 0) goto done;
+        }
+        if (t.overflow) {
+            rc = FL_ERR_TEXT;
+            goto done;
+        }
+    }
+
+done:
+    free((void *)seq_name_ptr);
+    free(seq_name_len);
+    fl_scratch_free(&s);
+    if (rc != 0) return rc;
+    *rng_io = rng;
+    return t.p - out_text;
+}
+
+/* ---------------- device-assisted pass 1 (two-phase) ---------------- */
+
+/* Per-read state header written by fl_pass1_block and consumed by
+ * fl_pass2_block (all int64):
+ *   [0] shortseq  [1] n_sort  [2] n_mincover  [3] deficit_f
+ *   [4] deficit_r [5] hits_used [6] hits_tot  [7] reserved
+ * followed by n_sort geometry rows of FL_GEOM_FIELDS:
+ *   {qs, qe, rs, re, bl, br, sqidx, is_rev, cover, is_simd, win_idx, 0}
+ */
+#define FL_HDR_FIELDS 8
+#define FL_GEOM_FIELDS 12
+
+/* Phase A: seed/collate/depth-select every read and emit the geometry
+ * of ALL depth-selected candidates plus window descriptors for the
+ * SIMD-eligible ones (the ones the host pass-1 would send through the
+ * full-matrix kernel, rmap.c:714-731).  The device scores every such
+ * window even past the would-be early break — extra work, identical
+ * semantics: fl_pass2_block replays the break logic and simply stops
+ * consuming (scoreRMAPCAND truncation, rmap.c:756-783).
+ *
+ * win_desc rows of 4 int64: {global_start, slen, read_idx, is_rev}.
+ * Returns the window count, or FL_ERR_* (<0). */
+int64_t fl_pass1_block(
+    const uint64_t *words, const int64_t *starts, int64_t nwords,
+    const int32_t *table, const uint32_t *pos, int wordlen, int nskip,
+    const uint8_t *refcodes, const int64_t *offsets, int64_t nseq,
+    const int64_t *seq_ivals,
+    const int32_t *matrix, int gap_init, int gap_ext,
+    int64_t match_avg, int64_t mismatch_avg,
+    int64_t ktuple_maxhit, int64_t maxhit_total,
+    double min_cover_frac, int64_t min_swatscor,
+    int64_t min_swatscor_below_max, int min_basq,
+    int64_t target_depth, int64_t max_depth, int rmapflg,
+    int codes_are_ascii,
+    int64_t n_reads, const uint8_t *codes_concat, const int64_t *read_offs,
+    const uint8_t *quals_concat, const uint8_t *has_qual,
+    int64_t *state, int64_t state_cap, int64_t *state_offs,
+    int64_t *win_desc, int64_t win_cap)
+{
+    FLParams P;
+    FLScratch s;
+    int64_t i, qmax = 1, n_win = 0, state_used = 0;
+    int rc = 0;
+
+    memset(&P, 0, sizeof(P));
+    P.words = words; P.starts = starts; P.nwords = nwords;
+    P.table = table; P.pos = pos; P.wordlen = wordlen; P.nskip = nskip;
+    P.refcodes = refcodes; P.offsets = offsets; P.nseq = nseq;
+    P.seq_ivals = seq_ivals;
+    P.matrix = matrix; P.gap_init = gap_init; P.gap_ext = gap_ext;
+    P.match_avg = match_avg; P.mismatch_avg = mismatch_avg;
+    P.ktuple_maxhit = ktuple_maxhit; P.maxhit_total = maxhit_total;
+    P.min_cover_frac = min_cover_frac; P.min_swatscor = min_swatscor;
+    P.min_swatscor_below_max = min_swatscor_below_max;
+    P.min_basq = min_basq;
+    P.target_depth = target_depth; P.max_depth = max_depth;
+    P.rmapflg = rmapflg;
+
+    for (i = 0; i < n_reads; i++) {
+        int64_t ql = read_offs[i + 1] - read_offs[i];
+        if (ql > qmax) qmax = ql;
+    }
+    if (fl_scratch_init(&s, qmax) != 0) {
+        fl_scratch_free(&s);
+        return FL_ERR_CAP;
+    }
+    fl_codtab_init();
+
+    for (i = 0; i < n_reads; i++) {
+        const uint8_t *codes = codes_concat + read_offs[i];
+        const uint8_t *qual = has_qual[i] ? quals_concat + read_offs[i] : NULL;
+        int64_t qlen = read_offs[i + 1] - read_offs[i];
+        FLStage1 st;
+        int64_t *hdr, *rows;
+        int64_t c;
+        if (codes_are_ascii) {
+            int64_t j;
+            for (j = 0; j < qlen; j++)
+                s.enc[j] = fl_codtab[codes[j]];
+            codes = s.enc;
+        }
+        state_offs[i] = state_used;
+        rc = fl_read_stage1(&P, &s, codes, qual, qlen, &st);
+        if (rc != 0) goto done;
+        if (state_used + FL_HDR_FIELDS + st.n_sort * FL_GEOM_FIELDS >
+            state_cap) {
+            rc = FL_ERR_CAP;
+            goto done;
+        }
+        hdr = state + state_used;
+        rows = hdr + FL_HDR_FIELDS;
+        hdr[0] = st.shortseq;
+        hdr[1] = st.n_sort;
+        hdr[2] = st.n_mincover;
+        hdr[3] = st.deficit_f;
+        hdr[4] = st.deficit_r;
+        hdr[5] = st.hits_used;
+        hdr[6] = st.hits_tot;
+        hdr[7] = 0;
+        state_used += FL_HDR_FIELDS;
+        if (st.shortseq) continue;
+        for (c = 0; c < st.n_sort; c++) {
+            const int64_t *row = s.out11 + (int64_t)s.stat_idxs[c] * 11;
+            int64_t qs, qe, rs_, re_, bl, br;
+            int64_t *g = rows + c * FL_GEOM_FIELDS;
+            int is_simd;
+            if (mc_calc_seg_offsets(row, wordlen, nskip, offsets, nseq,
+                                    qlen, &qs, &qe, &rs_, &re_,
+                                    &bl, &br) != 0) {
+                rc = FL_ERR_ASSERT;
+                goto done;
+            }
+            is_simd = (qlen >= 32 && (br - bl) * 48 > qlen &&
+                       qs == 0 && qe >= qlen - 1);
+            g[0] = qs; g[1] = qe; g[2] = rs_; g[3] = re_;
+            g[4] = bl; g[5] = br; g[6] = row[10]; g[7] = row[8] & 1;
+            g[8] = row[7]; g[9] = is_simd;
+            g[10] = -1; g[11] = 0;
+            if (is_simd) {
+                int64_t gstart;
+                if (g[6] < 0 || g[6] >= nseq) {
+                    rc = FL_ERR_ASSERT;
+                    goto done;
+                }
+                gstart = offsets[g[6]] + rs_;
+                if (n_win >= win_cap) {
+                    rc = FL_ERR_CAP;
+                    goto done;
+                }
+                win_desc[n_win * 4 + 0] = gstart;
+                win_desc[n_win * 4 + 1] = re_ - rs_ + 1;
+                win_desc[n_win * 4 + 2] = i;
+                win_desc[n_win * 4 + 3] = g[7];
+                g[10] = n_win;
+                n_win++;
+            }
+        }
+        state_used += st.n_sort * FL_GEOM_FIELDS;
+    }
+    state_offs[n_reads] = state_used;
+
+done:
+    fl_scratch_free(&s);
+    return rc != 0 ? rc : n_win;
+}
+
+/* Phase B: replay pass 1 consuming the device scores for the SIMD
+ * windows (host banded-fast for the rest), then pass 2 / results /
+ * report / SAM exactly as fl_map_block.  scores: int64[n_windows].
+ * Returns SAM text length or FL_ERR_*; rng_io commits on success. */
+int64_t fl_pass2_block(
+    const uint64_t *words, const int64_t *starts, int64_t nwords,
+    const int32_t *table, const uint32_t *pos, int wordlen, int nskip,
+    const uint8_t *refcodes, const int64_t *offsets, int64_t nseq,
+    const int64_t *seq_ivals,
+    const char *snames, const int64_t *sname_offs,
+    const int32_t *matrix, int gap_init, int gap_ext,
+    int64_t match_avg, int64_t mismatch_avg,
+    int64_t ktuple_maxhit, int64_t maxhit_total,
+    double min_cover_frac, int64_t min_swatscor,
+    int64_t min_swatscor_below_max, int min_basq,
+    int64_t target_depth, int64_t max_depth,
+    int rmapflg, int rsltouflg,
+    int64_t filter_minscor, int64_t filter_belowmax, double filter_minid,
+    int soft_clip, int x_mismatch,
+    int codes_are_ascii, int names_raw,
+    int64_t n_reads, const uint8_t *codes_concat, const int64_t *read_offs,
+    const uint8_t *quals_concat, const uint8_t *has_qual,
+    const char *names_concat, const int64_t *name_offs,
+    const int64_t *state, const int64_t *state_offs,
+    const int64_t *scores, int64_t n_scores,
+    uint64_t *rng_io, char *out_text, int64_t out_cap)
+{
+    FLParams P;
+    FLScratch s;
+    FLText t;
+    uint64_t rng = *rng_io;
+    int64_t i, qmax = 1;
+    int rc = 0;
+    const char **seq_name_ptr = NULL;
+    int64_t *seq_name_len = NULL;
+
+    P.words = words; P.starts = starts; P.nwords = nwords;
+    P.table = table; P.pos = pos; P.wordlen = wordlen; P.nskip = nskip;
+    P.refcodes = refcodes; P.offsets = offsets; P.nseq = nseq;
+    P.seq_ivals = seq_ivals;
+    P.matrix = matrix; P.gap_init = gap_init; P.gap_ext = gap_ext;
+    P.match_avg = match_avg; P.mismatch_avg = mismatch_avg;
+    P.ktuple_maxhit = ktuple_maxhit; P.maxhit_total = maxhit_total;
+    P.min_cover_frac = min_cover_frac; P.min_swatscor = min_swatscor;
+    P.min_swatscor_below_max = min_swatscor_below_max;
+    P.min_basq = min_basq;
+    P.target_depth = target_depth; P.max_depth = max_depth;
+    P.rmapflg = rmapflg; P.rsltouflg = rsltouflg;
+    P.filter_minscor = filter_minscor; P.filter_belowmax = filter_belowmax;
+    P.filter_minid = filter_minid;
+    P.soft_clip = soft_clip; P.x_mismatch = x_mismatch;
+
+    for (i = 0; i < n_reads; i++) {
+        int64_t ql = read_offs[i + 1] - read_offs[i];
+        if (ql > qmax) qmax = ql;
+    }
+    if (fl_scratch_init(&s, qmax) != 0) {
+        fl_scratch_free(&s);
+        return FL_ERR_CAP;
+    }
+    seq_name_ptr = fl_alloc(nseq * (int64_t)sizeof(char *));
+    seq_name_len = fl_alloc(nseq * 8);
+    if (!seq_name_ptr || !seq_name_len) {
+        rc = FL_ERR_CAP;
+        goto done;
+    }
+    for (i = 0; i < nseq; i++) {
+        seq_name_ptr[i] = snames + sname_offs[i];
+        seq_name_len[i] = sname_offs[i + 1] - sname_offs[i];
+    }
+    t.p = out_text;
+    t.end = out_text + out_cap;
+    t.overflow = 0;
+    fl_codtab_init();
+
+    for (i = 0; i < n_reads; i++) {
+        const uint8_t *codes = codes_concat + read_offs[i];
+        const uint8_t *qual = has_qual[i] ? quals_concat + read_offs[i] : NULL;
+        int64_t qlen = read_offs[i + 1] - read_offs[i];
+        const char *name = names_concat + name_offs[i];
+        int64_t name_len = name_offs[i + 1] - name_offs[i];
+        const int64_t *hdr = state + state_offs[i];
+        const int64_t *rows = hdr + FL_HDR_FIELDS;
+        int n_rep = 0, r;
+        if (codes_are_ascii) {
+            int64_t j;
+            for (j = 0; j < qlen; j++)
+                s.enc[j] = fl_codtab[codes[j]];
+            codes = s.enc;
+        }
+        if (names_raw)
+            name_len = fl_sam_name_len(name, name_len);
+
+        rs_blank(s.rs);
+        if (!hdr[0]) {                   /* not shortseq */
+            int64_t n_sort = hdr[1];
+            int64_t deficit_f = hdr[3], deficit_r = hdr[4];
+            int64_t mmscordiff = match_avg - mismatch_avg;
+            int64_t max1 = 0, max2 = 0, min_cover = 0, max_cover = 0;
+            int64_t n_out = 0, c;
+            s.rs->n_ali_done = n_sort;
+            s.rs->n_ali_tot = hdr[2];
+            s.rs->n_ali_max = max_depth;
+            s.rs->n_hits_used = hdr[5];
+            s.rs->n_hits_tot = hdr[6];
+            fl_profiles(&P, codes, qlen, s.Wf, s.Wr);
+
+            /* scoreRMAPCAND replay (mapcore.c mc_score_cands with the
+             * full-matrix kernel's scores precomputed on the device) */
+            for (c = 0; c < n_sort; c++) {
+                const int64_t *g = rows + c * FL_GEOM_FIELDS;
+                int64_t cover = g[8], cdf, swscor;
+                int is_rev = (int)g[7];
+                const int32_t *W = is_rev ? s.Wr : s.Wf;
+                if (g[9]) {              /* device-scored window */
+                    int64_t w = g[10];
+                    if (w < 0 || w >= n_scores) {
+                        rc = FL_ERR_ASSERT;
+                        goto done;
+                    }
+                    swscor = scores[w];
+                } else {
+                    int64_t slen = g[3] - g[2] + 1;
+                    const uint8_t *subj = refcodes + offsets[g[6]] + g[2];
+                    int64_t abl, abr, asl, aslen, aql, aqlen, abw;
+                    if (mc_ali_band_make(g[4], g[5], g[0], g[1], qlen,
+                                         0, slen - 1, slen,
+                                         &abl, &abr, &asl, &aslen,
+                                         &aql, &aqlen, &abw) != 0)
+                        swscor = 0;
+                    else
+                        swscor = sw_band_fast(W, (int)qlen, subj,
+                                              (int)abl, (int)abr, (int)aql,
+                                              (int)aqlen, (int)asl,
+                                              (int)aslen, gap_init, gap_ext,
+                                              s.Hbuf, s.Ebuf);
+                }
+                cdf = is_rev ? deficit_r : deficit_f;
+                if ((rmapflg & RMAPFLG_BEST) && cover + cdf < min_cover)
+                    break;               /* truncate at the break index */
+                {
+                    int64_t *o = s.score_out + n_out * 10;
+                    o[0] = g[0]; o[1] = g[1]; o[2] = g[2]; o[3] = g[3];
+                    o[4] = g[4]; o[5] = g[5]; o[6] = g[6];
+                    o[7] = is_rev; o[8] = swscor; o[9] = 1;
+                    n_out++;
+                }
+                if (swscor > max2) {
+                    if (swscor > max1) {
+                        max2 = max1;
+                        max1 = swscor;
+                        if (cover + cdf > max_cover)
+                            max_cover = (cover > cdf) ? cover - cdf : 0;
+                    } else {
+                        max2 = swscor;
+                    }
+                    {
+                        int64_t dcov = ((max1 - max2) / mmscordiff + 1)
+                                       * nskip;
+                        if (dcov + cdf + min_cover < max_cover)
+                            min_cover = max_cover - dcov;
+                    }
+                }
+            }
+            rc = fl_read_finish(&P, &s, qual, qlen, n_out, max1, max2);
+            if (rc != 0) goto done;
+        }
+        rc = fl_add_single_to_report(s.rs, rsltouflg, &rng, s.rep, &n_rep);
+        if (rc != 0) goto done;
+        for (r = 0; r < n_rep; r++) {
+            const FLRes *rp = s.rep[r].res_idx >= 0
+                              ? &s.rs->res[s.rep[r].res_idx] : NULL;
+            rc = tx_sam_line(&t, name, name_len, codes, qual, qlen,
                              s.rs, rp, s.rep[r].mateflg,
                              rp ? s.rep[r].mapscor : 0,
                              seq_name_ptr, seq_name_len,

@@ -760,8 +760,9 @@ int sw_band_track(const int32_t *W, int qlen_prof,
                   int32_t *Hbuf, int32_t *Ebuf);
 
 /* initALIBAND (alignment.c:310-398), mirroring align/band.py.
- * Returns 0 ok, -1 band error. */
-static int ali_band_make(int64_t l_edge, int64_t r_edge,
+ * Returns 0 ok, -1 band error.  Exported for the fast-lane's
+ * device-assisted pass-1 replay (fastlane.c). */
+int mc_ali_band_make(int64_t l_edge, int64_t r_edge,
                          int64_t q_left, int64_t q_right, int64_t q_len,
                          int64_t s_left, int64_t s_right, int64_t s_len,
                          int64_t *o_ledge, int64_t *o_redge,
@@ -869,7 +870,7 @@ int64_t mc_align_recursive(
         sp--;
         sl = stack[sp][0];
         sr = stack[sp][1];
-        if (ali_band_make(l_edge, r_edge, q_left, q_right, qlen,
+        if (mc_ali_band_make(l_edge, r_edge, q_left, q_right, qlen,
                           sl, sr, slen,
                           &bl, &br, &bsl, &bslen, &bql, &bqlen, &bw) != 0)
             continue;
@@ -945,8 +946,9 @@ int sw_full(const int32_t *W, int qlen, const uint8_t *subj, int slen,
 #define BWSCAL_QLEN 48
 
 /* segAliCandsCalcSegmentOffsets (segment.c:1861-1985) for one cand
- * row (edgelen = 0, the SIMD build).  Returns 0 ok, -1 assert-fail. */
-static int calc_seg_offsets(const int64_t *row, int ktup, int nskip,
+ * row (edgelen = 0, the SIMD build).  Returns 0 ok, -1 assert-fail.
+ * Exported for the fast-lane's device-assisted pass-1 (fastlane.c). */
+int mc_calc_seg_offsets(const int64_t *row, int ktup, int nskip,
                             const int64_t *offsets, int64_t nseq,
                             int64_t qlen,
                             int64_t *o_qs, int64_t *o_qe,
@@ -1054,7 +1056,7 @@ int64_t mc_score_cands(
         const uint8_t *subj;
         int64_t slen, swscor;
         const int32_t *W = is_rev ? Wr : Wf;
-        if (calc_seg_offsets(row, ktup, nskip, offsets, nseq, qlen,
+        if (mc_calc_seg_offsets(row, ktup, nskip, offsets, nseq, qlen,
                              &qs, &qe, &rs, &re, &bl, &br) != 0)
             return -1;
         subj = refcodes + ((seqidx >= 0 && seqidx < nseq)
@@ -1066,7 +1068,7 @@ int64_t mc_score_cands(
                              gap_init, gap_ext, Hbuf, Ebuf);
         } else {
             int64_t abl, abr, asl, aslen, aql, aqlen, abw;
-            if (ali_band_make(bl, br, qs, qe, qlen, 0, slen - 1, slen,
+            if (mc_ali_band_make(bl, br, qs, qe, qlen, 0, slen - 1, slen,
                               &abl, &abr, &asl, &aslen, &aql, &aqlen,
                               &abw) != 0)
                 swscor = 0;

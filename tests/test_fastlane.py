@@ -115,3 +115,28 @@ def test_fastlane_actually_engaged(fixture_dir):
     engine, refset, idx = _build_engine(a, [])
     lane = FastLane.make(engine, "sam", True, False, False, False)
     assert lane is not None
+
+
+def test_device_pass1_matches_host(fixture_dir, tmp_path):
+    """--device-pass1 (pass-1 candidate scoring on the accelerator,
+    exact pass-2 on host) must be byte-identical to the host lane —
+    the converged-engine requirement: one algorithm, two executions.
+    On CPU the device stage runs the jitted pure-jnp twin of the
+    Pallas kernel (same scores as the C sw_full)."""
+    pref, fq = fixture_dir
+    out = str(tmp_path / "dev.sam")
+    # force the CPU backend in the subprocess (env alone is ignored when
+    # the TPU plugin is present; jax.config must be set before use)
+    cmd = [sys.executable, "-c",
+           "import sys; sys.path.insert(0, %r); "
+           "import jax; jax.config.update('jax_platforms', 'cpu'); "
+           "from smalt_tpu.cli import main; "
+           "sys.exit(main(['map', '-f', 'sam', '-r', '1', "
+           "'--device-pass1', %r, %r, '-o', %r]))" % (REPO, pref, fq, out)]
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    with open(out) as f:
+        got_dev = [l for l in f.read().splitlines() if not l.startswith("@")]
+    got_py = _run_map(tmp_path, ["map", "-f", "sam", "-r", "1", pref, fq],
+                      no_lane=True)
+    assert got_dev == got_py
