@@ -36,15 +36,34 @@ KMER, NSKIP = 13, 2
 
 
 def _gen_genome(rng):
+    """Random genome with a planted repeat fraction (~5%): dispersed
+    near-identical copies of a few units plus a tandem array — real
+    genomes are not uniform-random, and the repeat structure exercises
+    the MAXC truncation / mapq-cap path of the device pass."""
     bases = np.array(list(b"ACGT"), np.uint8)
-    return rng.choice(bases, GENOME_LEN).tobytes().decode()
+    g = rng.choice(bases, GENOME_LEN)
+    units = [rng.choice(bases, n) for n in (800, 1500, 3000)]
+    n_copies = (60, 40, 25)
+    for unit, nc in zip(units, n_copies):
+        for _ in range(nc):
+            cp = unit.copy()
+            for j in rng.integers(0, len(cp), max(1, len(cp) // 100)):
+                cp[j] = bases[int(rng.integers(0, 4))]
+            at = int(rng.integers(0, GENOME_LEN - len(cp)))
+            g[at : at + len(cp)] = cp
+    tandem = rng.choice(bases, 500)
+    at = int(rng.integers(0, GENOME_LEN - 20 * 500))
+    g[at : at + 20 * 500] = np.tile(tandem, 20)
+    return g.tobytes().decode()
 
 
 def _gen_reads(rng, genome, n):
     comp = str.maketrans("ACGT", "TGCA")
     reads = []
-    for _ in range(n):
+    truth = np.empty(n, np.int64)
+    for r in range(n):
         pos = int(rng.integers(0, len(genome) - READLEN))
+        truth[r] = pos
         s = list(genome[pos : pos + READLEN])
         muts = rng.random(READLEN) < 0.01
         for i in np.flatnonzero(muts):
@@ -53,7 +72,7 @@ def _gen_reads(rng, genome, n):
         if rng.random() < 0.5:
             s = s.translate(comp)[::-1]
         reads.append(s)
-    return reads
+    return reads, truth
 
 
 def measure_reference(fa_path, reads):
@@ -103,7 +122,7 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     BATCH = 32768 if on_tpu else 256  # 32k is the v5e sweet spot (64k spills)
     INNER = 10 if on_tpu else 1
-    reads = _gen_reads(rng, genome, BATCH)
+    reads, truth = _gen_reads(rng, genome, BATCH)
     arr = np.full((BATCH, READLEN), 7, np.int32)
     for i, s in enumerate(reads):
         arr[i] = codec.alpha(codec.encode(s.encode()))
@@ -147,8 +166,16 @@ def main():
 
     step = jax.jit(lambda b, a: device_map_step(_di(a), b, m, -go, -ge,
                                                 interpret=interpret))
-    sc = np.asarray(step(batch, arrs)["score"])
+    out = step(batch, arrs)
+    sc = np.asarray(out["score"])
     mapped_frac = float((sc >= 50).mean())
+    # positional truth, not just score: the placement window must cover
+    # the true origin — except score-ties, where another repeat copy is
+    # an equally correct placement
+    st = np.asarray(out["start"]).astype(np.int64)
+    tie = np.asarray(out["score2"]) >= sc
+    near = np.abs(st - truth) <= 2 * READLEN
+    on_target_frac = float((near | tie)[sc >= 50].mean())
 
     baseline = measure_reference(fa_path, reads[:2000])
     os.unlink(fa_path)
@@ -161,6 +188,7 @@ def main():
     print(json.dumps(result))
     print(f"# backend={jax.default_backend()} batch={BATCH} "
           f"steady={dt*1000:.2f}ms mapped_frac={mapped_frac:.3f} "
+          f"on_target_frac={on_target_frac:.3f} "
           f"baseline={baseline:.0f} reads/s (reference smalt, 1 CPU core, "
           f"same genome/reads/k/step)", file=sys.stderr)
 

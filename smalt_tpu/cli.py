@@ -127,6 +127,12 @@ def _map_argparser(prog):
                          "(SAM; single or paired with mate rescue; "
                          "reference-style output, not bit-identical — "
                          "extension over the reference CLI)")
+    ap.add_argument("--fallback-exact", action="store_true",
+                    dest="fallback_exact",
+                    help="with --fast: reads whose seed search the "
+                         "device pass truncated (repeat words beyond "
+                         "the expansion budget) are remapped through "
+                         "the exact engine (single-end)")
     ap.add_argument("index_name")
     ap.add_argument("reads")
     ap.add_argument("mates", nargs="?", default=None)
@@ -308,6 +314,9 @@ def _cmd_map_fast(a, argv) -> int:
         return 1
     refset = RefSet.load(a.index_name)
     idx = KmerIndex.load(a.index_name)
+    exact_engine = None
+    if a.fallback_exact and a.mates is None:
+        exact_engine, _, _ = _build_engine(a, argv)
     out = _open_out(a)
     _writer(a, refset, argv, out)  # emits the SAM header
     import contextlib
@@ -320,7 +329,9 @@ def _cmd_map_fast(a, argv) -> int:
                           penalties=_parse_penalties(a.scorspec),
                           minscor=(a.minscor if a.minscor is not None else 18),
                           nthreads=a.nthreads, mates_path=a.mates,
-                          insert_min=a.insertmin, insert_max=a.insertmax)
+                          insert_min=a.insertmin, insert_max=a.insertmax,
+                          exact_engine=exact_engine,
+                          seed=(a.randseed if a.randseed is not None else 1))
     if out is not sys.stdout:
         out.close()
     return 0

@@ -100,14 +100,45 @@ def encode_batch(seqs: List[bytes], Q: int) -> np.ndarray:
 # lean host tail: one traceback + one SAM line per mapped read
 # ------------------------------------------------------------------
 
-def fast_mapq(sw1: int, sw2: int, qlen: int) -> int:
-    """The reference mapq core (results.c:1310-1334) with n2nd=1 and
-    no search-completeness deficit (the device pass has no candidate
-    bookkeeping): 250*sw1/qlen*(sw1-sw2)/qlen + 4, clamped [0,60];
-    ties -> 0."""
+_LOG10 = 2.302585092994046    # results.c:104 QUALSCOR_LOGBASE
+
+
+def fast_mapq(sw1: int, sw2: int, qlen: int, hits_used: int = 0,
+              hits_tot: int = 0, n2nd: int = 1,
+              ambig: bool = False) -> int:
+    """The reference mapq core (results.c:1310-1334) fed by the device
+    pass's own bookkeeping:
+
+      base = 250*sw1/qlen*(sw1-sw2)/qlen - qn   (+4 when >= 0)
+      qn   = 10*log10(n2nd)          runner-up multiplicity penalty
+      cap  = 60 + 10*log10(used/(tot+3))        (results.c:1193-1197)
+
+    `used`/`tot` are the seed placements the MAXC expansion kept vs all
+    indexed placements of the selected seed words, so a read whose
+    search was truncated (repeats) cannot report full confidence even
+    when its runner-up window was never scored.  `ambig` marks a read
+    with multiple equally-voted far diagonal clusters (unscored repeat
+    copies): confidence is then at best a random pick among copies, so
+    mapq caps at MAPSCOR_MAX_RANDOM (results.c:220-224).  Ties -> 0."""
+    import math
     if sw2 >= sw1:
         return 0
-    m = 250.0 * sw1 / qlen * (sw1 - sw2) / qlen + 4.0
+    qn = int(10.0 * math.log(n2nd) / _LOG10) if n2nd > 1 else 0
+    m = 250.0 * sw1 / qlen * (sw1 - sw2) / qlen - qn
+    if m >= 0:
+        m += 4.0               # MAPSCOR_MIN_UNIQ, results.c:58
+    cap = MAPQ_MAX
+    if hits_tot > 0:
+        fs = hits_used / (hits_tot + 3.0)      # MAPSCOR_DUMMY_COUNT
+        if fs <= 1e-7:                         # MINLOGARG
+            cap = 0
+        else:
+            deficit = -10.0 * math.log(fs) / _LOG10
+            cap = MAPQ_MAX - int(deficit) if deficit < MAPQ_MAX else 0
+    if ambig and cap > 3:
+        cap = 3                    # MAPSCOR_MAX_RANDOM
+    if m > cap:
+        m = cap
     if m > MAPQ_MAX:
         return MAPQ_MAX
     return int(m) if m > 0 else 0
@@ -202,7 +233,9 @@ class FastTail:
         return rp
 
     def map_one(self, read: Read, sc1: int, sc2: int, ws: int, is_rev: bool,
-                win_len: int, pad: int, q_padded: int) -> Optional[RepAli]:
+                win_len: int, pad: int, q_padded: int,
+                hits_used: int = 0, hits_tot: int = 0,
+                n2nd: int = 1, ambig: bool = False) -> Optional[RepAli]:
         """SE mapping tail for one read given its device-pass winner."""
         qlen = len(read.seq)
         if sc1 < self.minscor or qlen < 5:
@@ -236,7 +269,9 @@ class FastTail:
                 tb = full
         if tb is None:
             return None
-        return self._finish(w0, tb, is_rev, fast_mapq(sc1, sc2, qlen))
+        return self._finish(w0, tb, is_rev,
+                            fast_mapq(sc1, sc2, qlen, hits_used,
+                                      hits_tot, n2nd, ambig))
 
     def rescue_mate(self, read: Read, anchor: RepAli,
                     insert_min: int, insert_max: int) -> Optional[RepAli]:
@@ -273,17 +308,36 @@ class FastTail:
         return rp
 
     def render(self, names, seqs, quals, outs, win_len: int, pad: int,
-               q_padded: int, writer: ReportWriter) -> None:
+               q_padded: int, writer: ReportWriter,
+               exact_fallback=None, raw_out=None,
+               base_idx: int = 0) -> None:
         score = outs["score"]
         score2 = outs["score2"]
         start = outs["start"]
         strand = outs["strand"]
+        used = outs.get("hits_used")
+        tot = outs.get("hits_tot")
+        n2 = outs.get("n2nd")
+        amb = outs.get("ambig")
         for i, name in enumerate(names):
+            hu = int(used[i]) if used is not None else 0
+            ht = int(tot[i]) if tot is not None else 0
+            if exact_fallback is not None and ht > hu:
+                # the MAXC expansion truncated this read's search: remap
+                # it through the exact engine (the reference's exhaustive
+                # candidate handling) instead of trusting the heuristic
+                text = exact_fallback(names[i], seqs[i], quals[i],
+                                      base_idx + i)
+                if text is not None:
+                    raw_out.write(text)
+                    continue
             read = Read(name=name.decode(), seq=codec.encode(seqs[i]),
                         qual=quals[i])
             rp = self.map_one(read, int(score[i]), int(score2[i]),
                               int(start[i]), bool(strand[i]),
-                              win_len, pad, q_padded)
+                              win_len, pad, q_padded, hu, ht,
+                              int(n2[i]) if n2 is not None else 1,
+                              bool(amb[i]) if amb is not None else False)
             if rp is None:
                 rp = RepAli()   # unmapped record
             writer._write_one(rp, read, None, 0, 0)
@@ -329,6 +383,16 @@ class FastTail:
         score2 = outs["score2"]
         start = outs["start"]
         strand = outs["strand"]
+        used = outs.get("hits_used")
+        tot = outs.get("hits_tot")
+        n2 = outs.get("n2nd")
+        amb = outs.get("ambig")
+
+        def stats(j):
+            if used is None:
+                return 0, 0, 1, False
+            return int(used[j]), int(tot[j]), int(n2[j]), bool(amb[j])
+
         B = len(names) // 2
         for i in range(B):
             ia, ib = i, B + i
@@ -338,10 +402,10 @@ class FastTail:
                          seq=codec.encode(seqs[ib]), qual=quals[ib])
             rpA = self.map_one(readA, int(score[ia]), int(score2[ia]),
                                int(start[ia]), bool(strand[ia]),
-                               win_len, pad, q_padded)
+                               win_len, pad, q_padded, *stats(ia))
             rpB = self.map_one(readB, int(score[ib]), int(score2[ib]),
                                int(start[ib]), bool(strand[ib]),
-                               win_len, pad, q_padded)
+                               win_len, pad, q_padded, *stats(ib))
             if rpA is None and rpB is not None:
                 rpA = self.rescue_mate(readA, rpB, insert_min, insert_max)
             elif rpB is None and rpA is not None:
@@ -368,14 +432,38 @@ class FastTail:
 _g = {}
 
 
-def _tail_init(refset, penalties, minscor, writer_args, inserts=(0, 500)):
+def _tail_init(refset, penalties, minscor, writer_args, inserts=(0, 500),
+               exact_engine=None, seed: int = 1):
     _g["tail"] = FastTail(refset, penalties, minscor)
     _g["writer_args"] = writer_args
     _g["inserts"] = inserts
+    _g["exact_engine"] = exact_engine
+    _g["seed"] = seed
+    _g.pop("exact_lane", None)
+
+
+def _exact_fallback(name, seq, qual, serial) -> Optional[str]:
+    """Remap one truncated-search read through the exact C lane.
+    The drand48 stream is reseeded per read serial so output does not
+    depend on worker count or batch size."""
+    engine = _g.get("exact_engine")
+    if engine is None:
+        return None
+    lane = _g.get("exact_lane")
+    if lane is None:
+        from .fastlane import FastLane
+        soft, xmm = _g["writer_args"]
+        lane = FastLane.make(engine, "sam", soft, xmm, False, False)
+        _g["exact_lane"] = lane if lane is not None else False
+    if not lane:
+        return None
+    from .. import rand
+    rand.ranseed((_g.get("seed") or 1) + serial * 7919)
+    return lane.render_raw_block([name], [seq], [qual])
 
 
 def _tail_render(args):
-    paired, names, seqs, quals, outs, win_len, pad, q_padded = args
+    paired, names, seqs, quals, outs, win_len, pad, q_padded, base_idx = args
     tail = _g["tail"]
     soft, xmm = _g["writer_args"]
     buf = io.StringIO()
@@ -386,7 +474,9 @@ def _tail_render(args):
         tail.render_pairs(names, seqs, quals, outs, win_len, pad, q_padded,
                           imin, imax, writer)
     else:
-        tail.render(names, seqs, quals, outs, win_len, pad, q_padded, writer)
+        fb = _exact_fallback if _g.get("exact_engine") is not None else None
+        tail.render(names, seqs, quals, outs, win_len, pad, q_padded, writer,
+                    exact_fallback=fb, raw_out=buf, base_idx=base_idx)
     return buf.getvalue()
 
 
@@ -394,13 +484,17 @@ def run_fast_pipeline(refset: RefSet, idx: KmerIndex, reads_path: str,
                       out, penalties=(1, -2, -4, -3), minscor: int = 18,
                       nthreads: int = 1, batch: int = 4096,
                       interpret=None, mates_path: Optional[str] = None,
-                      insert_min: int = 0, insert_max: int = 500) -> None:
+                      insert_min: int = 0, insert_max: int = 500,
+                      exact_engine=None, seed: int = 1) -> None:
     """Map reads with the device pass + host traceback tail, writing
     SAM records (headerless body; caller writes the header).  With
     `mates_path`, pairs map together: both mates go through the device
     pass in one batch, failed mates get a banded rescue inside the
     insert window of their anchor, and pe proper-pair flags/TLEN are
-    emitted."""
+    emitted.  With `exact_engine`, single-end reads whose seed search
+    the device pass truncated (repeat words beyond the MAXC expansion)
+    are remapped through the exact C lane instead — the fallback arm of
+    SURVEY's repeat-robustness requirement."""
     import jax
     import jax.numpy as jnp
     from ..parallel.mesh import DeviceIndex, make_device_step
@@ -434,10 +528,12 @@ def run_fast_pipeline(refset: RefSet, idx: KmerIndex, reads_path: str,
         pending = deque()
 
         def force(item):
-            names, seqs, quals, o, wl, wp, Q = item
+            names, seqs, quals, o, wl, wp, Q, base = item
             return (paired, names, seqs, quals,
-                    {k: np.asarray(v) for k, v in o.items()}, wl, wp, Q)
+                    {k: np.asarray(v) for k, v in o.items()}, wl, wp, Q,
+                    base)
 
+        base = 0
         for names, seqs, quals in raw_batches():
             qmax = max((len(s) for s in seqs), default=0)
             # round Q to a small multiple (bounded recompiles) — NOT to
@@ -447,7 +543,8 @@ def run_fast_pipeline(refset: RefSet, idx: KmerIndex, reads_path: str,
             arr = encode_batch(seqs, Q)
             o = step(jnp.asarray(arr))          # async dispatch
             pending.append((names, seqs, quals, o,
-                            window_len(Q), window_pad(Q), Q))
+                            window_len(Q), window_pad(Q), Q, base))
+            base += len(names)
             if len(pending) >= PREFETCH:
                 yield force(pending.popleft())
         while pending:
@@ -455,7 +552,8 @@ def run_fast_pipeline(refset: RefSet, idx: KmerIndex, reads_path: str,
 
     inserts = (insert_min, insert_max)
     if nthreads <= 1:
-        _tail_init(refset, penalties, minscor, writer_args, inserts)
+        _tail_init(refset, penalties, minscor, writer_args, inserts,
+                   exact_engine, seed)
         for args in batches():
             out.write(_tail_render(args))
         return
@@ -463,6 +561,6 @@ def run_fast_pipeline(refset: RefSet, idx: KmerIndex, reads_path: str,
     ctx = mp.get_context("fork")
     with ctx.Pool(processes=nthreads, initializer=_tail_init,
                   initargs=(refset, penalties, minscor, writer_args,
-                            inserts)) as pool:
+                            inserts, exact_engine, seed)) as pool:
         for text in pool.imap(_tail_render, batches(), chunksize=1):
             out.write(text)

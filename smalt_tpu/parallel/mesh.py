@@ -48,9 +48,16 @@ from ..index.table import KmerIndex
 from ..seq.refset import RefSet
 from ..ops.sw import sw_score_batch, sw_score_ref
 
-NSEED = 16     # rarest query k-mers expanded per strand
-MAXC = 6       # positions expanded per k-mer word
-WIN_PAD = 16   # reference window padding around the seed diagonal
+NSEED = 16        # rarest query k-mers expanded per strand
+NSEED_COMMON = 4  # highest-count query k-mers expanded per strand: on a
+                  # mutated repeat copy the rarest words are all
+                  # copy-PRIVATE, so rarest-only seeding never votes for
+                  # the other copies and the runner-up window (hence
+                  # mapq) is wrong; the common pool recovers those
+                  # placements (the fast-mode analogue of the reference
+                  # collating every below-cutoff hit, hashhit.c)
+MAXC = 6          # positions expanded per k-mer word
+WIN_PAD = 16      # reference window padding around the seed diagonal
 
 
 def window_len(Q: int) -> int:
@@ -196,7 +203,11 @@ def _expand_hits(di: DeviceIndex, base, counts, qoffs, is_reverse):
 def _best_diagonal(shift, ok, tol):
     """Densest diagonal run per read: sort shifts, count how many of the
     following NSEED*MAXC-window fall within `tol`, pick the argmax.
-    Returns (best_shift, votes, second_shift, second_votes)."""
+    Returns (best_shift, votes, second_shift, second_votes, n2nd_est):
+    n2nd_est counts the DISTINCT far diagonal clusters that tie the
+    runner-up's vote count — on a multi-copy repeat every unscored copy
+    is a plausible runner-up, and the mapq qn term needs their number
+    (results.c n_swatscor_2nd), not just the one window we score."""
     B, N = shift.shape
     s = jnp.sort(shift, axis=1)                  # invalid = -2^30 sort first
     votes = jnp.zeros((B, N), jnp.int32)
@@ -214,7 +225,13 @@ def _best_diagonal(shift, ok, tol):
     b2 = jnp.argmax(votes2, axis=1)
     second = jnp.take_along_axis(s, b2[:, None], 1)[:, 0]
     v2 = jnp.take_along_axis(votes2, b2[:, None], 1)[:, 0]
-    return best, v1, second, v2
+    # cluster starts: first sorted entry, or a jump > tol from the left
+    # neighbour; a start's vote count covers its whole cluster
+    starts_ = jnp.concatenate(
+        [valid[:, :1], (s[:, 1:] - s[:, :-1] > tol) & valid[:, 1:]], axis=1)
+    n2nd = jnp.sum((starts_ & far & (votes == v2[:, None]) &
+                    (v2[:, None] > 0)).astype(jnp.int32), axis=1)
+    return best, v1, second, v2, jnp.maximum(n2nd, 1)
 
 
 def _gather_windows(di: DeviceIndex, shifts, S, origin_off):
@@ -270,33 +287,50 @@ def device_map_step(di: DeviceIndex, reads, matrix, gapopen_pos, gapext_pos,
     pad = window_pad(Q)
 
     outs = []
+    hits_used = jnp.zeros((B,), jnp.int32)
+    hits_tot = jnp.zeros((B,), jnp.int32)
     for is_reverse, words in ((False, fwd), (True, rc)):
         counts, base, hit = _lookup(di, words, valid)
+        P_avail = words.shape[1]
         # rarest seeds first: top-k of negated counts (0 = miss sorts last)
         key = jnp.where(hit, counts, 1 << 30)
-        _, sel = jax.lax.top_k(-key, NSEED)
+        _, sel = jax.lax.top_k(-key, min(NSEED, P_avail))
+        if P_avail > NSEED:
+            # common pool: the most repeated words that still hit — they
+            # carry the other copies of a repeat the rare pool can't see
+            keyc = jnp.where(hit, counts, 0)
+            _, selc = jax.lax.top_k(keyc, min(NSEED_COMMON, P_avail))
+            sel = jnp.concatenate([sel, selc], axis=1)
         sel_base = jnp.take_along_axis(base, sel, 1)
-        sel_counts = jnp.take_along_axis(counts, sel, 1)
-        sel_counts = jnp.minimum(sel_counts, MAXC)
+        sel_true = jnp.take_along_axis(counts, sel, 1)
         sel_qoffs = jnp.take_along_axis(qoffs, sel, 1)
         sel_hit = jnp.take_along_axis(hit, sel, 1)
-        sel_counts = jnp.where(sel_hit, sel_counts, 0)
+        # search-completeness bookkeeping (the fast-mode analogue of
+        # results.c n_hits_used/n_hits_tot): `tot` counts every indexed
+        # placement of the selected seed words, `used` only the ones the
+        # MAXC expansion kept.  The per-word clamp bounds a single
+        # megarepeat word so it cannot zero the whole read's mapq cap.
+        sel_true = jnp.where(sel_hit, jnp.minimum(sel_true, 1 << 14), 0)
+        hits_tot = hits_tot + jnp.sum(sel_true, axis=1)
+        sel_counts = jnp.minimum(sel_true, MAXC)
+        hits_used = hits_used + jnp.sum(sel_counts, axis=1)
         shift, ok = _expand_hits(di, sel_base, sel_counts, sel_qoffs,
                                  is_reverse)
-        b1, v1, b2, v2 = _best_diagonal(shift, ok, tol)
-        outs.append((b1, v1, b2, v2))
+        b1, v1, b2, v2, nc2 = _best_diagonal(shift, ok, tol)
+        outs.append((b1, v1, b2, v2, nc2))
 
     # three windows per read: the best diagonal of each strand plus the
     # better (by votes) of the two second diagonals — a 4th window adds
     # SW cost but only matters when BOTH strands' runner-ups do.
     # forward: alignment starts near diag*nskip; reverse: the RC read's
     # window ends at the last seed, so the origin backs off by Q-k.
-    (b1f, v1f, b2f, v2f), (b1r, v1r, b2r, v2r) = outs
+    (b1f, v1f, b2f, v2f, nc2f), (b1r, v1r, b2r, v2r, nc2r) = outs
     org_f = -pad
     org_r = -(Q - k) - pad
     sel_rev = v2r > v2f
     b2 = jnp.where(sel_rev, b2r, b2f)
     v2 = jnp.where(sel_rev, v2r, v2f)
+    nc2 = jnp.where(sel_rev, nc2r, nc2f)
     org2 = jnp.where(sel_rev, org_r, org_f)
 
     win_f, start_f = _gather_windows(di, b1f, S, org_f)
@@ -328,6 +362,20 @@ def device_map_step(di: DeviceIndex, reads, matrix, gapopen_pos, gapext_pos,
     best_strand = jnp.take_along_axis(sd, order[0:1], 0)[0]
     second_start = jnp.take_along_axis(st, order[1:2], 0)[0]
     second_strand = jnp.take_along_axis(sd, order[1:2], 0)[0]
+    # results.c's n_swatscor_2nd analogue: window-level runner-up
+    # multiplicity, widened by the cluster estimate when the runner-up
+    # window's strand saw multiple equally-voted far diagonals (unscored
+    # repeat copies are plausible runner-ups too)
+    n2nd = jnp.sum((sc == second[None, :]).astype(jnp.int32), axis=0) - \
+        (best == second).astype(jnp.int32)
+    n2nd = jnp.maximum(n2nd, nc2)
+    # multi-copy ambiguity: several distinct far diagonal clusters tie
+    # near the winner's vote count.  Each is a plausible equal-score
+    # placement the 3-window budget cannot score, so confidence is at
+    # best that of a random pick among copies (MAPSCOR_MAX_RANDOM,
+    # results.c:220-224) — the tail caps mapq accordingly.
+    v1 = jnp.where(sel_rev, v1r, v1f)
+    ambig = (nc2 >= 2) & (v2 * 4 >= v1 * 3)
     return {
         "score": best,
         "score2": second,
@@ -335,6 +383,10 @@ def device_map_step(di: DeviceIndex, reads, matrix, gapopen_pos, gapext_pos,
         "strand": best_strand,
         "start2": second_start,
         "strand2": second_strand,
+        "hits_used": hits_used,
+        "hits_tot": hits_tot,
+        "n2nd": jnp.maximum(n2nd, 1),
+        "ambig": ambig.astype(jnp.int32),
     }
 
 
@@ -432,7 +484,9 @@ class ShardedDeviceIndex:
                    ref_len=L)
 
 
-def _combine_over_ip(score, score2, start, strand, start2, strand2):
+def _combine_over_ip(score, score2, start, strand, start2, strand2,
+                     hits_used=None, hits_tot=None, n2nd=None,
+                     ambig=None, hits_mode="sum"):
     """Combine per-shard winners over the `ip` axis.
 
     The runner-up must consider BOTH each shard's own second-best AND
@@ -464,8 +518,22 @@ def _combine_over_ip(score, score2, start, strand, start2, strand2):
     second = jnp.where(tie, best, v2max)
     s2 = jnp.where(tie, pickmax(start, genuine), pickmax(l2, is2))
     t2 = jnp.where(tie, pickmax(strand, genuine), pickmax(d2, is2))
-    return {"score": best, "score2": second, "start": out_start,
-            "strand": out_strand, "start2": s2, "strand2": t2}
+    out = {"score": best, "score2": second, "start": out_start,
+           "strand": out_strand, "start2": s2, "strand2": t2}
+    if hits_used is not None:
+        if hits_mode == "sum":
+            # range-sharded index: every shard saw a disjoint slice of
+            # the position lists, so completeness counters add up
+            out["hits_used"] = jax.lax.psum(hits_used, "ip")
+            out["hits_tot"] = jax.lax.psum(hits_tot, "ip")
+        else:
+            # replicated index: every shard saw the same hits
+            out["hits_used"] = jax.lax.pmax(hits_used, "ip")
+            out["hits_tot"] = jax.lax.pmax(hits_tot, "ip")
+        # conservative (largest) multiplicity of the runner-up score
+        out["n2nd"] = jax.lax.pmax(n2nd, "ip")
+        out["ambig"] = jax.lax.pmax(ambig, "ip")
+    return out
 
 
 def make_index_sharded_step(sdi: ShardedDeviceIndex, mesh: Mesh, matrix,
@@ -487,13 +555,16 @@ def make_index_sharded_step(sdi: ShardedDeviceIndex, mesh: Mesh, matrix,
                               interpret=interpret)
         return _combine_over_ip(out["score"], out["score2"],
                                 out["start"] + base[0], out["strand"],
-                                out["start2"] + base[0], out["strand2"])
+                                out["start2"] + base[0], out["strand2"],
+                                out["hits_used"], out["hits_tot"],
+                                out["n2nd"], out["ambig"], hits_mode="sum")
 
     in_specs = (P("dp", None),        # reads
                 P("ip", None), P("ip", None), P("ip", None),
                 P("ip", None), P("ip"), P("ip"))
     out_specs = {k: P("dp") for k in ("score", "score2", "start", "strand",
-                                      "start2", "strand2")}
+                                      "start2", "strand2", "hits_used",
+                                      "hits_tot", "n2nd", "ambig")}
     fn = shard_map(step, mesh=mesh, in_specs=in_specs,
                    out_specs=out_specs, check_rep=False)
     jfn = jax.jit(fn)
@@ -549,12 +620,16 @@ def make_sharded_step(di: DeviceIndex, mesh: Mesh, matrix,
         if ip > 1:
             out = _combine_over_ip(out["score"], out["score2"],
                                    out["start"], out["strand"],
-                                   out["start2"], out["strand2"])
+                                   out["start2"], out["strand2"],
+                                   out["hits_used"], out["hits_tot"],
+                                   out["n2nd"], out["ambig"],
+                                   hits_mode="max")
         return out
 
     specs_in = P("dp", None)
     specs_out = {k: P("dp") for k in ("score", "score2", "start", "strand",
-                                      "start2", "strand2")}
+                                      "start2", "strand2", "hits_used",
+                                      "hits_tot", "n2nd", "ambig")}
     fn = shard_map(step, mesh=mesh, in_specs=(specs_in,),
                    out_specs=specs_out, check_rep=False)
     return jax.jit(fn)

@@ -1,0 +1,197 @@
+"""Repeat robustness of the fast (device) path.
+
+The device pass expands at most MAXC positions per seed word; on a
+repeat-rich genome that truncation must NOT surface as overconfident
+mapq (VERDICT r1 item 3).  Guarantees tested, on a genome with planted
+dispersed + tandem repeats:
+
+  (a) placements still agree with the exact engine on unique-region
+      reads;
+  (b) reads inside repeat copies never report higher confidence than
+      the exact engine (the search-completeness cap of
+      results.c:1193-1197 plus the tie -> 0 rule);
+  (c) with the exact fallback enabled, truncated-search reads are
+      remapped by the exact C lane and agree with the exact engine's
+      placements/mapq.
+"""
+import io
+import os
+
+import numpy as np
+import pytest
+
+from smalt_tpu.seq.refset import RefSet
+from smalt_tpu.index.table import build_index
+from smalt_tpu.map.fastmode import run_fast_pipeline, fast_mapq
+
+NCOPY = 10       # dispersed copies of the repeat unit (> MAXC=6)
+UNIT = 400
+
+
+@pytest.fixture(scope="module")
+def repeat_world(tmp_path_factory):
+    rng = np.random.default_rng(23)
+    bases = "ACGT"
+
+    def rand_seq(n):
+        return "".join(bases[i] for i in rng.integers(0, 4, n))
+
+    unit = rand_seq(UNIT)
+    tandem_unit = rand_seq(150)
+    parts = []
+    copy_starts = []       # global starts of dispersed copies
+    pos = 0
+    for c in range(NCOPY):
+        spacer = rand_seq(2500)
+        parts.append(spacer)
+        pos += len(spacer)
+        cp = list(unit)
+        # ~1% divergence per copy: realistic inexact repeats, so the
+        # runner-up window scores close to (not equal to) the best
+        for j in rng.integers(0, UNIT, max(1, UNIT // 100)):
+            cp[j] = bases[(bases.index(cp[j]) + 1) % 4]
+        parts.append("".join(cp))
+        copy_starts.append(pos)
+        pos += UNIT
+    tandem_start = pos + 1500
+    parts.append(rand_seq(1500))
+    parts.append(tandem_unit * 8)
+    pos = tandem_start + 8 * 150
+    parts.append(rand_seq(4000))
+    genome = "".join(parts)
+
+    d = tmp_path_factory.mktemp("repeats")
+    fa = os.path.join(d, "g.fa")
+    with open(fa, "w") as f:
+        f.write(">rg\n")
+        for j in range(0, len(genome), 60):
+            f.write(genome[j : j + 60] + "\n")
+    refset = RefSet.from_fasta(fa)
+    idx = build_index(refset, 11, 2)
+
+    qlen = 80
+    recs = []
+    kinds = []             # "uniq" | "rep"
+    comp = str.maketrans("ACGT", "TGCA")
+    # unique-region reads: inside spacers, away from any copy
+    n_uniq = 0
+    while n_uniq < 50:
+        st = int(rng.integers(0, len(genome) - qlen))
+        if any(cs - qlen < st < cs + UNIT for cs in copy_starts) or \
+                tandem_start - qlen < st < tandem_start + 8 * 150:
+            continue
+        s = genome[st : st + qlen]
+        if n_uniq % 2:
+            s = s.translate(comp)[::-1]
+        recs.append((f"u{n_uniq}", s, st))
+        kinds.append("uniq")
+        n_uniq += 1
+    # ambiguous reads: wholly inside dispersed copies and the tandem
+    for i in range(30):
+        cs = copy_starts[i % NCOPY]
+        off = int(rng.integers(0, UNIT - qlen))
+        s = genome[cs + off : cs + off + qlen]
+        if i % 2:
+            s = s.translate(comp)[::-1]
+        recs.append((f"a{i}", s, cs + off))
+        kinds.append("rep")
+    for i in range(10):
+        st = tandem_start + int(rng.integers(0, 8 * 150 - qlen - 150))
+        s = genome[st : st + qlen]
+        recs.append((f"t{i}", s, st))
+        kinds.append("rep")
+
+    fq = os.path.join(d, "r.fq")
+    with open(fq, "w") as f:
+        for name, s, _ in recs:
+            f.write(f"@{name}\n{s}\n+\n{'I' * qlen}\n")
+    return refset, idx, fq, recs, kinds
+
+
+def _parse(text):
+    out = {}
+    for ln in text.splitlines():
+        if not ln or ln.startswith("@"):
+            continue
+        f = ln.split("\t")
+        if int(f[1]) & 0x100:
+            continue
+        out[f[0]] = (int(f[1]), int(f[3]), int(f[4]))
+    return out
+
+
+def _run_exact(refset, idx, fq):
+    from smalt_tpu.map.engine import MapEngine, MapParams
+    from smalt_tpu.map.pipeline import run_pipeline
+    from smalt_tpu.seq.io import FastqReader
+    from smalt_tpu import rand
+    rand.ranseed(0)
+    eng = MapEngine(refset, idx, MapParams())
+    buf = io.StringIO()
+    run_pipeline(eng, FastqReader(fq), buf, refset, nthreads=1, seed=1)
+    return _parse(buf.getvalue())
+
+
+def test_repeat_mapq_and_concordance(repeat_world):
+    refset, idx, fq, recs, kinds = repeat_world
+    buf = io.StringIO()
+    run_fast_pipeline(refset, idx, fq, buf, nthreads=1, batch=64,
+                      interpret=True)
+    fast = _parse(buf.getvalue())
+    exact = _run_exact(refset, idx, fq)
+    truth = {name: st for name, _, st in recs}
+
+    n_uniq = n_uniq_ok = 0
+    overconfident = []
+    for (name, _, st), kind in zip(recs, kinds):
+        ef = exact.get(name)
+        ff = fast.get(name)
+        if kind == "uniq":
+            n_uniq += 1
+            if ff is not None and not (ff[0] & 4) and \
+                    abs(ff[1] - 1 - truth[name]) <= 4:
+                n_uniq_ok += 1
+        else:
+            # (b): never more confident than the exact engine on
+            # ambiguous reads (small slack for formula-shape drift)
+            if ff is not None and ef is not None and not (ff[0] & 4):
+                if ff[2] > ef[2] + 3:
+                    overconfident.append((name, ff[2], ef[2]))
+    assert n_uniq_ok >= 0.95 * n_uniq, f"{n_uniq_ok}/{n_uniq} unique ok"
+    assert not overconfident, f"fast mapq > exact mapq: {overconfident}"
+
+
+def test_repeat_exact_fallback(repeat_world):
+    from smalt_tpu.map.engine import MapEngine, MapParams
+    refset, idx, fq, recs, kinds = repeat_world
+    eng = MapEngine(refset, idx, MapParams())
+    buf = io.StringIO()
+    run_fast_pipeline(refset, idx, fq, buf, nthreads=1, batch=64,
+                      interpret=True, exact_engine=eng)
+    fb = _parse(buf.getvalue())
+    exact = _run_exact(refset, idx, fq)
+    # truncated reads went through the exact lane: their mapq must match
+    # the exact engine's mapq exactly (tie selection may differ in WHICH
+    # copy is reported — both are draws from the same tie set)
+    n_rep = n_agree = 0
+    for (name, _, st), kind in zip(recs, kinds):
+        if kind != "rep":
+            continue
+        n_rep += 1
+        if name in fb and name in exact and fb[name][2] == exact[name][2]:
+            n_agree += 1
+    assert n_agree >= 0.9 * n_rep, f"{n_agree}/{n_rep} mapq agree"
+
+
+def test_fast_mapq_completeness_cap():
+    # full search: no cap
+    assert fast_mapq(80, 0, 80, hits_used=32, hits_tot=32) == 60
+    # halved search: cap = 60 + 10*log10(~0.5)
+    capped = fast_mapq(80, 0, 80, hits_used=96, hits_tot=192)
+    assert 53 <= capped <= 58
+    # drastic truncation caps hard
+    assert fast_mapq(80, 0, 80, hits_used=6, hits_tot=6000) <= 31
+    # runner-up multiplicity penalty
+    assert fast_mapq(80, 70, 80, n2nd=2) < fast_mapq(80, 70, 80, n2nd=1)
+    # ties always 0
+    assert fast_mapq(80, 80, 80, hits_used=32, hits_tot=32) == 0
