@@ -1,0 +1,100 @@
+"""Scaling-efficiency harness (BASELINE.json: >=80% per-device
+efficiency at 2 hosts / multi-device).
+
+On a multi-chip host this measures real weak scaling of the SPMD
+mapping step.  On this rig (one tunnel-attached chip) it runs the
+virtual CPU mesh: every "device" shares one physical core, so wall
+clock cannot speed up — what IS measurable is the SPMD overhead
+(sharding + collectives + resharding).  Weak-scaling efficiency is
+then eff(n) = n * T(1, B) / T(n, n*B): 1.0 means the n-way sharded
+step costs exactly n single-shard steps on the shared core, i.e. the
+partitioning itself adds nothing.
+
+Prints one JSON line: {"metric": "weak_scaling_efficiency", ...}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    if jax.default_backend() != "tpu" or jax.device_count() < 2:
+        os.environ.setdefault("XLA_FLAGS",
+                              "--xla_force_host_platform_device_count=8")
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from smalt_tpu.seq import codec
+    from smalt_tpu.seq.refset import RefSet
+    from smalt_tpu.index.table import build_index
+    from smalt_tpu.align import core as ali
+    from smalt_tpu.parallel.mesh import DeviceIndex, make_sharded_step
+
+    rng = np.random.default_rng(7)
+    bases = np.array(list(b"ACGT"), np.uint8)
+    glen = 400_000
+    genome = rng.choice(bases, glen)
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".fa", delete=False) as f:
+        g = genome.tobytes().decode()
+        f.write(">g\n")
+        for i in range(0, glen, 60):
+            f.write(g[i : i + 60] + "\n")
+        fa = f.name
+    refset = RefSet.from_fasta(fa)
+    idx = build_index(refset, 13, 2)
+    di = DeviceIndex.build(refset, idx)
+    m, go, ge = ali.make_score_matrix()
+    os.unlink(fa)
+
+    READLEN, B = 100, 64
+    alpha = codec.alpha(refset.codes).astype(np.int32)
+
+    def reads_for(n):
+        arr = np.full((n, READLEN), 7, np.int32)
+        for i in range(n):
+            st = int(rng.integers(0, glen - READLEN))
+            arr[i] = alpha[st : st + READLEN]
+        return arr
+
+    interpret = jax.default_backend() == "cpu"
+    ndev = jax.device_count()
+    sizes = [n for n in (1, 2, 4, 8) if n <= ndev]
+    times = {}
+    for n in sizes:
+        devs = np.array(jax.devices()[:n]).reshape(n, 1)
+        mesh = Mesh(devs, ("dp", "ip"))
+        step = make_sharded_step(di, mesh, m, -go, -ge,
+                                 interpret=interpret)
+        batch = jnp.asarray(reads_for(n * B))
+        jax.block_until_ready(step(batch))     # compile
+        reps = 3
+        t0 = time.time()
+        for _ in range(reps):
+            jax.block_until_ready(step(batch))
+        times[n] = (time.time() - t0) / reps
+        print(f"# dp={n}: {times[n]*1e3:.1f} ms for {n*B} reads",
+              file=sys.stderr)
+
+    base = times[sizes[0]]
+    effs = {n: base * n / times[n] for n in sizes}
+    worst = min(effs[n] for n in sizes if n > 1) if len(sizes) > 1 else 1.0
+    print(json.dumps({
+        "metric": "weak_scaling_efficiency",
+        "value": round(worst, 3),
+        "unit": "fraction",
+        "vs_baseline": round(worst / 0.8, 3),
+        "per_n": {str(n): round(effs[n], 3) for n in sizes},
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -9,6 +9,7 @@
 from __future__ import annotations
 
 import argparse
+import io
 import os
 import sys
 from typing import List, Optional
@@ -42,6 +43,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         return cmd_sample(argv[1:])
     if sub == "check":
         return cmd_check(argv[1:])
+    if sub == "merge-shards":
+        return cmd_merge_shards(argv[1:])
     if sub == "version":
         print(f"smalt_tpu {__version__} (behavioural parity with SMALT {SMALT_VERSION})")
         return 0
@@ -127,6 +130,12 @@ def _map_argparser(prog):
                          "(SAM; single or paired with mate rescue; "
                          "reference-style output, not bit-identical — "
                          "extension over the reference CLI)")
+    ap.add_argument("--mesh", default=None, dest="mesh_spec",
+                    metavar="DP,IP",
+                    help="with --fast: run the SPMD mapping step over a "
+                         "device mesh (reads data-parallel over DP "
+                         "devices, index range-sharded over IP); "
+                         "default: all visible devices as pure dp")
     ap.add_argument("--fallback-exact", action="store_true",
                     dest="fallback_exact",
                     help="with --fast: reads whose seed search the "
@@ -317,8 +326,32 @@ def _cmd_map_fast(a, argv) -> int:
     exact_engine = None
     if a.fallback_exact and a.mates is None:
         exact_engine, _, _ = _build_engine(a, argv)
-    out = _open_out(a)
-    _writer(a, refset, argv, out)  # emits the SAM header
+    libcode = {"pe": pairs_mod.LIB_PAIREDEND,
+               "mp": pairs_mod.LIB_MATEPAIR,
+               "pp": pairs_mod.LIB_SAMESTRAND,
+               None: pairs_mod.LIB_PAIREDEND}[a.pairtyp]
+    ihist = InsHist.read(a.insfil) if a.insfil else None
+    insert_min, insert_max = a.insertmin, a.insertmax
+    if ihist is not None:
+        insert_min = min(insert_min, ihist.insizlo)
+        insert_max = max(insert_max, ihist.insizhi)
+    from .parallel.distributed import maybe_init_distributed, ShardWriter
+    host_id, n_hosts = maybe_init_distributed()
+    shard_writer = None
+    if n_hosts > 1:
+        # per-host SAM shard + batch sidecar; `smalt_tpu merge-shards`
+        # restores the single-host byte order afterwards
+        base = a.oufilnam or "out.sam"
+        shard_writer = ShardWriter(f"{base}.shard{host_id}", host_id,
+                                   n_hosts)
+        out = io.StringIO()     # header captured for the merge step
+        _writer(a, refset, argv, out)
+        if host_id == 0:
+            with open(f"{base}.header", "w") as hf:
+                hf.write(out.getvalue())
+    else:
+        out = _open_out(a)
+        _writer(a, refset, argv, out)  # emits the SAM header
     import contextlib
     prof_ctx = contextlib.nullcontext()
     if a.profdir:
@@ -329,11 +362,42 @@ def _cmd_map_fast(a, argv) -> int:
                           penalties=_parse_penalties(a.scorspec),
                           minscor=(a.minscor if a.minscor is not None else 18),
                           nthreads=a.nthreads, mates_path=a.mates,
-                          insert_min=a.insertmin, insert_max=a.insertmax,
+                          insert_min=insert_min, insert_max=insert_max,
                           exact_engine=exact_engine,
-                          seed=(a.randseed if a.randseed is not None else 1))
-    if out is not sys.stdout:
+                          seed=(a.randseed if a.randseed is not None else 1),
+                          mesh_spec=a.mesh_spec, libcode=libcode,
+                          ihist=ihist, host_id=host_id, n_hosts=n_hosts,
+                          shard_writer=shard_writer)
+    if shard_writer is not None:
+        shard_writer.close()
+    elif out is not sys.stdout:
         out.close()
+    return 0
+
+
+def cmd_merge_shards(argv: List[str]) -> int:
+    """smalt_tpu merge-shards OUT SHARD [SHARD...]: round-robin the
+    per-host SAM shards of a multi-host `map --fast` run back into
+    global batch order (byte-identical to a single-host run)."""
+    import argparse
+    ap = argparse.ArgumentParser("smalt_tpu merge-shards")
+    ap.add_argument("output")
+    ap.add_argument("shards", nargs="+")
+    a = ap.parse_args(argv)
+    from .parallel.distributed import merge_shards
+    header = None
+    hdr_path = None
+    for s in a.shards:
+        base = s.rsplit(".shard", 1)[0] + ".header"
+        if os.path.exists(base):
+            hdr_path = base
+            break
+    if hdr_path:
+        header = open(hdr_path).read()
+    with open(a.output, "w") as out:
+        n = merge_shards(a.shards, out, header)
+    print(f"# merged {n} batches from {len(a.shards)} shards",
+          file=sys.stderr)
     return 0
 
 

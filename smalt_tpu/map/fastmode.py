@@ -35,6 +35,7 @@ from ..align import core as ali_mod
 from ..report.report import ReportWriter, RepAli, REPMATEFLG
 
 MAPQ_MAX = 60           # results.c:70 MAPSCOR_MAX
+MAPSCOR_MAX_RANDOM = 3  # results.c:57
 
 
 # ------------------------------------------------------------------
@@ -214,7 +215,7 @@ class FastTail:
         return (int(r[0]), int(r[1]), int(r[2]), int(r[3]), int(r[4]),
                 diff)
 
-    def _finish(self, win_start, tb, is_rev, mapq) -> RepAli:
+    def _finish(self, win_start, tb, is_rev, mapq, qlen) -> RepAli:
         sw, ps, pe, ss, se, diff = tb
         refset = self.refset
         g = win_start + ss
@@ -224,8 +225,17 @@ class FastTail:
         rp.status = REPMATEFLG.MAPPED | (REPMATEFLG.REVERSE if is_rev else 0)
         rp.swatscor = sw
         rp.mapscor = mapq
-        rp.q_start = ps + 1
-        rp.q_end = pe + 1
+        if is_rev:
+            # ps/pe are in the reverse-complemented query frame (the
+            # profile mc_fast_align aligned); the writer expects
+            # FORWARD-frame coordinates (result.py add_from_ali does the
+            # same conversion) — without it the clip sides swap on
+            # partially-aligned reverse reads
+            rp.q_start = qlen - pe
+            rp.q_end = qlen - ps
+        else:
+            rp.q_start = ps + 1
+            rp.q_end = pe + 1
         rp.s_start = local
         rp.s_end = local + (se - ss)
         rp.s_idx = sidx
@@ -271,13 +281,16 @@ class FastTail:
             return None
         return self._finish(w0, tb, is_rev,
                             fast_mapq(sc1, sc2, qlen, hits_used,
-                                      hits_tot, n2nd, ambig))
+                                      hits_tot, n2nd, ambig), qlen)
 
     def rescue_mate(self, read: Read, anchor: RepAli,
                     insert_min: int, insert_max: int) -> Optional[RepAli]:
         """Mate rescue (the fast-mode analogue of rmap.c:1934-2060):
         full-band SW of the unmapped mate against the insert window on
-        the proper-pair strand implied by the anchor."""
+        the proper-pair strand implied by the anchor.  The rescued
+        mapq follows the reference's dependent-mapping rule
+        (scorePairsSimple (ii), resultpairs.c:871-876): P_b cannot
+        exceed P_a, so mapq_b = min(own-score mapq, anchor mapq)."""
         qlen = len(read.seq)
         if qlen < 5:
             return None
@@ -303,8 +316,9 @@ class FastTail:
                              qlen - 1)
         if tb is None:
             return None
-        rp = self._finish(lo, tb, is_rev, 0)
-        rp.mapscor = fast_mapq(rp.swatscor, 0, qlen) // 2  # rescued: damp
+        rp = self._finish(lo, tb, is_rev, 0, qlen)
+        rp.mapscor = min(fast_mapq(rp.swatscor, 0, qlen),
+                         int(anchor.mapscor))
         return rp
 
     def render(self, names, seqs, quals, outs, win_len: int, pad: int,
@@ -342,42 +356,186 @@ class FastTail:
                 rp = RepAli()   # unmapped record
             writer._write_one(rp, read, None, 0, 0)
 
+    def render_native(self, names, seqs, quals, outs, win_len: int,
+                      pad: int, q_padded: int, soft: bool, xmm: bool,
+                      buf, exact_fallback=None,
+                      base_idx: int = 0) -> bool:
+        """One C call (fl_fast_tail_block) renders the whole SE batch:
+        byte-identical to the Python render() path.  Returns False when
+        the native lane is unavailable or errors (caller then runs the
+        Python loop — the oracle)."""
+        import os
+        from ..native import get_lib
+        if os.environ.get("SMALT_TPU_NO_FASTLANE"):
+            return False
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "fl_fast_tail_block"):
+            return False
+        refset = self.refset
+        cache = getattr(self, "_nat", None)
+        if cache is None:
+            snames, offs = [], [0]
+            for s in range(refset.nseq):
+                snames.append(refset.sam_name(s).encode())
+                offs.append(offs[-1] + len(snames[-1]))
+            cache = self._nat = {
+                "snames": np.frombuffer(b"".join(snames) or b"\0",
+                                        np.uint8).copy(),
+                "sname_offs": np.asarray(offs, np.int64),
+                "offsets": np.ascontiguousarray(refset.offsets, np.int64),
+                "refcodes": np.ascontiguousarray(refset.codes, np.uint8),
+            }
+        n = len(names)
+        read_offs = np.zeros(n + 1, np.int64)
+        np.cumsum([len(s) for s in seqs], out=read_offs[1:])
+        name_offs = np.zeros(n + 1, np.int64)
+        np.cumsum([len(x) for x in names], out=name_offs[1:])
+        has_qual = np.empty(n, np.uint8)
+        qp = []
+        for i, q in enumerate(quals):
+            if q is None or len(q) != len(seqs[i]):
+                return False
+            has_qual[i] = 1
+            qp.append(q)
+        seqs_c = np.frombuffer(b"".join(seqs) or b"\0", np.uint8)
+        quals_c = np.frombuffer(b"".join(qp) or b"\0", np.uint8)
+        names_c = np.frombuffer(b"".join(names) or b"\0", np.uint8)
+
+        def a32(k):
+            return np.ascontiguousarray(outs[k], np.int32)
+
+        sc, sc2 = a32("score"), a32("score2")
+        st, sd = a32("start"), a32("strand")
+        hu, ht = a32("hits_used"), a32("hits_tot")
+        n2, am = a32("n2nd"), a32("ambig")
+        skip = None
+        if exact_fallback is not None:
+            skip = (ht > hu).astype(np.uint8)
+        qmax = int((read_offs[1:] - read_offs[:-1]).max()) if n else 1
+        cap = int(name_offs[-1]) + n * (2 * qmax + 160)
+        out_offs = np.zeros(n + 1, np.int64)
+        ma, _ = self.avgs
+        for _ in range(3):
+            out = np.empty(cap, np.uint8)
+            rc = lib.fl_fast_tail_block(
+                cache["refcodes"].ctypes.data,
+                cache["offsets"].ctypes.data, refset.nseq,
+                cache["snames"].ctypes.data,
+                cache["sname_offs"].ctypes.data,
+                self._mat32.ctypes.data, -self.gapopen, -self.gapext,
+                ma, self.minscor,
+                1 if soft else 0, 1 if xmm else 0,
+                win_len, pad, q_padded,
+                n, seqs_c.ctypes.data, read_offs.ctypes.data,
+                quals_c.ctypes.data, has_qual.ctypes.data,
+                names_c.ctypes.data, name_offs.ctypes.data,
+                sc.ctypes.data, sc2.ctypes.data, st.ctypes.data,
+                sd.ctypes.data, hu.ctypes.data, ht.ctypes.data,
+                n2.ctypes.data, am.ctypes.data,
+                skip.ctypes.data if skip is not None else None,
+                out.ctypes.data, cap, out_offs.ctypes.data)
+            if rc == -3:
+                cap *= 4
+                continue
+            if rc < 0:
+                return False
+            text = out[:rc].tobytes().decode("ascii")
+            if skip is None or not skip.any():
+                buf.write(text)
+                return True
+            for i in range(n):
+                if skip[i]:
+                    ft = exact_fallback(names[i], seqs[i], quals[i],
+                                        base_idx + i)
+                    if ft is None:
+                        return False
+                    buf.write(ft)
+                else:
+                    buf.write(text[out_offs[i] : out_offs[i + 1]])
+            return True
+        return False
+
     # ---------------- paired-end ----------------
 
     def _glob(self, rp: RepAli) -> int:
         return int(self.refset.offsets[rp.s_idx]) + rp.s_start - 1
 
-    def _pair_geometry(self, rpA, rpB, insert_min, insert_max):
-        """(pairflg, isizeA): proper-pair test for the pe library
-        (opposite strands, leftmost mate forward, insert in range) and
-        the SAM-spec TLEN for mate A."""
+    def _pair_geometry(self, rpA, rpB, insert_min, insert_max,
+                       libcode=None):
+        """(pairflg, isizeA): the reference's proper-pair test
+        (testProperPair, resultpairs.c:135-186 — shared with the exact
+        path via results/pairs.py) for ANY library type (pe/mp/pp/all)
+        and the SAM-spec TLEN for mate A."""
         from ..report.report import REPPAIR
+        from ..results.pairs import (LIB_PAIREDEND, MAPFLG_PROPER,
+                                     MAPFLG_WITHIN, PMF_LEFTMOST2nd,
+                                     PMF_REVERSE_1st, PMF_REVERSE_2nd,
+                                     test_proper_pair)
+        if libcode is None:
+            libcode = LIB_PAIREDEND
         pairflg = REPPAIR.MAPPED
         if rpA.s_idx != rpB.s_idx:
             return pairflg, 0
         pairflg |= REPPAIR.CONTIG
-        a_rev = bool(rpA.status & REPMATEFLG.REVERSE)
-        b_rev = bool(rpB.status & REPMATEFLG.REVERSE)
-        if a_rev == b_rev:
-            return pairflg, 0
-        if rpA.s_start <= rpB.s_start:
-            left, right = rpA, rpB
-            left_rev = a_rev
-        else:
-            left, right = rpB, rpA
-            left_rev = b_rev
-        isiz = right.s_end - left.s_start + 1
-        isizeA = isiz if left is rpA else -isiz
-        if left_rev:
-            return pairflg, isizeA      # outward: improper for pe
-        pairflg |= REPPAIR.PROPER
-        if insert_min <= isiz <= insert_max:
+        iflag = 0
+        if rpA.status & REPMATEFLG.REVERSE:
+            iflag |= PMF_REVERSE_1st
+        if rpB.status & REPMATEFLG.REVERSE:
+            iflag |= PMF_REVERSE_2nd
+        if rpB.s_start < rpA.s_start:
+            iflag |= PMF_LEFTMOST2nd
+        rA = min(rpA.s_start, rpB.s_start)
+        rB = max(rpA.s_end, rpB.s_end)
+        isiz = rB - rA + 1
+        if iflag & PMF_LEFTMOST2nd:
+            isiz = -isiz
+        mapflg = test_proper_pair(isiz, iflag, insert_min, insert_max,
+                                  libcode)
+        if mapflg & MAPFLG_PROPER:
+            pairflg |= REPPAIR.PROPER
+        if mapflg & MAPFLG_WITHIN:
             pairflg |= REPPAIR.WITHIN
-        return pairflg, isizeA
+        return pairflg, isiz
+
+    def _pair_elevate(self, rp, other, n2, ihist, isiz):
+        """Marginal-probability elevation of a score-tied mate inside a
+        proper pair (the fast-mode shape of assignProbabilityToPairs +
+        marginal mapq, resultpairs.c:753-952): the mate's other
+        (tie) placements would pair improperly, so its pair-marginal
+        probability is p_in/(p_in + (N-1)*p_allout) with N tie
+        placements; its mapq rises to that marginal, never above the
+        anchor's."""
+        import math
+        from ..results.pairs import (CUMULPROB_IMPROPER,
+                                     CUMULPROB_PROPER_OUTSIDE)
+        if rp.mapscor > MAPSCOR_MAX_RANDOM or \
+                other.mapscor <= MAPSCOR_MAX_RANDOM:
+            return
+        p_prop = 1.0 - CUMULPROB_IMPROPER
+        p_in = p_prop * (1.0 - CUMULPROB_PROPER_OUTSIDE)
+        if ihist is not None:
+            count, totnum = ihist.count_cumulative(abs(isiz), True)
+            if totnum > 0:
+                p = count / totnum
+                iab = p_prop
+                if p >= 0.5:
+                    iab = 0.5 - p / 2
+                p_in = iab * (p * (1.0 - CUMULPROB_PROPER_OUTSIDE) +
+                              CUMULPROB_PROPER_OUTSIDE)
+        p_allout = CUMULPROB_IMPROPER + p_prop * CUMULPROB_PROPER_OUTSIDE
+        n_other = max(int(n2), 1)
+        marg = p_in / (p_in + n_other * p_allout)
+        if marg >= 1.0:
+            elev = MAPQ_MAX
+        else:
+            elev = int(-10.0 * math.log(1.0 - marg) / _LOG10)
+        rp.mapscor = max(rp.mapscor,
+                         min(elev, int(other.mapscor), MAPQ_MAX))
 
     def render_pairs(self, names, seqs, quals, outs, win_len: int,
                      pad: int, q_padded: int, insert_min: int,
-                     insert_max: int, writer: ReportWriter) -> None:
+                     insert_max: int, writer: ReportWriter,
+                     libcode=None, ihist=None) -> None:
         from ..report.report import REPPAIR
         score = outs["score"]
         score2 = outs["score2"]
@@ -414,7 +572,16 @@ class FastTail:
             isizeA = 0
             if rpA is not None and rpB is not None:
                 pairflg, isizeA = self._pair_geometry(
-                    rpA, rpB, insert_min, insert_max)
+                    rpA, rpB, insert_min, insert_max, libcode)
+                if (pairflg & REPPAIR.PROPER) and \
+                        (pairflg & REPPAIR.WITHIN):
+                    # a score-tied mate inside a unique proper pair is
+                    # pinned by its partner: raise it to the pair
+                    # marginal (resultpairs.c prob model)
+                    self._pair_elevate(rpA, rpB, stats(ia)[2], ihist,
+                                       isizeA)
+                    self._pair_elevate(rpB, rpA, stats(ib)[2], ihist,
+                                       isizeA)
             if rpA is None:
                 rpA = RepAli()
             if rpB is None:
@@ -433,12 +600,14 @@ _g = {}
 
 
 def _tail_init(refset, penalties, minscor, writer_args, inserts=(0, 500),
-               exact_engine=None, seed: int = 1):
+               exact_engine=None, seed: int = 1, libcode=None, ihist=None):
     _g["tail"] = FastTail(refset, penalties, minscor)
     _g["writer_args"] = writer_args
     _g["inserts"] = inserts
     _g["exact_engine"] = exact_engine
     _g["seed"] = seed
+    _g["libcode"] = libcode
+    _g["pair_ihist"] = ihist
     _g.pop("exact_lane", None)
 
 
@@ -472,11 +641,16 @@ def _tail_render(args):
     if paired:
         imin, imax = _g["inserts"]
         tail.render_pairs(names, seqs, quals, outs, win_len, pad, q_padded,
-                          imin, imax, writer)
+                          imin, imax, writer, libcode=_g.get("libcode"),
+                          ihist=_g.get("pair_ihist"))
     else:
         fb = _exact_fallback if _g.get("exact_engine") is not None else None
-        tail.render(names, seqs, quals, outs, win_len, pad, q_padded, writer,
-                    exact_fallback=fb, raw_out=buf, base_idx=base_idx)
+        if not tail.render_native(names, seqs, quals, outs, win_len, pad,
+                                  q_padded, soft, xmm, buf,
+                                  exact_fallback=fb, base_idx=base_idx):
+            tail.render(names, seqs, quals, outs, win_len, pad, q_padded,
+                        writer, exact_fallback=fb, raw_out=buf,
+                        base_idx=base_idx)
     return buf.getvalue()
 
 
@@ -485,7 +659,11 @@ def run_fast_pipeline(refset: RefSet, idx: KmerIndex, reads_path: str,
                       nthreads: int = 1, batch: int = 4096,
                       interpret=None, mates_path: Optional[str] = None,
                       insert_min: int = 0, insert_max: int = 500,
-                      exact_engine=None, seed: int = 1) -> None:
+                      exact_engine=None, seed: int = 1,
+                      mesh_spec: Optional[str] = None,
+                      libcode=None, ihist=None,
+                      host_id: int = 0, n_hosts: int = 1,
+                      shard_writer=None) -> None:
     """Map reads with the device pass + host traceback tail, writing
     SAM records (headerless body; caller writes the header).  With
     `mates_path`, pairs map together: both mates go through the device
@@ -494,14 +672,47 @@ def run_fast_pipeline(refset: RefSet, idx: KmerIndex, reads_path: str,
     emitted.  With `exact_engine`, single-end reads whose seed search
     the device pass truncated (repeat words beyond the MAXC expansion)
     are remapped through the exact C lane instead — the fallback arm of
-    SURVEY's repeat-robustness requirement."""
+    SURVEY's repeat-robustness requirement.
+
+    `mesh_spec` = "dp,ip" runs the SPMD sharded step over a device mesh
+    (reads data-parallel over dp, index range-sharded over ip when
+    ip > 1); with multiple visible devices and no spec, all devices
+    form a pure-dp mesh.  Output is identical to the single-device path
+    for any mesh shape (ordered batches; per-read results combine with
+    max collectives)."""
     import jax
     import jax.numpy as jnp
-    from ..parallel.mesh import DeviceIndex, make_device_step
+    from ..parallel.mesh import (DeviceIndex, ShardedDeviceIndex,
+                                 make_device_step, make_sharded_step,
+                                 make_index_sharded_step, OUT_KEYS)
+    from jax.sharding import Mesh
 
-    di = DeviceIndex.build(refset, idx)
     m, go, ge = ali_mod.make_score_matrix(*penalties)
-    step = make_device_step(di, m, -go, -ge, interpret=interpret)
+    ndev = jax.device_count()
+    if mesh_spec:
+        dp, ip = (int(x) for x in mesh_spec.split(","))
+    elif ndev > 1 and jax.default_backend() != "cpu":
+        # multi-chip hosts shard automatically; the virtual CPU mesh
+        # (tests) stays opt-in via mesh_spec so single-device runs keep
+        # their compile profile
+        dp, ip = ndev, 1
+    else:
+        dp = ip = 1
+    if dp * ip > 1:
+        devs = np.array(jax.devices()[: dp * ip]).reshape(dp, ip)
+        mesh = Mesh(devs, ("dp", "ip"))
+        if ip > 1:
+            sdi = ShardedDeviceIndex.build(refset, idx, n_shards=ip)
+            step = make_index_sharded_step(sdi, mesh, m, -go, -ge,
+                                           interpret=interpret, pack=True)
+        else:
+            di = DeviceIndex.build(refset, idx)
+            step = make_sharded_step(di, mesh, m, -go, -ge,
+                                     interpret=interpret, pack=True)
+    else:
+        di = DeviceIndex.build(refset, idx)
+        step = make_device_step(di, m, -go, -ge, interpret=interpret,
+                                pack=True)
     PREFETCH = 4   # device dispatches kept in flight (jax dispatch is
                    # async; forcing outputs N batches behind hides the
                    # dispatch/transfer round-trip latency)
@@ -525,24 +736,44 @@ def run_fast_pipeline(refset: RefSet, idx: KmerIndex, reads_path: str,
             yield n1 + n2, s1 + s2, q1 + q2
 
     def batches():
+        """Yield (global_batch_no, render_args).  In a multi-host run
+        the input stripes at batch granularity (batch b belongs to host
+        b % n_hosts): every host parses the whole FASTQ (cheap) but
+        encodes/dispatches/renders only its own stripe, and read
+        serials stay GLOBAL so per-read RNG reseeds match the
+        single-host run."""
         pending = deque()
 
         def force(item):
-            names, seqs, quals, o, wl, wp, Q, base = item
-            return (paired, names, seqs, quals,
-                    {k: np.asarray(v) for k, v in o.items()}, wl, wp, Q,
-                    base)
+            bno, names, seqs, quals, o, wl, wp, Q, base = item
+            # ONE packed [len(OUT_KEYS), B] fetch per batch: per-array
+            # fetches each pay a full round trip on tunnel-attached
+            # chips and dominated the end-to-end wall clock
+            arr = np.asarray(o)
+            outs = {k: arr[i, : len(names)]
+                    for i, k in enumerate(OUT_KEYS)}
+            return bno, (paired, names, seqs, quals, outs, wl, wp, Q,
+                         base)
 
         base = 0
-        for names, seqs, quals in raw_batches():
+        for bno, (names, seqs, quals) in enumerate(raw_batches()):
+            if n_hosts > 1 and bno % n_hosts != host_id:
+                base += len(names)
+                continue
             qmax = max((len(s) for s in seqs), default=0)
             # round Q to a small multiple (bounded recompiles) — NOT to
             # 128: the device window formula would jump S to the next
             # 128 multiple and double the SW cost
             Q = max(32, -(-qmax // 16) * 16)
             arr = encode_batch(seqs, Q)
+            if dp > 1 and arr.shape[0] % dp:
+                # dp-sharded batch: pad to a dp multiple with all-7
+                # rows (no seeds -> score 0); force() slices them off
+                padn = dp - arr.shape[0] % dp
+                arr = np.pad(arr, ((0, padn), (0, 0)),
+                             constant_values=7)
             o = step(jnp.asarray(arr))          # async dispatch
-            pending.append((names, seqs, quals, o,
+            pending.append((bno, names, seqs, quals, o,
                             window_len(Q), window_pad(Q), Q, base))
             base += len(names)
             if len(pending) >= PREFETCH:
@@ -550,17 +781,31 @@ def run_fast_pipeline(refset: RefSet, idx: KmerIndex, reads_path: str,
         while pending:
             yield force(pending.popleft())
 
+    def emit(bno, text):
+        if shard_writer is not None:
+            shard_writer.write_batch(bno, text)
+        else:
+            out.write(text)
+
     inserts = (insert_min, insert_max)
     if nthreads <= 1:
         _tail_init(refset, penalties, minscor, writer_args, inserts,
-                   exact_engine, seed)
-        for args in batches():
-            out.write(_tail_render(args))
+                   exact_engine, seed, libcode, ihist)
+        for bno, args in batches():
+            emit(bno, _tail_render(args))
         return
 
     ctx = mp.get_context("fork")
+    bno_q = deque()
+
+    def args_gen():
+        for bno, args in batches():
+            bno_q.append(bno)
+            yield args
+
     with ctx.Pool(processes=nthreads, initializer=_tail_init,
                   initargs=(refset, penalties, minscor, writer_args,
-                            inserts, exact_engine, seed)) as pool:
-        for text in pool.imap(_tail_render, batches(), chunksize=1):
-            out.write(text)
+                            inserts, exact_engine, seed, libcode,
+                            ihist)) as pool:
+        for text in pool.imap(_tail_render, args_gen(), chunksize=1):
+            emit(bno_q.popleft(), text)

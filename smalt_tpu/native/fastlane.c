@@ -78,6 +78,18 @@ int64_t mc_align_recursive(
     uint8_t *back, int64_t back_cap,
     uint8_t *diffpool, int64_t diff_cap,
     int64_t *res, int64_t res_cap);
+int64_t mc_fast_align(
+    const uint8_t *qcodes, int64_t qlen, int do_revcomp,
+    const int32_t *matrix,
+    const uint8_t *subj, int64_t slen,
+    int64_t l_edge, int64_t r_edge,
+    int64_t minscore, int64_t minscorlen,
+    int gap_init, int gap_ext,
+    int32_t *Wbuf, int32_t *Hbuf, int32_t *Ebuf,
+    uint8_t *dirm, int64_t dirm_cap,
+    uint8_t *back, int64_t back_cap,
+    uint8_t *diffpool, int64_t diff_cap,
+    int64_t *res, int64_t res_cap);
 int nr_sort2(uint32_t *a, uint32_t *b, int n);
 int mc_calc_seg_offsets(const int64_t *row, int ktup, int nskip,
                         const int64_t *offsets, int64_t nseq, int64_t qlen,
@@ -804,7 +816,7 @@ static int tx_cigar(FLText *t, const uint8_t *diff, int diff_len,
 static int tx_sam_line(FLText *t,
                        const char *name, int64_t name_len,
                        const uint8_t *codes, const uint8_t *qual, int64_t qlen,
-                       const FLResultSet *rs, const FLRes *rp, int mateflg,
+                       const uint8_t *diffpool, const FLRes *rp, int mateflg,
                        int64_t mapscor,
                        const char *const *seq_names,
                        const int64_t *seq_name_lens,
@@ -840,7 +852,7 @@ static int tx_sam_line(FLText *t,
             clip_start = rp->q_start - 1;
             clip_end = qlen - rp->q_end;
         }
-        rc2 = tx_cigar(t, rs->diffpool + rp->diff_off, rp->diff_len,
+        rc2 = tx_cigar(t, diffpool + rp->diff_off, rp->diff_len,
                        !x_mismatch, clip_start, clip_end, soft_clip);
         if (rc2 != 0) return rc2;
         tx_puts(t, "\t*\t0\t0\t");
@@ -868,7 +880,7 @@ static int tx_sam_line(FLText *t,
             tx_putc(t, '*');
         }
         tx_puts(t, "\tNM:i:");
-        tx_puti(t, fl_levenshtein(rs->diffpool + rp->diff_off, rp->diff_len));
+        tx_puti(t, fl_levenshtein(diffpool + rp->diff_off, rp->diff_len));
         tx_puts(t, "\tAS:i:");
         tx_puti(t, rp->swatscor);
     } else {
@@ -1614,7 +1626,7 @@ int64_t fl_map_block(
                               ? &s.rs->res[s.rep[r].res_idx] : NULL;
             rc = tx_sam_line(&t, name, name_len,
                              codes, qual, qlen,
-                             s.rs, rp, s.rep[r].mateflg,
+                             s.rs->diffpool, rp, s.rep[r].mateflg,
                              rp ? s.rep[r].mapscor : 0,
                              seq_name_ptr, seq_name_len,
                              soft_clip, x_mismatch);
@@ -1954,7 +1966,7 @@ int64_t fl_pass2_block(
             const FLRes *rp = s.rep[r].res_idx >= 0
                               ? &s.rs->res[s.rep[r].res_idx] : NULL;
             rc = tx_sam_line(&t, name, name_len, codes, qual, qlen,
-                             s.rs, rp, s.rep[r].mateflg,
+                             s.rs->diffpool, rp, s.rep[r].mateflg,
                              rp ? s.rep[r].mapscor : 0,
                              seq_name_ptr, seq_name_len,
                              soft_clip, x_mismatch);
@@ -1972,5 +1984,267 @@ done:
     fl_scratch_free(&s);
     if (rc != 0) return rc;
     *rng_io = rng;
+    return t.p - out_text;
+}
+
+/* ---------------- fast-mode batched tail ---------------- */
+
+/* Byte-replica of map/fastmode.py FastTail.map_one + _finish +
+ * fast_mapq + ReportWriter._write_sam (single-end): one native call
+ * renders the SAM text of a whole device-pass batch.  Reads the
+ * fast-mode device outputs (score/start/strand + completeness
+ * counters) and runs the banded traceback (mc_fast_align) only on the
+ * winning window of each read.  Python remains the oracle: any error
+ * returns <0 and the caller reruns the batch in Python. */
+
+static const double FL_LOG10 = 2.302585092994046;  /* math.log(10) */
+
+static int64_t fl_fast_mapq(int64_t sw1, int64_t sw2, int64_t qlen,
+                            int64_t used, int64_t tot, int64_t n2,
+                            int ambig)
+{
+    double m;
+    int64_t cap = MAPSCOR_MAX;
+    int64_t qn = 0;
+    if (sw2 >= sw1)
+        return 0;
+    if (n2 > 1)
+        qn = (int64_t)(10.0 * log((double)n2) / FL_LOG10);
+    m = 250.0 * (double)sw1 / (double)qlen *
+        (double)(sw1 - sw2) / (double)qlen - (double)qn;
+    if (m >= 0.0)
+        m += 4.0;                       /* MAPSCOR_MIN_UNIQ */
+    if (tot > 0) {
+        double fs = (double)used / ((double)tot + 3.0);
+        if (fs <= 1e-7) {
+            cap = 0;
+        } else {
+            double deficit = -10.0 * log(fs) / FL_LOG10;
+            cap = deficit < (double)MAPSCOR_MAX
+                  ? MAPSCOR_MAX - (int64_t)deficit : 0;
+        }
+    }
+    if (ambig && cap > MAPSCOR_MAX_RANDOM)
+        cap = MAPSCOR_MAX_RANDOM;
+    if (m > (double)cap)
+        m = (double)cap;
+    if (m > (double)MAPSCOR_MAX)
+        return MAPSCOR_MAX;
+    return m > 0.0 ? (int64_t)m : 0;
+}
+
+/* refset.find_seqidx: greatest s with offsets[s] <= g (offsets has
+ * nseq+1 entries, offsets[nseq] = total length) */
+static int64_t fl_find_seqidx(const int64_t *offsets, int64_t nseq,
+                              int64_t g)
+{
+    int64_t lo = 0, hi = nseq - 1;
+    while (lo < hi) {
+        int64_t mid = (lo + hi + 1) >> 1;
+        if (offsets[mid] <= g) lo = mid;
+        else hi = mid - 1;
+    }
+    return lo;
+}
+
+int64_t fl_fast_tail_block(
+    /* reference */
+    const uint8_t *refcodes, const int64_t *offsets, int64_t nseq,
+    const char *snames, const int64_t *sname_offs,
+    /* scoring */
+    const int32_t *matrix, int gap_init, int gap_ext,
+    int64_t match_avg, int64_t minscor,
+    int soft_clip, int x_mismatch,
+    /* window geometry (per batch) */
+    int64_t win_len, int64_t pad, int64_t q_padded,
+    /* reads: raw ASCII letters + raw FASTQ names */
+    int64_t n_reads, const uint8_t *seqs_concat, const int64_t *read_offs,
+    const uint8_t *quals_concat, const uint8_t *has_qual,
+    const char *names_concat, const int64_t *name_offs,
+    /* device-pass outputs, int32 per read */
+    const int32_t *score, const int32_t *score2, const int32_t *wstart,
+    const int32_t *strand, const int32_t *hits_used,
+    const int32_t *hits_tot, const int32_t *n2nd, const int32_t *ambig,
+    /* reads to skip (rendered elsewhere, e.g. exact fallback) */
+    const uint8_t *skip,
+    /* output: text + per-read text extents out_offs[n_reads+1] */
+    char *out_text, int64_t out_cap, int64_t *out_offs)
+{
+    FLText t;
+    const char **seq_name_ptr = NULL;
+    int64_t *seq_name_len = NULL;
+    uint8_t *enc = NULL, *dirm = NULL, *back = NULL, *diffpool = NULL;
+    int32_t *Wbuf = NULL, *Hbuf = NULL, *Ebuf = NULL;
+    int64_t *ares = NULL;
+    int64_t total_len = offsets[nseq];
+    int64_t qmax = 1, i, rc = 0;
+    int64_t dirm_cap, back_cap, diff_cap, ares_cap;
+    int64_t minscore = minscor > 1 ? minscor : 1;
+    int64_t minscorlen = ALILEN_MIN;
+
+    if (ALILEN_MIN * match_avg < minscore)
+        minscorlen = minscore / match_avg;
+
+    for (i = 0; i < n_reads; i++) {
+        int64_t ql = read_offs[i + 1] - read_offs[i];
+        if (ql > qmax) qmax = ql;
+    }
+    dirm_cap = (qmax + win_len + 2) * (win_len + 1);
+    back_cap = 2 * (qmax + win_len) + 8;
+    diff_cap = 4 * (qmax + win_len) + 1024;
+    ares_cap = win_len / ALILEN_MIN + 4;
+
+    seq_name_ptr = (const char **)fl_alloc(nseq * (int64_t)sizeof(char *));
+    seq_name_len = (int64_t *)fl_alloc(nseq * (int64_t)sizeof(int64_t));
+    enc = (uint8_t *)fl_alloc(qmax);
+    Wbuf = (int32_t *)fl_alloc(8 * qmax * (int64_t)sizeof(int32_t));
+    Hbuf = (int32_t *)fl_alloc((qmax + 1) * (int64_t)sizeof(int32_t));
+    Ebuf = (int32_t *)fl_alloc((qmax + 1) * (int64_t)sizeof(int32_t));
+    dirm = (uint8_t *)fl_alloc(dirm_cap);
+    back = (uint8_t *)fl_alloc(back_cap);
+    diffpool = (uint8_t *)fl_alloc(diff_cap);
+    ares = (int64_t *)fl_alloc(ares_cap * 7 * (int64_t)sizeof(int64_t));
+    if (!seq_name_ptr || !seq_name_len || !enc || !Wbuf || !Hbuf ||
+        !Ebuf || !dirm || !back || !diffpool || !ares) {
+        rc = FL_ERR_CAP;
+        goto done;
+    }
+    for (i = 0; i < nseq; i++) {
+        seq_name_ptr[i] = snames + sname_offs[i];
+        seq_name_len[i] = sname_offs[i + 1] - sname_offs[i];
+    }
+    fl_codtab_init();
+    t.p = out_text;
+    t.end = out_text + out_cap;
+    t.overflow = 0;
+
+    for (i = 0; i < n_reads; i++) {
+        const uint8_t *ascii = seqs_concat + read_offs[i];
+        const uint8_t *qual = has_qual[i] ? quals_concat + read_offs[i]
+                                          : NULL;
+        int64_t qlen = read_offs[i + 1] - read_offs[i];
+        const char *name = names_concat + name_offs[i];
+        int64_t name_len = fl_sam_name_len(name,
+                                           name_offs[i + 1] - name_offs[i]);
+        int64_t sc1 = score[i];
+        int is_rev = strand[i] != 0;
+        int64_t j, nres = 0;
+        int64_t best[6];            /* sw ps pe ss se diff_len */
+        int have_tb = 0;
+        int64_t w0 = 0;
+        FLRes r;
+        int mateflg = 0;
+
+        out_offs[i] = t.p - out_text;
+        if (skip && skip[i])
+            continue;
+        for (j = 0; j < qlen; j++)
+            enc[j] = fl_codtab[ascii[j]];
+
+        if (sc1 >= minscor && qlen >= 5) {
+            /* clamp the alignment window to the contig under the seed
+             * diagonal (fastmode.py map_one) */
+            int64_t shift = is_rev ? (q_padded - qlen) : 0;
+            int64_t ws = wstart[i];
+            int64_t anchor = ws + pad + shift + qlen / 2;
+            int64_t sidx, c_lo, c_hi, w1;
+            if (anchor < 0) anchor = 0;
+            if (anchor > total_len - 1) anchor = total_len - 1;
+            sidx = fl_find_seqidx(offsets, nseq, anchor);
+            c_lo = offsets[sidx];
+            c_hi = offsets[sidx + 1];
+            w0 = ws > c_lo ? ws : c_lo;
+            w1 = ws + win_len < c_hi ? ws + win_len : c_hi;
+            if (w1 - w0 >= 1) {
+                int64_t slen = w1 - w0;
+                int64_t center = -(pad + shift) + (w0 - ws);
+                const uint8_t *win = refcodes + w0;
+                if (slen >= 1 && qlen >= ALILEN_MIN) {
+                    nres = mc_fast_align(enc, qlen, is_rev, matrix, win,
+                                         slen, center - 24, center + 48,
+                                         minscore, minscorlen,
+                                         gap_init, gap_ext,
+                                         Wbuf, Hbuf, Ebuf,
+                                         dirm, dirm_cap, back, back_cap,
+                                         diffpool, diff_cap,
+                                         ares, ares_cap);
+                    if (nres > 0) {
+                        have_tb = 1;
+                        best[0] = ares[0]; best[1] = ares[1];
+                        best[2] = ares[2]; best[3] = ares[3];
+                        best[4] = ares[4];
+                        /* keep the diff bytes of result 0 at pool
+                         * offset ares[5] */
+                        best[5] = ares[6];
+                        if (ares[5] != 0)
+                            memmove(diffpool, diffpool + ares[5],
+                                    (size_t)ares[6]);
+                    }
+                    if (!have_tb || best[0] < sc1) {
+                        /* full-band retry in a second pool region */
+                        int64_t half = diff_cap / 2;
+                        int64_t nf = mc_fast_align(
+                            enc, qlen, is_rev, matrix, win, slen,
+                            -(slen - 1), qlen - 1, minscore, minscorlen,
+                            gap_init, gap_ext, Wbuf, Hbuf, Ebuf,
+                            dirm, dirm_cap, back, back_cap,
+                            diffpool + half, diff_cap - half,
+                            ares, ares_cap);
+                        if (nf > 0 &&
+                            (!have_tb || ares[0] > best[0])) {
+                            have_tb = 1;
+                            best[0] = ares[0]; best[1] = ares[1];
+                            best[2] = ares[2]; best[3] = ares[3];
+                            best[4] = ares[4];
+                            best[5] = ares[6];
+                            memmove(diffpool, diffpool + half + ares[5],
+                                    (size_t)ares[6]);
+                        }
+                    }
+                }
+            }
+        }
+
+        if (have_tb) {
+            int64_t g = w0 + best[3];
+            int64_t sidx2 = fl_find_seqidx(offsets, nseq, g);
+            r.swatscor = best[0];
+            r.mapscor = fl_fast_mapq(sc1, score2[i], qlen,
+                                     hits_used[i], hits_tot[i],
+                                     n2nd[i], ambig[i] != 0);
+            if (is_rev) {
+                r.q_start = qlen - best[2];
+                r.q_end = qlen - best[1];
+            } else {
+                r.q_start = best[1] + 1;
+                r.q_end = best[2] + 1;
+            }
+            r.s_start = g - offsets[sidx2] + 1;
+            r.s_end = r.s_start + (best[4] - best[3]);
+            r.sidx = sidx2;
+            r.diff_off = 0;
+            r.diff_len = (int32_t)best[5];
+            mateflg = REPFLG_MAPPED | (is_rev ? REPFLG_REVERSE : 0);
+            rc = tx_sam_line(&t, name, name_len, enc, qual, qlen,
+                             diffpool, &r, mateflg, r.mapscor,
+                             seq_name_ptr, seq_name_len,
+                             soft_clip, x_mismatch);
+        } else {
+            rc = tx_sam_line(&t, name, name_len, enc, qual, qlen,
+                             diffpool, NULL, 0, 0,
+                             seq_name_ptr, seq_name_len,
+                             soft_clip, x_mismatch);
+        }
+        if (rc != 0) goto done;
+        if (t.overflow) { rc = FL_ERR_TEXT; goto done; }
+    }
+    out_offs[n_reads] = t.p - out_text;
+
+done:
+    free((void *)seq_name_ptr);
+    free(seq_name_len);
+    free(enc); free(Wbuf); free(Hbuf); free(Ebuf);
+    free(dirm); free(back); free(diffpool); free(ares);
+    if (rc != 0) return rc;
     return t.p - out_text;
 }

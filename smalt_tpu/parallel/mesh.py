@@ -390,6 +390,23 @@ def device_map_step(di: DeviceIndex, reads, matrix, gapopen_pos, gapext_pos,
     }
 
 
+OUT_KEYS = ("score", "score2", "start", "strand", "start2", "strand2",
+            "hits_used", "hits_tot", "n2nd", "ambig")
+
+
+def pack_outputs(out):
+    """Stack the per-read output dict into ONE [len(OUT_KEYS), B] int32
+    array ON DEVICE: over a high-latency host link (tunnel-attached
+    chips) each fetched array pays a full round trip, so the pipeline
+    fetches a single packed array per batch instead of ten."""
+    return jnp.stack([out[k].astype(jnp.int32) for k in OUT_KEYS])
+
+
+def unpack_outputs(arr) -> dict:
+    """Host-side inverse of pack_outputs (arr: [len(OUT_KEYS), B])."""
+    return {k: arr[i] for i, k in enumerate(OUT_KEYS)}
+
+
 def _revcomp_batch(reads):
     """Reverse complement [B, Q] alpha codes (nonstd codes unchanged)."""
     rev = reads[:, ::-1]
@@ -537,7 +554,8 @@ def _combine_over_ip(score, score2, start, strand, start2, strand2,
 
 
 def make_index_sharded_step(sdi: ShardedDeviceIndex, mesh: Mesh, matrix,
-                            gapopen_pos, gapext_pos, interpret=None):
+                            gapopen_pos, gapext_pos, interpret=None,
+                            pack=False):
     """SPMD mapping step with a REAL range-sharded index over `ip`:
     reads are data-parallel over `dp` and replicated over `ip`; each
     `ip` member scans its own index/reference shard; per-read winners
@@ -567,7 +585,10 @@ def make_index_sharded_step(sdi: ShardedDeviceIndex, mesh: Mesh, matrix,
                                       "hits_tot", "n2nd", "ambig")}
     fn = shard_map(step, mesh=mesh, in_specs=in_specs,
                    out_specs=out_specs, check_rep=False)
-    jfn = jax.jit(fn)
+    if pack:
+        jfn = jax.jit(lambda *a: pack_outputs(fn(*a)))
+    else:
+        jfn = jax.jit(fn)
 
     def run(reads):
         return jfn(reads, sdi.words, sdi.starts, sdi.pos, sdi.ref_alpha,
@@ -577,11 +598,13 @@ def make_index_sharded_step(sdi: ShardedDeviceIndex, mesh: Mesh, matrix,
 
 
 def make_device_step(di: DeviceIndex, matrix, gapopen_pos, gapext_pos,
-                     interpret=None):
+                     interpret=None, pack=False):
     """Single-device jitted mapping step with the index arrays passed
     as jit ARGUMENTS (pytree leaves), not closure constants — large
     closed-over arrays (the 256 MB direct table) otherwise get baked
-    into the HLO and blow up remote-compile request limits."""
+    into the HLO and blow up remote-compile request limits.
+    pack=True returns the packed [len(OUT_KEYS), B] int32 array
+    (one host fetch per batch) instead of the dict."""
     arrs = {"words": di.words, "starts": di.starts, "pos": di.pos,
             "ref": di.ref_alpha}
     if di.table is not None:
@@ -594,14 +617,16 @@ def make_device_step(di: DeviceIndex, matrix, gapopen_pos, gapext_pos,
                         words=arrs["words"], starts=arrs["starts"],
                         pos=arrs["pos"], ref_alpha=arrs["ref"],
                         ref_len=meta[2], table=arrs.get("table"))
-        return device_map_step(d, reads, matrix, gapopen_pos, gapext_pos,
-                               interpret=interpret)
+        out = device_map_step(d, reads, matrix, gapopen_pos, gapext_pos,
+                              interpret=interpret)
+        return pack_outputs(out) if pack else out
 
     return lambda reads: step(reads, arrs)
 
 
 def make_sharded_step(di: DeviceIndex, mesh: Mesh, matrix,
-                      gapopen_pos, gapext_pos, interpret=None):
+                      gapopen_pos, gapext_pos, interpret=None,
+                      pack=False):
     """SPMD mapping step over a ('dp', 'ip') mesh.
 
     Reads shard over `dp`.  The index position list and reference shard
@@ -632,4 +657,6 @@ def make_sharded_step(di: DeviceIndex, mesh: Mesh, matrix,
                                       "hits_tot", "n2nd", "ambig")}
     fn = shard_map(step, mesh=mesh, in_specs=(specs_in,),
                    out_specs=specs_out, check_rep=False)
+    if pack:
+        return jax.jit(lambda reads: pack_outputs(fn(reads)))
     return jax.jit(fn)
