@@ -23,10 +23,14 @@ import numpy as np
 
 
 def main():
+    # Force the virtual CPU mesh BEFORE any backend initialization
+    # (touching jax.devices() first would pin the tunnel TPU backend,
+    # which has one chip and a remote-compile size limit).  A future
+    # real multi-chip host opts out with SMALT_SCALING_REAL=1.
+    os.environ.setdefault("XLA_FLAGS",
+                          "--xla_force_host_platform_device_count=8")
     import jax
-    if jax.default_backend() != "tpu" or jax.device_count() < 2:
-        os.environ.setdefault("XLA_FLAGS",
-                              "--xla_force_host_platform_device_count=8")
+    if not os.environ.get("SMALT_SCALING_REAL"):
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax.sharding import Mesh

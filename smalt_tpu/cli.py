@@ -130,6 +130,13 @@ def _map_argparser(prog):
                          "(SAM; single or paired with mate rescue; "
                          "reference-style output, not bit-identical — "
                          "extension over the reference CLI)")
+    ap.add_argument("--resume", action="store_true", dest="resume",
+                    help="with -o: checkpoint progress every few "
+                         "batches to OUT.resume and, on restart, "
+                         "continue from the last checkpoint with "
+                         "byte-identical output (single-end serial "
+                         "exact runs and single-host --fast runs; "
+                         "extension over the reference CLI)")
     ap.add_argument("--mesh", default=None, dest="mesh_spec",
                     metavar="DP,IP",
                     help="with --fast: run the SPMD mapping step over a "
@@ -259,8 +266,23 @@ def cmd_map(argv: List[str]) -> int:
 
         out = _BamSink()
     else:
-        out = _open_out(a)
-        writer = _writer(a, refset, argv, out)  # emits the SAM header
+        resume_log = resume_state = None
+        serial_se_fastq = (a.mates is None and a.nthreads <= 1 and
+                           a.informat not in ("sam", "bam") and
+                           not a.reads.endswith((".sam", ".sam.gz",
+                                                 ".bam")))
+        if a.resume and a.oufilnam and serial_se_fastq:
+            from .resume import ResumeLog
+            resume_log = ResumeLog(a.oufilnam, ["map"] + argv)
+            resume_state = resume_log.load()   # truncates OUT if found
+        elif a.resume:
+            print("# --resume needs -o and a serial single-end FASTQ "
+                  "run; ignored", file=sys.stderr)
+        if resume_state:
+            out = open(a.oufilnam, "a")        # header already present
+        else:
+            out = _open_out(a)
+            writer = _writer(a, refset, argv, out)  # emits the SAM header
     ihist = InsHist.read(a.insfil) if a.insfil else None
     if ihist is not None:
         engine.params.insert_min = min(engine.params.insert_min, ihist.insizlo)
@@ -296,7 +318,8 @@ def cmd_map(argv: List[str]) -> int:
             soft_clip="clip" not in mods, x_mismatch="x" in mods,
             seed=(a.randseed if a.randseed is not None else 0),
             ihist=ihist, fix_primary=fix_primary, ali_out=a.aliout,
-            device_pass1=a.device_pass1)
+            device_pass1=a.device_pass1,
+            resume_log=(resume_log if not a.device_pass1 else None))
     if not ran_raw:
         run_pipeline(engine, reads_iter, out, refset, fmt=fmt,
                      soft_clip="clip" not in mods, x_mismatch="x" in mods,
@@ -338,6 +361,7 @@ def _cmd_map_fast(a, argv) -> int:
     from .parallel.distributed import maybe_init_distributed, ShardWriter
     host_id, n_hosts = maybe_init_distributed()
     shard_writer = None
+    resume_log = None
     if n_hosts > 1:
         # per-host SAM shard + batch sidecar; `smalt_tpu merge-shards`
         # restores the single-host byte order afterwards
@@ -350,15 +374,27 @@ def _cmd_map_fast(a, argv) -> int:
             with open(f"{base}.header", "w") as hf:
                 hf.write(out.getvalue())
     else:
-        out = _open_out(a)
-        _writer(a, refset, argv, out)  # emits the SAM header
+        resume_log = resume_state = None
+        if a.resume and a.oufilnam and a.nthreads <= 1:
+            from .resume import ResumeLog
+            resume_log = ResumeLog(a.oufilnam, ["map-fast"] + argv)
+            resume_state = resume_log.load()
+        elif a.resume:
+            print("# --resume needs -o and -n 1; ignored",
+                  file=sys.stderr)
+        if resume_state:
+            out = open(a.oufilnam, "a")
+        else:
+            out = _open_out(a)
+            _writer(a, refset, argv, out)  # emits the SAM header
     import contextlib
     prof_ctx = contextlib.nullcontext()
     if a.profdir:
         import jax
         prof_ctx = jax.profiler.trace(a.profdir)
+    batch = int(os.environ.get("SMALT_FAST_BATCH", "4096"))
     with prof_ctx:
-        run_fast_pipeline(refset, idx, a.reads, out,
+        run_fast_pipeline(refset, idx, a.reads, out, batch=batch,
                           penalties=_parse_penalties(a.scorspec),
                           minscor=(a.minscor if a.minscor is not None else 18),
                           nthreads=a.nthreads, mates_path=a.mates,
@@ -367,7 +403,9 @@ def _cmd_map_fast(a, argv) -> int:
                           seed=(a.randseed if a.randseed is not None else 1),
                           mesh_spec=a.mesh_spec, libcode=libcode,
                           ihist=ihist, host_id=host_id, n_hosts=n_hosts,
-                          shard_writer=shard_writer)
+                          shard_writer=shard_writer,
+                          resume_log=(resume_log if n_hosts == 1
+                                      else None))
     if shard_writer is not None:
         shard_writer.close()
     elif out is not sys.stdout:

@@ -663,7 +663,7 @@ def run_fast_pipeline(refset: RefSet, idx: KmerIndex, reads_path: str,
                       mesh_spec: Optional[str] = None,
                       libcode=None, ihist=None,
                       host_id: int = 0, n_hosts: int = 1,
-                      shard_writer=None) -> None:
+                      shard_writer=None, resume_log=None) -> None:
     """Map reads with the device pass + host traceback tail, writing
     SAM records (headerless body; caller writes the header).  With
     `mates_path`, pairs map together: both mates go through the device
@@ -760,6 +760,9 @@ def run_fast_pipeline(refset: RefSet, idx: KmerIndex, reads_path: str,
             if n_hosts > 1 and bno % n_hosts != host_id:
                 base += len(names)
                 continue
+            if base + len(names) <= skip_reads:
+                base += len(names)     # checkpointed: already written
+                continue
             qmax = max((len(s) for s in seqs), default=0)
             # round Q to a small multiple (bounded recompiles) — NOT to
             # 128: the device window formula would jump S to the next
@@ -787,12 +790,25 @@ def run_fast_pipeline(refset: RefSet, idx: KmerIndex, reads_path: str,
         else:
             out.write(text)
 
+    skip_reads = 0
+    if resume_log is not None and shard_writer is None and nthreads <= 1:
+        st = resume_log.load()
+        if st:
+            skip_reads = st["reads_done"]
+    else:
+        resume_log = None
+
     inserts = (insert_min, insert_max)
     if nthreads <= 1:
         _tail_init(refset, penalties, minscor, writer_args, inserts,
                    exact_engine, seed, libcode, ihist)
         for bno, args in batches():
             emit(bno, _tail_render(args))
+            if resume_log is not None:
+                out.flush()
+                resume_log.tick(args[8] + len(args[1]), out.tell(), 0)
+        if resume_log is not None:
+            resume_log.done()
         return
 
     ctx = mp.get_context("fork")

@@ -105,7 +105,8 @@ def run_pipeline_raw_fastq(engine, path: str, out, refset,
                            x_mismatch: bool = False, seed: int = 1,
                            ihist=None, fix_primary: bool = False,
                            ali_out: bool = False,
-                           device_pass1: bool = False) -> bool:
+                           device_pass1: bool = False,
+                           resume_log=None) -> bool:
     """Serial single-end bulk path: C-speed FASTQ parsing feeding the C
     fast-lane with raw bytes (encode + name handling also native).
     Returns False when not applicable — the caller then runs the
@@ -159,8 +160,23 @@ def run_pipeline_raw_fastq(engine, path: str, out, refset,
             dev.run_raw_fastq(path, out, fallback_batch)
             return True
         # device lane unsupported for these penalties: host lane below
+    skip_reads = 0
+    if resume_log is not None:
+        st = resume_log.load()
+        if st:
+            skip_reads = st["reads_done"]
+            rand._global._x = st["rng"]
+    reads_done = 0
     for names, seqs, quals in iter_fastq_batches(path, 1024):
+        reads_done += len(names)
+        if reads_done <= skip_reads:
+            continue               # checkpointed batch: already written
         out.write(fallback_batch(names, seqs, quals))
+        if resume_log is not None:
+            out.flush()
+            resume_log.tick(reads_done, out.tell(), rand._global._x)
+    if resume_log is not None:
+        resume_log.done()
     return True
 
 

@@ -1,16 +1,23 @@
-/* Exact-replica Smith-Waterman kernels for the host-side engine.
+/* Host-side Smith-Waterman kernels.
  *
- * These mirror the reference recurrences cell-for-cell:
- *   sw_band_fast : alignSmiWatBandFast (alignment.c:1029-1240)
- *   sw_band_track: alignSmiWatBand     (alignment.c:788-1027)
- *   sw_full      : swSIMDAlignStriped maths (swsimd.c:443-660) — full-matrix
- *                  affine local SW, maximum taken over diagonal-H values.
- *   nr_sort2     : sort2UINTarraysByQuickSort (sort.c:236-330)
- *   nr_sort2_64_32: sortUINT64andUINT32ArraysByQuickSort (same algorithm)
+ * Semantics (NOT code) follow the reference engine: the exact lane's
+ * golden byte-parity depends on two OBSERVABLE quirks of its banded
+ * affine recurrence (alignment.c:788-1240):
+ *   (1) the gap states E (gap in the subject column) and F (gap along
+ *       the row) are re-seeded from H only on STRICT diagonal wins
+ *       with H > gap_init, and decay by gap_ext each step while
+ *       positive;
+ *   (2) the running maximum is recorded only at such diagonal wins.
+ * Within those constraints the cell update here is our own flat
+ * max-then-refresh formulation (sw_cell below), not the reference's
+ * nested branch tree; equivalence is enforced by the differential
+ * kernel tests (tests/test_sw_simd.py, tests/test_align.py) and the
+ * golden SAM corpus.
  *
- * The banded recurrence has two reference quirks that matter for parity:
- * gap-open states E/F are refreshed only on diagonal moves with H >
- * gap_init, and the running maximum is recorded only at such moves.
+ *   sw_band_fast : banded score-only pass
+ *   sw_band_track: banded pass + direction matrix for traceback
+ *   sw_full      : full-matrix affine local SW (scalar + SSE2 striped)
+ *   nr_sort2*    : see the provenance note at the sort section
  *
  * Compiled at first import by smalt_tpu/native/__init__.py (cc -O2 -shared).
  */
@@ -27,6 +34,33 @@ static inline const int32_t *rowscore(const int32_t *W, int qlen, uint8_t a)
     return W + (int)(a & 7) * qlen;
 }
 
+/* One banded cell, flat form:
+ *   cell = max(diag, e, f, 0); e/f decay by gap_ext while positive;
+ *   quirk (1): iff the diagonal STRICTLY beat e, f and 0, and exceeds
+ *   gap_init, both gap states rise to at least diag - gap_init.
+ * *dia_won reports the strict diagonal win (drives quirk (2) and the
+ * traceback direction code). */
+static inline int32_t sw_cell(int32_t diag, int32_t *e_io, int32_t *f_io,
+                              int gap_init, int gap_ext, int *dia_won)
+{
+    int32_t e = *e_io, f = *f_io;
+    int32_t cell = diag > 0 ? diag : 0;
+    int won = diag > 0 && diag > e && diag > f;
+    if (e > cell) cell = e;
+    if (f > cell) cell = f;
+    if (e > 0) e -= gap_ext;
+    if (f > 0) f -= gap_ext;
+    if (won && diag > gap_init) {
+        int32_t reseed = diag - gap_init;
+        if (e < reseed) e = reseed;
+        if (f < reseed) f = reseed;
+    }
+    *e_io = e;
+    *f_io = f;
+    *dia_won = won;
+    return cell;
+}
+
 int sw_band_fast(const int32_t *W, int qlen_prof,
                  const uint8_t *subj,
                  int l_edge, int r_edge, int q_left, int q_len,
@@ -34,78 +68,43 @@ int sw_band_fast(const int32_t *W, int qlen_prof,
                  int gap_init, int gap_ext,
                  int32_t *Hbuf, int32_t *Ebuf)
 {
-    int delta_band_start, j_curr_start, j_curr_len;
-    int i, j, max_scor = 0;
-    int32_t H, F, tmp, currH;
-    int32_t *Hp = Hbuf, *Ep = Ebuf;
+    /* The band is a parallelogram over (subject row i, query column j):
+     * the column window [band_lo, band_hi) slides right one column per
+     * subject row once `lead_rows` rows (band entered mid-query) are
+     * consumed. */
+    int lead_rows, band_lo, band_hi;
+    int i, j, best = 0;
+    int32_t diag_carry;
+    int32_t *Hrow = Hbuf, *Erow = Ebuf;
 
     if (q_left > l_edge) {
-        delta_band_start = q_left - l_edge;
-        j_curr_start = q_left;
+        lead_rows = q_left - l_edge;
+        band_lo = q_left;
     } else {
-        delta_band_start = 0;
-        j_curr_start = l_edge;
+        lead_rows = 0;
+        band_lo = l_edge;
     }
-    j_curr_len = r_edge + 1;
-    H = currH = 0;
-    for (j = j_curr_start; j < q_len; j++) Hp[j] = Ep[j] = 0;
+    band_hi = r_edge + 1;
+    diag_carry = 0;
+    for (j = band_lo; j < q_len; j++) Hrow[j] = Erow[j] = 0;
 
     for (i = s_left; i < s_len; i++) {
         const int32_t *rs = rowscore(W, qlen_prof, subj[i]);
-        F = 0;
-        for (j = j_curr_start; j < j_curr_len; j++) {
-            H = currH + rs[j];
-            currH = Hp[j];
-            if (F > 0) {
-                if (Ep[j] > 0) {
-                    if (H > Ep[j]) {
-                        if (H > F) {
-                            Hp[j] = H; F -= gap_ext; Ep[j] -= gap_ext;
-                            if (H > gap_init) {
-                                if (H > max_scor) max_scor = H;
-                                tmp = H - gap_init;
-                                if (F < tmp) F = tmp;
-                                if (Ep[j] < tmp) Ep[j] = tmp;
-                            }
-                        } else { Hp[j] = F; F -= gap_ext; Ep[j] -= gap_ext; }
-                    } else {
-                        Hp[j] = (Ep[j] >= F) ? Ep[j] : F;
-                        Ep[j] -= gap_ext; F -= gap_ext;
-                    }
-                } else {
-                    if (H > F) {
-                        Hp[j] = H; F -= gap_ext;
-                        if (H > gap_init) {
-                            if (H > max_scor) max_scor = H;
-                            Ep[j] = H - gap_init;
-                            if (F < Ep[j]) F = Ep[j];
-                        }
-                    } else { Hp[j] = F; F -= gap_ext; }
-                }
-            } else if (Ep[j] > 0) {
-                if (H > Ep[j]) {
-                    Hp[j] = H; Ep[j] -= gap_ext;
-                    if (H > gap_init) {
-                        if (H > max_scor) max_scor = H;
-                        F = H - gap_init;
-                        if (Ep[j] < F) Ep[j] = F;
-                    }
-                } else { Hp[j] = Ep[j]; Ep[j] -= gap_ext; }
-            } else {
-                if (H > 0) {
-                    Hp[j] = H;
-                    if (H > gap_init) {
-                        if (H > max_scor) max_scor = H;
-                        F = Ep[j] = H - gap_init;
-                    }
-                } else Hp[j] = 0;
-            }
+        int32_t open_row = 0;        /* F: gap running along the row */
+        for (j = band_lo; j < band_hi; j++) {
+            int won;
+            int32_t diag = diag_carry + rs[j];
+            diag_carry = Hrow[j];
+            Hrow[j] = sw_cell(diag, &Erow[j], &open_row,
+                              gap_init, gap_ext, &won);
+            if (won && diag > gap_init && diag > best)
+                best = diag;
         }
-        if (delta_band_start > 0) { currH = 0; delta_band_start--; }
-        else { currH = Hp[j_curr_start]; j_curr_start++; }
-        if (j_curr_len < q_len) j_curr_len++;
+        if (lead_rows > 0) { diag_carry = 0; lead_rows--; }
+        else { diag_carry = Hrow[band_lo]; band_lo++; }
+        if (band_hi < q_len) band_hi++;
     }
-    return max_scor;
+    return best;
 }
 
 int sw_band_track(const int32_t *W, int qlen_prof,
@@ -118,98 +117,68 @@ int sw_band_track(const int32_t *W, int qlen_prof,
                   int *max_i_out, int *max_j_out,
                   int32_t *Hbuf, int32_t *Ebuf)
 {
-    int delta_band_start, delta_band_end = 0, j_curr_start, j_curr_len;
-    int i, j, max_i = 0, max_j = 0, max_scor = 0;
-    int32_t H, F, tmp, currH;
-    int32_t *Hp = Hbuf, *Ep = Ebuf;
+    /* Same band walk as sw_band_fast plus a direction matrix laid out
+     * band_width-wide per subject row; trail_cols grows once the right
+     * band edge hits the query end (the parallelogram's trailing
+     * wedge), mirroring the row-stride walk of the write pointer. */
+    int lead_rows, trail_cols = 0, band_lo, band_hi;
+    int i, j, max_i = 0, max_j = 0, best = 0;
+    int32_t diag_carry;
+    int32_t *Hrow = Hbuf, *Erow = Ebuf;
     uint8_t *dp;
 
     if (q_left > l_edge) {
-        delta_band_start = q_left - l_edge;
-        j_curr_start = q_left;
+        lead_rows = q_left - l_edge;
+        band_lo = q_left;
     } else {
-        delta_band_start = 0;
-        j_curr_start = l_edge;
+        lead_rows = 0;
+        band_lo = l_edge;
     }
-    j_curr_len = r_edge + 1;
-    H = currH = 0;
-    dp = dir + delta_band_start;
-    for (j = j_curr_start; j < q_len; j++) Hp[j] = Ep[j] = 0;
-
-#define RECMAX(HH) if ((HH) > max_scor) { max_i = i; max_j = j; max_scor = (HH); }
+    band_hi = r_edge + 1;
+    diag_carry = 0;
+    dp = dir + lead_rows;
+    for (j = band_lo; j < q_len; j++) Hrow[j] = Erow[j] = 0;
 
     for (i = s_left; i < s_len; i++) {
         const int32_t *rs = rowscore(W, qlen_prof, subj[i]);
-        F = 0;
-        for (j = j_curr_start; j < j_curr_len; j++, dp++) {
-            H = currH + rs[j];
-            currH = Hp[j];
-            if (F > 0) {
-                if (Ep[j] > 0) {
-                    if (H > Ep[j]) {
-                        if (H > F) {
-                            Hp[j] = H; F -= gap_ext; Ep[j] -= gap_ext;
-                            *dp = COD_DIA;
-                            if (H > gap_init) {
-                                RECMAX(H);
-                                tmp = H - gap_init;
-                                if (F < tmp) F = tmp;
-                                if (Ep[j] < tmp) Ep[j] = tmp;
-                            }
-                        } else {
-                            Hp[j] = F; F -= gap_ext; Ep[j] -= gap_ext;
-                            *dp = COD_ROW;
-                        }
-                    } else {
-                        if (Ep[j] >= F) { Hp[j] = Ep[j]; *dp = COD_COL; }
-                        else { Hp[j] = F; *dp = COD_ROW; }
-                        Ep[j] -= gap_ext; F -= gap_ext;
-                    }
-                } else {
-                    if (H > F) {
-                        Hp[j] = H; F -= gap_ext;
-                        *dp = COD_DIA;
-                        if (H > gap_init) {
-                            RECMAX(H);
-                            Ep[j] = H - gap_init;
-                            if (F < Ep[j]) F = Ep[j];
-                        }
-                    } else { Hp[j] = F; F -= gap_ext; *dp = COD_ROW; }
+        int32_t open_row = 0;
+        for (j = band_lo; j < band_hi; j++, dp++) {
+            int won;
+            int32_t diag = diag_carry + rs[j];
+            int32_t e_before = Erow[j], f_before = open_row;
+            int32_t cell;
+            diag_carry = Hrow[j];
+            cell = sw_cell(diag, &Erow[j], &open_row,
+                           gap_init, gap_ext, &won);
+            Hrow[j] = cell;
+            if (won) {
+                *dp = COD_DIA;
+                if (diag > gap_init && diag > best) {
+                    best = diag;
+                    max_i = i;
+                    max_j = j;
                 }
-            } else if (Ep[j] > 0) {
-                if (H > Ep[j]) {
-                    Hp[j] = H; Ep[j] -= gap_ext;
-                    *dp = COD_DIA;
-                    if (H > gap_init) {
-                        RECMAX(H);
-                        F = H - gap_init;
-                        if (Ep[j] < F) Ep[j] = F;
-                    }
-                } else { Hp[j] = Ep[j]; Ep[j] -= gap_ext; *dp = COD_COL; }
+            } else if (cell > 0) {
+                /* gap move; on equal gap states the reference prefers
+                 * the subject gap (column) */
+                *dp = (e_before >= f_before) ? COD_COL : COD_ROW;
             } else {
-                if (H > 0) {
-                    Hp[j] = H;
-                    *dp = COD_DIA;
-                    if (H > gap_init) {
-                        RECMAX(H);
-                        F = Ep[j] = H - gap_init;
-                    }
-                } else { Hp[j] = 0; *dp = 0; }
+                *dp = 0;
             }
         }
-        if (delta_band_start > 0) {
-            currH = 0;
-            dp += --delta_band_start;
+        if (lead_rows > 0) {
+            diag_carry = 0;
+            dp += --lead_rows;
         } else {
-            currH = Hp[j_curr_start];
-            j_curr_start++;
+            diag_carry = Hrow[band_lo];
+            band_lo++;
         }
-        if (j_curr_len < q_len) j_curr_len++;
-        else dp += delta_band_end++;
+        if (band_hi < q_len) band_hi++;
+        else dp += trail_cols++;
     }
     *max_i_out = max_i;
     *max_j_out = max_j;
-    return max_scor;
+    return best;
 }
 
 /* Full-matrix affine local SW, score only (mathematically equal to the
@@ -384,7 +353,21 @@ int sw_full(const int32_t *W, int qlen,
     return sw_full_scalar(W, qlen, subj, slen, gap_init, gap_ext, Hbuf, Ebuf);
 }
 
-/* ---------- Numerical-Recipes quicksort replicas (sort.c) ---------- */
+/* ---------- quicksort with the Numerical Recipes permutation ----------
+ *
+ * PROVENANCE NOTE.  This is the classic index-stack quicksort of
+ * Numerical Recipes in C (Press et al., 2nd ed., ch. 8.2/8.4,
+ * "sort2") — third-party published material that the reference engine
+ * also embeds (sort.c:236-330).  It is deliberately kept in the NR
+ * shape rather than re-designed, because the UNSTABLE PERMUTATION it
+ * produces on tied keys is an observable output contract: candidate
+ * and result ordering after tie-ranked sorts decides which of several
+ * equal-score mappings becomes the primary record, and the golden SAM
+ * corpus (byte-parity vs the reference binary) pins that choice.  The
+ * permutation is a function of the exact pivot selection (median-of-
+ * three at left+1), the insertion-sort threshold (7) and the stack
+ * discipline — any "cleanup" of those is an output change.  See
+ * PARITY.md row 3. */
 
 #define NR_MAXSTACK 60
 #define NR_MINARR 7

@@ -193,6 +193,193 @@ def sw_score_batch(qcodes, subj, slens, matrix, gapopen_pos, gapext_pos,
     return out[:B]
 
 
+def _swb_kernel(qprof_ref, sstate_ref, slen_ref, params_ref, out_ref):
+    """Banded SW, skewed frame: one grid step = CB candidates, band of
+    W query columns on lanes.  The band slides one query column per
+    subject row, so in band coordinates the DIAGONAL predecessor stays
+    at the same lane, the query-gap predecessor (E) shifts one lane
+    left, and the subject-gap F is the usual in-row prefix-max.  The
+    8 per-subject-code profile planes are precomputed over the padded
+    query and rolled UNROLL lanes per outer step; inside the unrolled
+    body the current band is the static slice [r : r+W]."""
+    go = params_ref[0, 0]
+    ge = params_ref[0, 1]
+    CB = sstate_ref.shape[0]
+    S = sstate_ref.shape[-1]
+    W = out_ref.shape[-1]          # static band width (padded to 128x)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (CB, W), 1)
+    jidx = lane
+    slens = slen_ref[:, 0]
+
+    def cummax(x):
+        d = 1
+        while d < W:
+            shifted = jnp.where(lane < d, NEG, pltpu.roll(x, d, 1))
+            x = jnp.maximum(x, shifted)
+            d *= 2
+        return x
+
+    def one_row(H, E, vmax, prof8, scol, r, i):
+        Wrow = prof8[0][:, r : r + W]
+        for a in range(1, 8):
+            Wrow = jnp.where(scol == a, prof8[a][:, r : r + W], Wrow)
+        T = H + Wrow                       # diagonal: same band lane
+        E_in = jnp.where(lane >= W - 1, NEG, pltpu.roll(E, W - 1, 1))
+        H0 = jnp.maximum(jnp.maximum(T, E_in), 0)
+        c = H0 + jidx * ge
+        cm = cummax(c)
+        cm_shift = jnp.where(lane < 1, NEG, pltpu.roll(cm, 1, 1))
+        F = cm_shift - go - (jidx - 1) * ge
+        Hn = jnp.maximum(H0, F)
+        En = jnp.maximum(E_in - ge, Hn - go)
+        keep = (i < slens)[:, None]
+        Hn = jnp.where(keep, Hn, H)
+        En = jnp.where(keep, En, E)
+        vmax = jnp.where(keep, jnp.maximum(vmax, T), vmax)
+        return Hn, En, vmax
+
+    def body(i, carry):
+        H, E, vmax, prof8, sstate = carry
+        for r in range(UNROLL):
+            H, E, vmax = one_row(H, E, vmax, prof8,
+                                 sstate[:, r : r + 1], r, UNROLL * i + r)
+        prof8 = tuple(pltpu.roll(p, p.shape[-1] - UNROLL, 1)
+                      for p in prof8)
+        return (H, E, vmax, prof8,
+                pltpu.roll(sstate, S - UNROLL, 1))
+
+    qp = qprof_ref[:, :, :]                # [8, CB, QB]
+    prof8 = tuple(qp[a] for a in range(8))
+    H0 = jnp.zeros((CB, W), jnp.int32)
+    E0 = jnp.full((CB, W), NEG, jnp.int32)
+    _, _, vmax, _, _ = jax.lax.fori_loop(
+        0, S // UNROLL, body,
+        (H0, E0, jnp.zeros((CB, W), jnp.int32), prof8, sstate_ref[:, :]))
+    best = jnp.maximum(jnp.max(vmax, axis=1), 0)
+    out_ref[:, :] = jnp.broadcast_to(best[:, None], (CB, W))
+
+
+@functools.partial(jax.jit, static_argnames=("W", "interpret"))
+def _swb_batch_call(qprof, subj, slens, params, W, interpret=False):
+    B = subj.shape[0]
+    S = subj.shape[1]
+    QB = qprof.shape[-1]
+    CB = 32 if W <= 256 else 16
+    CB = min(CB, B)
+    grid = (B // CB,)
+    out = pl.pallas_call(
+        _swb_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, CB, QB), lambda b: (0, b, 0)),
+            pl.BlockSpec((CB, S), lambda b: (b, 0)),
+            pl.BlockSpec((CB, 1), lambda b: (b, 0)),
+            pl.BlockSpec((1, 4), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((CB, W), lambda b: (b, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, W), jnp.int32),
+        interpret=interpret,
+    )(qprof, subj, slens, params)
+    return out[:, 0]
+
+
+def band_width_for(Q: int, pad: int) -> int:
+    """Band width for a long-read window: wide enough to absorb the
+    window pad (diagonal placement slack) plus ~3% indel drift each
+    way, rounded to the 128-lane tile."""
+    need = 2 * pad + 2 * max(32, Q // 32)
+    return max(128, -(-need // 128) * 128)
+
+
+def sw_band_score_batch(qcodes, subj, slens, matrix, gapopen_pos,
+                        gapext_pos, pad: int, W: int = 0,
+                        interpret=None):
+    """Banded batched SW scores for LONG reads: cost O(W*S) instead of
+    O(Q*S) (the device analogue of the reference's banded host pass,
+    rmap.c:888-896).  Subject row i covers query columns
+    [i - pad - W/2, i - pad + W/2): `pad` must be the window's left
+    backoff (window_pad) so the seed diagonal sits mid-band.  Scores
+    equal the full-matrix kernel whenever the optimal alignment stays
+    inside the band; otherwise they lower-bound it."""
+    assert gapopen_pos >= gapext_pos
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    qcodes = jnp.asarray(qcodes, jnp.int32)
+    subj = jnp.asarray(subj, jnp.int32)
+    slens = jnp.asarray(slens, jnp.int32)
+    matrix = jnp.asarray(matrix, jnp.int32)
+    B, Q = qcodes.shape
+    S = subj.shape[1]
+    if not W:
+        W = band_width_for(Q, pad)
+    W = min(W, -(-Q // 128) * 128 + 128)
+    prepad = pad + W // 2
+    Sp = -(-S // 128) * 128
+    # query buffer in band frame: lane t at subject row i reads query
+    # column i - prepad + t; rolls consume S + W lanes total
+    QB = -(-(Sp + W) // 128) * 128
+    qbuf = jnp.full((B, QB), 7, jnp.int32)
+    take = min(Q, QB - prepad)
+    qbuf = jax.lax.dynamic_update_slice(qbuf, qcodes[:, :take],
+                                        (0, prepad))
+    prof = jnp.take(matrix, qbuf, axis=1)          # [8, B, QB]
+    CB = 32 if W <= 256 else 16
+    Bp = -(-B // max(CB, 1)) * max(CB, 1)
+    prof = _pad_to(prof, Bp, 1)
+    subj = _pad_to(_pad_to(subj, Sp, 1, 7), Bp, 0)
+    slens = _pad_to(slens, Bp, 0)
+    params = jnp.asarray([[gapopen_pos, gapext_pos, W, 0]], jnp.int32)
+    out = _swb_batch_call(prof, subj, slens[:, None], params, W,
+                          interpret=interpret)
+    return out[:B]
+
+
+def sw_band_score_ref(qcodes, subj, slens, matrix, gapopen_pos,
+                      gapext_pos, pad: int, W: int):
+    """Pure-jnp oracle of the banded recurrence (band frame)."""
+    qcodes = jnp.asarray(qcodes, jnp.int32)
+    subj = jnp.asarray(subj, jnp.int32)
+    slens = jnp.asarray(slens, jnp.int32)
+    matrix = jnp.asarray(matrix, jnp.int32)
+    B, Q = qcodes.shape
+    S = subj.shape[1]
+    go = jnp.int32(gapopen_pos)
+    ge = jnp.int32(gapext_pos)
+    prepad = pad + W // 2
+    tidx = jnp.arange(W, dtype=jnp.int32)
+
+    def scan_row(carry, i):
+        H, E, vmax = carry
+        j = i - prepad + tidx                       # query cols [B-free]
+        jc = jnp.clip(j, 0, Q - 1)
+        qc = jnp.where((j >= 0) & (j < Q), qcodes[:, jc], 7)
+        code = subj[:, i]
+        Wrow = matrix[code[:, None], qc]
+        T = H + Wrow
+        E_in = jnp.pad(E[:, 1:], ((0, 0), (0, 1)), constant_values=NEG)
+        H0 = jnp.maximum(jnp.maximum(T, E_in), 0)
+        c = H0 + tidx[None, :] * ge
+        cm = jax.lax.associative_scan(jnp.maximum, c, axis=1)
+        cm_shift = jnp.pad(cm[:, :-1], ((0, 0), (1, 0)),
+                           constant_values=NEG)
+        F = cm_shift - go - (tidx[None, :] - 1) * ge
+        Hn = jnp.maximum(H0, F)
+        En = jnp.maximum(E_in - ge, Hn - go)
+        keep = (i < slens)
+        Hn = jnp.where(keep[:, None], Hn, H)
+        En = jnp.where(keep[:, None], En, E)
+        vmax = jnp.where(keep, jnp.maximum(vmax, jnp.max(T, axis=1)),
+                         vmax)
+        return (Hn, En, vmax), None
+
+    H0 = jnp.zeros((B, W), jnp.int32)
+    E0 = jnp.full((B, W), NEG, jnp.int32)
+    (H, E, vmax), _ = jax.lax.scan(
+        scan_row, (H0, E0, jnp.zeros(B, jnp.int32)), jnp.arange(S))
+    return jnp.maximum(vmax, 0)
+
+
 def sw_score_ref(qcodes, subj, slens, matrix, gapopen_pos, gapext_pos):
     """Pure-jnp reference of the same recurrence (kernel oracle and
     fallback when Pallas is unavailable)."""

@@ -46,7 +46,11 @@ def shard_map(f, mesh, in_specs, out_specs, **_ignored):
 from ..seq import codec
 from ..index.table import KmerIndex
 from ..seq.refset import RefSet
-from ..ops.sw import sw_score_batch, sw_score_ref
+from ..ops.sw import (sw_score_batch, sw_score_ref, sw_band_score_batch,
+                      band_width_for)
+
+LONG_READ_Q = 512   # above this, windows score with the banded kernel:
+                    # O(band*S) instead of O(Q*S) (rmap.c:888-896 analog)
 
 NSEED = 16        # rarest query k-mers expanded per strand
 NSEED_COMMON = 4  # highest-count query k-mers expanded per strand: on a
@@ -86,7 +90,17 @@ class DeviceIndex:
     searchsorted path sorts millions of (table ∪ query) keys per step
     and dominated the non-DP time, and gather op overhead (not
     bandwidth) dominates the table path, so one wide gather beats two
-    narrow ones.  512 MB at k=13."""
+    narrow ones.  512 MB at k=13.
+
+    For k = 16..20 (2k > 31: a packed word no longer fits int32 and
+    jax has no x64 here) the word splits into a 12-base prefix `hi`
+    (24 bits, direct-addressed: hi_table[hi] = bucket extent in the
+    lexicographically sorted word list, 128 MB) and a (k-12)-base
+    suffix `lo` (<= 16 bits, int32 array `words_lo`); a lookup is one
+    hi gather plus `lo_steps` = ceil(log2(max bucket)) unrolled
+    binary-search gathers — data-independent trip count, so XLA sees a
+    static loop.  Covers the reference's full k range (menu.c:595,
+    hashidx.c:155-158)."""
     wordlen: int
     nskip: int
     words: jnp.ndarray    # [W] int32 packed 2k-bit words (k <= 15)
@@ -94,35 +108,65 @@ class DeviceIndex:
     pos: jnp.ndarray      # [Npos] int32 tuple serial numbers
     ref_alpha: jnp.ndarray  # [L] int32 3-bit reference codes (concatenated)
     ref_len: int
-    table: Optional[jnp.ndarray] = None  # [4^k] int64 packed offset pairs
+    table: Optional[jnp.ndarray] = None  # [4^k, 2] int32 offset pairs
+    hi_table: Optional[jnp.ndarray] = None  # [4^12, 2] int32 bucket extents
+    words_lo: Optional[jnp.ndarray] = None  # [W] int32 low suffix
+    lo_steps: int = 0
 
     DIRECT_BITS = 28
+    HI_BASES = 12
 
     @classmethod
     def build(cls, refset: RefSet, idx: KmerIndex,
               direct: Optional[bool] = None) -> "DeviceIndex":
-        if 2 * idx.wordlen > 31:
-            raise ValueError("device path packs words in int32: wordlen<=15")
-        table = None
-        if direct is None:
-            direct = 2 * idx.wordlen <= cls.DIRECT_BITS
-        if direct and 2 * idx.wordlen <= cls.DIRECT_BITS:
-            nw = 1 << (2 * idx.wordlen)
-            counts = np.zeros(nw + 1, np.int64)
-            w = idx.words.astype(np.int64)
-            counts[w + 1] = np.diff(idx.starts)
-            t32 = np.cumsum(counts).astype(np.int32)
-            pairs = np.stack([t32[:-1], t32[1:]], axis=1)  # [4^k, 2]
-            table = jnp.asarray(np.ascontiguousarray(pairs))
+        k = idx.wordlen
+        if k > 20:
+            raise ValueError("device path supports wordlen<=20 "
+                             "(the reference's own max, menu.c:595)")
+        table = hi_table = words_lo = None
+        lo_steps = 0
+        if 2 * k <= 31:
+            if direct is None:
+                direct = 2 * k <= cls.DIRECT_BITS
+            if direct and 2 * k <= cls.DIRECT_BITS:
+                nw = 1 << (2 * k)
+                counts = np.zeros(nw + 1, np.int64)
+                w = idx.words.astype(np.int64)
+                counts[w + 1] = np.diff(idx.starts)
+                t32 = np.cumsum(counts).astype(np.int32)
+                pairs = np.stack([t32[:-1], t32[1:]], axis=1)  # [4^k, 2]
+                table = jnp.asarray(np.ascontiguousarray(pairs))
+            words32 = idx.words.astype(np.int64).astype(np.int32)
+        else:
+            lo_bits = 2 * (k - cls.HI_BASES)
+            w = idx.words.astype(np.int64)       # sorted ascending
+            hi = (w >> lo_bits).astype(np.int64)
+            lo = (w & ((1 << lo_bits) - 1)).astype(np.int32)
+            nhi = 1 << (2 * cls.HI_BASES)
+            # bucket extents over the sorted word list
+            bucket_start = np.searchsorted(hi, np.arange(nhi),
+                                           side="left").astype(np.int32)
+            bucket_end = np.searchsorted(hi, np.arange(nhi),
+                                         side="right").astype(np.int32)
+            hi_table = jnp.asarray(np.ascontiguousarray(
+                np.stack([bucket_start, bucket_end], axis=1)))
+            max_bucket = int((bucket_end.astype(np.int64) -
+                              bucket_start).max()) if len(w) else 1
+            lo_steps = max(1, int(np.ceil(np.log2(max(max_bucket, 1) + 1))))
+            words_lo = jnp.asarray(lo)
+            words32 = np.zeros(1, np.int32)      # unused in hi/lo mode
         return cls(
-            wordlen=idx.wordlen,
+            wordlen=k,
             nskip=idx.nskip,
-            words=jnp.asarray(idx.words.astype(np.int64).astype(np.int32)),
+            words=jnp.asarray(words32),
             starts=jnp.asarray(idx.starts.astype(np.int32)),
             pos=jnp.asarray(idx.pos.astype(np.int32)),
             ref_alpha=jnp.asarray(codec.alpha(refset.codes).astype(np.int32)),
             ref_len=refset.total_len,
             table=table,
+            hi_table=hi_table,
+            words_lo=words_lo,
+            lo_steps=lo_steps,
         )
 
 
@@ -157,6 +201,69 @@ def _query_words(reads, k):
     prev = jnp.pad(cbad[:, : Q - k], ((0, 0), (1, 0)))
     nbad = cbad[:, k - 1 :] - prev
     return fwd, rc, nbad == 0
+
+
+def _pack_window(std, off, width, P_):
+    """Pack `width` 2-bit codes starting at query offset `off` for all
+    P_ window positions: [B, P_] int32, MSB-first."""
+    acc = jnp.zeros(std.shape[:1] + (P_,), jnp.int32)
+    for j in range(width):
+        acc = (acc << 2) | std[:, off + j : off + j + P_]
+    return acc
+
+
+def _rev_groups_w(x, w):
+    """Reverse the first w 2-bit groups of a packed value (width 2w)."""
+    return (_rev_groups2(x) >> (2 * (16 - w))) & ((1 << (2 * w)) - 1)
+
+
+def _query_words_hilo(reads, k):
+    """Query words for k in 16..20 as (hi, lo) int32 pairs per strand:
+    hi = first HI_BASES bases (24 bits), lo = the remaining k-12 bases.
+    Returns (fwd_hi, fwd_lo, rc_hi, rc_lo, valid), each [B, P]."""
+    HB = DeviceIndex.HI_BASES
+    B, Q = reads.shape
+    P_ = Q - k + 1
+    wlo = k - HB
+    std = reads & 3
+    mask_lo = (1 << (2 * wlo)) - 1
+    fwd_hi = _pack_window(std, 0, HB, P_)
+    fwd_lo = _pack_window(std, HB, wlo, P_)
+    # rc word of window [p, p+k): first 12 rc bases = revcomp of the
+    # LAST 12 window bases; rc low suffix = revcomp of the FIRST k-12
+    tail12 = _pack_window(std, k - HB, HB, P_)
+    head_lo = _pack_window(std, 0, wlo, P_)
+    rc_hi = _rev_groups_w(tail12 ^ ((1 << (2 * HB)) - 1), HB)
+    rc_lo = _rev_groups_w(head_lo ^ mask_lo, wlo)
+    bad = (reads & 4).astype(jnp.int32) >> 2
+    cbad = jnp.cumsum(bad, axis=1)
+    prev = jnp.pad(cbad[:, : Q - k], ((0, 0), (1, 0)))
+    nbad = cbad[:, k - 1 :] - prev
+    return fwd_hi, fwd_lo, rc_hi, rc_lo, nbad == 0
+
+
+def _lookup_hilo(di: DeviceIndex, qhi, qlo, valid):
+    """(counts, pos_base, hit) for the split-word index: one hi-table
+    gather for the bucket extent, then `lo_steps` unrolled lower-bound
+    gathers over the sorted low suffixes (static trip count)."""
+    ext = di.hi_table[qhi]                   # [..., 2]
+    lo_arr = di.words_lo
+    n_lo = lo_arr.shape[0]
+    lo_s = ext[..., 0]
+    hi_s = ext[..., 1]
+    end = ext[..., 1]
+    for _ in range(di.lo_steps):
+        active = lo_s < hi_s
+        mid = (lo_s + hi_s) >> 1
+        mv = lo_arr[jnp.clip(mid, 0, n_lo - 1)]
+        go_right = active & (mv < qlo)
+        lo_s = jnp.where(go_right, mid + 1, lo_s)
+        hi_s = jnp.where(active & ~go_right, mid, hi_s)
+    slot = jnp.clip(lo_s, 0, n_lo - 1)
+    hit = valid & (lo_s < end) & (lo_arr[slot] == qlo)
+    counts = jnp.where(hit, di.starts[slot + 1] - di.starts[slot], 0)
+    base = di.starts[jnp.where(hit, slot, 0)]
+    return counts, base, hit
 
 
 def _lookup(di: DeviceIndex, qwords, valid):
@@ -259,7 +366,13 @@ def device_map_step(di: DeviceIndex, reads, matrix, gapopen_pos, gapext_pos,
     reads = reads.astype(jnp.int32)
     B, Q = reads.shape
     k = di.wordlen
-    fwd, rc, valid = _query_words(reads, k)
+    hilo = di.words_lo is not None
+    if hilo:
+        fh, fl, rh, rl, valid = _query_words_hilo(reads, k)
+        fwd = jnp.stack([fh, fl])        # [2, B, P]
+        rc = jnp.stack([rh, rl])
+    else:
+        fwd, rc, valid = _query_words(reads, k)
     # query-side seed sampling: table gathers dominate the seeding
     # cost, so skip query positions when there are plenty — but the
     # stride MUST be coprime with the index stride (nskip), otherwise
@@ -269,18 +382,19 @@ def device_map_step(di: DeviceIndex, reads, matrix, gapopen_pos, gapext_pos,
     stride = 0
     for c in (2, 3):
         if _math.gcd(c, di.nskip) == 1 and \
-                fwd.shape[1] >= 12 * c * di.nskip:
+                valid.shape[1] >= 12 * c * di.nskip:
             stride = c
             break
     if stride:
-        fwd = fwd[:, ::stride]
-        rc = rc[:, ::stride]
+        fwd = fwd[..., ::stride]
+        rc = rc[..., ::stride]
         valid = valid[:, ::stride]
         qoffs = jnp.broadcast_to(
-            stride * jnp.arange(fwd.shape[1], dtype=jnp.int32), fwd.shape)
+            stride * jnp.arange(valid.shape[1], dtype=jnp.int32),
+            valid.shape)
     else:
-        qoffs = jnp.broadcast_to(jnp.arange(fwd.shape[1], dtype=jnp.int32),
-                                 fwd.shape)
+        qoffs = jnp.broadcast_to(jnp.arange(valid.shape[1], dtype=jnp.int32),
+                                 valid.shape)
 
     tol = max(k * 3 // di.nskip, 1)
     S = window_len(Q)
@@ -290,8 +404,11 @@ def device_map_step(di: DeviceIndex, reads, matrix, gapopen_pos, gapext_pos,
     hits_used = jnp.zeros((B,), jnp.int32)
     hits_tot = jnp.zeros((B,), jnp.int32)
     for is_reverse, words in ((False, fwd), (True, rc)):
-        counts, base, hit = _lookup(di, words, valid)
-        P_avail = words.shape[1]
+        if hilo:
+            counts, base, hit = _lookup_hilo(di, words[0], words[1], valid)
+        else:
+            counts, base, hit = _lookup(di, words, valid)
+        P_avail = valid.shape[1]
         # rarest seeds first: top-k of negated counts (0 = miss sorts last)
         key = jnp.where(hit, counts, 1 << 30)
         _, sel = jax.lax.top_k(-key, min(NSEED, P_avail))
@@ -349,8 +466,17 @@ def device_map_step(di: DeviceIndex, reads, matrix, gapopen_pos, gapext_pos,
     qcs = jnp.concatenate([qc_f, qc_r, qc_2], axis=0)
     slens = jnp.full((3 * B,), S, jnp.int32)
     has_seed = votes > 0
-    scores = sw_score_batch(qcs, wins, slens, matrix, gapopen_pos,
-                            gapext_pos, interpret=interpret)
+    if Q > LONG_READ_Q:
+        # kilobase reads: banded scoring around the seed diagonal — the
+        # window gather placed it `pad` columns in, so the band covers
+        # the drift the window slack was sized for
+        scores = sw_band_score_batch(qcs, wins, slens, matrix,
+                                     gapopen_pos, gapext_pos, pad=pad,
+                                     W=band_width_for(Q, pad),
+                                     interpret=interpret)
+    else:
+        scores = sw_score_batch(qcs, wins, slens, matrix, gapopen_pos,
+                                gapext_pos, interpret=interpret)
     scores = jnp.where(has_seed, scores, 0)
     sc = scores.reshape(3, B)
     st = starts.reshape(3, B)
@@ -609,14 +735,20 @@ def make_device_step(di: DeviceIndex, matrix, gapopen_pos, gapext_pos,
             "ref": di.ref_alpha}
     if di.table is not None:
         arrs["table"] = di.table
-    meta = (di.wordlen, di.nskip, di.ref_len)
+    if di.words_lo is not None:
+        arrs["hi_table"] = di.hi_table
+        arrs["words_lo"] = di.words_lo
+    meta = (di.wordlen, di.nskip, di.ref_len, di.lo_steps)
 
     @functools.partial(jax.jit, static_argnames=())
     def step(reads, arrs):
         d = DeviceIndex(wordlen=meta[0], nskip=meta[1],
                         words=arrs["words"], starts=arrs["starts"],
                         pos=arrs["pos"], ref_alpha=arrs["ref"],
-                        ref_len=meta[2], table=arrs.get("table"))
+                        ref_len=meta[2], table=arrs.get("table"),
+                        hi_table=arrs.get("hi_table"),
+                        words_lo=arrs.get("words_lo"),
+                        lo_steps=meta[3])
         out = device_map_step(d, reads, matrix, gapopen_pos, gapext_pos,
                               interpret=interpret)
         return pack_outputs(out) if pack else out

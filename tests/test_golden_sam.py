@@ -257,7 +257,7 @@ def test_ecoli_scale_bit_identical(data_dir, tmp_path):
         f.write(">ecoli_sim\n")
         for i in range(0, len(genome), 60):
             f.write(genome[i : i + 60] + "\n")
-    reads = B._gen_reads(rng, genome, 10000)
+    reads, _truth = B._gen_reads(rng, genome, 10000)
     fq = str(tmp_path / "r.fq")
     with open(fq, "w") as f:
         for i, s in enumerate(reads):
