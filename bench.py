@@ -76,9 +76,17 @@ def _gen_reads(rng, genome, n):
 
 
 def measure_reference(fa_path, reads):
+    """(baseline, live): `live` is the reference binary measured on the
+    SAME repeat-planted genome/reads (None without a binary); `baseline`
+    is the conservative max(live, recorded constant) used for the
+    device-step ratio so host-load noise can never inflate it.  The
+    end-to-end ratios use `live` when available — the repeat genome
+    slows the reference's own exhaustive search too, and comparing our
+    end-to-end numbers against the uniform-genome constant would be
+    comparing different workloads."""
     ref = os.environ.get("SMALT_REF") or "/tmp/refbuild/src/smalt"
     if not os.path.exists(ref):
-        return BASELINE_READS_PER_S
+        return BASELINE_READS_PER_S, None
     with tempfile.TemporaryDirectory() as d:
         fq = os.path.join(d, "reads.fq")
         with open(fq, "w") as f:
@@ -94,7 +102,7 @@ def measure_reference(fa_path, reads):
                             os.path.join(d, "idx"), fq],
                            check=True, capture_output=True)
             best = max(best, len(reads) / (time.time() - t0))
-        return max(best, BASELINE_READS_PER_S)
+        return max(best, BASELINE_READS_PER_S), best
 
 
 def main():
@@ -177,13 +185,27 @@ def main():
     near = np.abs(st - truth) <= 2 * READLEN
     on_target_frac = float((near | tie)[sc >= 50].mean())
 
-    baseline = measure_reference(fa_path, reads[:2000])
+    baseline, live_ref = measure_reference(fa_path, reads[:2000])
+
+    # --- end-to-end map --fast: FASTQ on disk -> SAM on disk, one
+    # process, C batched tail + single packed fetch per batch ---
+    e2e_rate = exact_rate = 0.0
+    try:
+        e2e_rate, exact_rate = _bench_end_to_end(fa_path, genome, rng)
+    except Exception as e:        # noqa: BLE001 - report, don't fail bench
+        print(f"# end_to_end bench failed: {e!r}", file=sys.stderr)
     os.unlink(fa_path)
+    e2e_base = live_ref if live_ref else baseline
     result = {
         "metric": "ecoli_scale_device_map_throughput",
         "value": round(reads_per_s, 1),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / baseline, 3),
+        "end_to_end_fast_reads_per_s": round(e2e_rate, 1),
+        "end_to_end_fast_vs_ref_same_genome": round(e2e_rate / e2e_base, 3),
+        "exact_lane_reads_per_s": round(exact_rate, 1),
+        "exact_lane_vs_ref_same_genome": round(exact_rate / e2e_base, 3),
+        "reference_same_genome_reads_per_s": round(live_ref or 0.0, 1),
     }
     print(json.dumps(result))
     print(f"# backend={jax.default_backend()} batch={BATCH} "
@@ -191,6 +213,63 @@ def main():
           f"on_target_frac={on_target_frac:.3f} "
           f"baseline={baseline:.0f} reads/s (reference smalt, 1 CPU core, "
           f"same genome/reads/k/step)", file=sys.stderr)
+
+
+def _bench_end_to_end(fa_path, genome, rng):
+    """(fast_e2e_reads_per_s, exact_lane_reads_per_s): full CLI-path
+    pipelines, FASTQ to SAM text, one host core + (for fast) one chip.
+    Measured warm (index artifacts cached, jit compiled by a small
+    priming run) — the steady state of a production run."""
+    import io
+    import time
+    import jax
+    from smalt_tpu.seq.refset import RefSet
+    from smalt_tpu.index.table import build_index, KmerIndex
+    from smalt_tpu.map.fastmode import run_fast_pipeline
+    from smalt_tpu.map.engine import MapEngine, MapParams
+    from smalt_tpu.map.pipeline import run_pipeline_raw_fastq
+
+    on_tpu = jax.default_backend() == "tpu"
+    N_FAST = 100_000 if on_tpu else 2_000
+    N_EXACT = 20_000
+    refset = RefSet.from_fasta(fa_path)
+    idx = build_index(refset, KMER, NSKIP)
+    reads, _ = _gen_reads(rng, genome, max(N_FAST, N_EXACT))
+    fq = fa_path + ".bench.fq"
+    with open(fq, "w") as f:
+        for i, s in enumerate(reads[:N_FAST]):
+            f.write(f"@e{i}\n{s}\n+\n{'5' * len(s)}\n")
+    fq_small = fa_path + ".warm.fq"
+    with open(fq_small, "w") as f:
+        # warm run uses the SAME batch size as the main run: a second
+        # (B, Q) shape would trigger another remote compile mid-bench
+        for i, s in enumerate(reads[:8192]):
+            f.write(f"@w{i}\n{s}\n+\n{'5' * len(s)}\n")
+
+    kw = dict(nthreads=1, batch=8192, interpret=None if on_tpu else True)
+    run_fast_pipeline(refset, idx, fq_small, io.StringIO(), **kw)  # warm
+    sink = io.StringIO()
+    t0 = time.time()
+    run_fast_pipeline(refset, idx, fq, sink, **kw)
+    e2e = N_FAST / (time.time() - t0)
+    nrec = sum(1 for l in sink.getvalue().splitlines()
+               if l and not l.startswith("@"))
+    assert nrec == N_FAST, nrec
+
+    fqx = fa_path + ".exact.fq"
+    with open(fqx, "w") as f:
+        for i, s in enumerate(reads[:N_EXACT]):
+            f.write(f"@x{i}\n{s}\n+\n{'5' * len(s)}\n")
+    from smalt_tpu import rand
+    rand.ranseed(1)
+    eng = MapEngine(refset, idx, MapParams())
+    sink2 = io.StringIO()
+    t0 = time.time()
+    ok = run_pipeline_raw_fastq(eng, fqx, sink2, refset)
+    exact = N_EXACT / (time.time() - t0) if ok else 0.0
+    for p in (fq, fq_small, fqx):
+        os.unlink(p)
+    return e2e, exact
 
 
 if __name__ == "__main__":

@@ -33,7 +33,7 @@ from ..seed import hitinfo as hi_mod
 from ..seed import hitlist as hl_mod
 from ..segment import collate as seg_mod
 from ..align import core as ali_mod
-from ..results.result import ResultSet, ResultFilter
+from ..results.result import Result, ResultSet, ResultFilter
 from ..results import pairs as pairs_mod
 
 # smalt.c:57-89
@@ -600,9 +600,253 @@ class MapEngine:
 
     # ---------------- paired-read entry ----------------
 
+    # ---------------- native single-read mapping (C fast-lane) --------
+
+    def _native_pair_ctx(self):
+        """Cached context for the C single-read mapper (fl_single_rs),
+        None when the mode is uncovered or the lane is disabled."""
+        import os
+        ctx = getattr(self, "_npctx", None)
+        if ctx is not None:
+            return ctx or None
+        if os.environ.get("SMALT_TPU_NO_FASTLANE") or \
+                os.environ.get("SMALT_TPU_NO_PAIRNATIVE"):
+            self._npctx = False
+            return None
+        from ..native import get_lib, GrowBuf
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "fl_single_rs"):
+            self._npctx = False
+            return None
+        p = self.params
+        need = RMAPFLG_BEST | RMAPFLG_SEQBYSEQ
+        block = RMAPFLG_SPLIT | RMAPFLG_CMPLXW | RMAPFLG_NOSHRTINFO
+        if (p.rmapflg & need) != need or (p.rmapflg & block) or p.use_cplx:
+            self._npctx = False
+            return None
+        wa, sa, pa, ta = self.index.addrs
+        from ..align import core as ali_mod
+        ma, mm = ali_mod.avg_penalties(self.matrix)
+        ctx = {
+            "lib": lib,
+            "idx": (wa, sa, self.index.nwords, ta, pa,
+                    self.index.wordlen, self.index.nskip),
+            "matrix": np.ascontiguousarray(self.matrix, np.int32),
+            "ivals": np.ascontiguousarray(self._seq_ivals, np.int64),
+            "offsets": np.ascontiguousarray(self.refset.offsets, np.int64),
+            "refcodes": np.ascontiguousarray(self.refset.codes, np.uint8),
+            "avgs": (ma, mm),
+            "rows": GrowBuf(np.int64, 4096 * 11),
+            "diff": GrowBuf(np.uint8, 1 << 20),
+            "sortr": GrowBuf(np.int64, 4096),
+            "seg": GrowBuf(np.int64, 8192),
+            "stats": np.zeros(12, np.int64),
+            "scratch": lib.fl_scratch_new(2048),
+        }
+        self._npctx = ctx
+        return ctx
+
+    def _map_single_native(self, rs: ResultSet, read: Read,
+                           min_swatscor: int, min_swatscor_below_max: int,
+                           intervals=None):
+        """C path of map_single_read: fills `rs` from fl_single_rs.
+        Returns the cutoff-limited hit count, or None when the native
+        lane is unavailable/errored (caller uses the Python oracle)."""
+        ctx = self._native_pair_ctx()
+        if ctx is None:
+            return None
+        lib = ctx["lib"]
+        p = self.params
+        wa, sa, nwords, ta, pa = ctx["idx"][:5]
+        seq = read.seq
+        if seq.dtype != np.uint8 or not seq.flags.c_contiguous:
+            seq = np.ascontiguousarray(seq, np.uint8)
+        qual = read.qual
+        qptr = None
+        qarr = None
+        if qual is not None:
+            if len(qual) != len(seq):
+                return None
+            qarr = np.frombuffer(qual, np.uint8)
+            qptr = qarr.ctypes.data
+        iv_ptr, niv = None, 0
+        iv_arr = None
+        if intervals is not None:
+            offs = self.refset.offsets
+            iv_arr = np.empty((max(len(intervals), 1), 3), np.int64)
+            for n, (lo, hi_b, sx) in enumerate(intervals):
+                o = int(offs[sx])
+                iv_arr[n] = (o + lo, o + hi_b + 1, sx)
+            iv_ptr = iv_arr.ctypes.data
+            niv = len(intervals)
+        stats = ctx["stats"]
+        n = lib.fl_single_rs(
+            wa, sa, nwords, ta, pa,
+            self.index.wordlen, self.index.nskip,
+            ctx["refcodes"].ctypes.data, ctx["offsets"].ctypes.data,
+            self.refset.nseq, ctx["ivals"].ctypes.data,
+            iv_ptr, niv,
+            ctx["matrix"].ctypes.data, -self.gapopen, -self.gapext,
+            ctx["avgs"][0], ctx["avgs"][1],
+            p.ktuple_maxhit, HASH_MAXNHITS, p.min_cover_frac,
+            min_swatscor, min_swatscor_below_max, p.min_basq,
+            p.target_depth, p.max_depth,
+            (p.rmapflg | RMAPFLG_PAIRED) & ~RMAPFLG_ALLPAIR,
+            seq.ctypes.data, qptr, len(seq),
+            ctx["rows"].addr, len(ctx["rows"].arr) // 12,
+            ctx["diff"].addr, len(ctx["diff"].arr),
+            ctx["sortr"].addr, ctx["seg"].addr, stats.ctypes.data,
+            ctx["scratch"])
+        if n < 0:
+            return None
+        rows = ctx["rows"].arr
+        diff = ctx["diff"].arr
+        results = []
+        for i in range(int(n)):
+            o = rows[i * 12 : (i + 1) * 12]
+            r = Result(q_start=int(o[0]), q_end=int(o[1]),
+                       s_start=int(o[2]), s_end=int(o[3]),
+                       sidx=int(o[4]), swatscor=int(o[5]),
+                       mapscor=int(o[6]), status=int(o[7]),
+                       diff=diff[int(o[8]) : int(o[8]) + int(o[9])]
+                       .tolist(),
+                       qsegx=int(o[10]), swrank=int(o[11]))
+            results.append(r)
+        rs.results = results
+        rs.sortr = [results[int(x)]
+                    for x in ctx["sortr"].arr[: int(stats[7])]]
+        qsegno = int(stats[8])
+        seg = ctx["seg"].arr
+        rs.qsegno = qsegno
+        rs.segnor = [int(x) for x in seg[: qsegno + 1]] if qsegno else []
+        nseg = int(stats[9])
+        rs.segsrtr = [results[int(seg[qsegno + 1 + j])]
+                      for j in range(nseg)]
+        rs.swatscor_max = int(stats[0])
+        rs.swatscor_2ndmax = int(stats[1])
+        rs.n_ali_done = int(stats[2])
+        rs.n_ali_tot = int(stats[3])
+        rs.n_ali_max = int(stats[4])
+        rs.n_hits_used = int(stats[5])
+        rs.n_hits_tot = int(stats[6])
+        # the C lane skips mapq->probability propagation (irrelevant for
+        # single-end output); the pair probability model reads
+        # Result.prob, so run it here (results.c:1354-1413)
+        for qsegx in range(rs.qsegno):
+            rs._propagate_prob(qsegx)
+        if stats[10]:
+            raise ShortSeq()
+        return int(stats[11])
+
+    def _rmap_pair_native(self, read: Read, mate: Read):
+        """rmapPair fast path: hit-count probes + the two single-read
+        mappings run in C (fl_hit_count / fl_single_rs); interval
+        setup and the pair search stay in Python.  Covers the COMMON
+        flow (rare mate unrestricted, other mate restricted to the
+        implied windows, restriction accepted); any branch that would
+        append/remap result sets (no proper pair, weak first mapping,
+        fine-rehash rescue) returns None and the caller reruns the
+        pure-Python oracle for the whole pair — nothing (including the
+        drand48 stream) has been consumed by then, so output is
+        byte-identical either way."""
+        ctx = self._native_pair_ctx()
+        if ctx is None:
+            return None
+        lib = ctx["lib"]
+        p = self.params
+        rsr = ResultSet()
+        rsm = ResultSet()
+        rpairs = pairs_mod.ResultPairs()
+        pairflg = pairs_mod.PAIRFLG_PAIRED
+        wa, sa, nwords, ta, pa = ctx["idx"][:5]
+
+        def probe(rd):
+            seq = rd.seq
+            if seq.dtype != np.uint8 or not seq.flags.c_contiguous:
+                seq = np.ascontiguousarray(seq, np.uint8)
+            q = rd.qual
+            qarr = np.frombuffer(q, np.uint8) if q is not None else None
+            qptr = qarr.ctypes.data if qarr is not None else None
+            return lib.fl_hit_count(
+                wa, sa, nwords, ta, pa,
+                self.index.wordlen, self.index.nskip,
+                p.ktuple_maxhit, HASH_MAXNHITS, p.min_basq,
+                seq.ctypes.data, qptr, len(seq), ctx["scratch"])
+
+        nhit_read = probe(read)
+        nhit_mate = probe(mate)
+        err_read = nhit_read < 0
+        err_mate = nhit_mate < 0
+        if err_read and err_mate:
+            return rsr, rsm, rpairs, pairflg
+        if err_read or err_mate:
+            target, rs_t = (mate, rsm) if err_read else (read, rsr)
+            try:
+                if self._map_single_native(rs_t, target, p.min_swatscor,
+                                           MINSCOR_BELOW_MAX_BEST) is None:
+                    return None
+            except ShortSeq:
+                pass
+            return rsr, rsm, rpairs, pairflg
+
+        if nhit_read > nhit_mate:
+            pairflg |= pairs_mod.PAIRFLG_RAREMATE
+            rare_is_mate = True
+            read1, read2 = mate, read
+            rs1, rs2 = rsm, rsr
+        else:
+            rare_is_mate = False
+            read1, read2 = read, mate
+            rs1, rs2 = rsr, rsm
+
+        try:
+            if self._map_single_native(rs1, read1, p.min_swatscor,
+                                       MINSCOR_BELOW_MAX_BEST) is None:
+                return None
+        except ShortSeq:
+            return None          # probe said ok; let the oracle decide
+        mapq1, swscor1 = rs1.get_mapping_score()
+
+        ivr = self._intervals_from_results(read1, read2, rs1)
+        try:
+            if self._map_single_native(rs2, read2, p.min_swatscor,
+                                       MINSCOR_BELOW_MAX_BEST,
+                                       intervals=ivr) is None:
+                return None
+        except ShortSeq:
+            return None
+        rpairs.find_proper_pairs(p.insert_min, p.insert_max,
+                                 MAXNUM_PAIRS_TOTAL, 0, p.pairtyp,
+                                 rsr, rsm)
+        _, swscor2_restricted = rs2.get_mapping_score()
+
+        if ((p.rmapflg & RMAPFLG_ALLPAIR) or rpairs.n_proper < 1 or
+                mapq1 < MAPSCORE_UNIQUE_MAPPED_1ST or
+                not self._above_fract_max(swscor2_restricted, swscor1,
+                                          read2, read1)):
+            return None          # remap/rescue branch: run the oracle
+
+        pairflg |= (pairs_mod.PAIRFLG_RESTRICT_1st if rare_is_mate
+                    else pairs_mod.PAIRFLG_RESTRICT_2nd)
+        rpairs.find_pairs(pairflg, p.pairtyp, p.insert_min, p.insert_max,
+                          rsr, rsm)
+        rsr.filter_results(self.filter, len(read.seq))
+        rsm.filter_results(self.filter, len(mate.seq))
+        return rsr, rsm, rpairs, pairflg
+
     def rmap_pair(self, read: Read, mate: Read):
         """rmapPair (rmap.c:1744-2112).
         Returns (rs_read, rs_mate, ResultPairs, pairflg)."""
+        out = None
+        if self._native_pair_ctx() is not None:
+            out = self._rmap_pair_native(read, mate)
+        if out is not None:
+            return out
+        return self._rmap_pair_py(read, mate)
+
+    def _rmap_pair_py(self, read: Read, mate: Read):
+        """Pure-Python rmapPair — the oracle the native path falls
+        back to and is differential-tested against."""
         p = self.params
         rsr = ResultSet()
         rsm = ResultSet()

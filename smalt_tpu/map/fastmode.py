@@ -769,11 +769,19 @@ def run_fast_pipeline(refset: RefSet, idx: KmerIndex, reads_path: str,
             # 128 multiple and double the SW cost
             Q = max(32, -(-qmax // 16) * 16)
             arr = encode_batch(seqs, Q)
-            if dp > 1 and arr.shape[0] % dp:
-                # dp-sharded batch: pad to a dp multiple with all-7
-                # rows (no seeds -> score 0); force() slices them off
-                padn = dp - arr.shape[0] % dp
-                arr = np.pad(arr, ((0, padn), (0, 0)),
+            if arr.shape[0] != batch or (dp > 1 and batch % dp):
+                # keep ONE batch shape for the whole run: a partial
+                # trailing batch would trigger a fresh XLA compile
+                # (~tens of seconds through a remote-compile tunnel)
+                # for one batch of work.  Pad rows are all-7 (no seeds
+                # -> score 0); force() slices them off.  Also rounds to
+                # a dp multiple for the sharded step.
+                want = batch * (2 if paired else 1)   # PE: both mates
+                if arr.shape[0] > want:
+                    want = arr.shape[0]
+                if dp > 1 and want % dp:
+                    want += dp - want % dp
+                arr = np.pad(arr, ((0, want - arr.shape[0]), (0, 0)),
                              constant_values=7)
             o = step(jnp.asarray(arr))          # async dispatch
             pending.append((bno, names, seqs, quals, o,

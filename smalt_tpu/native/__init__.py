@@ -143,6 +143,25 @@ def _declare_fastlane(lib):
         ci, ci,                             # codes_are_ascii, names_raw
         i64, vp, vp, vp, vp, vp, vp,        # reads
         vp, vp, i64]                        # rng + output
+    lib.fl_scratch_new.restype = vp
+    lib.fl_scratch_new.argtypes = [i64]
+    lib.fl_scratch_del.restype = None
+    lib.fl_scratch_del.argtypes = [vp]
+    lib.fl_hit_count.restype = i64
+    lib.fl_hit_count.argtypes = [
+        vp, vp, i64, vp, vp, ci, ci,        # index
+        i64, i64, ci,                       # cutoffs
+        vp, vp, i64, vp]                    # read + scratch
+    lib.fl_single_rs.restype = i64
+    lib.fl_single_rs.argtypes = [
+        vp, vp, i64, vp, vp, ci, ci,        # index
+        vp, vp, i64, vp,                    # reference + seq_ivals
+        vp, i64,                            # override ivals
+        vp, ci, ci, i64, i64,               # scoring
+        i64, i64, dbl, i64, i64, ci,        # params 1
+        i64, i64, ci,                       # params 2
+        vp, vp, i64,                        # read
+        vp, i64, vp, i64, vp, vp, vp, vp]   # outputs + scratch
     lib.fl_fast_tail_block.restype = i64
     lib.fl_fast_tail_block.argtypes = [
         vp, vp, i64, vp, vp,                # reference + names

@@ -1006,6 +1006,11 @@ typedef struct {
     const int64_t *offsets;
     int64_t nseq;
     const int64_t *seq_ivals;
+    /* override: restricted collation intervals [n][3] (global lo,
+     * global hi+1, sidx) replacing the seq-by-seq scan — the paired
+     * mate-window restriction (engine.py _collect intervals path) */
+    const int64_t *ovr_ivals;
+    int64_t ovr_nivals;
     /* scoring */
     const int32_t *matrix;      /* 8x8 int32 */
     int gap_init, gap_ext;      /* positive */
@@ -1165,6 +1170,7 @@ typedef struct {
     int64_t n_sort, n_mincover;
     int64_t deficit_f, deficit_r;
     int64_t hits_used, hits_tot;
+    int64_t nF, nR;        /* hit-info position counts per strand */
 } FLStage1;
 
 static int fl_read_stage1(const FLParams *P, FLScratch *s,
@@ -1199,6 +1205,8 @@ static int fl_read_stage1(const FLParams *P, FLScratch *s,
         return 0;
     }
     nF = hout[0]; rankF = hout[1]; nR = hout[2]; rankR = hout[3];
+    o->nF = nF;
+    o->nR = nR;
 
     /* _covermin (engine.py:562-568) */
     if (P->min_cover_frac < 1.01) {
@@ -1241,8 +1249,10 @@ static int fl_read_stage1(const FLParams *P, FLScratch *s,
             strand ? nR : nF,
             strand ? rankR : rankF,
             qlen, P->wordlen, P->nskip, strand,
-            1 /* mode: intervals */, 1 /* use_short */,
-            P->seq_ivals, P->nseq,
+            1 /* mode: intervals */,
+            P->ovr_ivals ? 0 : 1 /* use_short */,
+            P->ovr_ivals ? P->ovr_ivals : P->seq_ivals,
+            P->ovr_ivals ? P->ovr_nivals : P->nseq,
             P->ktuple_maxhit, budget_rd, min_ktup, min_cover,
             s->sqdat, s->qm,
             s->seed_sqo, s->seed_len,
@@ -1566,6 +1576,8 @@ int64_t fl_map_block(
     P.table = table; P.pos = pos; P.wordlen = wordlen; P.nskip = nskip;
     P.refcodes = refcodes; P.offsets = offsets; P.nseq = nseq;
     P.seq_ivals = seq_ivals;
+    P.ovr_ivals = NULL;
+    P.ovr_nivals = 0;
     P.matrix = matrix; P.gap_init = gap_init; P.gap_ext = gap_ext;
     P.match_avg = match_avg; P.mismatch_avg = mismatch_avg;
     P.ktuple_maxhit = ktuple_maxhit; P.maxhit_total = maxhit_total;
@@ -1696,6 +1708,8 @@ int64_t fl_pass1_block(
     P.table = table; P.pos = pos; P.wordlen = wordlen; P.nskip = nskip;
     P.refcodes = refcodes; P.offsets = offsets; P.nseq = nseq;
     P.seq_ivals = seq_ivals;
+    P.ovr_ivals = NULL;
+    P.ovr_nivals = 0;
     P.matrix = matrix; P.gap_init = gap_init; P.gap_ext = gap_ext;
     P.match_avg = match_avg; P.mismatch_avg = mismatch_avg;
     P.ktuple_maxhit = ktuple_maxhit; P.maxhit_total = maxhit_total;
@@ -1833,6 +1847,8 @@ int64_t fl_pass2_block(
     P.table = table; P.pos = pos; P.wordlen = wordlen; P.nskip = nskip;
     P.refcodes = refcodes; P.offsets = offsets; P.nseq = nseq;
     P.seq_ivals = seq_ivals;
+    P.ovr_ivals = NULL;
+    P.ovr_nivals = 0;
     P.matrix = matrix; P.gap_init = gap_init; P.gap_ext = gap_ext;
     P.match_avg = match_avg; P.mismatch_avg = mismatch_avg;
     P.ktuple_maxhit = ktuple_maxhit; P.maxhit_total = maxhit_total;
@@ -2247,4 +2263,237 @@ done:
     free(dirm); free(back); free(diffpool); free(ares);
     if (rc != 0) return rc;
     return t.p - out_text;
+}
+
+/* Persistent scratch handle: the pair flow calls fl_single_rs /
+ * fl_hit_count thousands of times per second; per-call allocation of
+ * the ~30 scratch buffers (incl. the MB-scale result set) costs more
+ * than the seeding itself.  Reads longer than the handle's qmax fall
+ * back to per-call scratch. */
+void *fl_scratch_new(int64_t qmax)
+{
+    FLScratch *s = (FLScratch *)malloc(sizeof(FLScratch));
+    if (!s) return NULL;
+    if (fl_scratch_init(s, qmax > 1 ? qmax : 1) != 0) {
+        fl_scratch_free(s);
+        free(s);
+        return NULL;
+    }
+    s->qmax = qmax;
+    return s;
+}
+
+void fl_scratch_del(void *h)
+{
+    if (!h) return;
+    fl_scratch_free((FLScratch *)h);
+    free(h);
+}
+
+/* ---------------- single-read mapping as a result-set dump ----------
+ *
+ * The paired-end engine (map/engine.py rmap_pair, rmap.c:1744-2112)
+ * keeps its pair logic in Python (few results per read) but delegates
+ * each map_single_read to this entry: the full C stage (hit info ->
+ * collation -> depth selection -> pass-1 scoring -> exact pass-2 ->
+ * sort/prune -> mapq) runs natively and the FLResultSet is serialized
+ * back.  Rows (12 int64 per result, in res[] order):
+ *   q_start q_end s_start s_end sidx swatscor mapscor status
+ *   diff_off diff_len qsegx swrank
+ * sortr_out receives the output-ordered selected indices; seg_out
+ * receives segnor[0..qsegno] followed by the segsrtr indices;
+ * stats_out[12]: swatmax, swat2nd, n_ali_done, n_ali_tot, n_ali_max,
+ * n_hits_used, n_hits_tot, n_sortr, qsegno, n_segsrtr, shortseq,
+ * nhit_cutoff (total_hits with the ktuple cutoff, for the rare-mate
+ * ordering).
+ * Returns n_res, or FL_ERR_* (<0; caller falls back to Python). */
+int64_t fl_single_rs(
+    /* index (may be the fine rehash index of a mate window) */
+    const uint64_t *words, const int64_t *starts, int64_t nwords,
+    const int32_t *table, const uint32_t *pos, int wordlen, int nskip,
+    /* reference */
+    const uint8_t *refcodes, const int64_t *offsets, int64_t nseq,
+    const int64_t *seq_ivals,
+    /* restricted collation intervals, NULL for the full scan */
+    const int64_t *ovr_ivals, int64_t ovr_nivals,
+    /* scoring */
+    const int32_t *matrix, int gap_init, int gap_ext,
+    int64_t match_avg, int64_t mismatch_avg,
+    /* params */
+    int64_t ktuple_maxhit, int64_t maxhit_total,
+    double min_cover_frac, int64_t min_swatscor,
+    int64_t min_swatscor_below_max, int min_basq,
+    int64_t target_depth, int64_t max_depth, int rmapflg,
+    /* read (mangled codes) */
+    const uint8_t *codes, const uint8_t *qual, int64_t qlen,
+    /* outputs */
+    int64_t *out_rows, int64_t out_cap_rows,
+    uint8_t *diff_out, int64_t diff_cap,
+    int64_t *sortr_out, int64_t *seg_out, int64_t *stats_out,
+    void *scratch_h)
+{
+    FLParams P;
+    FLScratch local;
+    FLScratch *sp;
+    int own = 0;
+    int rc;
+    int64_t i;
+    FLResultSet *rs;
+
+    P.words = words; P.starts = starts; P.nwords = nwords;
+    P.table = table; P.pos = pos; P.wordlen = wordlen; P.nskip = nskip;
+    P.refcodes = refcodes; P.offsets = offsets; P.nseq = nseq;
+    P.seq_ivals = seq_ivals;
+    P.ovr_ivals = ovr_ivals;
+    P.ovr_nivals = ovr_nivals;
+    P.matrix = matrix; P.gap_init = gap_init; P.gap_ext = gap_ext;
+    P.match_avg = match_avg; P.mismatch_avg = mismatch_avg;
+    P.ktuple_maxhit = ktuple_maxhit; P.maxhit_total = maxhit_total;
+    P.min_cover_frac = min_cover_frac; P.min_swatscor = min_swatscor;
+    P.min_swatscor_below_max = min_swatscor_below_max;
+    P.min_basq = min_basq;
+    P.target_depth = target_depth; P.max_depth = max_depth;
+    P.rmapflg = rmapflg; P.rsltouflg = 0;
+    P.filter_minscor = 0; P.filter_belowmax = 0; P.filter_minid = 0.0;
+    P.soft_clip = 1; P.x_mismatch = 0;
+
+    if (scratch_h && ((FLScratch *)scratch_h)->qmax >= qlen) {
+        sp = (FLScratch *)scratch_h;
+    } else {
+        rc = fl_scratch_init(&local, qlen > 1 ? qlen : 1);
+        if (rc != 0) { fl_scratch_free(&local); return FL_ERR_CAP; }
+        sp = &local;
+        own = 1;
+    }
+#define s (*sp)
+    {
+        /* fl_map_read body, kept open so the stage-1 hit counts are
+         * available for the rare-mate ordering stat (total_hits with
+         * the ktuple cutoff, hashhit.c:1173-1199) */
+        FLStage1 st;
+        int64_t out_max[3], nhit_cutoff = 0, j;
+        rs_blank(s.rs);
+        rc = fl_read_stage1(&P, &s, codes, qual, qlen, &st);
+        if (rc != 0) { if (own) fl_scratch_free(&local); return rc; }
+        if (!st.shortseq) {
+            for (j = 0; j < st.nF; j++)
+                if (ktuple_maxhit < 1 || s.nhitsF[j] <= ktuple_maxhit)
+                    nhit_cutoff += s.nhitsF[j];
+            for (j = 0; j < st.nR; j++)
+                if (ktuple_maxhit < 1 || s.nhitsR[j] <= ktuple_maxhit)
+                    nhit_cutoff += s.nhitsR[j];
+            s.rs->n_ali_done = st.n_sort;
+            s.rs->n_ali_tot = st.n_mincover;
+            s.rs->n_ali_max = P.max_depth;
+            s.rs->n_hits_used = st.hits_used;
+            s.rs->n_hits_tot = st.hits_tot;
+            fl_profiles(&P, codes, qlen, s.Wf, s.Wr);
+            rc = (int)mc_score_cands(s.out11, s.stat_idxs, st.n_sort,
+                                     P.wordlen, P.nskip,
+                                     P.refcodes, P.offsets, P.nseq, qlen,
+                                     s.Wf, s.Wr, P.gap_init, P.gap_ext,
+                                     P.match_avg, P.mismatch_avg,
+                                     (P.rmapflg & RMAPFLG_BEST) != 0,
+                                     st.deficit_f, st.deficit_r,
+                                     s.Hbuf, s.Ebuf, s.score_out, out_max);
+            if (rc != 0) { if (own) fl_scratch_free(&local); return FL_ERR_ASSERT; }
+            rc = fl_read_finish(&P, &s, qual, qlen, out_max[2],
+                                out_max[0], out_max[1]);
+            if (rc != 0) { if (own) fl_scratch_free(&local); return rc; }
+        }
+        stats_out[10] = st.shortseq;
+        stats_out[11] = nhit_cutoff;
+    }
+
+    rs = s.rs;
+    if (rs->n_res > out_cap_rows || rs->diff_used > diff_cap) {
+        if (own) fl_scratch_free(&local);
+        return FL_ERR_CAP;
+    }
+    for (i = 0; i < rs->n_res; i++) {
+        const FLRes *r = &rs->res[i];
+        int64_t *o = out_rows + i * 12;
+        o[0] = r->q_start; o[1] = r->q_end;
+        o[2] = r->s_start; o[3] = r->s_end;
+        o[4] = r->sidx; o[5] = r->swatscor; o[6] = r->mapscor;
+        o[7] = r->status; o[8] = r->diff_off; o[9] = r->diff_len;
+        o[10] = r->qsegx; o[11] = r->swrank;
+    }
+    memcpy(diff_out, rs->diffpool, (size_t)rs->diff_used);
+    for (i = 0; i < rs->n_sortr; i++)
+        sortr_out[i] = rs->sortr[i];
+    stats_out[0] = rs->swatscor_max;
+    stats_out[1] = rs->swatscor_2ndmax;
+    stats_out[2] = rs->n_ali_done;
+    stats_out[3] = rs->n_ali_tot;
+    stats_out[4] = rs->n_ali_max;
+    stats_out[5] = rs->n_hits_used;
+    stats_out[6] = rs->n_hits_tot;
+    stats_out[7] = rs->n_sortr;
+    stats_out[8] = rs->qsegno;
+    {
+        int64_t nseg = rs->qsegno > 0 ? rs->segnor[rs->qsegno] : 0;
+        int64_t j;
+        for (j = 0; j <= rs->qsegno; j++)
+            seg_out[j] = rs->segnor[j];
+        for (j = 0; j < nseg; j++)
+            seg_out[rs->qsegno + 1 + j] = rs->segsrtr[j];
+        stats_out[9] = nseg;
+    }
+    i = rs->n_res;
+#undef s
+    if (own) fl_scratch_free(&local);
+    return i;
+}
+
+/* Hit-count-only probe: total hits under the ktuple cutoff
+ * (hashCalcHitInfoNumberOfHits, hashhit.c:1173-1199) for the pair
+ * flow's rare-mate ordering, without mapping anything. */
+int64_t fl_hit_count(
+    const uint64_t *words, const int64_t *starts, int64_t nwords,
+    const int32_t *table, const uint32_t *pos, int wordlen, int nskip,
+    int64_t ktuple_maxhit, int64_t maxhit_total, int min_basq,
+    const uint8_t *codes, const uint8_t *qual, int64_t qlen,
+    void *scratch_h)
+{
+    FLScratch local;
+    FLScratch *sp;
+    int own = 0;
+    int64_t hout[4], n = 0, j, nF, nR;
+    int rc;
+    (void)pos;
+    if (qlen < wordlen)
+        return -1;                /* ShortSeq marker */
+    if (scratch_h && ((FLScratch *)scratch_h)->qmax >= qlen) {
+        sp = (FLScratch *)scratch_h;
+    } else {
+        rc = fl_scratch_init(&local, qlen > 1 ? qlen : 1);
+        if (rc != 0) { fl_scratch_free(&local); return FL_ERR_CAP; }
+        sp = &local;
+        own = 1;
+    }
+#define s (*sp)
+    rc = (int)mc_hitinfo_short2(words, starts, nwords, table,
+                                wordlen, nskip, codes, qual, qlen,
+                                ktuple_maxhit, maxhit_total, min_basq,
+                                s.qmaskF, s.qoffsF, s.nhitsF, s.slotF,
+                                s.sidxF,
+                                s.qmaskR, s.qoffsR, s.nhitsR, s.slotR,
+                                s.sidxR, s.qbuf, s.keybuf, hout);
+    if (rc != 0) {
+        if (own) fl_scratch_free(&local);
+#undef s
+        return -1;                /* hit-info failure = ShortSeq */
+    }
+#define s (*sp)
+    nF = hout[0]; nR = hout[2];
+    for (j = 0; j < nF; j++)
+        if (ktuple_maxhit < 1 || s.nhitsF[j] <= ktuple_maxhit)
+            n += s.nhitsF[j];
+    for (j = 0; j < nR; j++)
+        if (ktuple_maxhit < 1 || s.nhitsR[j] <= ktuple_maxhit)
+            n += s.nhitsR[j];
+#undef s
+    if (own) fl_scratch_free(&local);
+    return n;
 }

@@ -72,7 +72,12 @@ class RefSet:
         )
 
     def save(self, prefix: str) -> None:
-        np.savez_compressed(
+        # uncompressed npz (ZIP store): deflate saved ~3x disk but cost
+        # ~0.2 s decompress at every mapping run's startup — artifact
+        # load time is part of the end-to-end number that competes with
+        # the reference's raw binary reads (old compressed artifacts
+        # still load)
+        np.savez(
             prefix + ".smt.npz",
             codes=self.codes,
             offsets=self.offsets,
