@@ -568,14 +568,17 @@ class ShardedDeviceIndex:
     shard_base: jnp.ndarray  # [ip] int32 global base offset of the slice
     local_len: jnp.ndarray   # [ip] int32 valid bases in the slice
     ref_len: int             # global reference length
+    hi_table: Optional[jnp.ndarray] = None  # [ip, 4^12, 2] (k=16..20)
+    words_lo: Optional[jnp.ndarray] = None  # [ip, Wmax] int32
+    lo_steps: int = 0
 
     WORD_SENTINEL = np.int32(0x7FFFFFFF)
 
     @classmethod
     def build(cls, refset: RefSet, idx: KmerIndex, n_shards: int,
               halo: int = 640) -> "ShardedDeviceIndex":
-        if 2 * idx.wordlen > 31:
-            raise ValueError("device path packs words in int32: wordlen<=15")
+        if idx.wordlen > 20:
+            raise ValueError("device path supports wordlen<=20")
         L = refset.total_len
         nskip = idx.nskip
         chunk = -(-L // n_shards)
@@ -584,6 +587,9 @@ class ShardedDeviceIndex:
         words_np = idx.words.astype(np.int64)
         starts_np = idx.starts.astype(np.int64)
         pos_np = idx.pos.astype(np.int64)
+
+        hilo = 2 * idx.wordlen > 31
+        lo_bits = 2 * (idx.wordlen - DeviceIndex.HI_BASES) if hilo else 0
 
         shards = []
         for s in range(n_shards):
@@ -596,14 +602,16 @@ class ShardedDeviceIndex:
             wslot = np.searchsorted(starts_np, pidx, side="right") - 1
             uw, first, counts = np.unique(wslot, return_index=True,
                                           return_counts=True)
-            w = words_np[uw].astype(np.int32)
+            w64 = words_np[uw]
+            w = np.zeros(1, np.int32) if hilo else w64.astype(np.int32)
             st = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
             p_local = (pos_np[pidx] - lo_t).astype(np.int32)
             sl_end = min(hi_b + halo, L)
             ref_slice = alpha[lo_b:sl_end]
-            shards.append((w, st, p_local, ref_slice, lo_b, sl_end - lo_b))
+            shards.append((w, st, p_local, ref_slice, lo_b, sl_end - lo_b,
+                           w64))
 
-        Wmax = max(max(len(s[0]) for s in shards), 1)
+        Wmax = max(max(len(s[1]) - 1 for s in shards), 1)
         Pmax = max(max(len(s[2]) for s in shards), 1)
         Lmax = max(max(len(s[3]) for s in shards), 1)
         words = np.full((n_shards, Wmax), cls.WORD_SENTINEL, np.int32)
@@ -612,8 +620,28 @@ class ShardedDeviceIndex:
         refa = np.full((n_shards, Lmax), 7, np.int32)
         base = np.zeros(n_shards, np.int32)
         llen = np.zeros(n_shards, np.int32)
-        for s, (w, st, p, r, lo_b, ln) in enumerate(shards):
-            words[s, : len(w)] = w
+        hi_tables = lo_arrs = None
+        lo_steps = 0
+        if hilo:
+            nhi = 1 << (2 * DeviceIndex.HI_BASES)
+            hi_tables = np.zeros((n_shards, nhi, 2), np.int32)
+            lo_arrs = np.zeros((n_shards, Wmax), np.int32)
+        for s, (w, st, p, r, lo_b, ln, w64) in enumerate(shards):
+            nW = len(st) - 1
+            if hilo:
+                hi = (w64 >> lo_bits)
+                lo = (w64 & ((1 << lo_bits) - 1)).astype(np.int32)
+                hi_tables[s, :, 0] = np.searchsorted(
+                    hi, np.arange(nhi), side="left").astype(np.int32)
+                hi_tables[s, :, 1] = np.searchsorted(
+                    hi, np.arange(nhi), side="right").astype(np.int32)
+                lo_arrs[s, : nW] = lo
+                mb = int((hi_tables[s, :, 1].astype(np.int64) -
+                          hi_tables[s, :, 0]).max()) if nW else 1
+                lo_steps = max(lo_steps, max(
+                    1, int(np.ceil(np.log2(max(mb, 1) + 1)))))
+            else:
+                words[s, : nW] = w
             starts[s, : len(st)] = st
             starts[s, len(st):] = st[-1] if len(st) else 0
             pos[s, : len(p)] = p
@@ -624,7 +652,10 @@ class ShardedDeviceIndex:
                    words=jnp.asarray(words), starts=jnp.asarray(starts),
                    pos=jnp.asarray(pos), ref_alpha=jnp.asarray(refa),
                    shard_base=jnp.asarray(base), local_len=jnp.asarray(llen),
-                   ref_len=L)
+                   ref_len=L,
+                   hi_table=(jnp.asarray(hi_tables) if hilo else None),
+                   words_lo=(jnp.asarray(lo_arrs) if hilo else None),
+                   lo_steps=lo_steps)
 
 
 def _combine_over_ip(score, score2, start, strand, start2, strand2,
@@ -689,12 +720,17 @@ def make_index_sharded_step(sdi: ShardedDeviceIndex, mesh: Mesh, matrix,
     global coordinates."""
     ip = mesh.shape["ip"]
     assert ip == sdi.n_shards, (ip, sdi.n_shards)
+    hilo = sdi.words_lo is not None
 
-    def step(reads, words, starts, pos, refa, base, llen):
+    def step(reads, words, starts, pos, refa, base, llen,
+             hi_table=None, words_lo=None):
         di = DeviceIndex(
             wordlen=sdi.wordlen, nskip=sdi.nskip,
             words=words[0], starts=starts[0], pos=pos[0],
-            ref_alpha=refa[0], ref_len=llen[0])
+            ref_alpha=refa[0], ref_len=llen[0],
+            hi_table=hi_table[0] if hilo else None,
+            words_lo=words_lo[0] if hilo else None,
+            lo_steps=sdi.lo_steps)
         out = device_map_step(di, reads, matrix, gapopen_pos, gapext_pos,
                               interpret=interpret)
         return _combine_over_ip(out["score"], out["score2"],
@@ -703,13 +739,15 @@ def make_index_sharded_step(sdi: ShardedDeviceIndex, mesh: Mesh, matrix,
                                 out["hits_used"], out["hits_tot"],
                                 out["n2nd"], out["ambig"], hits_mode="sum")
 
-    in_specs = (P("dp", None),        # reads
+    in_specs = [P("dp", None),        # reads
                 P("ip", None), P("ip", None), P("ip", None),
-                P("ip", None), P("ip"), P("ip"))
+                P("ip", None), P("ip"), P("ip")]
+    if hilo:
+        in_specs += [P("ip", None, None), P("ip", None)]
     out_specs = {k: P("dp") for k in ("score", "score2", "start", "strand",
                                       "start2", "strand2", "hits_used",
                                       "hits_tot", "n2nd", "ambig")}
-    fn = shard_map(step, mesh=mesh, in_specs=in_specs,
+    fn = shard_map(step, mesh=mesh, in_specs=tuple(in_specs),
                    out_specs=out_specs, check_rep=False)
     if pack:
         jfn = jax.jit(lambda *a: pack_outputs(fn(*a)))
@@ -717,8 +755,11 @@ def make_index_sharded_step(sdi: ShardedDeviceIndex, mesh: Mesh, matrix,
         jfn = jax.jit(fn)
 
     def run(reads):
-        return jfn(reads, sdi.words, sdi.starts, sdi.pos, sdi.ref_alpha,
-                   sdi.shard_base, sdi.local_len)
+        args = [reads, sdi.words, sdi.starts, sdi.pos, sdi.ref_alpha,
+                sdi.shard_base, sdi.local_len]
+        if hilo:
+            args += [sdi.hi_table, sdi.words_lo]
+        return jfn(*args)
 
     return run
 

@@ -111,3 +111,44 @@ def refset_path(refset):
     # RefSet doesn't retain its fasta path; use a tmp-adjacent file
     import tempfile
     return os.path.join(tempfile.gettempdir(), "x")
+
+
+def test_sharded_bigk(genome_world):
+    """k=16 on the RANGE-SHARDED index: sharded == single-device."""
+    import jax
+    if jax.device_count() < 4:
+        pytest.skip("needs the virtual CPU mesh")
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from smalt_tpu.align import core as ali
+    from smalt_tpu.parallel.mesh import (DeviceIndex, ShardedDeviceIndex,
+                                         device_map_step,
+                                         make_index_sharded_step)
+    from smalt_tpu.seq import codec
+    refset, g = genome_world
+    idx = build_index(refset, 16, 2)
+    m, go, ge = ali.make_score_matrix()
+    rng = np.random.default_rng(97)
+    qlen, B = 96, 16
+    arr = np.full((B, qlen), 7, np.int32)
+    comp = str.maketrans("ACGT", "TGCA")
+    for i in range(B):
+        st = int(rng.integers(0, len(g) - qlen))
+        s = g[st : st + qlen]
+        if i % 2:
+            s = s.translate(comp)[::-1]
+        arr[i] = codec.alpha(codec.encode(s.encode()))
+    di = DeviceIndex.build(refset, idx)
+    single = device_map_step(di, jnp.asarray(arr), m, -go, -ge,
+                             interpret=True)
+    sdi = ShardedDeviceIndex.build(refset, idx, n_shards=2)
+    assert sdi.words_lo is not None
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("dp", "ip"))
+    step = make_index_sharded_step(sdi, mesh, m, -go, -ge,
+                                   interpret=True)
+    sharded = step(jnp.asarray(arr))
+    for k in ("score", "start", "strand"):
+        a = np.asarray(single[k])
+        b = np.asarray(sharded[k])
+        assert (a == b).all(), (k, a, b)
