@@ -224,6 +224,114 @@ static int sw_full_scalar(const int32_t *W, int qlen,
  * Returns -1 when the int16 range may have saturated (caller falls
  * back to the scalar kernel).  Query positions beyond qlen are padded
  * with -32768 so their H clamps to <= F < max and never contributes. */
+/* Striped SW, score only, 16 x uint8 lanes with bias (Farrar 2007's
+ * 8-bit variant, the reference's first-try kernel swsimd.c:207-441).
+ * Twice the lanes of the 16-bit kernel; short reads (score < 255 -
+ * bias) never saturate.  Returns -1 when the profile range, the gap
+ * shape (needs gap_init >= gap_ext so lazy-F needs no re-open), or
+ * saturation rules it out -- caller falls through to 16-bit/scalar. */
+static int sw_full_sse2_8(const int32_t *W, int qlen,
+                          const uint8_t *subj, int slen,
+                          int gap_init, int gap_ext)
+{
+    const int seglen = (qlen + 15) / 16;
+    const int nvec = seglen * 16;
+    int i, j, a, lane, bias = 0, best;
+    uint8_t *mem;
+    if (gap_ext > gap_init || gap_init > 127)
+        return -1;
+    for (j = 0; j < 8 * qlen; j++) {
+        if (W[j] > 100 || W[j] < -100) return -1;
+        if (-W[j] > bias) bias = -W[j];
+    }
+    mem = (uint8_t *)malloc((size_t)8 * nvec + 3 * nvec + 32);
+    if (!mem) return -1;
+    {
+    uint8_t *base = (uint8_t *)(((uintptr_t)mem + 15) & ~(uintptr_t)15);
+    uint8_t *prof = base;
+    __m128i *vprof = (__m128i *)prof;
+    __m128i *vHStore = (__m128i *)(prof + 8 * nvec);
+    __m128i *vHLoad = vHStore + seglen;
+    __m128i *vE = vHLoad + seglen;
+    __m128i vzero = _mm_setzero_si128();
+    __m128i vBias = _mm_set1_epi8((char)(uint8_t)bias);
+    __m128i vGapI = _mm_set1_epi8((char)(uint8_t)gap_init);
+    __m128i vGapE = _mm_set1_epi8((char)(uint8_t)gap_ext);
+    __m128i vMax = vzero;
+
+    for (a = 0; a < 8; a++) {
+        const int32_t *rs = W + a * qlen;
+        uint8_t *pp = prof + (size_t)a * nvec;
+        for (j = 0; j < seglen; j++)
+            for (lane = 0; lane < 16; lane++) {
+                int q = j + lane * seglen;
+                /* pad lanes get 0 (= score -bias): can never raise the
+                 * diagonal max above a real cell */
+                pp[j * 16 + lane] =
+                    (q < qlen) ? (uint8_t)(rs[q] + bias) : 0;
+            }
+    }
+    for (j = 0; j < seglen; j++) {
+        vHStore[j] = vzero;
+        vHLoad[j] = vzero;
+        vE[j] = vzero;
+    }
+    for (i = 0; i < slen; i++) {
+        const __m128i *vP = vprof + (size_t)(subj[i] & 7) * seglen;
+        __m128i vF = vzero;
+        __m128i vH = _mm_slli_si128(vHStore[seglen - 1], 1);
+        __m128i *tmp = vHLoad; vHLoad = vHStore; vHStore = tmp;
+        for (j = 0; j < seglen; j++) {
+            __m128i e = vE[j];
+            vH = _mm_subs_epu8(_mm_adds_epu8(vH, vP[j]), vBias);
+            vMax = _mm_max_epu8(vMax, vH);    /* diagonal-extended max */
+            vH = _mm_max_epu8(vH, e);
+            vH = _mm_max_epu8(vH, vF);
+            vHStore[j] = vH;
+            {
+                __m128i hg = _mm_subs_epu8(vH, vGapI);
+                vE[j] = _mm_max_epu8(_mm_subs_epu8(e, vGapE), hg);
+                vF = _mm_max_epu8(_mm_subs_epu8(vF, vGapE), hg);
+            }
+            vH = vHLoad[j];
+        }
+        /* lazy-F (unsigned): shifted-in lane-0 byte is 0, and the
+         * dominance test vF > H - gap_init is exact in epu8 because
+         * H - gap_init clamps at 0, so a zero F never keeps the loop
+         * alive; with gap_init >= gap_ext no re-open is needed and vF
+         * strictly decays. */
+        vF = _mm_slli_si128(vF, 1);
+        j = 0;
+        for (;;) {
+            __m128i h = vHStore[j];
+            __m128i hg = _mm_subs_epu8(h, vGapI);
+            __m128i excess = _mm_subs_epu8(vF, hg);
+            if (_mm_movemask_epi8(_mm_cmpeq_epi8(excess, vzero)) == 0xFFFF)
+                break;
+            h = _mm_max_epu8(h, vF);
+            vHStore[j] = h;
+            vE[j] = _mm_max_epu8(vE[j], _mm_subs_epu8(h, vGapI));
+            vF = _mm_subs_epu8(vF, vGapE);
+            if (++j >= seglen) {
+                j = 0;
+                vF = _mm_slli_si128(vF, 1);
+            }
+        }
+    }
+    best = 0;
+    {
+        uint8_t out[16];
+        _mm_storeu_si128((__m128i *)out, vMax);
+        for (lane = 0; lane < 16; lane++)
+            if (out[lane] > best) best = out[lane];
+    }
+    free(mem);
+    if (best >= 255 - bias)
+        return -1;                  /* possible saturation: retry wider */
+    return best;
+    }
+}
+
 static int sw_full_sse2(const int32_t *W, int qlen,
                         const uint8_t *subj, int slen,
                         int gap_init, int gap_ext)
@@ -346,7 +454,9 @@ int sw_full(const int32_t *W, int qlen,
 {
 #ifdef __SSE2__
     if (qlen >= 16) {
-        int r = sw_full_sse2(W, qlen, subj, slen, gap_init, gap_ext);
+        int r = sw_full_sse2_8(W, qlen, subj, slen, gap_init, gap_ext);
+        if (r >= 0) return r;
+        r = sw_full_sse2(W, qlen, subj, slen, gap_init, gap_ext);
         if (r >= 0) return r;
     }
 #endif
