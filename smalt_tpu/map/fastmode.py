@@ -455,6 +455,91 @@ class FastTail:
             return True
         return False
 
+    def render_pairs_native(self, names, seqs, quals, outs, win_len: int,
+                            pad: int, q_padded: int, insert_min: int,
+                            insert_max: int, soft: bool, xmm: bool,
+                            buf, libcode=None) -> bool:
+        """One C call (fl_fast_tail_pairs) renders the whole PE batch,
+        byte-identical to render_pairs without an insert histogram.
+        Returns False when the lane is unavailable (Python oracle
+        runs)."""
+        import os
+        from ..native import get_lib
+        from ..results.pairs import LIB_PAIREDEND
+        if os.environ.get("SMALT_TPU_NO_FASTLANE"):
+            return False
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "fl_fast_tail_pairs"):
+            return False
+        refset = self.refset
+        cache = getattr(self, "_nat", None)
+        if cache is None:
+            snames, offs = [], [0]
+            for s in range(refset.nseq):
+                snames.append(refset.sam_name(s).encode())
+                offs.append(offs[-1] + len(snames[-1]))
+            cache = self._nat = {
+                "snames": np.frombuffer(b"".join(snames) or b"\0",
+                                        np.uint8).copy(),
+                "sname_offs": np.asarray(offs, np.int64),
+                "offsets": np.ascontiguousarray(refset.offsets, np.int64),
+                "refcodes": np.ascontiguousarray(refset.codes, np.uint8),
+            }
+        n = len(names)
+        read_offs = np.zeros(n + 1, np.int64)
+        np.cumsum([len(s) for s in seqs], out=read_offs[1:])
+        name_offs = np.zeros(n + 1, np.int64)
+        np.cumsum([len(x) for x in names], out=name_offs[1:])
+        has_qual = np.empty(n, np.uint8)
+        qp = []
+        for i, q in enumerate(quals):
+            if q is None or len(q) != len(seqs[i]):
+                return False
+            has_qual[i] = 1
+            qp.append(q)
+        seqs_c = np.frombuffer(b"".join(seqs) or b"\0", np.uint8)
+        quals_c = np.frombuffer(b"".join(qp) or b"\0", np.uint8)
+        names_c = np.frombuffer(b"".join(names) or b"\0", np.uint8)
+
+        def a32(k):
+            return np.ascontiguousarray(outs[k], np.int32)
+
+        sc, sc2 = a32("score"), a32("score2")
+        st, sd = a32("start"), a32("strand")
+        hu, ht = a32("hits_used"), a32("hits_tot")
+        n2, am = a32("n2nd"), a32("ambig")
+        qmax = int((read_offs[1:] - read_offs[:-1]).max()) if n else 1
+        cap = int(name_offs[-1]) + n * (2 * qmax + 192)
+        ma, _ = self.avgs
+        lc = LIB_PAIREDEND if libcode is None else libcode
+        for _ in range(3):
+            out = np.empty(cap, np.uint8)
+            rc = lib.fl_fast_tail_pairs(
+                cache["refcodes"].ctypes.data,
+                cache["offsets"].ctypes.data, refset.nseq,
+                cache["snames"].ctypes.data,
+                cache["sname_offs"].ctypes.data,
+                self._mat32.ctypes.data, -self.gapopen, -self.gapext,
+                ma, self.minscor,
+                1 if soft else 0, 1 if xmm else 0,
+                win_len, pad, q_padded,
+                insert_min, insert_max, lc,
+                n, seqs_c.ctypes.data, read_offs.ctypes.data,
+                quals_c.ctypes.data, has_qual.ctypes.data,
+                names_c.ctypes.data, name_offs.ctypes.data,
+                sc.ctypes.data, sc2.ctypes.data, st.ctypes.data,
+                sd.ctypes.data, hu.ctypes.data, ht.ctypes.data,
+                n2.ctypes.data, am.ctypes.data,
+                out.ctypes.data, cap)
+            if rc == -3:
+                cap *= 4
+                continue
+            if rc < 0:
+                return False
+            buf.write(out[:rc].tobytes().decode("ascii"))
+            return True
+        return False
+
     # ---------------- paired-end ----------------
 
     def _glob(self, rp: RepAli) -> int:
@@ -640,9 +725,17 @@ def _tail_render(args):
                           x_mismatch=xmm, header=False)
     if paired:
         imin, imax = _g["inserts"]
-        tail.render_pairs(names, seqs, quals, outs, win_len, pad, q_padded,
-                          imin, imax, writer, libcode=_g.get("libcode"),
-                          ihist=_g.get("pair_ihist"))
+        # the C tail covers the no-histogram configuration; with -g the
+        # Python tail applies the histogram-weighted elevation
+        if _g.get("pair_ihist") is not None or \
+                not tail.render_pairs_native(names, seqs, quals, outs,
+                                             win_len, pad, q_padded,
+                                             imin, imax, soft, xmm, buf,
+                                             libcode=_g.get("libcode")):
+            tail.render_pairs(names, seqs, quals, outs, win_len, pad,
+                              q_padded, imin, imax, writer,
+                              libcode=_g.get("libcode"),
+                              ihist=_g.get("pair_ihist"))
     else:
         fb = _exact_fallback if _g.get("exact_engine") is not None else None
         if not tail.render_native(names, seqs, quals, outs, win_len, pad,

@@ -171,6 +171,15 @@ def _declare_fastlane(lib):
         vp, vp, vp, vp, vp, vp, vp, vp,     # device outputs
         vp,                                 # skip mask
         vp, i64, vp]                        # out text, cap, out_offs
+    lib.fl_fast_tail_pairs.restype = i64
+    lib.fl_fast_tail_pairs.argtypes = [
+        vp, vp, i64, vp, vp,                # reference + names
+        vp, ci, ci, i64, i64, ci, ci,       # scoring + sam opts
+        i64, i64, i64,                      # window geometry
+        i64, i64, ci,                       # inserts + libcode
+        i64, vp, vp, vp, vp, vp, vp,        # reads
+        vp, vp, vp, vp, vp, vp, vp, vp,     # device outputs
+        vp, i64]                            # out text, cap
     lib.fl_pass1_block.restype = i64
     lib.fl_pass1_block.argtypes = [
         vp, vp, i64, vp, vp, ci, ci,        # index

@@ -2497,3 +2497,513 @@ int64_t fl_hit_count(
     if (own) fl_scratch_free(&local);
     return n;
 }
+
+/* ---------------- fast-mode batched tail: paired-end ----------------
+ *
+ * Byte-replica of map/fastmode.py FastTail.render_pairs (map_one for
+ * both mates, insert-window mate rescue, testProperPair geometry for
+ * any library code, tied-mate pair-marginal elevation) and the paired
+ * ReportWriter._write_sam fields.  The insert-histogram weighting
+ * stays in Python (the caller gates on ihist is None). */
+
+typedef struct {
+    const uint8_t *refcodes;
+    const int64_t *offsets;
+    int64_t nseq, total_len;
+    const int32_t *matrix;
+    int gap_init, gap_ext;
+    int64_t minscor, minscore, minscorlen;
+    int64_t win_len, pad, q_padded;
+    int32_t *Wbuf, *Hbuf, *Ebuf;
+    uint8_t *dirm, *back;
+    int64_t dirm_cap, back_cap, diff_cap;
+    int64_t *ares;
+    int64_t ares_cap;
+} FTCtx;
+
+typedef struct {
+    int mapped, is_rev;
+    int64_t q_start, q_end, s_start, s_end, sidx;
+    int64_t swatscor, mapscor;
+    int64_t diff_len;
+    uint8_t *diff;              /* caller-owned pool */
+} FTAli;
+
+/* FastTail.map_one minus the mapq (filled by the caller): banded
+ * traceback of the winning window, clamped to the seed's contig. */
+static int ft_map_one(FTCtx *c, const uint8_t *enc, int64_t qlen,
+                      int64_t sc1, int is_rev, int64_t ws,
+                      uint8_t *pool, FTAli *r)
+{
+    int64_t shift, anchor, sidx, c_lo, c_hi, w0, w1, slen, center;
+    int64_t best[6];
+    int have = 0;
+    const uint8_t *win;
+    int64_t nres;
+
+    r->mapped = 0;
+    if (sc1 < c->minscor || qlen < 5)
+        return 0;
+    shift = is_rev ? (c->q_padded - qlen) : 0;
+    anchor = ws + c->pad + shift + qlen / 2;
+    if (anchor < 0) anchor = 0;
+    if (anchor > c->total_len - 1) anchor = c->total_len - 1;
+    sidx = fl_find_seqidx(c->offsets, c->nseq, anchor);
+    c_lo = c->offsets[sidx];
+    c_hi = c->offsets[sidx + 1];
+    w0 = ws > c_lo ? ws : c_lo;
+    w1 = ws + c->win_len < c_hi ? ws + c->win_len : c_hi;
+    if (w1 - w0 < 1)
+        return 0;
+    slen = w1 - w0;
+    center = -(c->pad + shift) + (w0 - ws);
+    win = c->refcodes + w0;
+    if (slen >= 1 && qlen >= ALILEN_MIN) {
+        int64_t half = c->diff_cap / 2;
+        nres = mc_fast_align(enc, qlen, is_rev, c->matrix, win, slen,
+                             center - 24, center + 48,
+                             c->minscore, c->minscorlen,
+                             c->gap_init, c->gap_ext,
+                             c->Wbuf, c->Hbuf, c->Ebuf,
+                             c->dirm, c->dirm_cap, c->back, c->back_cap,
+                             pool, half, c->ares, c->ares_cap);
+        if (nres > 0) {
+            have = 1;
+            best[0] = c->ares[0]; best[1] = c->ares[1];
+            best[2] = c->ares[2]; best[3] = c->ares[3];
+            best[4] = c->ares[4]; best[5] = c->ares[6];
+            if (c->ares[5] != 0)
+                memmove(pool, pool + c->ares[5], (size_t)c->ares[6]);
+        }
+        if (!have || best[0] < sc1) {
+            int64_t nf = mc_fast_align(
+                enc, qlen, is_rev, c->matrix, win, slen,
+                -(slen - 1), qlen - 1, c->minscore, c->minscorlen,
+                c->gap_init, c->gap_ext, c->Wbuf, c->Hbuf, c->Ebuf,
+                c->dirm, c->dirm_cap, c->back, c->back_cap,
+                pool + half, c->diff_cap - half, c->ares, c->ares_cap);
+            if (nf > 0 && (!have || c->ares[0] > best[0])) {
+                have = 1;
+                best[0] = c->ares[0]; best[1] = c->ares[1];
+                best[2] = c->ares[2]; best[3] = c->ares[3];
+                best[4] = c->ares[4]; best[5] = c->ares[6];
+                memmove(pool, pool + half + c->ares[5],
+                        (size_t)c->ares[6]);
+            }
+        }
+    }
+    if (!have)
+        return 0;
+    {
+        int64_t g = w0 + best[3];
+        int64_t s2 = fl_find_seqidx(c->offsets, c->nseq, g);
+        r->mapped = 1;
+        r->is_rev = is_rev;
+        r->swatscor = best[0];
+        if (is_rev) {
+            r->q_start = qlen - best[2];
+            r->q_end = qlen - best[1];
+        } else {
+            r->q_start = best[1] + 1;
+            r->q_end = best[2] + 1;
+        }
+        r->s_start = g - c->offsets[s2] + 1;
+        r->s_end = r->s_start + (best[4] - best[3]);
+        r->sidx = s2;
+        r->diff_len = best[5];
+        r->diff = pool;
+        r->mapscor = 0;
+    }
+    return 1;
+}
+
+/* FastTail.rescue_mate: full-band SW inside the anchor's insert
+ * window on the opposite strand; mapq = min(own, anchor). */
+static int ft_rescue(FTCtx *c, const uint8_t *enc, int64_t qlen,
+                     const FTAli *anchor, int64_t insert_min,
+                     int64_t insert_max, uint8_t *pool, FTAli *r)
+{
+    int64_t a_glob, lo, hi, c_lo, c_hi, nres;
+    int is_rev;
+    (void)insert_min;
+    r->mapped = 0;
+    if (qlen < 5)
+        return 0;
+    a_glob = c->offsets[anchor->sidx] + anchor->s_start - 1;
+    if (anchor->is_rev) {
+        lo = a_glob + (anchor->s_end - anchor->s_start) - insert_max;
+        hi = a_glob + (anchor->s_end - anchor->s_start);
+    } else {
+        lo = a_glob;
+        hi = a_glob + insert_max;
+    }
+    c_lo = c->offsets[anchor->sidx];
+    c_hi = c->offsets[anchor->sidx + 1];
+    lo = lo - qlen > c_lo ? lo - qlen : c_lo;
+    hi = hi + qlen < c_hi ? hi + qlen : c_hi;
+    if (hi - lo < qlen)
+        return 0;
+    is_rev = !anchor->is_rev;
+    if (qlen < ALILEN_MIN)
+        return 0;
+    nres = mc_fast_align(enc, qlen, is_rev, c->matrix,
+                         c->refcodes + lo, hi - lo,
+                         -(hi - lo - 1), qlen - 1,
+                         c->minscore, c->minscorlen,
+                         c->gap_init, c->gap_ext,
+                         c->Wbuf, c->Hbuf, c->Ebuf,
+                         c->dirm, c->dirm_cap, c->back, c->back_cap,
+                         pool, c->diff_cap, c->ares, c->ares_cap);
+    if (nres <= 0)
+        return 0;
+    {
+        int64_t g = lo + c->ares[3];
+        int64_t s2 = fl_find_seqidx(c->offsets, c->nseq, g);
+        int64_t own;
+        r->mapped = 1;
+        r->is_rev = is_rev;
+        r->swatscor = c->ares[0];
+        if (is_rev) {
+            r->q_start = qlen - c->ares[2];
+            r->q_end = qlen - c->ares[1];
+        } else {
+            r->q_start = c->ares[1] + 1;
+            r->q_end = c->ares[2] + 1;
+        }
+        r->s_start = g - c->offsets[s2] + 1;
+        r->s_end = r->s_start + (c->ares[4] - c->ares[3]);
+        r->sidx = s2;
+        r->diff_len = c->ares[6];
+        if (c->ares[5] != 0)
+            memmove(pool, pool + c->ares[5], (size_t)c->ares[6]);
+        r->diff = pool;
+        own = fl_fast_mapq(r->swatscor, 0, qlen, 0, 0, 1, 0);
+        r->mapscor = own < anchor->mapscor ? own : anchor->mapscor;
+    }
+    return 1;
+}
+
+/* testProperPair (resultpairs.c:135-186 / results/pairs.py) */
+#define FT_WITHIN 1
+#define FT_PROPER 2
+#define LIBC_PAIREDALL 0
+#define LIBC_PAIREDEND 1
+#define LIBC_MATEPAIR 2
+#define LIBC_SAMESTRAND 3
+
+static int ft_proper(int64_t isize, int revA, int revB, int leftmost2,
+                     int64_t dmin, int64_t dmax, int libcode)
+{
+    int m = 0;
+    if (isize < 0) {
+        if (-dmax <= isize && isize <= -dmin) m |= FT_WITHIN;
+        if (libcode == LIBC_PAIREDALL) m |= FT_PROPER;
+        else if (libcode == LIBC_PAIREDEND) {
+            if (revA && !revB && leftmost2) m |= FT_PROPER;
+        } else if (libcode == LIBC_MATEPAIR) {
+            if (!revA && revB && leftmost2) m |= FT_PROPER;
+        } else if (libcode == LIBC_SAMESTRAND) {
+            if (revA && revB && leftmost2) m |= FT_PROPER;
+        }
+    } else {
+        if (dmin <= isize && isize <= dmax) m |= FT_WITHIN;
+        if (libcode == LIBC_PAIREDALL) m |= FT_PROPER;
+        else if (libcode == LIBC_PAIREDEND) {
+            if (!revA && revB && !leftmost2) m |= FT_PROPER;
+        } else if (libcode == LIBC_MATEPAIR) {
+            if (revA && !revB && !leftmost2) m |= FT_PROPER;
+        } else if (libcode == LIBC_SAMESTRAND) {
+            if (!revA && !revB && !leftmost2) m |= FT_PROPER;
+        }
+    }
+    return m;
+}
+
+/* FastTail._pair_elevate, no-histogram branch */
+static void ft_elevate(FTAli *r, const FTAli *other, int64_t n2)
+{
+    double p_prop, p_in, p_allout, marg;
+    int64_t elev, cap;
+    if (r->mapscor > MAPSCOR_MAX_RANDOM ||
+        other->mapscor <= MAPSCOR_MAX_RANDOM)
+        return;
+    p_prop = 1.0 - 1e-4;                 /* CUMULPROB_IMPROPER */
+    p_in = p_prop * (1.0 - 3e-3);        /* CUMULPROB_PROPER_OUTSIDE */
+    p_allout = 1e-4 + p_prop * 3e-3;
+    if (n2 < 1) n2 = 1;
+    marg = p_in / (p_in + (double)n2 * p_allout);
+    if (marg >= 1.0)
+        elev = MAPSCOR_MAX;
+    else
+        elev = (int64_t)(-10.0 * log(1.0 - marg) / FL_LOG10);
+    cap = other->mapscor < MAPSCOR_MAX ? other->mapscor : MAPSCOR_MAX;
+    if (elev > cap) elev = cap;
+    if (elev > r->mapscor) r->mapscor = elev;
+}
+
+/* paired _write_sam line (report.py:281-358) */
+static int ft_sam_line_pair(FLText *t,
+                            const char *name, int64_t name_len,
+                            const uint8_t *codes, const uint8_t *qual,
+                            int64_t qlen,
+                            const FTAli *r, const FTAli *mp,
+                            int is_mate2, int64_t isizeA, int proper,
+                            const char *const *seq_name_ptr,
+                            const int64_t *seq_name_len,
+                            int soft_clip, int x_mismatch)
+{
+    int samflg = 0x0001 | (is_mate2 ? 0x0080 : 0x0040);
+    int64_t pos = 0, mpos = 0, isize = isizeA, i;
+    int mate_mapped = mp != NULL && mp->mapped;
+
+    if (is_mate2) isize = -isize;
+    if (mate_mapped) {
+        mpos = mp->s_start;
+        if (mp->is_rev) samflg |= 0x0020;         /* MATESTRAND */
+    } else {
+        samflg |= 0x0008;                          /* MATENOMAP */
+        isize = 0;
+        mpos = 0;
+    }
+    if (!r->mapped) {
+        samflg |= SAMFLAG_NOMAP;
+        isize = 0;
+    } else {
+        if (r->is_rev) samflg |= SAMFLAG_STRAND;
+        pos = r->s_start;
+        if (proper) samflg |= 0x0002;
+    }
+    tx_putn(t, name, name_len);
+    tx_putc(t, '\t');
+    tx_puti(t, samflg);
+    tx_putc(t, '\t');
+    if (r->mapped)
+        tx_putn(t, seq_name_ptr[r->sidx], seq_name_len[r->sidx]);
+    else
+        tx_putc(t, '*');
+    tx_putc(t, '\t');
+    tx_puti(t, pos);
+    tx_putc(t, '\t');
+    tx_puti(t, r->mapped ? r->mapscor : 0);
+    tx_putc(t, '\t');
+    if (r->mapped) {
+        int64_t clip_start, clip_end, q0, q1;
+        int rc2;
+        if (r->is_rev) {
+            clip_start = qlen - r->q_end;
+            clip_end = r->q_start - 1;
+        } else {
+            clip_start = r->q_start - 1;
+            clip_end = qlen - r->q_end;
+        }
+        rc2 = tx_cigar(t, r->diff, (int)r->diff_len, !x_mismatch,
+                       clip_start, clip_end, soft_clip);
+        if (rc2 != 0) return rc2;
+        tx_putc(t, '\t');
+    } else {
+        tx_puts(t, "*\t");
+    }
+    if (mate_mapped)
+        tx_putn(t, seq_name_ptr[mp->sidx], seq_name_len[mp->sidx]);
+    else
+        tx_putc(t, '*');
+    tx_putc(t, '\t');
+    tx_puti(t, mpos);
+    tx_putc(t, '\t');
+    tx_puti(t, isize);
+    tx_putc(t, '\t');
+    if (r->mapped) {
+        int64_t q0, q1;
+        if (soft_clip) { q0 = 0; q1 = qlen; }
+        else { q0 = r->q_start - 1; q1 = r->q_end; }
+        if (q1 > q0) {
+            if (r->is_rev)
+                for (i = q1 - 1; i >= q0; i--)
+                    tx_putc(t, fl_decode1_comp(codes[i]));
+            else
+                for (i = q0; i < q1; i++)
+                    tx_putc(t, fl_decode1(codes[i]));
+        } else {
+            tx_putc(t, '*');
+        }
+        tx_putc(t, '\t');
+        if (qual && q1 > q0) {
+            if (r->is_rev)
+                for (i = q1 - 1; i >= q0; i--) tx_putc(t, (char)qual[i]);
+            else
+                for (i = q0; i < q1; i++) tx_putc(t, (char)qual[i]);
+        } else {
+            tx_putc(t, '*');
+        }
+        tx_puts(t, "\tNM:i:");
+        tx_puti(t, fl_levenshtein(r->diff, (int)r->diff_len));
+        tx_puts(t, "\tAS:i:");
+        tx_puti(t, r->swatscor);
+    } else {
+        if (soft_clip) {
+            for (i = 0; i < qlen; i++) tx_putc(t, fl_decode1(codes[i]));
+            tx_putc(t, '\t');
+            if (qual) for (i = 0; i < qlen; i++) tx_putc(t, (char)qual[i]);
+            else tx_putc(t, '*');
+        } else {
+            tx_puts(t, "*\t*");
+        }
+        tx_puts(t, "\tNM:i:0\tAS:i:0");
+    }
+    tx_putc(t, '\n');
+    return 0;
+}
+
+/* Render a whole PE batch (reads laid out A-block then B-block). */
+int64_t fl_fast_tail_pairs(
+    const uint8_t *refcodes, const int64_t *offsets, int64_t nseq,
+    const char *snames, const int64_t *sname_offs,
+    const int32_t *matrix, int gap_init, int gap_ext,
+    int64_t match_avg, int64_t minscor,
+    int soft_clip, int x_mismatch,
+    int64_t win_len, int64_t pad, int64_t q_padded,
+    int64_t insert_min, int64_t insert_max, int libcode,
+    int64_t n_reads, const uint8_t *seqs_concat, const int64_t *read_offs,
+    const uint8_t *quals_concat, const uint8_t *has_qual,
+    const char *names_concat, const int64_t *name_offs,
+    const int32_t *score, const int32_t *score2, const int32_t *wstart,
+    const int32_t *strand, const int32_t *hits_used,
+    const int32_t *hits_tot, const int32_t *n2nd, const int32_t *ambig,
+    char *out_text, int64_t out_cap)
+{
+    FLText t;
+    FTCtx c;
+    const char **seq_name_ptr = NULL;
+    int64_t *seq_name_len = NULL;
+    uint8_t *encA = NULL, *encB = NULL, *poolA = NULL, *poolB = NULL;
+    int64_t B = n_reads / 2, qmax = 1, i, rc = 0;
+
+    c.refcodes = refcodes; c.offsets = offsets; c.nseq = nseq;
+    c.total_len = offsets[nseq];
+    c.matrix = matrix; c.gap_init = gap_init; c.gap_ext = gap_ext;
+    c.minscor = minscor;
+    c.minscore = minscor > 1 ? minscor : 1;
+    c.minscorlen = ALILEN_MIN;
+    if (ALILEN_MIN * match_avg < c.minscore)
+        c.minscorlen = c.minscore / match_avg;
+    c.win_len = win_len; c.pad = pad; c.q_padded = q_padded;
+    for (i = 0; i < n_reads; i++) {
+        int64_t ql = read_offs[i + 1] - read_offs[i];
+        if (ql > qmax) qmax = ql;
+    }
+    {
+        /* rescue windows reach insert_max + 2*qmax wide */
+        int64_t wmax = win_len > insert_max + 2 * qmax
+                       ? win_len : insert_max + 2 * qmax;
+        c.dirm_cap = (qmax + wmax + 2) * (wmax + 1);
+        c.back_cap = 2 * (qmax + wmax) + 8;
+        c.diff_cap = 4 * (qmax + wmax) + 1024;
+        c.ares_cap = wmax / ALILEN_MIN + 4;
+        c.Wbuf = (int32_t *)fl_alloc(8 * qmax * (int64_t)sizeof(int32_t));
+        c.Hbuf = (int32_t *)fl_alloc((qmax + 1) * (int64_t)sizeof(int32_t));
+        c.Ebuf = (int32_t *)fl_alloc((qmax + 1) * (int64_t)sizeof(int32_t));
+        c.dirm = (uint8_t *)fl_alloc(c.dirm_cap);
+        c.back = (uint8_t *)fl_alloc(c.back_cap);
+        c.ares = (int64_t *)fl_alloc(c.ares_cap * 7
+                                     * (int64_t)sizeof(int64_t));
+    }
+    seq_name_ptr = (const char **)fl_alloc(nseq * (int64_t)sizeof(char *));
+    seq_name_len = (int64_t *)fl_alloc(nseq * (int64_t)sizeof(int64_t));
+    encA = (uint8_t *)fl_alloc(qmax);
+    encB = (uint8_t *)fl_alloc(qmax);
+    poolA = (uint8_t *)fl_alloc(c.diff_cap);
+    poolB = (uint8_t *)fl_alloc(c.diff_cap);
+    if (!seq_name_ptr || !seq_name_len || !encA || !encB || !poolA ||
+        !poolB || !c.Wbuf || !c.Hbuf || !c.Ebuf || !c.dirm || !c.back ||
+        !c.ares) {
+        rc = FL_ERR_CAP;
+        goto done;
+    }
+    for (i = 0; i < nseq; i++) {
+        seq_name_ptr[i] = snames + sname_offs[i];
+        seq_name_len[i] = sname_offs[i + 1] - sname_offs[i];
+    }
+    fl_codtab_init();
+    t.p = out_text;
+    t.end = out_text + out_cap;
+    t.overflow = 0;
+
+    for (i = 0; i < B; i++) {
+        int64_t ia = i, ib = B + i, j;
+        int64_t qlA = read_offs[ia + 1] - read_offs[ia];
+        int64_t qlB = read_offs[ib + 1] - read_offs[ib];
+        const uint8_t *asciiA = seqs_concat + read_offs[ia];
+        const uint8_t *asciiB = seqs_concat + read_offs[ib];
+        const uint8_t *qualA = has_qual[ia]
+                               ? quals_concat + read_offs[ia] : NULL;
+        const uint8_t *qualB = has_qual[ib]
+                               ? quals_concat + read_offs[ib] : NULL;
+        const char *nameA = names_concat + name_offs[ia];
+        int64_t nlenA = fl_sam_name_len(nameA,
+                                        name_offs[ia + 1] - name_offs[ia]);
+        const char *nameB = names_concat + name_offs[ib];
+        int64_t nlenB = fl_sam_name_len(nameB,
+                                        name_offs[ib + 1] - name_offs[ib]);
+        FTAli A, Bm;
+        int okA, okB, proper = 0;
+        int64_t isizeA = 0;
+
+        for (j = 0; j < qlA; j++) encA[j] = fl_codtab[asciiA[j]];
+        for (j = 0; j < qlB; j++) encB[j] = fl_codtab[asciiB[j]];
+        okA = ft_map_one(&c, encA, qlA, score[ia], strand[ia] != 0,
+                         wstart[ia], poolA, &A);
+        if (okA)
+            A.mapscor = fl_fast_mapq(score[ia], score2[ia], qlA,
+                                     hits_used[ia], hits_tot[ia],
+                                     n2nd[ia], ambig[ia] != 0);
+        okB = ft_map_one(&c, encB, qlB, score[ib], strand[ib] != 0,
+                         wstart[ib], poolB, &Bm);
+        if (okB)
+            Bm.mapscor = fl_fast_mapq(score[ib], score2[ib], qlB,
+                                      hits_used[ib], hits_tot[ib],
+                                      n2nd[ib], ambig[ib] != 0);
+        if (!okA && okB)
+            okA = ft_rescue(&c, encA, qlA, &Bm, insert_min, insert_max,
+                            poolA, &A);
+        else if (!okB && okA)
+            okB = ft_rescue(&c, encB, qlB, &A, insert_min, insert_max,
+                            poolB, &Bm);
+        if (okA && okB && A.sidx == Bm.sidx) {
+            /* _pair_geometry: SAM-spec TLEN + testProperPair */
+            int64_t rA = A.s_start < Bm.s_start ? A.s_start : Bm.s_start;
+            int64_t rB = A.s_end > Bm.s_end ? A.s_end : Bm.s_end;
+            int leftmost2 = Bm.s_start < A.s_start;
+            int m;
+            isizeA = rB - rA + 1;
+            if (leftmost2) isizeA = -isizeA;
+            m = ft_proper(isizeA, A.is_rev, Bm.is_rev, leftmost2,
+                          insert_min, insert_max, libcode);
+            proper = (m & FT_PROPER) && (m & FT_WITHIN);
+            if (proper) {
+                ft_elevate(&A, &Bm, n2nd[ia]);
+                ft_elevate(&Bm, &A, n2nd[ib]);
+            }
+        }
+        if (!okA) A.mapped = 0;
+        if (!okB) Bm.mapped = 0;
+        rc = ft_sam_line_pair(&t, nameA, nlenA, encA, qualA, qlA,
+                              &A, &Bm, 0, isizeA, proper,
+                              seq_name_ptr, seq_name_len,
+                              soft_clip, x_mismatch);
+        if (rc != 0) goto done;
+        rc = ft_sam_line_pair(&t, nameB, nlenB, encB, qualB, qlB,
+                              &Bm, &A, 1, isizeA, proper,
+                              seq_name_ptr, seq_name_len,
+                              soft_clip, x_mismatch);
+        if (rc != 0) goto done;
+        if (t.overflow) { rc = FL_ERR_TEXT; goto done; }
+    }
+
+done:
+    free((void *)seq_name_ptr); free(seq_name_len);
+    free(encA); free(encB); free(poolA); free(poolB);
+    free(c.Wbuf); free(c.Hbuf); free(c.Ebuf);
+    free(c.dirm); free(c.back); free(c.ares);
+    if (rc != 0) return rc;
+    return t.p - out_text;
+}

@@ -133,3 +133,68 @@ def test_c_tail_hard_clip_x(world):
                                   soft, xmm, buf_c)
         assert ok
         assert buf_py.getvalue() == buf_c.getvalue(), (soft, xmm)
+
+
+def test_c_pair_tail_matches_python(world):
+    """fl_fast_tail_pairs must render byte-identical SAM to the Python
+    render_pairs loop: proper pairs (pe/mp), rescued mates, unmapped
+    mates, tied-mate elevation."""
+    from smalt_tpu.results.pairs import LIB_PAIREDEND, LIB_MATEPAIR
+    refset, idx, contigs = world
+    rng = np.random.default_rng(101)
+    comp = str.maketrans("ACGT", "TGCA")
+    genome = contigs[0]
+    qlen, insert = 80, 300
+    names, seqs, quals = [], [], []
+    for i in range(40):
+        st = int(rng.integers(0, len(genome) - insert))
+        frag = genome[st : st + insert]
+        a = list(frag[:qlen])
+        b = list(frag[-qlen:])
+        for arr in (a, b):
+            for j in np.flatnonzero(rng.random(qlen) < 0.02):
+                arr[j] = "ACGT"[int(rng.integers(0, 4))]
+        if i % 9 == 0:
+            for j in range(0, qlen, 5):   # rescue target
+                b[j] = "ACGT"[(("ACGT".index(b[j]) + 1) % 4)]
+        if i % 13 == 0:
+            a = ["ACGT"[v] for v in rng.integers(0, 4, qlen)]  # unmapped A
+        names.append(f"pp{i}/1".encode())
+        seqs.append("".join(a).encode())
+        quals.append(b"I" * qlen)
+    # build mate-B block (second half of the batch, same rng replay)
+    rng = np.random.default_rng(101)
+    for i in range(40):
+        st = int(rng.integers(0, len(genome) - insert))
+        frag = genome[st : st + insert]
+        a = list(frag[:qlen])
+        b = list(frag[-qlen:])
+        for arr in (a, b):
+            for j in np.flatnonzero(rng.random(qlen) < 0.02):
+                arr[j] = "ACGT"[int(rng.integers(0, 4))]
+        if i % 9 == 0:
+            for j in range(0, qlen, 5):
+                b[j] = "ACGT"[(("ACGT".index(b[j]) + 1) % 4)]
+        names.append(f"pp{i}/2".encode())
+        seqs.append("".join(b).translate(comp)[::-1].encode())
+        quals.append(b"5" * qlen)
+
+    Q = 80
+    outs, wl, wp = _device_outs(refset, idx, seqs, Q)
+    for libcode in (LIB_PAIREDEND, LIB_MATEPAIR):
+        tail_py = FastTail(refset)
+        buf_py = io.StringIO()
+        writer = ReportWriter(buf_py, refset, fmt="sam", header=False)
+        tail_py.render_pairs(names, seqs, quals, outs, wl, wp, Q,
+                             0, 500, writer, libcode=libcode)
+        tail_c = FastTail(refset)
+        buf_c = io.StringIO()
+        ok = tail_c.render_pairs_native(names, seqs, quals, outs, wl, wp,
+                                        Q, 0, 500, True, False, buf_c,
+                                        libcode=libcode)
+        assert ok, "native pair tail unavailable"
+        a, b = buf_py.getvalue(), buf_c.getvalue()
+        if a != b:
+            for la, lb in zip(a.splitlines(), b.splitlines()):
+                assert la == lb, f"lib={libcode}\npy: {la}\nc : {lb}"
+        assert a == b
