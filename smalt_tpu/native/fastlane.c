@@ -2787,7 +2787,7 @@ static int ft_sam_line_pair(FLText *t,
     tx_puti(t, r->mapped ? r->mapscor : 0);
     tx_putc(t, '\t');
     if (r->mapped) {
-        int64_t clip_start, clip_end, q0, q1;
+        int64_t clip_start, clip_end;
         int rc2;
         if (r->is_rev) {
             clip_start = qlen - r->q_end;
