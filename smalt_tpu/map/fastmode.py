@@ -23,6 +23,9 @@ from __future__ import annotations
 
 import io
 import multiprocessing as mp
+import os
+import sys
+import time
 from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -912,16 +915,26 @@ def run_fast_pipeline(refset: RefSet, idx: KmerIndex, reads_path: str,
         resume_log = None
 
     inserts = (insert_min, insert_max)
+    timing = os.environ.get("SMALT_TIMING")
+    t_start = time.time() if timing else 0.0
+    n_done = n_batches = 0
     if nthreads <= 1:
         _tail_init(refset, penalties, minscor, writer_args, inserts,
                    exact_engine, seed, libcode, ihist)
         for bno, args in batches():
             emit(bno, _tail_render(args))
+            n_done += len(args[1])
+            n_batches += 1
             if resume_log is not None:
                 out.flush()
                 resume_log.tick(args[8] + len(args[1]), out.tell(), 0)
         if resume_log is not None:
             resume_log.done()
+        if timing:
+            dt = max(time.time() - t_start, 1e-9)
+            print(f"# SMALT_TIMING fast pipeline: {n_done} reads in "
+                  f"{n_batches} batches, {dt:.2f} s "
+                  f"({n_done / dt:.0f} reads/s)", file=sys.stderr)
         return
 
     ctx = mp.get_context("fork")

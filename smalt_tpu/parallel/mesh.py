@@ -386,6 +386,17 @@ def device_map_step(di: DeviceIndex, reads, matrix, gapopen_pos, gapext_pos,
             stride = c
             break
     if stride:
+        # report the sensitivity trade once per process (a silent
+        # sampling cut is the kind of thing that hides recall drops)
+        import os as _os, sys as _sys
+        if _os.environ.get("SMALT_TIMING") and \
+                not getattr(device_map_step, "_stride_noted", False):
+            device_map_step._stride_noted = True
+            print(f"# device seeding: query positions sampled at "
+                  f"stride {stride} (coprime with nskip={di.nskip}; "
+                  f">= {valid.shape[1] // (stride * di.nskip)} "
+                  f"phase-matching seeds kept per read)",
+                  file=_sys.stderr)
         fwd = fwd[..., ::stride]
         rc = rc[..., ::stride]
         valid = valid[:, ::stride]
