@@ -636,7 +636,7 @@ class MapEngine:
             "offsets": np.ascontiguousarray(self.refset.offsets, np.int64),
             "refcodes": np.ascontiguousarray(self.refset.codes, np.uint8),
             "avgs": (ma, mm),
-            "rows": GrowBuf(np.int64, 4096 * 11),
+            "rows": GrowBuf(np.int64, 4096 * 12),
             "diff": GrowBuf(np.uint8, 1 << 20),
             "sortr": GrowBuf(np.int64, 4096),
             "seg": GrowBuf(np.int64, 8192),
