@@ -190,8 +190,10 @@ def main():
     # --- end-to-end map --fast: FASTQ on disk -> SAM on disk, one
     # process, C batched tail + single packed fetch per batch ---
     e2e_rate = exact_rate = 0.0
+    pe_rate = pe_ref = 0.0
     try:
         e2e_rate, exact_rate = _bench_end_to_end(fa_path, genome, rng)
+        pe_rate, pe_ref = _bench_exact_pe(fa_path, genome, rng)
     except Exception as e:        # noqa: BLE001 - report, don't fail bench
         print(f"# end_to_end bench failed: {e!r}", file=sys.stderr)
     os.unlink(fa_path)
@@ -206,6 +208,8 @@ def main():
         "exact_lane_reads_per_s": round(exact_rate, 1),
         "exact_lane_vs_ref_same_genome": round(exact_rate / e2e_base, 3),
         "reference_same_genome_reads_per_s": round(live_ref or 0.0, 1),
+        "exact_pe_reads_per_s": round(pe_rate, 1),
+        "exact_pe_vs_ref": round(pe_rate / pe_ref, 3) if pe_ref else 0.0,
     }
     print(json.dumps(result))
     print(f"# backend={jax.default_backend()} batch={BATCH} "
@@ -275,6 +279,67 @@ def _bench_end_to_end(fa_path, genome, rng):
     for p in (fq, fq_small, fqx):
         os.unlink(p)
     return e2e, exact
+
+
+def _bench_exact_pe(fa_path, genome, rng):
+    """(ours, reference) paired-end exact reads/s on identical inputs:
+    2x150 bp, insert ~N(400,40), 1% errors, mapping only (index
+    prebuilt for ours; the reference pays its own .smi load, as its
+    single-end baseline run does too)."""
+    import io
+    import time
+    from smalt_tpu.seq.refset import RefSet
+    from smalt_tpu.index.table import build_index
+    from smalt_tpu.map.engine import MapEngine, MapParams
+    from smalt_tpu.map.pipeline import run_pipeline
+    from smalt_tpu.seq.io import PairedReader
+    from smalt_tpu import rand
+
+    comp = str.maketrans("ACGT", "TGCA")
+    N, RL = 2000, 150
+    fq1, fq2 = fa_path + ".pe1.fq", fa_path + ".pe2.fq"
+    with open(fq1, "w") as f1, open(fq2, "w") as f2:
+        for i in range(N):
+            ins = int(rng.normal(400, 40))
+            ins = max(2 * RL + 10, min(600, ins))
+            st = int(rng.integers(0, len(genome) - ins))
+            frag = genome[st : st + ins]
+            a = list(frag[:RL])
+            b = list(frag[-RL:])
+            for arr in (a, b):
+                for j in np.flatnonzero(rng.random(RL) < 0.01):
+                    arr[j] = "ACGT"[int(rng.integers(0, 4))]
+            f1.write(f"@p{i}\n{''.join(a)}\n+\n{'5' * RL}\n")
+            f2.write(f"@p{i}\n{''.join(b).translate(comp)[::-1]}\n+\n"
+                     f"{'5' * RL}\n")
+    refset = RefSet.from_fasta(fa_path)
+    idx = build_index(refset, KMER, NSKIP)
+    _ = idx.addrs
+    rand.ranseed(1)
+    eng = MapEngine(refset, idx, MapParams())
+    sink = io.StringIO()
+    t0 = time.time()
+    run_pipeline(eng, PairedReader(fq1, fq2), sink, refset)
+    ours = 2 * N / (time.time() - t0)
+
+    ref_rate = 0.0
+    ref = os.environ.get("SMALT_REF") or "/tmp/refbuild/src/smalt"
+    if os.path.exists(ref):
+        with tempfile.TemporaryDirectory() as d:
+            subprocess.run([ref, "index", "-k", str(KMER), "-s",
+                            str(NSKIP), os.path.join(d, "idx"), fa_path],
+                           check=True, capture_output=True)
+            best = 0.0
+            for _r in range(2):
+                t0 = time.time()
+                subprocess.run([ref, "map", "-f", "sam", "-o", os.devnull,
+                                os.path.join(d, "idx"), fq1, fq2],
+                               check=True, capture_output=True)
+                best = max(best, 2 * N / (time.time() - t0))
+            ref_rate = best
+    os.unlink(fq1)
+    os.unlink(fq2)
+    return ours, ref_rate
 
 
 if __name__ == "__main__":

@@ -20,6 +20,7 @@ import smalt_tpu.native as native
 import ctypes
 lib = ctypes.CDLL(%(so)r)
 native._declare(lib)
+native._declare_fastlane(lib)
 native._lib = lib
 native._loaded = True
 native.nrsort = native._NrSortModule(lib)
@@ -78,6 +79,45 @@ for i in range(60):
         qc = codec.revcomp_codes(q) if rev else q
         ft._traceback(qc, rev, win, -40, 40)
         ft._traceback(qc, rev, win, -(len(win) - 1), len(qc) - 1)
+
+# C fast-lane block (fl_map_block): whole-block exact SE mapping
+from smalt_tpu.map.fastlane import FastLane
+lane = FastLane.make(eng, 'sam', True, False, False, False)
+assert lane is not None
+names = [r.sam_name.encode() for r in reads[:64]]
+seqs = [codec.decode(r.seq) for r in reads[:64]]
+qls = [r.qual for r in reads[:64]]
+text = lane.render_raw_block(names, seqs, qls)
+assert text is not None
+
+# C batched fast tails (fl_fast_tail_block / fl_fast_tail_pairs) with
+# synthetic device outputs (no jax needed under ASan)
+import numpy as _np
+n = 32
+sc = _np.full(n, 80, _np.int32); sc[5] = 0
+sc2 = _np.full(n, 40, _np.int32)
+stv = _np.asarray([int(rng.integers(0, refset.total_len - 200))
+                   for _ in range(n)], _np.int32)
+sd = _np.asarray([i %% 2 for i in range(n)], _np.int32)
+hu = _np.full(n, 16, _np.int32); ht = _np.full(n, 20, _np.int32)
+n2 = _np.full(n, 1, _np.int32); am = _np.zeros(n, _np.int32)
+outs = {'score': sc, 'score2': sc2, 'start': stv, 'strand': sd,
+        'hits_used': hu, 'hits_tot': ht, 'n2nd': n2, 'ambig': am,
+        'start2': stv, 'strand2': sd}
+tn = [f't{i}'.encode() for i in range(n)]
+ts = [codec.decode(refset.codes[int(stv[i]) + 16 : int(stv[i]) + 16 + 90])
+      for i in range(n)]
+tq = [b'I' * 90 for _ in range(n)]
+import io as _io
+buf = _io.StringIO()
+assert ft.render_native(tn, ts, tq, outs, 128, 16, 96, True, False, buf)
+buf = _io.StringIO()
+assert ft.render_pairs_native(tn, ts, tq, outs, 128, 16, 96, 0, 500,
+                              True, False, buf)
+
+# fl_single_rs + fl_hit_count via the native pair path explicitly
+for a, b in list(zip(reads[::2], reads[1::2]))[:40]:
+    out = eng._rmap_pair_native(a, b)
 print('ASAN RUN CLEAN')
 """
 
@@ -89,7 +129,8 @@ def test_native_core_asan(tmp_path):
         pytest.skip("no libasan")
     so = str(tmp_path / "_smalt_asan.so")
     srcs = [os.path.join(ROOT, "smalt_tpu/native/swdp.c"),
-            os.path.join(ROOT, "smalt_tpu/native/mapcore.c")]
+            os.path.join(ROOT, "smalt_tpu/native/mapcore.c"),
+            os.path.join(ROOT, "smalt_tpu/native/fastlane.c")]
     r = subprocess.run(["cc", "-O1", "-g", "-fsanitize=address", "-shared",
                         "-fPIC", "-o", so] + srcs, capture_output=True)
     if r.returncode != 0:
