@@ -901,14 +901,32 @@ class MapEngine:
             rs1, rs2 = rsr, rsm
             mc1, mc2 = mincov_read, mincov_mate
 
-        self.map_single_read(rs1, h1[0], h1[1], p1[0], p1[1], read1, mc1,
-                             p.min_swatscor, MINSCOR_BELOW_MAX_BEST, rmapflg)
+        # the first two mappings start from BLANK result sets, where the
+        # C single-read stage is interchangeable with the Python one —
+        # the oracle (reached on native-path fallback) only keeps the
+        # append/remap/fine branches in Python
+        def _map_blank(rs, rd, minsw, intervals=None):
+            if self._native_pair_ctx() is not None:
+                try:
+                    if self._map_single_native(
+                            rs, rd, minsw, MINSCOR_BELOW_MAX_BEST,
+                            intervals=intervals) is not None:
+                        return
+                except ShortSeq:
+                    return
+                rs.blank()
+            hh = h1 if rd is read1 else h2
+            pp = p1 if rd is read1 else p2
+            mc = mc1 if rd is read1 else mc2
+            self.map_single_read(rs, hh[0], hh[1], pp[0], pp[1], rd, mc,
+                                 minsw, MINSCOR_BELOW_MAX_BEST, rmapflg,
+                                 intervals=intervals)
+
+        _map_blank(rs1, read1, p.min_swatscor)
         mapq1, swscor1 = rs1.get_mapping_score()
 
         ivr = self._intervals_from_results(read1, read2, rs1)
-        self.map_single_read(rs2, h2[0], h2[1], p2[0], p2[1], read2, mc2,
-                             p.min_swatscor, MINSCOR_BELOW_MAX_BEST, rmapflg,
-                             intervals=ivr)
+        _map_blank(rs2, read2, p.min_swatscor, intervals=ivr)
         rpairs.find_proper_pairs(p.insert_min, p.insert_max,
                                  MAXNUM_PAIRS_TOTAL, 0, p.pairtyp, rsr, rsm)
         _, swscor2_restricted = rs2.get_mapping_score()
