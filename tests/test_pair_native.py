@@ -105,3 +105,50 @@ def test_pair_native_option_variants(world, tmp_path, monkeypatch, opts):
     assert cli.cmd_map(["-f", "sam", "-r", "1", "-o", py] + opts +
                        [idx, fq1, fq2]) == 0
     assert _body(nat) == _body(py)
+
+
+@pytest.mark.parametrize("seed", [11, 29, 71])
+def test_pair_native_fuzz_minigenomes(tmp_path, monkeypatch, seed):
+    """Fuzz: random mini-genomes (mixed contigs, short reads, skewed
+    inserts, N bases) — native pair path must stay byte-identical to
+    the oracle on every seed."""
+    rng = np.random.default_rng(seed)
+    bases = "ACGT"
+    contigs = ["".join(bases[i] for i in rng.integers(0, 4, int(n)))
+               for n in rng.integers(2000, 6000, 3)]
+    d = str(tmp_path)
+    fa = os.path.join(d, "g.fa")
+    with open(fa, "w") as f:
+        for i, c in enumerate(contigs):
+            f.write(f">z{i}\n{c}\n")
+    assert cli.cmd_index(["-k", "11", "-s", "2",
+                          os.path.join(d, "idx"), fa]) == 0
+    comp = str.maketrans("ACGT", "TGCA")
+    r1, r2 = [], []
+    for i in range(80):
+        ci = int(rng.integers(0, 3))
+        g = contigs[ci]
+        RL = int(rng.integers(40, 120))
+        ins = int(rng.integers(2 * RL, min(len(g), 4 * RL)))
+        st = int(rng.integers(0, len(g) - ins))
+        frag = g[st : st + ins]
+        a = list(frag[:RL])
+        b = list(frag[-RL:])
+        for arr in (a, b):
+            for j in np.flatnonzero(rng.random(RL) < 0.04):
+                arr[j] = "ACGTN"[int(rng.integers(0, 5))]
+        r1.append(f"@f{i}\n{''.join(a)}\n+\n{'I' * RL}\n")
+        r2.append(f"@f{i}\n{''.join(b).translate(comp)[::-1]}\n+\n"
+                  f"{'I' * RL}\n")
+    fq1 = os.path.join(d, "r1.fq")
+    fq2 = os.path.join(d, "r2.fq")
+    open(fq1, "w").write("".join(r1))
+    open(fq2, "w").write("".join(r2))
+    nat = os.path.join(d, "n.sam")
+    py = os.path.join(d, "p.sam")
+    assert cli.cmd_map(["-f", "sam", "-r", "1", "-o", nat,
+                        os.path.join(d, "idx"), fq1, fq2]) == 0
+    monkeypatch.setenv("SMALT_TPU_NO_PAIRNATIVE", "1")
+    assert cli.cmd_map(["-f", "sam", "-r", "1", "-o", py,
+                        os.path.join(d, "idx"), fq1, fq2]) == 0
+    assert _body(nat) == _body(py), f"seed {seed} diverged"
