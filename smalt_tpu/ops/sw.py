@@ -37,6 +37,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -(1 << 28)
 UNROLL = 16  # subject rows per fori_loop step (fewer rolls/loop overhead)
+BAND_UNROLL = 4  # the banded kernel keeps its loop body small: its 8
+                 # profile planes + per-row band slices make a 16-row
+                 # body take many minutes of Mosaic compile time
 
 
 def _cb_for(Q: int) -> int:
@@ -240,20 +243,21 @@ def _swb_kernel(qprof_ref, sstate_ref, slen_ref, params_ref, out_ref):
 
     def body(i, carry):
         H, E, vmax, prof8, sstate = carry
-        for r in range(UNROLL):
+        for r in range(BAND_UNROLL):
             H, E, vmax = one_row(H, E, vmax, prof8,
-                                 sstate[:, r : r + 1], r, UNROLL * i + r)
-        prof8 = tuple(pltpu.roll(p, p.shape[-1] - UNROLL, 1)
+                                 sstate[:, r : r + 1], r,
+                                 BAND_UNROLL * i + r)
+        prof8 = tuple(pltpu.roll(p, p.shape[-1] - BAND_UNROLL, 1)
                       for p in prof8)
         return (H, E, vmax, prof8,
-                pltpu.roll(sstate, S - UNROLL, 1))
+                pltpu.roll(sstate, S - BAND_UNROLL, 1))
 
     qp = qprof_ref[:, :, :]                # [8, CB, QB]
     prof8 = tuple(qp[a] for a in range(8))
     H0 = jnp.zeros((CB, W), jnp.int32)
     E0 = jnp.full((CB, W), NEG, jnp.int32)
     _, _, vmax, _, _ = jax.lax.fori_loop(
-        0, S // UNROLL, body,
+        0, S // BAND_UNROLL, body,
         (H0, E0, jnp.zeros((CB, W), jnp.int32), prof8, sstate_ref[:, :]))
     best = jnp.maximum(jnp.max(vmax, axis=1), 0)
     out_ref[:, :] = jnp.broadcast_to(best[:, None], (CB, W))
