@@ -245,3 +245,18 @@ def test_fast_mode_contig_boundary_clamp(tmp_path_factory):
         assert int(f[3]) >= 1, ln
         assert int(f[3]) + span - 1 <= lens[f[2]], ln
     assert nmapped >= 30   # nearly all reads are perfect copies
+
+
+def test_fast_pipeline_worker_pool_deterministic(simulated):
+    """nthreads=2 (forked tail workers + ordered merge) must produce
+    byte-identical output to the serial run — the C tails and the
+    batch-number queue run inside the pool path here."""
+    refset, idx, fq, truth, qlen = simulated
+    import io as _io
+    a = _io.StringIO()
+    run_fast_pipeline(refset, idx, fq, a, nthreads=1, batch=64,
+                      interpret=True)
+    b = _io.StringIO()
+    run_fast_pipeline(refset, idx, fq, b, nthreads=2, batch=64,
+                      interpret=True)
+    assert a.getvalue() == b.getvalue()
