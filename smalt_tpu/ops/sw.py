@@ -36,10 +36,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -(1 << 28)
-UNROLL = 16  # subject rows per fori_loop step (fewer rolls/loop overhead)
-BAND_UNROLL = 4  # the banded kernel keeps its loop body small: its 8
-                 # profile planes + per-row band slices make a 16-row
-                 # body take many minutes of Mosaic compile time
+UNROLL = 4   # subject rows per fori_loop step.  Measured on v5e: small
+             # bodies beat big ones on BOTH axes — 4 rows runs ~10%
+             # faster than the original 16-row unroll (17.2 vs 19.0 ms
+             # per 32k x 100bp batch) and compiles 15x faster; huge
+             # unrolled bodies are pathological for Mosaic (the banded
+             # kernel took 906 s to compile at 16 rows, 3.7 s at 4).
+BAND_UNROLL = 4
 
 
 def _cb_for(Q: int) -> int:
