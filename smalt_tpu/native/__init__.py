@@ -143,6 +143,8 @@ def _declare_fastlane(lib):
         ci, ci,                             # codes_are_ascii, names_raw
         i64, vp, vp, vp, vp, vp, vp,        # reads
         vp, vp, i64]                        # rng + output
+    lib.fl_prof_fetch.restype = i64
+    lib.fl_prof_fetch.argtypes = [vp, ci]
     lib.fl_scratch_new.restype = vp
     lib.fl_scratch_new.argtypes = [i64]
     lib.fl_scratch_del.restype = None

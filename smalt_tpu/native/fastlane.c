@@ -23,6 +23,37 @@
 #include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
+#include <time.h>
+
+/* Env-gated stage profiler (SMALT_FL_TIMING): seconds accumulated per
+ * stage across calls, fetched (and optionally reset) from Python via
+ * fl_prof_fetch.  Stages: 0 seed/collate, 1 pass-1 candidate scoring,
+ * 2 pass-2 align+mapq+filter, 3 report+SAM render, 4 spare, 5 spare. */
+#define FL_PROF_N 6
+static int fl_prof_on = -1;
+static double fl_prof_acc[FL_PROF_N];
+
+static double fl_prof_now(void)
+{
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return (double)ts.tv_sec + 1e-9 * (double)ts.tv_nsec;
+}
+
+static int fl_prof(void)
+{
+    if (fl_prof_on < 0)
+        fl_prof_on = getenv("SMALT_FL_TIMING") != NULL;
+    return fl_prof_on;
+}
+
+int64_t fl_prof_fetch(double *out, int reset)
+{
+    int i;
+    for (i = 0; i < FL_PROF_N; i++) out[i] = fl_prof_acc[i];
+    if (reset) memset(fl_prof_acc, 0, sizeof fl_prof_acc);
+    return FL_PROF_N;
+}
 
 /* from mapcore.c / swdp.c (same shared object) */
 int64_t mc_hitinfo_short2(
@@ -1444,9 +1475,12 @@ static int fl_map_read(const FLParams *P, FLScratch *s,
     FLStage1 st;
     int64_t out_max[3];
     int rc;
+    int prof = fl_prof();
+    double t0 = prof ? fl_prof_now() : 0.0;
 
     rs_blank(s->rs);
     rc = fl_read_stage1(P, s, codes, qual, qlen, &st);
+    if (prof) { double t1 = fl_prof_now(); fl_prof_acc[0] += t1 - t0; t0 = t1; }
     if (rc != 0) return rc;
     if (st.shortseq) return 0;
 
@@ -1467,9 +1501,12 @@ static int fl_map_read(const FLParams *P, FLScratch *s,
                              (P->rmapflg & RMAPFLG_BEST) != 0,
                              st.deficit_f, st.deficit_r,
                              s->Hbuf, s->Ebuf, s->score_out, out_max);
+    if (prof) { double t1 = fl_prof_now(); fl_prof_acc[1] += t1 - t0; t0 = t1; }
     if (rc != 0) return FL_ERR_ASSERT;
-    return fl_read_finish(P, s, qual, qlen, out_max[2],
-                          out_max[0], out_max[1]);
+    rc = fl_read_finish(P, s, qual, qlen, out_max[2],
+                        out_max[0], out_max[1]);
+    if (prof) fl_prof_acc[2] += fl_prof_now() - t0;
+    return rc;
 }
 
 /* ---------------- ASCII -> mangled encode (codec.py CODTAB) -------- */
@@ -1631,17 +1668,25 @@ int64_t fl_map_block(
             name_len = fl_sam_name_len(name, name_len);
         rc = fl_map_read(&P, &s, codes, qual, qlen);
         if (rc != 0) goto done;
-        rc = fl_add_single_to_report(s.rs, rsltouflg, &rng, s.rep, &n_rep);
-        if (rc != 0) goto done;
-        for (r = 0; r < n_rep; r++) {
-            const FLRes *rp = s.rep[r].res_idx >= 0
-                              ? &s.rs->res[s.rep[r].res_idx] : NULL;
-            rc = tx_sam_line(&t, name, name_len,
-                             codes, qual, qlen,
-                             s.rs->diffpool, rp, s.rep[r].mateflg,
-                             rp ? s.rep[r].mapscor : 0,
-                             seq_name_ptr, seq_name_len,
-                             soft_clip, x_mismatch);
+        {
+            int prof = fl_prof();
+            double t0 = prof ? fl_prof_now() : 0.0;
+            rc = fl_add_single_to_report(s.rs, rsltouflg, &rng, s.rep,
+                                         &n_rep);
+            if (rc == 0) {
+                for (r = 0; r < n_rep; r++) {
+                    const FLRes *rp = s.rep[r].res_idx >= 0
+                                      ? &s.rs->res[s.rep[r].res_idx] : NULL;
+                    rc = tx_sam_line(&t, name, name_len,
+                                     codes, qual, qlen,
+                                     s.rs->diffpool, rp, s.rep[r].mateflg,
+                                     rp ? s.rep[r].mapscor : 0,
+                                     seq_name_ptr, seq_name_len,
+                                     soft_clip, x_mismatch);
+                    if (rc != 0) break;
+                }
+            }
+            if (prof) fl_prof_acc[3] += fl_prof_now() - t0;
             if (rc != 0) goto done;
         }
         if (t.overflow) {
