@@ -21,3 +21,11 @@ Layer map (≈ reference layers, see SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persist compiled XLA programs across processes: remote-tunnel TPU
+# compiles of the bigger Pallas shapes take minutes, and every CLI run
+# is a fresh process.  Harmless on CPU; override with your own value.
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       _os.path.expanduser("~/.cache/smalt_tpu_xla"))

@@ -187,19 +187,26 @@ class DevicePass1:
     phase B (host) runs one batch behind, so device time overlaps the
     host tail."""
 
-    def __init__(self, lane: FastLane, batch: int = 4096,
+    def __init__(self, lane: FastLane, batch: int = 0,
                  interpret: Optional[bool] = None):
+        import os
         self.lane = lane
-        self.batch = batch
+        self.batch = batch or int(os.environ.get("SMALT_DP1_BATCH", 8192))
         self.interpret = interpret
         eng = lane.engine
         if -eng.gapopen < -eng.gapext:
             raise ValueError("device kernel needs gapopen >= gapext")
         self._ref_alpha = None  # built lazily (refcodes & 7)
+        # sticky shape caps: every device call is padded to (batch, qcap)
+        # reads / wcap windows so the whole run compiles exactly once
+        # (a fresh XLA shape costs minutes over the remote tunnel)
+        self._qcap = 128
+        self._scap = 128
+        self._wcap = 4 * self.batch
 
     @classmethod
     def make(cls, engine, fmt, soft_clip, x_mismatch, ali_out, fix_primary,
-             batch: int = 4096,
+             batch: int = 0,
              interpret: Optional[bool] = None) -> Optional["DevicePass1"]:
         lane = FastLane.make(engine, fmt, soft_clip, x_mismatch, ali_out,
                              fix_primary)
@@ -252,13 +259,22 @@ class DevicePass1:
     # ---------------- device scoring ----------------
 
     def _padded_reads(self, codes, read_offs, n, qmax):
-        """([n, qmax] 3-bit codes padded with 7, [n] int32 lengths)."""
-        fwd = np.full((n, qmax), 7, np.uint8)
+        """([batch, qcap] 3-bit codes padded with 7, [batch] int32
+        lengths) — always the sticky fixed shape, so the jit compiles
+        once for the whole run (trailing partial batches included)."""
+        while self._qcap < qmax:
+            self._qcap *= 2
+        fwd = np.full((self.batch, self._qcap), 7, np.uint8)
         al = codes & 7
-        for i in range(n):
-            o, e = int(read_offs[i]), int(read_offs[i + 1])
-            fwd[i, : e - o] = al[o:e]
-        qlens = (read_offs[1:] - read_offs[:-1]).astype(np.int32)
+        qlens = np.zeros(self.batch, np.int32)
+        qlens[:n] = (read_offs[1:] - read_offs[:-1]).astype(np.int32)
+        if n and qlens[0] and (qlens[:n] == qlens[0]).all():
+            L = int(qlens[0])
+            fwd[:n, :L] = al[: n * L].reshape(n, L)
+        else:
+            for i in range(n):
+                o, e = int(read_offs[i]), int(read_offs[i + 1])
+                fwd[i, : e - o] = al[o:e]
         return fwd, qlens
 
     def _device_fn(self):
@@ -323,14 +339,17 @@ class DevicePass1:
         slens = win_desc[:, 1].astype(np.int32)
         ridx = win_desc[:, 2].astype(np.int32)
         is_rev = win_desc[:, 3].astype(np.int32)
-        # pad S to a 128 multiple and the batch to a power of two so the
-        # jit sees a bounded shape family
+        # pad S to a 128 multiple and the window count to the sticky cap
+        # (padded windows have slens 0: every row masked, score 0) —
+        # with the fixed read batch this keeps the run to ONE compile
         S = int(slens.max()) if len(slens) else 128
-        S = -(-S // 128) * 128
+        while self._scap < S:
+            self._scap *= 2
+        S = self._scap
         nw = len(slens)
-        nwp = 1
-        while nwp < nw:
-            nwp *= 2
+        while self._wcap < nw:
+            self._wcap *= 2
+        nwp = self._wcap
         if nwp > nw:
             starts = np.pad(starts, (0, nwp - nw))
             slens = np.pad(slens, (0, nwp - nw))
@@ -338,7 +357,12 @@ class DevicePass1:
             is_rev = np.pad(is_rev, (0, nwp - nw))
         out = self._device_fn()(self._ref_alpha, fwd, qlens, starts,
                                 slens, ridx, is_rev, S)
-        return out[:nw]
+        out = out[:nw]
+        try:
+            out.copy_to_host_async()   # overlap D2H with the host tail
+        except AttributeError:
+            pass
+        return out
 
     # ---------------- phase B ----------------
 
