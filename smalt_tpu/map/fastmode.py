@@ -218,6 +218,57 @@ class FastTail:
         return (int(r[0]), int(r[1]), int(r[2]), int(r[3]), int(r[4]),
                 diff)
 
+    def _dev_align(self, qcodes, is_rev, win_codes, ti, tj, sc_hint):
+        """Device-canonical tail (mc_dev_align): gapless shortcut from
+        the device argmax (ti, tj in the clamped-window / raw-read
+        frames; -1 = unknown), else the same standard-affine DP the
+        device kernel runs, host-side.  Same result tuple as
+        _traceback."""
+        from ..native import get_lib, GrowBuf
+        import numpy as np
+        lib = get_lib()
+        qlen = len(qcodes)
+        slen = len(win_codes)
+        if slen < 1 or qlen < ali_mod.ALILEN_MIN:
+            return None
+        scr = self._scr
+        if scr is None:
+            scr = self._scr = {
+                "W": GrowBuf(np.int32), "H": GrowBuf(np.int32),
+                "E": GrowBuf(np.int32), "dirm": GrowBuf(np.uint8, 4096),
+                "back": GrowBuf(np.uint8), "pool": GrowBuf(np.uint8),
+                "res": GrowBuf(np.int64),
+            }
+        scr["W"].ensure(8 * qlen)
+        scr["H"].ensure(qlen + 1)
+        scr["E"].ensure(qlen + 1)
+        ndir_cap = qlen * slen + 1
+        scr["dirm"].ensure(ndir_cap)
+        back_cap = 2 * (qlen + slen) + 8
+        scr["back"].ensure(back_cap)
+        diff_cap = 4 * (qlen + slen) + 1024
+        scr["pool"].ensure(diff_cap)
+        scr["res"].ensure(7)
+        q = np.ascontiguousarray(qcodes, dtype=np.uint8)
+        w = np.ascontiguousarray(win_codes, dtype=np.uint8)
+        n = lib.mc_dev_align(
+            q.ctypes.data, qlen, 1 if is_rev else 0,
+            self._mat32.ctypes.data, w.ctypes.data, slen,
+            ti, tj, sc_hint, max(self.minscor, 1),
+            -self.gapopen, -self.gapext,
+            scr["W"].addr, scr["H"].addr, scr["E"].addr,
+            scr["dirm"].addr, ndir_cap,
+            scr["back"].addr, back_cap,
+            scr["pool"].addr, diff_cap,
+            scr["res"].addr)
+        if n <= 0:
+            return None
+        r = scr["res"].arr
+        off, dn = int(r[5]), int(r[6])
+        diff = scr["pool"].arr[off : off + dn].tolist()
+        return (int(r[0]), int(r[1]), int(r[2]), int(r[3]), int(r[4]),
+                diff)
+
     def _finish(self, win_start, tb, is_rev, mapq, qlen) -> RepAli:
         sw, ps, pe, ss, se, diff = tb
         refset = self.refset
@@ -248,7 +299,8 @@ class FastTail:
     def map_one(self, read: Read, sc1: int, sc2: int, ws: int, is_rev: bool,
                 win_len: int, pad: int, q_padded: int,
                 hits_used: int = 0, hits_tot: int = 0,
-                n2nd: int = 1, ambig: bool = False) -> Optional[RepAli]:
+                n2nd: int = 1, ambig: bool = False,
+                tb_i: int = -1, tb_j: int = -1) -> Optional[RepAli]:
         """SE mapping tail for one read given its device-pass winner."""
         qlen = len(read.seq)
         if sc1 < self.minscor or qlen < 5:
@@ -268,10 +320,23 @@ class FastTail:
         if w1 - w0 < 1:
             return None
         win = self.ref_codes[w0:w1]
-        # the alignment diagonal sits near the window pad (plus the
-        # batch padding shift for RC reads); a narrow band suffices,
-        # with a full-band retry whenever the banded score misses the
-        # device's full-matrix score
+        if tb_i >= 0:
+            # device-canonical tail: the kernel's argmax anchors a
+            # gapless shortcut; gapped/clamped reads replay the device
+            # DP host-side (mc_dev_align)
+            ti_l = tb_i - (w0 - ws)
+            tj_l = tb_j - shift
+            if not (0 <= ti_l < (w1 - w0) and 0 <= tj_l < qlen):
+                ti_l = tj_l = -1
+            tb = self._dev_align(read.seq, is_rev, win, ti_l, tj_l, sc1)
+            if tb is None:
+                return None
+            return self._finish(w0, tb, is_rev,
+                                fast_mapq(sc1, sc2, qlen, hits_used,
+                                          hits_tot, n2nd, ambig), qlen)
+        # long-read path: narrow band around the seed diagonal, with a
+        # full-band retry whenever the banded score misses the device's
+        # score
         center = -(pad + shift) + (w0 - ws)
         tb = self._traceback(read.seq, is_rev, win, center - 24,
                              center + 48)
@@ -336,6 +401,8 @@ class FastTail:
         tot = outs.get("hits_tot")
         n2 = outs.get("n2nd")
         amb = outs.get("ambig")
+        tbi = outs.get("tb_i")
+        tbj = outs.get("tb_j")
         for i, name in enumerate(names):
             hu = int(used[i]) if used is not None else 0
             ht = int(tot[i]) if tot is not None else 0
@@ -354,7 +421,9 @@ class FastTail:
                               int(start[i]), bool(strand[i]),
                               win_len, pad, q_padded, hu, ht,
                               int(n2[i]) if n2 is not None else 1,
-                              bool(amb[i]) if amb is not None else False)
+                              bool(amb[i]) if amb is not None else False,
+                              int(tbi[i]) if tbi is not None else -1,
+                              int(tbj[i]) if tbj is not None else -1)
             if rp is None:
                 rp = RepAli()   # unmapped record
             writer._write_one(rp, read, None, 0, 0)
@@ -411,6 +480,11 @@ class FastTail:
         st, sd = a32("start"), a32("strand")
         hu, ht = a32("hits_used"), a32("hits_tot")
         n2, am = a32("n2nd"), a32("ambig")
+        if "tb_i" in outs:
+            tbi, tbj = a32("tb_i"), a32("tb_j")
+        else:
+            tbi = np.full(n, -1, np.int32)
+            tbj = np.full(n, -1, np.int32)
         skip = None
         if exact_fallback is not None:
             skip = (ht > hu).astype(np.uint8)
@@ -435,6 +509,7 @@ class FastTail:
                 sc.ctypes.data, sc2.ctypes.data, st.ctypes.data,
                 sd.ctypes.data, hu.ctypes.data, ht.ctypes.data,
                 n2.ctypes.data, am.ctypes.data,
+                tbi.ctypes.data, tbj.ctypes.data,
                 skip.ctypes.data if skip is not None else None,
                 out.ctypes.data, cap, out_offs.ctypes.data)
             if rc == -3:
@@ -511,6 +586,11 @@ class FastTail:
         st, sd = a32("start"), a32("strand")
         hu, ht = a32("hits_used"), a32("hits_tot")
         n2, am = a32("n2nd"), a32("ambig")
+        if "tb_i" in outs:
+            tbi, tbj = a32("tb_i"), a32("tb_j")
+        else:
+            tbi = np.full(n, -1, np.int32)
+            tbj = np.full(n, -1, np.int32)
         qmax = int((read_offs[1:] - read_offs[:-1]).max()) if n else 1
         cap = int(name_offs[-1]) + n * (2 * qmax + 192)
         ma, _ = self.avgs
@@ -533,6 +613,7 @@ class FastTail:
                 sc.ctypes.data, sc2.ctypes.data, st.ctypes.data,
                 sd.ctypes.data, hu.ctypes.data, ht.ctypes.data,
                 n2.ctypes.data, am.ctypes.data,
+                tbi.ctypes.data, tbj.ctypes.data,
                 out.ctypes.data, cap)
             if rc == -3:
                 cap *= 4
@@ -633,6 +714,8 @@ class FastTail:
         tot = outs.get("hits_tot")
         n2 = outs.get("n2nd")
         amb = outs.get("ambig")
+        tbi = outs.get("tb_i")
+        tbj = outs.get("tb_j")
 
         def stats(j):
             if used is None:
@@ -648,10 +731,14 @@ class FastTail:
                          seq=codec.encode(seqs[ib]), qual=quals[ib])
             rpA = self.map_one(readA, int(score[ia]), int(score2[ia]),
                                int(start[ia]), bool(strand[ia]),
-                               win_len, pad, q_padded, *stats(ia))
+                               win_len, pad, q_padded, *stats(ia),
+                               tb_i=int(tbi[ia]) if tbi is not None else -1,
+                               tb_j=int(tbj[ia]) if tbi is not None else -1)
             rpB = self.map_one(readB, int(score[ib]), int(score2[ib]),
                                int(start[ib]), bool(strand[ib]),
-                               win_len, pad, q_padded, *stats(ib))
+                               win_len, pad, q_padded, *stats(ib),
+                               tb_i=int(tbi[ib]) if tbi is not None else -1,
+                               tb_j=int(tbj[ib]) if tbi is not None else -1)
             if rpA is None and rpB is not None:
                 rpA = self.rescue_mate(readA, rpB, insert_min, insert_max)
             elif rpB is None and rpA is not None:

@@ -171,6 +171,7 @@ def _declare_fastlane(lib):
         i64, i64, i64,                      # window geometry
         i64, vp, vp, vp, vp, vp, vp,        # reads
         vp, vp, vp, vp, vp, vp, vp, vp,     # device outputs
+        vp, vp,                             # tb anchors (NULL = banded)
         vp,                                 # skip mask
         vp, i64, vp]                        # out text, cap, out_offs
     lib.fl_fast_tail_pairs.restype = i64
@@ -181,7 +182,16 @@ def _declare_fastlane(lib):
         i64, i64, ci,                       # inserts + libcode
         i64, vp, vp, vp, vp, vp, vp,        # reads
         vp, vp, vp, vp, vp, vp, vp, vp,     # device outputs
+        vp, vp,                             # tb anchors (NULL = banded)
         vp, i64]                            # out text, cap
+    lib.mc_dev_align.restype = i64
+    lib.mc_dev_align.argtypes = [
+        vp, i64, ci, vp, vp, i64,           # query, revcomp, matrix, subj
+        i64, i64, i64, i64,                 # ti, tj, sc_hint, minscore
+        ci, ci,                             # gaps
+        vp, vp, vp,                         # Wbuf, Hbuf, Ebuf
+        vp, i64, vp, i64, vp, i64,          # dirm, back, diffpool
+        vp]                                 # res (7 int64)
     lib.fl_pass1_block.restype = i64
     lib.fl_pass1_block.argtypes = [
         vp, vp, i64, vp, vp, ci, ci,        # index

@@ -121,6 +121,18 @@ int64_t mc_fast_align(
     uint8_t *back, int64_t back_cap,
     uint8_t *diffpool, int64_t diff_cap,
     int64_t *res, int64_t res_cap);
+int64_t mc_dev_align(
+    const uint8_t *qcodes, int64_t qlen, int do_revcomp,
+    const int32_t *matrix,
+    const uint8_t *subj, int64_t slen,
+    int64_t ti, int64_t tj, int64_t sc_hint,
+    int64_t minscore,
+    int gap_init, int gap_ext,
+    int32_t *Wbuf, int32_t *Hbuf, int32_t *Ebuf,
+    uint8_t *dirm, int64_t dirm_cap,
+    uint8_t *back, int64_t back_cap,
+    uint8_t *diffpool, int64_t diff_cap,
+    int64_t *res);
 int nr_sort2(uint32_t *a, uint32_t *b, int n);
 int mc_calc_seg_offsets(const int64_t *row, int ktup, int nskip,
                         const int64_t *offsets, int64_t nseq, int64_t qlen,
@@ -2126,6 +2138,10 @@ int64_t fl_fast_tail_block(
     const int32_t *score, const int32_t *score2, const int32_t *wstart,
     const int32_t *strand, const int32_t *hits_used,
     const int32_t *hits_tot, const int32_t *n2nd, const int32_t *ambig,
+    /* device traceback anchors (window row / padded query col of the
+     * winning window's argmax; tb_i NULL or tb_i[i] < 0 -> banded
+     * host traceback, the long-read path) */
+    const int32_t *tb_i, const int32_t *tb_j,
     /* reads to skip (rendered elsewhere, e.g. exact fallback) */
     const uint8_t *skip,
     /* output: text + per-read text extents out_offs[n_reads+1] */
@@ -2220,7 +2236,30 @@ int64_t fl_fast_tail_block(
                 int64_t slen = w1 - w0;
                 int64_t center = -(pad + shift) + (w0 - ws);
                 const uint8_t *win = refcodes + w0;
-                if (slen >= 1 && qlen >= ALILEN_MIN) {
+                if (slen >= 1 && qlen >= ALILEN_MIN &&
+                    tb_i != NULL && tb_i[i] >= 0) {
+                    /* device-canonical tail: gapless shortcut from the
+                     * kernel's argmax cell, else the same DP host-side
+                     * (window row/query col translated to the clamped
+                     * window / raw-read frames) */
+                    int64_t ti_l = (int64_t)tb_i[i] - (w0 - ws);
+                    int64_t tj_l = (int64_t)tb_j[i] - shift;
+                    if (ti_l < 0 || ti_l >= slen ||
+                        tj_l < 0 || tj_l >= qlen)
+                        ti_l = tj_l = -1;
+                    nres = mc_dev_align(enc, qlen, is_rev, matrix, win,
+                                        slen, ti_l, tj_l, sc1, minscore,
+                                        gap_init, gap_ext,
+                                        Wbuf, Hbuf, Ebuf,
+                                        dirm, dirm_cap, back, back_cap,
+                                        diffpool, diff_cap, ares);
+                    if (nres > 0) {
+                        have_tb = 1;
+                        best[0] = ares[0]; best[1] = ares[1];
+                        best[2] = ares[2]; best[3] = ares[3];
+                        best[4] = ares[4]; best[5] = ares[6];
+                    }
+                } else if (slen >= 1 && qlen >= ALILEN_MIN) {
                     nres = mc_fast_align(enc, qlen, is_rev, matrix, win,
                                          slen, center - 24, center + 48,
                                          minscore, minscorlen,
@@ -2574,10 +2613,14 @@ typedef struct {
     uint8_t *diff;              /* caller-owned pool */
 } FTAli;
 
-/* FastTail.map_one minus the mapq (filled by the caller): banded
- * traceback of the winning window, clamped to the seed's contig. */
+/* FastTail.map_one minus the mapq (filled by the caller): traceback of
+ * the winning window, clamped to the seed's contig.  With a device
+ * argmax anchor (ti >= 0) the device-canonical tail runs (gapless
+ * shortcut or host replay of the device DP); else the banded
+ * narrow+retry path (long reads). */
 static int ft_map_one(FTCtx *c, const uint8_t *enc, int64_t qlen,
                       int64_t sc1, int is_rev, int64_t ws,
+                      int64_t ti, int64_t tj,
                       uint8_t *pool, FTAli *r)
 {
     int64_t shift, anchor, sidx, c_lo, c_hi, w0, w1, slen, center;
@@ -2603,7 +2646,24 @@ static int ft_map_one(FTCtx *c, const uint8_t *enc, int64_t qlen,
     slen = w1 - w0;
     center = -(c->pad + shift) + (w0 - ws);
     win = c->refcodes + w0;
-    if (slen >= 1 && qlen >= ALILEN_MIN) {
+    if (slen >= 1 && qlen >= ALILEN_MIN && ti >= 0) {
+        int64_t ti_l = ti - (w0 - ws);
+        int64_t tj_l = tj - shift;
+        if (ti_l < 0 || ti_l >= slen || tj_l < 0 || tj_l >= qlen)
+            ti_l = tj_l = -1;
+        nres = mc_dev_align(enc, qlen, is_rev, c->matrix, win, slen,
+                            ti_l, tj_l, sc1, c->minscore,
+                            c->gap_init, c->gap_ext,
+                            c->Wbuf, c->Hbuf, c->Ebuf,
+                            c->dirm, c->dirm_cap, c->back, c->back_cap,
+                            pool, c->diff_cap, c->ares);
+        if (nres > 0) {
+            have = 1;
+            best[0] = c->ares[0]; best[1] = c->ares[1];
+            best[2] = c->ares[2]; best[3] = c->ares[3];
+            best[4] = c->ares[4]; best[5] = c->ares[6];
+        }
+    } else if (slen >= 1 && qlen >= ALILEN_MIN) {
         int64_t half = c->diff_cap / 2;
         nres = mc_fast_align(enc, qlen, is_rev, c->matrix, win, slen,
                              center - 24, center + 48,
@@ -2914,6 +2974,7 @@ int64_t fl_fast_tail_pairs(
     const int32_t *score, const int32_t *score2, const int32_t *wstart,
     const int32_t *strand, const int32_t *hits_used,
     const int32_t *hits_tot, const int32_t *n2nd, const int32_t *ambig,
+    const int32_t *tb_i, const int32_t *tb_j,
     char *out_text, int64_t out_cap)
 {
     FLText t;
@@ -2996,13 +3057,15 @@ int64_t fl_fast_tail_pairs(
         for (j = 0; j < qlA; j++) encA[j] = fl_codtab[asciiA[j]];
         for (j = 0; j < qlB; j++) encB[j] = fl_codtab[asciiB[j]];
         okA = ft_map_one(&c, encA, qlA, score[ia], strand[ia] != 0,
-                         wstart[ia], poolA, &A);
+                         wstart[ia], tb_i ? tb_i[ia] : -1,
+                         tb_j ? tb_j[ia] : -1, poolA, &A);
         if (okA)
             A.mapscor = fl_fast_mapq(score[ia], score2[ia], qlA,
                                      hits_used[ia], hits_tot[ia],
                                      n2nd[ia], ambig[ia] != 0);
         okB = ft_map_one(&c, encB, qlB, score[ib], strand[ib] != 0,
-                         wstart[ib], poolB, &Bm);
+                         wstart[ib], tb_i ? tb_i[ib] : -1,
+                         tb_j ? tb_j[ib] : -1, poolB, &Bm);
         if (okB)
             Bm.mapscor = fl_fast_mapq(score[ib], score2[ib], qlB,
                                       hits_used[ib], hits_tot[ib],

@@ -1199,3 +1199,198 @@ int64_t mc_fast_align(
                               back, back_cap, diffpool, diff_cap,
                               res, res_cap);
 }
+
+/* ---------------- device-canonical tail (short-read fast mode) ------ */
+
+/* from swdp.c */
+int sw_dev_track(const int32_t *W, int qlen, const uint8_t *subj, int slen,
+                 int gap_init, int gap_ext,
+                 uint8_t *dirm, int *max_i_out, int *max_j_out,
+                 int32_t *Hbuf, int32_t *Ebuf);
+
+/* Exact-cost traceback over sw_dev_track's state bytes.  Walks the
+ * H/E/F/H0 state machine from (max_i, max_j), emitting the reversed
+ * back codes of mc_traceback's grammar; the checksum must reproduce
+ * max_scor exactly (each gap step subtracts gap_init when its state
+ * bit says "opened", gap_ext when "chained" — the formation chain the
+ * fill recorded, so the telescoped sum is exact by construction).
+ * out6 as mc_traceback.  Returns 0, -1 cap, -2 checksum. */
+static int64_t mc_dev_walk(const int32_t *W, int64_t qlen,
+                           const uint8_t *subj, const uint8_t *dirm,
+                           int64_t max_i, int64_t max_j, int64_t max_scor,
+                           int gap_init, int gap_ext,
+                           uint8_t *back, int64_t back_cap, int64_t *out6)
+{
+    int64_t i = max_i, j = max_j, checksum = 0, nmatch = 0, nback = 0;
+    int state = 0;   /* 0 H, 1 E, 2 F, 3 H0 */
+    while (i >= 0 && j >= 0) {
+        uint8_t b = dirm[i * qlen + j];
+        if (nback + 2 > back_cap) return -1;
+        if (state == 0 || state == 3) {
+            uint8_t d = (state == 0) ? (uint8_t)(b & 3)
+                                     : (uint8_t)((b >> 4) & 3);
+            if (d == 0) break;
+            if (d == 3) {               /* DIA */
+                int32_t s = W[(int64_t)(subj[i] & 7) * qlen + j];
+                if (s > 0) {
+                    if (nmatch > MAXMISMATCH) {
+                        back[nback++] =
+                            (uint8_t)((DIFFCOD_M << 6) | MAXMISMATCH);
+                        nmatch -= MAXMISMATCH;
+                    } else {
+                        nmatch++;
+                    }
+                } else {
+                    back[nback++] = (uint8_t)((DIFFCOD_S << 6) | nmatch);
+                    nmatch = 0;
+                }
+                checksum += s;
+                i--; j--;
+                state = 0;
+                continue;
+            }
+            if (d == 1) { state = 1; continue; }       /* H(0) == E */
+            if (state == 3) return -2;                 /* H0 can't be F */
+            state = 2;                                 /* H == F */
+            continue;
+        }
+        if (state == 1) {               /* E: one deletion (subject) */
+            int eo = (i > 0) ? ((dirm[(i - 1) * qlen + j] >> 2) & 1) : 1;
+            back[nback++] = (uint8_t)((DIFFCOD_D << 6) | nmatch);
+            nmatch = 0;
+            checksum -= eo ? gap_init : gap_ext;
+            i--;
+            state = eo ? 0 : 1;
+            continue;
+        }
+        /* state == 2, F: one insertion (query) */
+        {
+            int fo = (b >> 3) & 1;
+            back[nback++] = (uint8_t)((DIFFCOD_I << 6) | nmatch);
+            nmatch = 0;
+            checksum -= fo ? gap_init : gap_ext;
+            j--;
+            state = fo ? 3 : 2;
+        }
+    }
+    if (nback + 2 > back_cap) return -1;
+    back[nback++] = (uint8_t)((DIFFCOD_S << 6) | nmatch);
+    back[nback++] = (uint8_t)(DIFFCOD_M << 6);
+    if (checksum != max_scor) return -2;
+    out6[0] = nback;
+    out6[1] = j + 1;
+    out6[2] = max_j;
+    out6[3] = i + 1;
+    out6[4] = max_i;
+    out6[5] = checksum;
+    return 0;
+}
+
+/* One-call fast-mode tail alignment against the device contract.
+ *
+ * The device kernel reports, per winning window, its score and the
+ * row-major-first argmax cell (ti, tj) of T = Hdiag + W.  Given those,
+ * the optimal alignment is recovered without any DP whenever the
+ * diagonal run ending at (ti, tj) sums to sc_hint with every proper
+ * suffix in (0, sc_hint) — then the device-canonical DP provably
+ * tracebacks exactly that run (diagonal-preferred ties; a violated
+ * precondition would contradict (ti, tj) being the first argmax).
+ * Otherwise (gapped alignments, clamped windows, ti < 0) the full
+ * device-canonical DP runs host-side (sw_dev_track + mc_dev_walk) —
+ * identical recurrence, identical argmax rule, so the two paths agree
+ * whenever both apply.
+ *
+ * res: one 7-int row {sc, ps, pe, ss, se, diff_off(=0), diff_len}.
+ * Returns 1 (aligned), 0 (below minscore), -1 cap, -2 internal. */
+int64_t mc_dev_align(
+    const uint8_t *qcodes, int64_t qlen, int do_revcomp,
+    const int32_t *matrix,
+    const uint8_t *subj, int64_t slen,
+    int64_t ti, int64_t tj, int64_t sc_hint,
+    int64_t minscore,
+    int gap_init, int gap_ext,
+    int32_t *Wbuf, int32_t *Hbuf, int32_t *Ebuf,
+    uint8_t *dirm, int64_t dirm_cap,
+    uint8_t *back, int64_t back_cap,
+    uint8_t *diffpool, int64_t diff_cap,
+    int64_t *res)
+{
+    int64_t j, dn, out6[6];
+    int a;
+    if (slen < 1 || qlen < 1) return 0;
+    for (j = 0; j < qlen; j++) {
+        uint8_t c = do_revcomp ? qcodes[qlen - 1 - j] : qcodes[j];
+        uint8_t al = (uint8_t)((c & 4) ? (c & 7)
+                               : (do_revcomp ? ((~c) & 3) : (c & 3)));
+        for (a = 0; a < 8; a++)
+            Wbuf[(int64_t)a * qlen + j] = matrix[a * 8 + al];
+    }
+    if (ti >= 0 && ti < slen && tj >= 0 && tj < qlen &&
+        sc_hint >= minscore) {
+        int64_t c = 0, k = -1, m;
+        int64_t lim = ti < tj ? ti : tj;
+        for (m = 0; m <= lim; m++) {
+            c += Wbuf[(int64_t)(subj[ti - m] & 7) * qlen + (tj - m)];
+            if (c >= sc_hint) {
+                if (c == sc_hint) k = m;
+                break;      /* c > sc_hint would contradict the max */
+            }
+            if (c <= 0) break;  /* dead suffix: contradicts first-argmax */
+        }
+        if (k >= 0) {
+            int64_t nback = 0, nmatch = 0, mm;
+            for (mm = 0; mm <= k; mm++) {
+                int32_t s = Wbuf[(int64_t)(subj[ti - mm] & 7) * qlen +
+                                 (tj - mm)];
+                if (nback + 2 > back_cap) return -1;
+                if (s > 0) {
+                    if (nmatch > MAXMISMATCH) {
+                        back[nback++] =
+                            (uint8_t)((DIFFCOD_M << 6) | MAXMISMATCH);
+                        nmatch -= MAXMISMATCH;
+                    } else {
+                        nmatch++;
+                    }
+                } else {
+                    back[nback++] = (uint8_t)((DIFFCOD_S << 6) | nmatch);
+                    nmatch = 0;
+                }
+            }
+            if (nback + 2 > back_cap) return -1;
+            back[nback++] = (uint8_t)((DIFFCOD_S << 6) | nmatch);
+            back[nback++] = (uint8_t)(DIFFCOD_M << 6);
+            dn = diff_reverse(back, nback, diffpool, diff_cap);
+            if (dn < 0) return -1;
+            res[0] = sc_hint;
+            res[1] = tj - k;
+            res[2] = tj;
+            res[3] = ti - k;
+            res[4] = ti;
+            res[5] = 0;
+            res[6] = dn;
+            return 1;
+        }
+    }
+    if (qlen * slen > dirm_cap) return -1;
+    {
+        int mi, mj;
+        int64_t rc;
+        int64_t sc = sw_dev_track(Wbuf, (int)qlen, subj, (int)slen,
+                                  gap_init, gap_ext, dirm, &mi, &mj,
+                                  Hbuf, Ebuf);
+        if (sc < minscore) return 0;
+        rc = mc_dev_walk(Wbuf, qlen, subj, dirm, mi, mj, sc,
+                         gap_init, gap_ext, back, back_cap, out6);
+        if (rc != 0) return rc;
+        dn = diff_reverse(back, out6[0], diffpool, diff_cap);
+        if (dn < 0) return -1;
+        res[0] = sc;
+        res[1] = out6[1];
+        res[2] = out6[2];
+        res[3] = out6[3];
+        res[4] = out6[4];
+        res[5] = 0;
+        res[6] = dn;
+        return 1;
+    }
+}

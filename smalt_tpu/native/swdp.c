@@ -181,6 +181,76 @@ int sw_band_track(const int32_t *W, int qlen_prof,
     return best;
 }
 
+/* Device-canonical standard-affine local DP: the EXACT recurrence of
+ * the TPU kernel (smalt_tpu/ops/sw.py _sw_kernel):
+ *     T  = H[i-1][j-1] + W[subj_i][q_j]
+ *     H0 = max(T, E, 0)
+ *     F[j] = max(F[j-1] - ge, H0[j-1] - go)        (H0-anchored)
+ *     H  = max(H0, F)
+ *     E' = max(E - ge, H - go)                     (unconditional)
+ * Tracks the row-major-FIRST argmax of T (strict-greater updates, the
+ * same cell the device kernel's track mode reports) and writes one
+ * state byte per cell for the exact-cost walker (mc_dev_walk):
+ *     b0-1  dir of H   (0 none, 1 E/COL, 2 F/ROW, 3 T/DIA)
+ *     b2    E' opened from H - go (else chained E - ge)
+ *     b3    F  opened from H0[j-1] - go (else chained F[j-1] - ge)
+ *     b4-5  dir of H0  (0 none, 1 E/COL, 3 T/DIA)
+ * Ties prefer DIA over COL over ROW (the gapless-shortcut contract:
+ * a run whose sum equals the DP max is walked diagonally).
+ * dirm: slen rows x qlen cols.  Hbuf/Ebuf: qlen int32 scratch.
+ * Returns the clamped best (>= 0). */
+int sw_dev_track(const int32_t *W, int qlen, const uint8_t *subj, int slen,
+                 int gap_init, int gap_ext,
+                 uint8_t *dirm, int *max_i_out, int *max_j_out,
+                 int32_t *Hbuf, int32_t *Ebuf)
+{
+    const int32_t NEGI = -(1 << 28);
+    int32_t best = 0;
+    int i, j, bi = 0, bj = 0;
+    for (j = 0; j < qlen; j++) { Hbuf[j] = 0; Ebuf[j] = 0; }
+    for (i = 0; i < slen; i++) {
+        const int32_t *rs = rowscore(W, qlen, subj[i]);
+        int32_t Hdiag = 0;            /* H[i-1][-1] == 0 */
+        int32_t F = NEGI;
+        int32_t H0prev = NEGI;
+        uint8_t *dp = dirm + (int64_t)i * qlen;
+        for (j = 0; j < qlen; j++) {
+            int32_t E = Ebuf[j];
+            int32_t T = Hdiag + rs[j];
+            int32_t H0, Hn, En;
+            uint8_t d0 = 0, dn, eo, fo = 0;
+            if (j > 0) {
+                int32_t fopen = H0prev - gap_init;
+                int32_t fchain = F - gap_ext;
+                fo = fopen >= fchain;
+                F = fo ? fopen : fchain;
+            } else {
+                F = NEGI;
+            }
+            H0 = 0;
+            if (T > 0) { H0 = T; d0 = 3; }
+            if (E > H0) { H0 = E; d0 = 1; }
+            Hn = H0; dn = d0;
+            if (F > Hn) { Hn = F; dn = 2; }
+            if (T > best) { best = T; bi = i; bj = j; }
+            En = E - gap_ext;
+            {
+                int32_t eopen = Hn - gap_init;
+                eo = eopen >= En;
+                if (eo) En = eopen;
+            }
+            dp[j] = (uint8_t)(dn | (eo << 2) | (fo << 3) | (d0 << 4));
+            Hdiag = Hbuf[j];
+            Hbuf[j] = Hn;
+            Ebuf[j] = En;
+            H0prev = H0;
+        }
+    }
+    *max_i_out = bi;
+    *max_j_out = bj;
+    return best > 0 ? best : 0;
+}
+
 /* Full-matrix affine local SW, score only (mathematically equal to the
  * Farrar striped kernels in swsimd.c: both gaps open from the cell
  * maximum; running max over diagonal H' = Hdiag + W). */

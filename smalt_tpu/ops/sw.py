@@ -57,89 +57,128 @@ def _cb_for(Q: int) -> int:
     return 32
 
 
-def _sw_kernel(qcodes_ref, subj_ref, slen_ref, matrix_ref, params_ref,
-               out_ref):
-    """One grid step: CB candidates, query on lanes."""
-    go = params_ref[0, 0]
-    ge = params_ref[0, 1]
-    CB = qcodes_ref.shape[0]
-    Q = qcodes_ref.shape[-1]
-    S = subj_ref.shape[-1]
-    qc = qcodes_ref[:, :]                       # [CB, Q] int32 codes 0..7
-    mat = matrix_ref[:, :]                      # [8, 8]
-    # profile[a][c, j] = matrix[a, qc[c, j]], built with select chains
-    # (TPU mosaic supports only 2D gathers)
-    prof = []
-    for a in range(8):
-        row = jnp.full(qc.shape, mat[a, 0], jnp.int32)
-        for v in range(1, 8):
-            row = jnp.where(qc == v, mat[a, v], row)
-        prof.append(row)
-    jidx = jax.lax.broadcasted_iota(jnp.int32, (CB, Q), 1)
-    slens = slen_ref[:, 0]                      # [CB]
+def _make_sw_kernel(track: bool):
+    """Build the grid-step kernel.  With `track`, the kernel also finds
+    the ARGMAX cell of the running maximum — the first (subject row i,
+    query lane j) in row-major scan order where T = Hdiag + W attains
+    the final best, strictly-greater updates so earlier cells win ties
+    — and the output packs [best, i, j] into lanes 0..2.  This is the
+    device side of the fast tail's traceback contract: the host either
+    replays a gapless run ending at (i, j) or re-runs the identical
+    recurrence (fl_dev_align) from scratch."""
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (CB, Q), 1)
+    def _sw_kernel(qcodes_ref, subj_ref, slen_ref, matrix_ref, params_ref,
+                   out_ref):
+        go = params_ref[0, 0]
+        ge = params_ref[0, 1]
+        CB = qcodes_ref.shape[0]
+        Q = qcodes_ref.shape[-1]
+        S = subj_ref.shape[-1]
+        qc = qcodes_ref[:, :]                   # [CB, Q] int32 codes 0..7
+        mat = matrix_ref[:, :]                  # [8, 8]
+        # profile[a][c, j] = matrix[a, qc[c, j]], built with select chains
+        # (TPU mosaic supports only 2D gathers)
+        prof = []
+        for a in range(8):
+            row = jnp.full(qc.shape, mat[a, 0], jnp.int32)
+            for v in range(1, 8):
+                row = jnp.where(qc == v, mat[a, v], row)
+            prof.append(row)
+        jidx = jax.lax.broadcasted_iota(jnp.int32, (CB, Q), 1)
+        slens = slen_ref[:, 0]                  # [CB]
 
-    def cummax(x):
-        # log-depth inclusive prefix max along lanes (Hillis-Steele);
-        # lane rotate + mask lowers better than concatenate
-        d = 1
-        while d < Q:
-            shifted = jnp.where(lane < d, NEG, pltpu.roll(x, d, 1))
-            x = jnp.maximum(x, shifted)
-            d *= 2
-        return x
+        lane = jax.lax.broadcasted_iota(jnp.int32, (CB, Q), 1)
 
-    def one_row(H, E, vmax, col, i):
-        Wrow = prof[0]
-        for a in range(1, 8):
-            Wrow = jnp.where(col == a, prof[a], Wrow)
-        Hdiag = jnp.where(lane < 1, 0, pltpu.roll(H, 1, 1))
-        T = Hdiag + Wrow
-        rowmax = jnp.max(T, axis=1)
-        H0 = jnp.maximum(jnp.maximum(T, E), 0)
-        c = H0 + jidx * ge
-        cm = cummax(c)
-        cm_shift = jnp.where(lane < 1, NEG, pltpu.roll(cm, 1, 1))
-        F = cm_shift - go - (jidx - 1) * ge
-        Hn = jnp.maximum(H0, F)
-        En = jnp.maximum(E - ge, Hn - go)
-        keep = (i < slens)[:, None]
-        Hn = jnp.where(keep, Hn, H)
-        En = jnp.where(keep, En, E)
-        vmax = jnp.where(keep, jnp.maximum(vmax, T), vmax)
-        return Hn, En, vmax
+        def cummax(x):
+            # log-depth inclusive prefix max along lanes (Hillis-Steele);
+            # lane rotate + mask lowers better than concatenate
+            d = 1
+            while d < Q:
+                shifted = jnp.where(lane < d, NEG, pltpu.roll(x, d, 1))
+                x = jnp.maximum(x, shifted)
+                d *= 2
+            return x
 
-    def body(i, carry):
-        # Dynamic lane indexing is not lowerable on TPU, so the subject
-        # buffer is carried in the loop state and rolled left UNROLL
-        # lanes per iteration; the current subject columns sit at
-        # static lane indices 0..UNROLL-1.  sw_score_batch pads S to a
-        # 128 multiple, so S % UNROLL == 0.
-        H, E, vmax, sstate = carry
-        for r in range(UNROLL):
-            H, E, vmax = one_row(H, E, vmax, sstate[:, r : r + 1],
-                                 UNROLL * i + r)
-        return (H, E, vmax, pltpu.roll(sstate, S - UNROLL, 1))
+        def one_row(H, E, acc, col, i):
+            Wrow = prof[0]
+            for a in range(1, 8):
+                Wrow = jnp.where(col == a, prof[a], Wrow)
+            Hdiag = jnp.where(lane < 1, 0, pltpu.roll(H, 1, 1))
+            T = Hdiag + Wrow
+            H0 = jnp.maximum(jnp.maximum(T, E), 0)
+            c = H0 + jidx * ge
+            cm = cummax(c)
+            cm_shift = jnp.where(lane < 1, NEG, pltpu.roll(cm, 1, 1))
+            F = cm_shift - go - (jidx - 1) * ge
+            Hn = jnp.maximum(H0, F)
+            En = jnp.maximum(E - ge, Hn - go)
+            keep = (i < slens)[:, None]
+            Hn = jnp.where(keep, Hn, H)
+            En = jnp.where(keep, En, E)
+            if track:
+                best, bi, bj = acc
+                rowmax = jnp.max(T, axis=1, keepdims=True)     # [CB, 1]
+                upd = keep & (rowmax > best)
+                minlane = jnp.min(jnp.where(T == rowmax, lane, 1 << 28),
+                                  axis=1, keepdims=True)
+                best = jnp.where(upd, rowmax, best)
+                bi = jnp.where(upd, i, bi)
+                bj = jnp.where(upd, minlane, bj)
+                acc = (best, bi, bj)
+            else:
+                acc = jnp.where(keep, jnp.maximum(acc, T), acc)
+            return Hn, En, acc
 
-    H0 = jnp.zeros((CB, Q), jnp.int32)
-    E0 = jnp.zeros((CB, Q), jnp.int32)
-    sstate0 = subj_ref[:, :]
-    _, _, vmax, _ = jax.lax.fori_loop(
-        0, S // UNROLL, body,
-        (H0, E0, jnp.zeros((CB, Q), jnp.int32), sstate0))
-    best = jnp.maximum(jnp.max(vmax, axis=1), 0)
-    out_ref[:, :] = jnp.broadcast_to(best[:, None], (CB, 128))
+        def body(i, carry):
+            # Dynamic lane indexing is not lowerable on TPU, so the
+            # subject buffer is carried in the loop state and rolled
+            # left UNROLL lanes per iteration; the current subject
+            # columns sit at static lane indices 0..UNROLL-1.
+            # sw_score_batch pads S to a 128 multiple, so
+            # S % UNROLL == 0.
+            H, E, acc, sstate = carry
+            for r in range(UNROLL):
+                H, E, acc = one_row(H, E, acc, sstate[:, r : r + 1],
+                                    UNROLL * i + r)
+            return (H, E, acc, pltpu.roll(sstate, S - UNROLL, 1))
+
+        H0 = jnp.zeros((CB, Q), jnp.int32)
+        E0 = jnp.zeros((CB, Q), jnp.int32)
+        if track:
+            acc0 = (jnp.zeros((CB, 1), jnp.int32),
+                    jnp.zeros((CB, 1), jnp.int32),
+                    jnp.zeros((CB, 1), jnp.int32))
+        else:
+            acc0 = jnp.zeros((CB, Q), jnp.int32)
+        sstate0 = subj_ref[:, :]
+        _, _, acc, _ = jax.lax.fori_loop(
+            0, S // UNROLL, body, (H0, E0, acc0, sstate0))
+        if track:
+            best, bi, bj = acc
+            lo = jax.lax.broadcasted_iota(jnp.int32, (CB, 128), 1)
+            out_ref[:, :] = jnp.where(
+                lo == 0, jnp.maximum(best, 0),
+                jnp.where(lo == 1, bi, jnp.where(lo == 2, bj, 0)))
+        else:
+            best = jnp.maximum(jnp.max(acc, axis=1), 0)
+            out_ref[:, :] = jnp.broadcast_to(best[:, None], (CB, 128))
+
+    return _sw_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _sw_batch_call(qcodes, subj, slens, matrix, params, interpret=False):
+_sw_kernel = _make_sw_kernel(track=False)
+_sw_kernel_track = _make_sw_kernel(track=True)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "track"))
+def _sw_batch_call(qcodes, subj, slens, matrix, params, interpret=False,
+                   track=False):
     B, Q = qcodes.shape
     S = subj.shape[1]
     CB = _cb_for(Q)
     grid = (B // CB,)
     out = pl.pallas_call(
-        _sw_kernel,
+        _sw_kernel_track if track else _sw_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((CB, Q), lambda b: (b, 0)),
@@ -153,6 +192,8 @@ def _sw_batch_call(qcodes, subj, slens, matrix, params, interpret=False):
         out_shape=jax.ShapeDtypeStruct((B, 128), jnp.int32),
         interpret=interpret,
     )(qcodes, subj, slens, matrix, params)
+    if track:
+        return out[:, 0], out[:, 1], out[:, 2]
     return out[:, 0]
 
 
@@ -166,13 +207,19 @@ def _pad_to(x, n, axis, value=0):
 
 
 def sw_score_batch(qcodes, subj, slens, matrix, gapopen_pos, gapext_pos,
-                   interpret=None):
+                   interpret=None, track=False):
     """Batched full-matrix SW scores.
 
     qcodes: [B, Q] int query 3-bit codes (0..7)
     subj:   [B, S] int subject codes, padding past slens is ignored
     slens:  [B]    valid subject lengths
     matrix: [8, 8] score matrix
+
+    With track=True returns (scores, ti, tj): the row-major-first
+    argmax cell of each candidate's DP (subject row ti, query lane tj),
+    the anchor of the host traceback contract.  Query padding (code 7,
+    scoring 0) can tie the best value but never precede its first
+    occurrence, so the argmax always lands on a real cell.
     """
     assert gapopen_pos >= gapext_pos, "prefix-scan F requires go >= ge"
     if interpret is None:
@@ -195,7 +242,9 @@ def sw_score_batch(qcodes, subj, slens, matrix, gapopen_pos, gapext_pos,
     slens = _pad_to(slens, Bp, 0)
     params = jnp.asarray([[gapopen_pos, gapext_pos]], jnp.int32)
     out = _sw_batch_call(qcodes, subj, slens[:, None], matrix, params,
-                         interpret=interpret)
+                         interpret=interpret, track=track)
+    if track:
+        return out[0][:B], out[1][:B], out[2][:B]
     return out[:B]
 
 
@@ -387,9 +436,11 @@ def sw_band_score_ref(qcodes, subj, slens, matrix, gapopen_pos,
     return jnp.maximum(vmax, 0)
 
 
-def sw_score_ref(qcodes, subj, slens, matrix, gapopen_pos, gapext_pos):
+def sw_score_ref(qcodes, subj, slens, matrix, gapopen_pos, gapext_pos,
+                 track=False):
     """Pure-jnp reference of the same recurrence (kernel oracle and
-    fallback when Pallas is unavailable)."""
+    fallback when Pallas is unavailable).  track=True adds the
+    row-major-first argmax cell, like sw_score_batch."""
     qcodes = jnp.asarray(qcodes, jnp.int32)
     subj = jnp.asarray(subj, jnp.int32)
     slens = jnp.asarray(slens, jnp.int32)
@@ -403,14 +454,20 @@ def sw_score_ref(qcodes, subj, slens, matrix, gapopen_pos, gapext_pos):
     Wprof = jnp.moveaxis(Wprof, 1, 0)              # [B, 8, Q]
 
     def scan_row(carry, i):
-        H, E, vmax = carry
+        H, E, vmax, bi, bj = carry
         code = subj[:, i]                          # [B]
         Wrow = jnp.take_along_axis(
             Wprof, code[:, None, None], axis=1)[:, 0, :]   # [B, Q]
         Hdiag = jnp.pad(H[:, :-1], ((0, 0), (1, 0)))
         T = Hdiag + Wrow
         keep = (i < slens)
-        vmax = jnp.where(keep, jnp.maximum(vmax, jnp.max(T, axis=1)), vmax)
+        rowmax = jnp.max(T, axis=1)
+        upd = keep & (rowmax > vmax)
+        minlane = jnp.min(jnp.where(T == rowmax[:, None], jidx[None, :],
+                                    1 << 28), axis=1)
+        vmax = jnp.where(upd, rowmax, vmax)
+        bi = jnp.where(upd, i, bi)
+        bj = jnp.where(upd, minlane, bj)
         H0 = jnp.maximum(jnp.maximum(T, E), 0)
         c = H0 + jidx[None, :] * ge
         cm = jax.lax.associative_scan(jnp.maximum, c, axis=1)
@@ -421,10 +478,13 @@ def sw_score_ref(qcodes, subj, slens, matrix, gapopen_pos, gapext_pos):
         En = jnp.maximum(E - ge, Hn - go)
         Hn = jnp.where(keep[:, None], Hn, H)
         En = jnp.where(keep[:, None], En, E)
-        return (Hn, En, vmax), None
+        return (Hn, En, vmax, bi, bj), None
 
     H0 = jnp.zeros((B, Q), jnp.int32)
     E0 = jnp.zeros((B, Q), jnp.int32)
-    (H, E, vmax), _ = jax.lax.scan(scan_row, (H0, E0, jnp.zeros(B, jnp.int32)),
-                                   jnp.arange(S))
+    z = jnp.zeros(B, jnp.int32)
+    (H, E, vmax, bi, bj), _ = jax.lax.scan(
+        scan_row, (H0, E0, z, z, z), jnp.arange(S))
+    if track:
+        return jnp.maximum(vmax, 0), bi, bj
     return vmax

@@ -480,18 +480,23 @@ def device_map_step(di: DeviceIndex, reads, matrix, gapopen_pos, gapext_pos,
     if Q > LONG_READ_Q:
         # kilobase reads: banded scoring around the seed diagonal — the
         # window gather placed it `pad` columns in, so the band covers
-        # the drift the window slack was sized for
+        # the drift the window slack was sized for.  No argmax tracking:
+        # the long-read tail keeps its banded host traceback.
         scores = sw_band_score_batch(qcs, wins, slens, matrix,
                                      gapopen_pos, gapext_pos, pad=pad,
                                      W=band_width_for(Q, pad),
                                      interpret=interpret)
+        tis = tjs = jnp.zeros_like(scores)
     else:
-        scores = sw_score_batch(qcs, wins, slens, matrix, gapopen_pos,
-                                gapext_pos, interpret=interpret)
+        scores, tis, tjs = sw_score_batch(qcs, wins, slens, matrix,
+                                          gapopen_pos, gapext_pos,
+                                          interpret=interpret, track=True)
     scores = jnp.where(has_seed, scores, 0)
     sc = scores.reshape(3, B)
     st = starts.reshape(3, B)
     sd = strands.reshape(3, B)
+    ti3 = tis.reshape(3, B)
+    tj3 = tjs.reshape(3, B)
     order = jnp.argsort(-sc, axis=0)
     best = jnp.take_along_axis(sc, order[0:1], 0)[0]
     second = jnp.take_along_axis(sc, order[1:2], 0)[0]
@@ -499,6 +504,8 @@ def device_map_step(di: DeviceIndex, reads, matrix, gapopen_pos, gapext_pos,
     best_strand = jnp.take_along_axis(sd, order[0:1], 0)[0]
     second_start = jnp.take_along_axis(st, order[1:2], 0)[0]
     second_strand = jnp.take_along_axis(sd, order[1:2], 0)[0]
+    best_ti = jnp.take_along_axis(ti3, order[0:1], 0)[0]
+    best_tj = jnp.take_along_axis(tj3, order[0:1], 0)[0]
     # results.c's n_swatscor_2nd analogue: window-level runner-up
     # multiplicity, widened by the cluster estimate when the runner-up
     # window's strand saw multiple equally-voted far diagonals (unscored
@@ -524,11 +531,13 @@ def device_map_step(di: DeviceIndex, reads, matrix, gapopen_pos, gapext_pos,
         "hits_tot": hits_tot,
         "n2nd": jnp.maximum(n2nd, 1),
         "ambig": ambig.astype(jnp.int32),
+        "tb_i": best_ti,
+        "tb_j": best_tj,
     }
 
 
 OUT_KEYS = ("score", "score2", "start", "strand", "start2", "strand2",
-            "hits_used", "hits_tot", "n2nd", "ambig")
+            "hits_used", "hits_tot", "n2nd", "ambig", "tb_i", "tb_j")
 
 
 def pack_outputs(out):
@@ -671,7 +680,7 @@ class ShardedDeviceIndex:
 
 def _combine_over_ip(score, score2, start, strand, start2, strand2,
                      hits_used=None, hits_tot=None, n2nd=None,
-                     ambig=None, hits_mode="sum"):
+                     ambig=None, hits_mode="sum", tb_i=None, tb_j=None):
     """Combine per-shard winners over the `ip` axis.
 
     The runner-up must consider BOTH each shard's own second-best AND
@@ -705,6 +714,12 @@ def _combine_over_ip(score, score2, start, strand, start2, strand2,
     t2 = jnp.where(tie, pickmax(strand, genuine), pickmax(d2, is2))
     out = {"score": best, "score2": second, "start": out_start,
            "strand": out_strand, "start2": s2, "strand2": t2}
+    if tb_i is not None:
+        # traceback anchor from the shard whose placement was picked as
+        # primary (same window => same DP => same cell on duplicates)
+        is_pick = is_best & (start == out_start)
+        out["tb_i"] = pickmax(tb_i, is_pick)
+        out["tb_j"] = pickmax(tb_j, is_pick)
     if hits_used is not None:
         if hits_mode == "sum":
             # range-sharded index: every shard saw a disjoint slice of
@@ -748,16 +763,15 @@ def make_index_sharded_step(sdi: ShardedDeviceIndex, mesh: Mesh, matrix,
                                 out["start"] + base[0], out["strand"],
                                 out["start2"] + base[0], out["strand2"],
                                 out["hits_used"], out["hits_tot"],
-                                out["n2nd"], out["ambig"], hits_mode="sum")
+                                out["n2nd"], out["ambig"], hits_mode="sum",
+                                tb_i=out["tb_i"], tb_j=out["tb_j"])
 
     in_specs = [P("dp", None),        # reads
                 P("ip", None), P("ip", None), P("ip", None),
                 P("ip", None), P("ip"), P("ip")]
     if hilo:
         in_specs += [P("ip", None, None), P("ip", None)]
-    out_specs = {k: P("dp") for k in ("score", "score2", "start", "strand",
-                                      "start2", "strand2", "hits_used",
-                                      "hits_tot", "n2nd", "ambig")}
+    out_specs = {k: P("dp") for k in OUT_KEYS}
     fn = shard_map(step, mesh=mesh, in_specs=tuple(in_specs),
                    out_specs=out_specs, check_rep=False)
     if pack:
@@ -832,13 +846,12 @@ def make_sharded_step(di: DeviceIndex, mesh: Mesh, matrix,
                                    out["start2"], out["strand2"],
                                    out["hits_used"], out["hits_tot"],
                                    out["n2nd"], out["ambig"],
-                                   hits_mode="max")
+                                   hits_mode="max",
+                                   tb_i=out["tb_i"], tb_j=out["tb_j"])
         return out
 
     specs_in = P("dp", None)
-    specs_out = {k: P("dp") for k in ("score", "score2", "start", "strand",
-                                      "start2", "strand2", "hits_used",
-                                      "hits_tot", "n2nd", "ambig")}
+    specs_out = {k: P("dp") for k in OUT_KEYS}
     fn = shard_map(step, mesh=mesh, in_specs=(specs_in,),
                    out_specs=specs_out, check_rep=False)
     if pack:
