@@ -173,6 +173,151 @@ class FastLane:
         return None
 
 
+class PairLane:
+    """Exact paired-end C lane: a whole block of read pairs maps and
+    renders in ONE native call (fl_map_pair_block — the rmapPair
+    common flow, rmap.c:1744-2112, plus the full pair layer,
+    resultpairs.c:753-1311).  A pair hitting an uncovered branch
+    (remap/rescue/fine-rehash, caps) stops the native call cleanly
+    with nothing consumed for that pair; the caller replays exactly
+    that pair through the Python oracle and resumes, so output is
+    byte-identical to the pure-Python path for any mix."""
+
+    def __init__(self, lane: FastLane, insert_min: int, insert_max: int,
+                 pairtyp: int):
+        self.lane = lane
+        self.insert_min = insert_min
+        self.insert_max = insert_max
+        self.pairtyp = pairtyp
+
+    @classmethod
+    def make(cls, engine, fmt, soft_clip, x_mismatch, ali_out,
+             fix_primary, ihist) -> Optional["PairLane"]:
+        lane = FastLane.make(engine, fmt, soft_clip, x_mismatch, ali_out,
+                             fix_primary)
+        if lane is None or ihist is not None:
+            return None
+        if not hasattr(lane.lib, "fl_map_pair_block"):
+            return None
+        p = engine.params
+        return cls(lane, p.insert_min, p.insert_max, p.pairtyp)
+
+    def _arrays(self, reads):
+        n = len(reads)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        name_offs = np.zeros(n + 1, dtype=np.int64)
+        has_qual = np.zeros(n, dtype=np.uint8)
+        codes_parts, qual_parts, name_parts = [], [], []
+        for i, rd in enumerate(reads):
+            seq = rd.seq
+            if seq.dtype != np.uint8 or not seq.flags.c_contiguous:
+                seq = np.ascontiguousarray(seq, dtype=np.uint8)
+            codes_parts.append(seq)
+            ql = len(seq)
+            if rd.qual is not None:
+                if len(rd.qual) != ql:
+                    return None
+                qual_parts.append(rd.qual)
+                has_qual[i] = 1
+            else:
+                qual_parts.append(b"\x00" * ql)
+            nm = rd.sam_name.encode()
+            name_parts.append(nm)
+            offs[i + 1] = offs[i] + ql
+            name_offs[i + 1] = name_offs[i] + len(nm)
+        codes = np.concatenate(codes_parts) if codes_parts else \
+            np.zeros(1, np.uint8)
+        quals = np.frombuffer(b"".join(qual_parts) or b"\0", np.uint8)
+        names = np.frombuffer(b"".join(name_parts) or b"\0", np.uint8)
+        return codes, offs, quals, has_qual, names, name_offs
+
+    def _call(self, readsA, readsB):
+        """(text, n_done) for the leading pairs the C lane covered, or
+        None on a hard error (caller renders the block in Python)."""
+        lane = self.lane
+        eng = lane.engine
+        p = eng.params
+        filt = eng.filter
+        wa, sa, nwords, ta, pa = lane._idx_addrs
+        idx = eng.index
+        arrA = self._arrays(readsA)
+        arrB = self._arrays(readsB)
+        if arrA is None or arrB is None:
+            return None
+        cA, oA, qA, hA, nA, noA = arrA
+        cB, oB, qB, hB, nB, noB = arrB
+        n = len(readsA)
+        if n < 1:
+            return "", 0
+        qmax = int(max((oA[1:] - oA[:-1]).max(),
+                       (oB[1:] - oB[:-1]).max(), 1))
+        cap = int(noA[-1] + noB[-1]) + 2 * n * (2 * qmax + 224)
+        done = np.zeros(1, dtype=np.int64)
+        lane._rng_io[0] = rand._global._x
+        for _ in range(3):
+            out = np.empty(cap, dtype=np.uint8)
+            rc = lane.lib.fl_map_pair_block(
+                wa, sa, nwords, ta, pa, idx.wordlen, idx.nskip,
+                lane._refcodes.ctypes.data, lane._offsets.ctypes.data,
+                eng.refset.nseq, lane._ivals.ctypes.data,
+                lane._snames.ctypes.data, lane._sname_offs.ctypes.data,
+                lane._matrix.ctypes.data,
+                -eng.gapopen, -eng.gapext,
+                lane._avgs[0], lane._avgs[1],
+                p.ktuple_maxhit, eng_mod.HASH_MAXNHITS,
+                p.min_cover_frac, p.min_swatscor,
+                p.min_swatscor_below_max, p.min_basq,
+                p.target_depth, p.max_depth,
+                p.rmapflg, p.rsltouflg,
+                filt.min_swscor, filt.min_swscor_below_max,
+                filt.min_identity,
+                1 if lane.soft_clip else 0, 1 if lane.x_mismatch else 0,
+                self.insert_min, self.insert_max, self.pairtyp,
+                0,                          # names pre-stripped
+                n, cA.ctypes.data, oA.ctypes.data,
+                qA.ctypes.data, hA.ctypes.data,
+                nA.ctypes.data, noA.ctypes.data,
+                cB.ctypes.data, oB.ctypes.data,
+                qB.ctypes.data, hB.ctypes.data,
+                nB.ctypes.data, noB.ctypes.data,
+                lane._rng_io.ctypes.data, out.ctypes.data, cap,
+                done.ctypes.data)
+            if rc == -3:                   # text buffer too small
+                cap *= 4
+                continue
+            if rc < 0:
+                return None
+            rand._global._x = int(lane._rng_io[0])
+            return out[:rc].tobytes().decode("ascii"), int(done[0])
+        return None
+
+    def render_block(self, block, oracle_one) -> Optional[str]:
+        """SAM text for a block of (read, mate) tuples.  `oracle_one`
+        renders a single pair through the Python engine (consuming its
+        own RNG) — called only for pairs the C flow does not cover."""
+        parts = []
+        start = 0
+        n = len(block)
+        while start < n:
+            readsA = [it[0] for it in block[start:]]
+            readsB = [it[1] for it in block[start:]]
+            res = self._call(readsA, readsB)
+            if res is None:
+                if start == 0:
+                    return None        # whole block to the Python path
+                # render the remainder in Python (RNG stream continuous)
+                for it in block[start:]:
+                    parts.append(oracle_one(it))
+                return "".join(parts)
+            text, ndone = res
+            parts.append(text)
+            start += ndone
+            if start < n:
+                parts.append(oracle_one(block[start]))
+                start += 1
+        return "".join(parts)
+
+
 class DevicePass1:
     """Device-assisted exact mapping: the TPU scores the pass-1
     full-matrix candidate windows (the reference's SIMD kernel slot,

@@ -85,6 +85,159 @@ def iter_fastq_batches(path: str, batch: int) -> Iterator[
         yield names, seqs, quals
 
 
+class RawBatch:
+    """Zero-copy FASTQ batch: per-record extents into one raw chunk
+    (fl_fastq_scan).  The C tail renders straight from `buf`; the
+    list accessors materialize bytes only for the rare fallback
+    paths (Python oracle, exact remap)."""
+
+    def __init__(self, buf, n, name_off, name_len, seq_off, seq_len,
+                 qual_off):
+        self.buf = buf                  # np.uint8 array
+        self.n = n
+        self.name_off = name_off        # int64[n], absolute into buf
+        self.name_len = name_len
+        self.seq_off = seq_off
+        self.seq_len = seq_len
+        self.qual_off = qual_off
+
+    def __len__(self):
+        return self.n
+
+    def name(self, i) -> bytes:
+        o = int(self.name_off[i])
+        return self.buf[o : o + int(self.name_len[i])].tobytes()
+
+    def seq(self, i) -> bytes:
+        o = int(self.seq_off[i])
+        return self.buf[o : o + int(self.seq_len[i])].tobytes()
+
+    def qual(self, i) -> bytes:
+        o = int(self.qual_off[i])
+        return self.buf[o : o + int(self.seq_len[i])].tobytes()
+
+    def as_lists(self):
+        idx = range(self.n)
+        return ([self.name(i) for i in idx], [self.seq(i) for i in idx],
+                [self.qual(i) for i in idx])
+
+    def encode(self, Q: int) -> np.ndarray:
+        """[n, Q] padded 3-bit alpha codes via the C encoder."""
+        from ..native import get_lib
+        enc = np.empty((self.n, Q), np.uint8)
+        get_lib().fl_fastq_encode(self.buf.ctypes.data, self.n,
+                                  self.seq_off.ctypes.data,
+                                  self.seq_len.ctypes.data, Q,
+                                  enc.ctypes.data)
+        return enc
+
+
+class _BytesThenStream:
+    """Reads from a leading bytes buffer, then an open stream (the
+    fallback arm of iter_fastq_hybrid resumes mid-file)."""
+
+    def __init__(self, head: bytes, f):
+        self._head = head
+        self._f = f
+
+    def read(self, sz):
+        if self._head:
+            r, self._head = self._head[:sz], self._head[sz:]
+            return r
+        return self._f.read(sz)
+
+
+def iter_fastq_hybrid(path: str, batch: int) -> Iterator:
+    """Yield RawBatch objects via the C scanner when the file is
+    strict 4-line FASTQ, transparently degrading to the Python list
+    parser ((names, seqs, quals) triples) on any shape the scanner
+    rejects.  Consumers must accept both batch kinds."""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is None or os.environ.get("SMALT_TPU_NO_FASTLANE"):
+        yield from iter_fastq_batches(path, batch)
+        return
+    carry = b""
+    with open_maybe_gzip(path) as f:
+        eof = False
+        while not eof:
+            chunk = f.read(8 << 20)
+            eof = not chunk
+            data = carry + chunk if carry else chunk
+            if not data:
+                return
+            buf = np.frombuffer(data, np.uint8)
+            pos = 0
+            while True:
+                name_off = np.empty(batch, np.int64)
+                name_len = np.empty(batch, np.int64)
+                seq_off = np.empty(batch, np.int64)
+                seq_len = np.empty(batch, np.int64)
+                qual_off = np.empty(batch, np.int64)
+                consumed = np.zeros(1, np.int64)
+                n = int(lib.fl_fastq_scan(
+                    buf.ctypes.data + pos, len(data) - pos, batch,
+                    name_off.ctypes.data, name_len.ctypes.data,
+                    seq_off.ctypes.data, seq_len.ctypes.data,
+                    qual_off.ctypes.data, consumed.ctypes.data))
+                if n < 0:
+                    # unsupported shape: list-parse the rest of the file
+                    yield from _parse_fastq_stream(
+                        _BytesThenStream(data[pos:], f), batch)
+                    return
+                if n == batch or (eof and n > 0):
+                    for a in (name_off, name_len, seq_off, seq_len,
+                              qual_off):
+                        a.resize(n, refcheck=False)
+                    name_off += pos
+                    seq_off += pos
+                    qual_off += pos
+                    yield RawBatch(buf, n, name_off, name_len,
+                                   seq_off, seq_len, qual_off)
+                    pos += int(consumed[0])
+                    continue
+                break       # mid-stream partial: carry into next chunk
+            carry = data[pos:]
+
+
+def _parse_fastq_stream(f, batch):
+    """Python list parser over an open byte stream (fallback arm of
+    iter_fastq_hybrid) — same record handling as iter_fastq_batches."""
+    names: List[bytes] = []
+    seqs: List[bytes] = []
+    quals: List[Optional[bytes]] = []
+    tail = b""
+    while True:
+        chunk = f.read(8 << 20)
+        data = tail + chunk
+        if not data:
+            break
+        lines = data.split(b"\n")
+        if chunk:
+            tail = lines.pop()
+        else:
+            tail = b""
+            if lines and lines[-1] == b"":
+                lines.pop()
+        nrec = len(lines) // 4
+        for r in range(nrec):
+            name = lines[4 * r]
+            seq = lines[4 * r + 1]
+            qual = lines[4 * r + 3]
+            names.append(name[1:].split(b" ", 1)[0].split(b"\t", 1)[0])
+            seqs.append(seq)
+            quals.append(qual if qual else None)
+            if len(names) == batch:
+                yield names, seqs, quals
+                names, seqs, quals = [], [], []
+        rest = lines[4 * nrec:]
+        tail = b"\n".join(rest + [tail]) if rest else tail
+        if not chunk:
+            break
+    if names:
+        yield names, seqs, quals
+
+
 def encode_batch(seqs: List[bytes], Q: int) -> np.ndarray:
     """[B, Q] uint8 alpha codes, padded with 7 (TERM: invalid words,
     zero scores).  uint8 keeps the host->device transfer small (the
@@ -105,6 +258,36 @@ def encode_batch(seqs: List[bytes], Q: int) -> np.ndarray:
 # ------------------------------------------------------------------
 
 _LOG10 = 2.302585092994046    # results.c:104 QUALSCOR_LOGBASE
+
+
+def _batch_extents(names, seqs, quals):
+    """Per-read (offset, length) extents for the C tails: zero-copy
+    from a RawBatch, one concat from a list triple.  None when any
+    qual is missing or length-mismatched (caller falls back)."""
+    if isinstance(names, RawBatch):
+        rb = names
+        return (rb.n, rb.buf, rb.seq_off, rb.seq_len, rb.buf,
+                rb.qual_off, np.ones(rb.n, np.uint8), rb.buf,
+                rb.name_off, rb.name_len)
+    n = len(names)
+    seq_len = np.asarray([len(s) for s in seqs], np.int64)
+    seq_off = np.zeros(n, np.int64)
+    np.cumsum(seq_len[:-1], out=seq_off[1:])
+    has_qual = np.empty(n, np.uint8)
+    qp = []
+    for i, q in enumerate(quals):
+        if q is None or len(q) != seq_len[i]:
+            return None
+        has_qual[i] = 1
+        qp.append(q)
+    name_len = np.asarray([len(x) for x in names], np.int64)
+    name_off = np.zeros(n, np.int64)
+    np.cumsum(name_len[:-1], out=name_off[1:])
+    seqs_buf = np.frombuffer(b"".join(seqs) or b"\0", np.uint8)
+    quals_buf = np.frombuffer(b"".join(qp) or b"\0", np.uint8)
+    names_buf = np.frombuffer(b"".join(names) or b"\0", np.uint8)
+    return (n, seqs_buf, seq_off, seq_len, quals_buf, seq_off,
+            has_qual, names_buf, name_off, name_len)
 
 
 def fast_mapq(sw1: int, sw2: int, qlen: int, hits_used: int = 0,
@@ -457,21 +640,11 @@ class FastTail:
                 "offsets": np.ascontiguousarray(refset.offsets, np.int64),
                 "refcodes": np.ascontiguousarray(refset.codes, np.uint8),
             }
-        n = len(names)
-        read_offs = np.zeros(n + 1, np.int64)
-        np.cumsum([len(s) for s in seqs], out=read_offs[1:])
-        name_offs = np.zeros(n + 1, np.int64)
-        np.cumsum([len(x) for x in names], out=name_offs[1:])
-        has_qual = np.empty(n, np.uint8)
-        qp = []
-        for i, q in enumerate(quals):
-            if q is None or len(q) != len(seqs[i]):
-                return False
-            has_qual[i] = 1
-            qp.append(q)
-        seqs_c = np.frombuffer(b"".join(seqs) or b"\0", np.uint8)
-        quals_c = np.frombuffer(b"".join(qp) or b"\0", np.uint8)
-        names_c = np.frombuffer(b"".join(names) or b"\0", np.uint8)
+        ext = _batch_extents(names, seqs, quals)
+        if ext is None:
+            return False
+        (n, seqs_buf, seq_off, seq_len, quals_buf, qual_off, has_qual,
+         names_buf, name_off, name_len) = ext
 
         def a32(k):
             return np.ascontiguousarray(outs[k], np.int32)
@@ -488,8 +661,8 @@ class FastTail:
         skip = None
         if exact_fallback is not None:
             skip = (ht > hu).astype(np.uint8)
-        qmax = int((read_offs[1:] - read_offs[:-1]).max()) if n else 1
-        cap = int(name_offs[-1]) + n * (2 * qmax + 160)
+        qmax = int(seq_len.max()) if n else 1
+        cap = int(name_len.sum()) + n * (2 * qmax + 160)
         out_offs = np.zeros(n + 1, np.int64)
         ma, _ = self.avgs
         for _ in range(3):
@@ -503,9 +676,12 @@ class FastTail:
                 ma, self.minscor,
                 1 if soft else 0, 1 if xmm else 0,
                 win_len, pad, q_padded,
-                n, seqs_c.ctypes.data, read_offs.ctypes.data,
-                quals_c.ctypes.data, has_qual.ctypes.data,
-                names_c.ctypes.data, name_offs.ctypes.data,
+                n, seqs_buf.ctypes.data, seq_off.ctypes.data,
+                seq_len.ctypes.data,
+                quals_buf.ctypes.data, qual_off.ctypes.data,
+                has_qual.ctypes.data,
+                names_buf.ctypes.data, name_off.ctypes.data,
+                name_len.ctypes.data,
                 sc.ctypes.data, sc2.ctypes.data, st.ctypes.data,
                 sd.ctypes.data, hu.ctypes.data, ht.ctypes.data,
                 n2.ctypes.data, am.ctypes.data,
@@ -521,10 +697,15 @@ class FastTail:
             if skip is None or not skip.any():
                 buf.write(text)
                 return True
+            raw = isinstance(names, RawBatch)
             for i in range(n):
                 if skip[i]:
-                    ft = exact_fallback(names[i], seqs[i], quals[i],
-                                        base_idx + i)
+                    if raw:
+                        ft = exact_fallback(names.name(i), names.seq(i),
+                                            names.qual(i), base_idx + i)
+                    else:
+                        ft = exact_fallback(names[i], seqs[i], quals[i],
+                                            base_idx + i)
                     if ft is None:
                         return False
                     buf.write(ft)
@@ -563,21 +744,11 @@ class FastTail:
                 "offsets": np.ascontiguousarray(refset.offsets, np.int64),
                 "refcodes": np.ascontiguousarray(refset.codes, np.uint8),
             }
-        n = len(names)
-        read_offs = np.zeros(n + 1, np.int64)
-        np.cumsum([len(s) for s in seqs], out=read_offs[1:])
-        name_offs = np.zeros(n + 1, np.int64)
-        np.cumsum([len(x) for x in names], out=name_offs[1:])
-        has_qual = np.empty(n, np.uint8)
-        qp = []
-        for i, q in enumerate(quals):
-            if q is None or len(q) != len(seqs[i]):
-                return False
-            has_qual[i] = 1
-            qp.append(q)
-        seqs_c = np.frombuffer(b"".join(seqs) or b"\0", np.uint8)
-        quals_c = np.frombuffer(b"".join(qp) or b"\0", np.uint8)
-        names_c = np.frombuffer(b"".join(names) or b"\0", np.uint8)
+        ext = _batch_extents(names, seqs, quals)
+        if ext is None:
+            return False
+        (n, seqs_buf, seq_off, seq_len, quals_buf, qual_off, has_qual,
+         names_buf, name_off, name_len) = ext
 
         def a32(k):
             return np.ascontiguousarray(outs[k], np.int32)
@@ -591,8 +762,8 @@ class FastTail:
         else:
             tbi = np.full(n, -1, np.int32)
             tbj = np.full(n, -1, np.int32)
-        qmax = int((read_offs[1:] - read_offs[:-1]).max()) if n else 1
-        cap = int(name_offs[-1]) + n * (2 * qmax + 192)
+        qmax = int(seq_len.max()) if n else 1
+        cap = int(name_len.sum()) + n * (2 * qmax + 192)
         ma, _ = self.avgs
         lc = LIB_PAIREDEND if libcode is None else libcode
         for _ in range(3):
@@ -607,9 +778,12 @@ class FastTail:
                 1 if soft else 0, 1 if xmm else 0,
                 win_len, pad, q_padded,
                 insert_min, insert_max, lc,
-                n, seqs_c.ctypes.data, read_offs.ctypes.data,
-                quals_c.ctypes.data, has_qual.ctypes.data,
-                names_c.ctypes.data, name_offs.ctypes.data,
+                n, seqs_buf.ctypes.data, seq_off.ctypes.data,
+                seq_len.ctypes.data,
+                quals_buf.ctypes.data, qual_off.ctypes.data,
+                has_qual.ctypes.data,
+                names_buf.ctypes.data, name_off.ctypes.data,
+                name_len.ctypes.data,
                 sc.ctypes.data, sc2.ctypes.data, st.ctypes.data,
                 sd.ctypes.data, hu.ctypes.data, ht.ctypes.data,
                 n2.ctypes.data, am.ctypes.data,
@@ -807,7 +981,11 @@ def _exact_fallback(name, seq, qual, serial) -> Optional[str]:
 
 
 def _tail_render(args):
-    paired, names, seqs, quals, outs, win_len, pad, q_padded, base_idx = args
+    paired, item, outs, win_len, pad, q_padded, base_idx = args
+    if isinstance(item, RawBatch):
+        names, seqs, quals = item, None, None
+    else:
+        names, seqs, quals = item
     tail = _g["tail"]
     soft, xmm = _g["writer_args"]
     buf = io.StringIO()
@@ -822,6 +1000,8 @@ def _tail_render(args):
                                              win_len, pad, q_padded,
                                              imin, imax, soft, xmm, buf,
                                              libcode=_g.get("libcode")):
+            if isinstance(names, RawBatch):
+                names, seqs, quals = names.as_lists()
             tail.render_pairs(names, seqs, quals, outs, win_len, pad,
                               q_padded, imin, imax, writer,
                               libcode=_g.get("libcode"),
@@ -831,6 +1011,8 @@ def _tail_render(args):
         if not tail.render_native(names, seqs, quals, outs, win_len, pad,
                                   q_padded, soft, xmm, buf,
                                   exact_fallback=fb, base_idx=base_idx):
+            if isinstance(names, RawBatch):
+                names, seqs, quals = names.as_lists()
             tail.render(names, seqs, quals, outs, win_len, pad, q_padded,
                         writer, exact_fallback=fb, raw_out=buf,
                         base_idx=base_idx)
@@ -921,7 +1103,9 @@ def run_fast_pipeline(refset: RefSet, idx: KmerIndex, reads_path: str,
 
     def raw_batches():
         if not paired:
-            yield from iter_fastq_batches(reads_path, batch)
+            # C scanner fast path: yields RawBatch (or list triples on
+            # fallback) — consumers handle both
+            yield from iter_fastq_hybrid(reads_path, batch)
             return
         it2 = iter_fastq_batches(mates_path, batch)
         for n1, s1, q1 in iter_fastq_batches(reads_path, batch):
@@ -939,31 +1123,36 @@ def run_fast_pipeline(refset: RefSet, idx: KmerIndex, reads_path: str,
         single-host run."""
         pending = deque()
 
-        def force(item):
-            bno, names, seqs, quals, o, wl, wp, Q, base = item
+        def force(work):
+            bno, item, o, wl, wp, Q, base = work
             # ONE packed [len(OUT_KEYS), B] fetch per batch: per-array
             # fetches each pay a full round trip on tunnel-attached
             # chips and dominated the end-to-end wall clock
             arr = np.asarray(o)
-            outs = {k: arr[i, : len(names)]
+            outs = {k: arr[i, : len(item)]
                     for i, k in enumerate(OUT_KEYS)}
-            return bno, (paired, names, seqs, quals, outs, wl, wp, Q,
-                         base)
+            return bno, (paired, item, outs, wl, wp, Q, base)
 
         base = 0
-        for bno, (names, seqs, quals) in enumerate(raw_batches()):
+        for bno, item in enumerate(raw_batches()):
             if n_hosts > 1 and bno % n_hosts != host_id:
-                base += len(names)
+                base += len(item)
                 continue
-            if base + len(names) <= skip_reads:
-                base += len(names)     # checkpointed: already written
+            if base + len(item) <= skip_reads:
+                base += len(item)      # checkpointed: already written
                 continue
-            qmax = max((len(s) for s in seqs), default=0)
+            if isinstance(item, RawBatch):
+                qmax = int(item.seq_len.max()) if item.n else 0
+            else:
+                qmax = max((len(s) for s in item[1]), default=0)
             # round Q to a small multiple (bounded recompiles) — NOT to
             # 128: the device window formula would jump S to the next
             # 128 multiple and double the SW cost
             Q = max(32, -(-qmax // 16) * 16)
-            arr = encode_batch(seqs, Q)
+            if isinstance(item, RawBatch):
+                arr = item.encode(Q)
+            else:
+                arr = encode_batch(item[1], Q)
             if arr.shape[0] != batch or (dp > 1 and batch % dp):
                 # keep ONE batch shape for the whole run: a partial
                 # trailing batch would trigger a fresh XLA compile
@@ -979,9 +1168,9 @@ def run_fast_pipeline(refset: RefSet, idx: KmerIndex, reads_path: str,
                 arr = np.pad(arr, ((0, want - arr.shape[0]), (0, 0)),
                              constant_values=7)
             o = step(jnp.asarray(arr))          # async dispatch
-            pending.append((bno, names, seqs, quals, o,
+            pending.append((bno, item, o,
                             window_len(Q), window_pad(Q), Q, base))
-            base += len(names)
+            base += len(item)
             if len(pending) >= PREFETCH:
                 yield force(pending.popleft())
         while pending:
@@ -1014,7 +1203,7 @@ def run_fast_pipeline(refset: RefSet, idx: KmerIndex, reads_path: str,
             n_batches += 1
             if resume_log is not None:
                 out.flush()
-                resume_log.tick(args[8] + len(args[1]), out.tell(), 0)
+                resume_log.tick(args[6] + len(args[1]), out.tell(), 0)
         if resume_log is not None:
             resume_log.done()
         if timing:

@@ -40,6 +40,7 @@ def _init_worker(engine, writer_args, seed):
     _g["writer_args"] = writer_args
     _g["seed"] = seed
     _g.pop("lane", None)   # rebuilt per run: it pins engine + buffers
+    _g.pop("pair_lane", None)
 
 
 def _render_block(args):
@@ -53,13 +54,24 @@ def _render_block(args):
     if "lane" not in _g:
         if os.environ.get("SMALT_TPU_NO_FASTLANE"):
             _g["lane"] = None
+            _g["pair_lane"] = None
         else:
-            from .fastlane import FastLane
+            from .fastlane import FastLane, PairLane
             _g["lane"] = FastLane.make(engine, fmt, soft, xmm, ali_out,
                                        _g.get("fix_primary", False))
+            _g["pair_lane"] = PairLane.make(engine, fmt, soft, xmm,
+                                            ali_out,
+                                            _g.get("fix_primary", False),
+                                            _g.get("ihist"))
     lane = _g["lane"]
     if lane is not None and not any(isinstance(it, tuple) for it in block):
         text = lane.render_block(block)
+        if text is not None:
+            return text
+    plane = _g.get("pair_lane")
+    if plane is not None and \
+            all(isinstance(it, tuple) for it in block) and block:
+        text = plane.render_block(block, _oracle_one_pair)
         if text is not None:
             return text
     if fmt == "bam":
@@ -88,6 +100,25 @@ def _render_block(args):
                 rep.fix_multiple_primary()
             writer.write(rep, item, None)
     return writer.take() if buf is None else buf.getvalue()
+
+
+def _oracle_one_pair(item) -> str:
+    """Render ONE (read, mate) pair through the Python engine — the
+    per-pair fallback arm of the C pair lane (fastlane.PairLane)."""
+    engine = _g["engine"]
+    fmt, soft, xmm, refset, ali_out = _g["writer_args"]
+    read, mate = item
+    buf = io.StringIO()
+    writer = ReportWriter(buf, refset, fmt=fmt, soft_clip=soft,
+                          x_mismatch=xmm, header=False, ali_out=ali_out)
+    rep = Report()
+    rsr, rsm, rpairs, pairflg = engine.rmap_pair(read, mate)
+    add_pair_to_report(rep, _g.get("ihist"), rpairs, pairflg,
+                       engine.params.rsltouflg, rsr, rsm)
+    if _g.get("fix_primary", False):
+        rep.fix_multiple_primary()
+    writer.write(rep, read, mate)
+    return buf.getvalue()
 
 
 def _blocks(it: Iterable, n: int) -> Iterator[Tuple[int, list]]:

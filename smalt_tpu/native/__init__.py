@@ -169,7 +169,7 @@ def _declare_fastlane(lib):
         vp, vp, i64, vp, vp,                # reference + names
         vp, ci, ci, i64, i64, ci, ci,       # scoring + sam opts
         i64, i64, i64,                      # window geometry
-        i64, vp, vp, vp, vp, vp, vp,        # reads
+        i64, vp, vp, vp, vp, vp, vp, vp, vp, vp,  # reads (off/len form)
         vp, vp, vp, vp, vp, vp, vp, vp,     # device outputs
         vp, vp,                             # tb anchors (NULL = banded)
         vp,                                 # skip mask
@@ -180,10 +180,29 @@ def _declare_fastlane(lib):
         vp, ci, ci, i64, i64, ci, ci,       # scoring + sam opts
         i64, i64, i64,                      # window geometry
         i64, i64, ci,                       # inserts + libcode
-        i64, vp, vp, vp, vp, vp, vp,        # reads
+        i64, vp, vp, vp, vp, vp, vp, vp, vp, vp,  # reads (off/len form)
         vp, vp, vp, vp, vp, vp, vp, vp,     # device outputs
         vp, vp,                             # tb anchors (NULL = banded)
         vp, i64]                            # out text, cap
+    lib.fl_map_pair_block.restype = i64
+    lib.fl_map_pair_block.argtypes = [
+        vp, vp, i64, vp, vp, ci, ci,        # index
+        vp, vp, i64, vp, vp, vp,            # reference + names
+        vp, ci, ci, i64, i64,               # scoring
+        i64, i64, dbl, i64, i64, ci,        # params 1
+        i64, i64, ci, ci,                   # params 2
+        i64, i64, dbl, ci, ci,              # filter + sam opts
+        i64, i64, ci, ci,                   # pair params + names_raw
+        i64, vp, vp, vp, vp, vp, vp,        # reads A
+        vp, vp, vp, vp, vp, vp,             # reads B
+        vp, vp, i64, vp]                    # rng, out, cap, done
+    lib.fl_fastq_scan.restype = i64
+    lib.fl_fastq_scan.argtypes = [
+        vp, i64, i64,                       # buf, len, max_rec
+        vp, vp, vp, vp, vp, vp]             # extents + consumed
+    lib.fl_fastq_encode.restype = i64
+    lib.fl_fastq_encode.argtypes = [
+        vp, i64, vp, vp, i64, vp]           # buf, n, off, len, Q, enc
     lib.mc_dev_align.restype = i64
     lib.mc_dev_align.argtypes = [
         vp, i64, ci, vp, vp, i64,           # query, revcomp, matrix, subj

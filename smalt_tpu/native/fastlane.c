@@ -223,6 +223,7 @@ typedef struct {
     int64_t sidx;
     int64_t swatscor;
     int64_t mapscor;
+    double prob;                /* propagateMapQualAsProb (pair model) */
     int32_t status;
     int32_t diff_off, diff_len;
     int32_t swrank, qsegx, tmpord;
@@ -302,6 +303,7 @@ static int rs_add_from_ali(FLResultSet *rs, const int64_t *ali, int64_t nali,
         nr->sidx = seqidx;
         nr->swatscor = r[0];
         nr->mapscor = 0;
+        nr->prob = 0.0;
         nr->status = RSLTFLAG_SELECT | (is_reverse ? RSLTFLAG_REVERSE : 0);
         nr->diff_off = (int32_t)r[5];
         nr->diff_len = (int32_t)r[6];
@@ -1216,9 +1218,14 @@ typedef struct {
     int64_t nF, nR;        /* hit-info position counts per strand */
 } FLStage1;
 
+/* pre_hout: non-NULL when the hit-info stage already ran on this
+ * scratch for this read (the pair flow's probe) — the qmask/qoffs/
+ * nhits/slot/sidx arrays are reused as-is and only the collation
+ * onward runs (hashhit arrays are read-only downstream). */
 static int fl_read_stage1(const FLParams *P, FLScratch *s,
                           const uint8_t *codes, const uint8_t *qual,
-                          int64_t qlen, FLStage1 *o)
+                          int64_t qlen, const int64_t *pre_hout,
+                          FLStage1 *o)
 {
     int64_t hout[4], nF, rankF, nR, rankR;
     int64_t min_cover, min_ktup, mincov_below_max;
@@ -1235,17 +1242,25 @@ static int fl_read_stage1(const FLParams *P, FLScratch *s,
         o->shortseq = 1;
         return 0;
     }
-    rc = (int)mc_hitinfo_short2(P->words, P->starts, P->nwords, P->table,
-                                P->wordlen, P->nskip, codes, qual, qlen,
-                                P->ktuple_maxhit, P->maxhit_total,
-                                P->min_basq,
-                                s->qmaskF, s->qoffsF, s->nhitsF, s->slotF,
-                                s->sidxF,
-                                s->qmaskR, s->qoffsR, s->nhitsR, s->slotR,
-                                s->sidxR, s->qbuf, s->keybuf, hout);
-    if (rc != 0) {
-        o->shortseq = 1;
-        return 0;
+    if (pre_hout != NULL) {
+        hout[0] = pre_hout[0]; hout[1] = pre_hout[1];
+        hout[2] = pre_hout[2]; hout[3] = pre_hout[3];
+    } else {
+        rc = (int)mc_hitinfo_short2(P->words, P->starts, P->nwords,
+                                    P->table,
+                                    P->wordlen, P->nskip, codes, qual,
+                                    qlen,
+                                    P->ktuple_maxhit, P->maxhit_total,
+                                    P->min_basq,
+                                    s->qmaskF, s->qoffsF, s->nhitsF,
+                                    s->slotF, s->sidxF,
+                                    s->qmaskR, s->qoffsR, s->nhitsR,
+                                    s->slotR, s->sidxR,
+                                    s->qbuf, s->keybuf, hout);
+        if (rc != 0) {
+            o->shortseq = 1;
+            return 0;
+        }
     }
     nF = hout[0]; rankF = hout[1]; nR = hout[2]; rankR = hout[3];
     o->nF = nF;
@@ -1491,7 +1506,7 @@ static int fl_map_read(const FLParams *P, FLScratch *s,
     double t0 = prof ? fl_prof_now() : 0.0;
 
     rs_blank(s->rs);
-    rc = fl_read_stage1(P, s, codes, qual, qlen, &st);
+    rc = fl_read_stage1(P, s, codes, qual, qlen, NULL, &st);
     if (prof) { double t1 = fl_prof_now(); fl_prof_acc[0] += t1 - t0; t0 = t1; }
     if (rc != 0) return rc;
     if (st.shortseq) return 0;
@@ -1800,7 +1815,7 @@ int64_t fl_pass1_block(
             codes = s.enc;
         }
         state_offs[i] = state_used;
-        rc = fl_read_stage1(&P, &s, codes, qual, qlen, &st);
+        rc = fl_read_stage1(&P, &s, codes, qual, qlen, NULL, &st);
         if (rc != 0) goto done;
         if (state_used + FL_HDR_FIELDS + st.n_sort * FL_GEOM_FIELDS >
             state_cap) {
@@ -2106,6 +2121,1518 @@ static int64_t fl_fast_mapq(int64_t sw1, int64_t sw2, int64_t qlen,
     return m > 0.0 ? (int64_t)m : 0;
 }
 
+/* ================= exact paired-end block =========================
+ *
+ * C port of the pair layer: pair enumeration (resultpairs.c:1116-1216
+ * via results/pairs.py find_pairs/find_proper_pairs), the pair
+ * probability model + marginal mapqs (resultpairs.c:753-952), report
+ * assembly (resultpairs.c:1008-1311, report.c:1596-1717) and the
+ * paired SAM writer (report.c:762-906 via report.py _write_sam).
+ * fl_map_pair_block renders whole blocks of pairs; any branch the
+ * lane does not cover (remap/rescue/fine-rehash, resultpairs ties
+ * beyond caps) stops BEFORE consuming RNG for that pair and reports
+ * the pair index so the caller replays just that pair through the
+ * Python oracle — output byte-identical either way. */
+
+#define PAIRFLG_PAIRED 0x01
+#define PAIRFLG_RAREMATE 0x02
+#define PAIRFLG_RESTRICT_2nd 0x04
+#define PAIRFLG_RESTRICT_1st 0x08
+#define PMF_REVERSE_1st 0x01
+#define PMF_REVERSE_2nd 0x02
+#define PMF_LEFTMOST2nd 0x04
+#define PMF_SAMECONTIG 0x08
+#define PMF_NOCONTIG 0x10
+#define MAPFLG_WITHIN 0x01
+#define MAPFLG_PROPER 0x02
+#define MAPFLG_PAIRED 0x04
+#define MAPFLG_CONTIG 0x08
+#define MAPFLG_MULT1ST 0x10
+#define MAPFLG_MULT2ND 0x20
+#define RSLTFLAG_SINGLE 0x40
+#define FL_MAXPAIRNUM (1028 * 16)
+#define FL_PAIRS_TOTAL 1028           /* engine.py MAXNUM_PAIRS_TOTAL */
+#define MAPQ_UNIQUE_1ST 20            /* MAPSCORE_UNIQUE_MAPPED_1ST */
+#define MINFRACT_MAXSCOR_2ND 0.8
+#define FILTERIVALEXT 30
+#define CUMULPROB_OUT 3e-3            /* CUMULPROB_PROPER_OUTSIDE */
+#define CUMULPROB_IMP 1e-4            /* CUMULPROB_IMPROPER */
+#define REPFLG_PAIRED 0x04
+#define REPFLG_MATE2 0x08
+#define REPFLG_PARTIAL 0x20
+#define REPPAIR_MAPPED 0x01
+#define REPPAIR_CONTIG 0x02
+#define REPPAIR_PROPER 0x04
+#define REPPAIR_WITHIN 0x08
+#define SAMFLAG_PAIRED 0x0001
+#define SAMFLAG_PROPER 0x0002
+#define SAMFLAG_MATENOMAP 0x0008
+#define SAMFLAG_MATESTRAND 0x0020
+#define SAMFLAG_MATE1 0x0040
+#define SAMFLAG_MATE2 0x0080
+
+/* propagateMapQualAsProb (results.c:1354-1413; result.py
+ * _propagate_prob) — float32 intermediate replicated */
+static void rs_propagate_prob(FLResultSet *rs, int qsegx)
+{
+    int lo = rs->segnor[qsegx], hi = rs->segnor[qsegx + 1];
+    int *rspp = rs->segsrtr + lo;
+    int nn = hi - lo, i, n1, n2 = 0;
+    double p1 = 0.0, p2 = 0.0;
+    if (nn < 1) return;
+    i = 1;
+    while (i < nn &&
+           rs->res[rspp[i]].swatscor == rs->res[rspp[0]].swatscor)
+        i++;
+    n1 = i;
+    if (i < nn) {
+        i++;
+        while (i < nn &&
+               rs->res[rspp[i]].swatscor == rs->res[rspp[n1]].swatscor)
+            i++;
+        n2 = i - n1;
+    }
+    if (n1 == 1) {
+        int64_t isc = rs->res[rspp[0]].mapscor;
+        double t;
+        if (isc < 0) isc = 0;
+        t = (double)(float)(-(float)LOGBASE * (float)isc);
+        p2 = exp(t / (double)QUALSCOR_SCAL);
+        p1 = 1.0 - p2;
+        if (n2 > 1) p2 /= (double)n2;
+    } else if (n1 > 1) {
+        p1 = 1.0 / (double)n1;
+        p2 = p1;
+    }
+    for (i = 0; i < n1; i++) rs->res[rspp[i]].prob = p1;
+    for (i = n1; i < n1 + n2; i++) rs->res[rspp[i]].prob = p2;
+    for (i = n1 + n2; i < nn; i++) rs->res[rspp[i]].prob = 0.0;
+    if (n1 == 1 && n2 == 0)
+        rs->res[rspp[0]].status |= RSLTFLAG_SINGLE;
+}
+
+/* resultConvertProbabilityToMappingScore (results.c:292-306) */
+static int64_t fl_conv_prob_mapscor(double p)
+{
+    double isc = 1.0 - p, m;
+    if (isc < MINLOGARG) isc = MINLOGARG;
+    m = -(double)QUALSCOR_SCAL * log10(isc);
+    if (m > MAPSCOR_MAX) return MAPSCOR_MAX;
+    if (m < 0.0) return 0;
+    return (int64_t)m;
+}
+
+/* resultSetGetScorStats (result.py:529-543, incl. the reference's
+ * fixed-element quirk) */
+static void rs_scor_stats(const FLResultSet *rs, int *num_max, int *num_2nd)
+{
+    int n = rs->n_sortr, i = 0;
+    while (i < n && rs->res[rs->sortr[i]].swatscor >= rs->swatscor_max)
+        i++;
+    *num_max = i;
+    if (i < n && rs->res[rs->sortr[i]].swatscor >= rs->swatscor_2ndmax)
+        *num_2nd = n - i;
+    else
+        *num_2nd = 0;
+}
+
+static void rs_rank_depth(const FLResultSet *rs, int *is_single,
+                          int *max_rank)
+{
+    int nm, n2;
+    rs_scor_stats(rs, &nm, &n2);
+    if (nm < 2) { *is_single = (nm == 1); *max_rank = 1; }
+    else { *is_single = 0; *max_rank = 0; }
+}
+
+/* resultSetGetTopResult (results.c:2516-2540): result index or -1 */
+static int rs_get_top(FLResultSet *rs, int is_randsel, uint64_t *rng,
+                      int *is_multi)
+{
+    int is_single, ntop, top = -1;
+    rs_top_count(rs, &is_single, &ntop);
+    *is_multi = 0;
+    if (ntop > 0) {
+        if (is_single) {
+            top = rs->sortr[0];
+            if (rs->res[top].mapscor < 1) *is_multi = 1;
+        } else {
+            *is_multi = 1;
+        }
+        if (*is_multi && is_randsel) {
+            int rx = (int)(fl_drand48(rng) * ntop);
+            top = rs->sortr[rx];
+            rs->res[top].mapscor = mapscor_random_draw(ntop);
+        }
+    }
+    return top;
+}
+
+/* resultCalcInsertSize (results.c:938-982) */
+static int64_t fl_calc_insert(const FLRes *ap, const FLRes *bp, int *flag)
+{
+    int f = 0;
+    int64_t rA, rB, isiz;
+    if (ap->status & RSLTFLAG_REVERSE) f |= PMF_REVERSE_1st;
+    if (bp->status & RSLTFLAG_REVERSE) f |= PMF_REVERSE_2nd;
+    if (bp->s_start < ap->s_start) f |= PMF_LEFTMOST2nd;
+    if (ap->sidx < 0 || bp->sidx < 0) f |= PMF_NOCONTIG;
+    else if (ap->sidx == bp->sidx) f |= PMF_SAMECONTIG;
+    rA = ap->s_start < bp->s_start ? ap->s_start : bp->s_start;
+    rB = ap->s_end > bp->s_end ? ap->s_end : bp->s_end;
+    isiz = rB - rA + 1;
+    if (f & PMF_LEFTMOST2nd) isiz = -isiz;
+    *flag = f;
+    return isiz;
+}
+
+/* testProperPair (resultpairs.c:135-186) */
+static int fl_test_proper(int64_t isize, int iflag, int64_t dmin,
+                          int64_t dmax, int libcode)
+{
+    int mapflg = 0;
+    int r1 = (iflag & PMF_REVERSE_1st) != 0;
+    int r2 = (iflag & PMF_REVERSE_2nd) != 0;
+    int lm2 = (iflag & PMF_LEFTMOST2nd) != 0;
+    if (isize < 0) {
+        if (-dmax <= isize && isize <= -dmin) mapflg |= MAPFLG_WITHIN;
+        switch (libcode) {
+        case 0: mapflg |= MAPFLG_PROPER; break;               /* all */
+        case 1: if (r1 && !r2 && lm2) mapflg |= MAPFLG_PROPER; break;
+        case 2: if (!r1 && r2 && lm2) mapflg |= MAPFLG_PROPER; break;
+        case 3: if (r1 && r2 && lm2) mapflg |= MAPFLG_PROPER; break;
+        }
+    } else {
+        if (dmin <= isize && isize <= dmax) mapflg |= MAPFLG_WITHIN;
+        switch (libcode) {
+        case 0: mapflg |= MAPFLG_PROPER; break;
+        case 1: if (!r1 && r2 && !lm2) mapflg |= MAPFLG_PROPER; break;
+        case 2: if (r1 && !r2 && !lm2) mapflg |= MAPFLG_PROPER; break;
+        case 3: if (!r1 && !r2 && !lm2) mapflg |= MAPFLG_PROPER; break;
+        }
+    }
+    return mapflg;
+}
+
+typedef struct {
+    int a, b;               /* res indices into rsA / rsB */
+    int64_t ins;
+    int flag, mapflg;
+    double pbf;
+} FLPair;
+
+typedef struct {
+    FLPair *pairs;          /* cap FL_MAXPAIRNUM (heap, per block) */
+    int n_pairs, n_proper, n_within;
+    int64_t dmin, dmax;
+} FLPairs;
+
+static void flp_blank(FLPairs *fp)
+{
+    fp->n_pairs = fp->n_proper = fp->n_within = 0;
+    fp->dmin = fp->dmax = 0;
+}
+
+/* one offset interval of generateOFFSIVAL */
+typedef struct {
+    int64_t lower, upper;
+    int64_t sidx;
+    int status;
+    int res;                /* res index in rsA */
+} FLIval;
+
+/* cmpOFFSIVAL (resultpairs.c:432): sidx asc, REVERSE desc, lower asc;
+ * stable insertion sort (counts are small) */
+static void flp_sort_ivals(FLIval *iv, int n)
+{
+    int i, j;
+    for (i = 1; i < n; i++) {
+        FLIval v = iv[i];
+        int64_t vr = v.status & RSLTFLAG_REVERSE;
+        j = i - 1;
+        while (j >= 0) {
+            int64_t jr = iv[j].status & RSLTFLAG_REVERSE;
+            if (iv[j].sidx > v.sidx ||
+                (iv[j].sidx == v.sidx &&
+                 (jr < vr ||
+                  (jr == vr && iv[j].lower > v.lower)))) {
+                iv[j + 1] = iv[j];
+                j--;
+            } else {
+                break;
+            }
+        }
+        iv[j + 1] = v;
+    }
+}
+
+/* generateOFFSIVAL + setup (resultpairs.c:196-280; pairs.py:219-247).
+ * iv must hold 2 * RES_MAX entries.  Returns the count. */
+static int flp_gen_ivals(FLResultSet *rsA, int64_t dmin, int64_t dmax,
+                         FLIval *iv)
+{
+    int n = 0, qsegx;
+    if (dmin < 0) dmin = 0;
+    if (dmax < 0) dmax = 0;
+    if (rsA->qsegno < 1) return 0;
+    for (qsegx = 0; qsegx < rsA->qsegno; qsegx++) {
+        int lo = rsA->segnor[qsegx], hi = rsA->segnor[qsegx + 1], k;
+        for (k = lo; k < hi; k++) {
+            FLRes *rp = &rsA->res[rsA->segsrtr[k]];
+            int64_t r0, lo1, hi1, lo2, hi2;
+            if (rp->swrank > 0) break;
+            if (rp->status & RSLTFLAG_REVERSE)
+                r0 = rp->s_end + rp->q_start - 2;
+            else
+                r0 = rp->s_start - rp->q_start;
+            if (r0 >= dmax) {
+                lo1 = r0 - dmax;
+                hi1 = r0 - dmin;
+            } else {
+                lo1 = 0;
+                hi1 = r0 > dmin ? r0 - dmin : 0;
+            }
+            lo2 = r0 + dmin;
+            hi2 = r0 + dmax;
+            if (lo2 <= hi1) {
+                iv[n].lower = lo1; iv[n].upper = hi2;
+                iv[n].sidx = rp->sidx; iv[n].status = rp->status;
+                iv[n].res = rsA->segsrtr[k];
+                n++;
+            } else {
+                iv[n].lower = lo1; iv[n].upper = hi1;
+                iv[n].sidx = rp->sidx; iv[n].status = rp->status;
+                iv[n].res = rsA->segsrtr[k];
+                n++;
+                iv[n].lower = lo2; iv[n].upper = hi2;
+                iv[n].sidx = rp->sidx; iv[n].status = rp->status;
+                iv[n].res = rsA->segsrtr[k];
+                n++;
+            }
+        }
+    }
+    flp_sort_ivals(iv, n);
+    return n;
+}
+
+/* resultSetFindProperPairs (resultpairs.c:1162-1216) */
+static void flp_find_proper(FLPairs *fp, int64_t dmin, int64_t dmax,
+                            int maxnum, int64_t swscor_min, int libcode,
+                            FLResultSet *rsA, FLResultSet *rsB,
+                            FLIval *ivbuf)
+{
+    int nival, ivalx = 0, stop = 0, qsegx;
+    flp_blank(fp);
+    if (rsA->qsegno < 1 || rsB->qsegno < 1 ||
+        rsA->segnor[rsA->qsegno] < 1 || rsB->segnor[rsB->qsegno] < 1)
+        return;
+    nival = flp_gen_ivals(rsA, dmin, dmax, ivbuf);
+    if (swscor_min < 1) {
+        swscor_min = rsB->swatscor_2ndmax > 0 ? rsB->swatscor_2ndmax
+                                              : rsB->swatscor_max;
+    }
+    if (dmin > dmax) { fp->dmin = dmax; fp->dmax = dmin; }
+    else { fp->dmin = dmin; fp->dmax = dmax; }
+    if (maxnum < 1) maxnum = 1;
+    if (swscor_min > rsB->swatscor_max) return;
+    for (qsegx = 0; qsegx < rsB->qsegno && !stop; qsegx++) {
+        int lo = rsB->segnor[qsegx], hi = rsB->segnor[qsegx + 1], k;
+        for (k = lo; k < hi && !stop; k++) {
+            FLRes *rp = &rsB->res[rsB->segsrtr[k]];
+            int64_t r0;
+            if (rp->swrank > 0) break;
+            if (rp->swatscor < swscor_min) break;
+            if (ivalx >= nival) ivalx = 0;
+            while (ivalx < nival) {
+                const FLIval *ivp = &ivbuf[ivalx];
+                if (rp->sidx < ivp->sidx) break;
+                if (rp->sidx > ivp->sidx) { ivalx++; continue; }
+                if (rp->status & RSLTFLAG_REVERSE) {
+                    if (ivp->status & RSLTFLAG_REVERSE) { ivalx++; continue; }
+                    r0 = rp->s_end + rp->q_start - 2;
+                } else {
+                    if (!(ivp->status & RSLTFLAG_REVERSE)) { ivalx++; continue; }
+                    r0 = rp->s_start - rp->q_start;
+                }
+                if (r0 > ivp->upper) { ivalx++; continue; }
+                if (r0 < ivp->lower) break;
+                {
+                    FLPair *mp = &fp->pairs[fp->n_pairs];
+                    int64_t isiz;
+                    mp->a = ivp->res;
+                    mp->b = rsB->segsrtr[k];
+                    mp->ins = fl_calc_insert(&rsA->res[mp->a],
+                                             &rsB->res[mp->b], &mp->flag);
+                    mp->mapflg = fl_test_proper(mp->ins, mp->flag,
+                                                fp->dmin, fp->dmax,
+                                                libcode);
+                    mp->mapflg |= MAPFLG_PAIRED | MAPFLG_CONTIG;
+                    mp->pbf = 0.0;
+                    isiz = mp->ins < 0 ? -mp->ins : mp->ins;
+                    if (fp->dmin <= isiz && isiz <= fp->dmax)
+                        fp->n_pairs++;
+                    if (fp->n_pairs >= maxnum) { stop = 1; break; }
+                }
+                ivalx++;
+            }
+        }
+    }
+    fp->n_proper = fp->n_pairs;
+}
+
+/* resultSetFindPairs (resultpairs.c:1116-1160) */
+static void flp_find_pairs(FLPairs *fp, int pairflg, int libcode,
+                           int64_t dmin, int64_t dmax,
+                           FLResultSet *rsA, FLResultSet *rsB)
+{
+    int is_sA, is_sB, max_rankA, max_rankB, qA, stop = 0;
+    flp_blank(fp);
+    if (dmin > dmax) { fp->dmin = dmax; fp->dmax = dmin; }
+    else { fp->dmin = dmin; fp->dmax = dmax; }
+    rs_rank_depth(rsA, &is_sA, &max_rankA);
+    rs_rank_depth(rsB, &is_sB, &max_rankB);
+    if ((pairflg & PAIRFLG_RESTRICT_2nd) && is_sA) max_rankA = 0;
+    else if ((pairflg & PAIRFLG_RESTRICT_1st) && is_sB) max_rankB = 0;
+    for (qA = 0; qA < rsA->qsegno && !stop; qA++) {
+        int loA = rsA->segnor[qA], hiA = rsA->segnor[qA + 1], kA;
+        for (kA = loA; kA < hiA && !stop; kA++) {
+            FLRes *ap = &rsA->res[rsA->segsrtr[kA]];
+            int qB;
+            if (ap->swrank > max_rankA) break;
+            for (qB = 0; qB < rsB->qsegno && !stop; qB++) {
+                int loB = rsB->segnor[qB], hiB = rsB->segnor[qB + 1], kB;
+                for (kB = loB; kB < hiB; kB++) {
+                    FLRes *bp = &rsB->res[rsB->segsrtr[kB]];
+                    FLPair *mp;
+                    if (bp->swrank > max_rankB) break;
+                    mp = &fp->pairs[fp->n_pairs];
+                    mp->a = rsA->segsrtr[kA];
+                    mp->b = rsB->segsrtr[kB];
+                    mp->mapflg = MAPFLG_PAIRED;
+                    mp->pbf = 0.0;
+                    mp->ins = fl_calc_insert(ap, bp, &mp->flag);
+                    if (mp->flag & PMF_SAMECONTIG) {
+                        mp->mapflg |= fl_test_proper(mp->ins, mp->flag,
+                                                     fp->dmin, fp->dmax,
+                                                     libcode);
+                        if (mp->mapflg & MAPFLG_WITHIN) {
+                            fp->n_within++;
+                            if (mp->mapflg & MAPFLG_PROPER)
+                                fp->n_proper++;
+                        }
+                        mp->mapflg |= MAPFLG_CONTIG;
+                    }
+                    fp->n_pairs++;
+                    if (fp->n_pairs >= FL_MAXPAIRNUM) { stop = 1; break; }
+                }
+            }
+        }
+    }
+}
+
+/* assignProbabilityToPairs (resultpairs.c:753-826); no insert
+ * histogram on this lane (the -g configuration stays in Python) */
+static void flp_assign_prob(FLPairs *fp, int pairflg,
+                            const FLResultSet *rsA, const FLResultSet *rsB,
+                            double *psum_out, double *marga_out,
+                            double *margb_out)
+{
+    double prob_improper = CUMULPROB_IMP;
+    double prob_proper = 1.0 - CUMULPROB_IMP;
+    double prob_out = CUMULPROB_OUT;
+    double prob_in = 1.0 - CUMULPROB_OUT;
+    double prob_allout = prob_improper + prob_proper * prob_out;
+    double psum = MINLOGARG, marga = 0.0, margb = 0.0;
+    int i;
+    for (i = 0; i < fp->n_pairs; i++) {
+        FLPair *mp = &fp->pairs[i];
+        double pa = rsA->res[mp->a].prob;
+        double pb = rsB->res[mp->b].prob;
+        double iab;
+        int flga = rsA->res[mp->a].status;
+        int flgb = rsB->res[mp->b].status;
+        if (pairflg & PAIRFLG_RESTRICT_1st) {
+            if (pa > pb) pa = pb;
+        } else if (pairflg & PAIRFLG_RESTRICT_2nd) {
+            if (pb > pa) pb = pa;
+        }
+        if (mp->mapflg & MAPFLG_PROPER) {
+            iab = prob_proper;
+            if (mp->mapflg & MAPFLG_WITHIN) iab *= prob_in;
+            else iab *= prob_out;
+        } else {
+            iab = prob_improper;
+        }
+        mp->pbf = pa * pb * iab;
+        psum += mp->pbf;
+        if (flga & RSLTFLAG_SINGLE) {
+            double sv = (1.0 - pa) * prob_allout * pb;
+            margb += sv;
+            psum += sv;
+        }
+        if (flgb & RSLTFLAG_SINGLE) {
+            double sv = pa * prob_allout * (1.0 - pb);
+            marga += sv;
+            psum += sv;
+        }
+    }
+    *psum_out = psum;
+    *marga_out = marga;
+    *margb_out = margb;
+}
+
+/* stable sort by pbf desc (Python list.sort stability) */
+static void flp_sort_pbf(FLPair *p, int n)
+{
+    int i, j;
+    for (i = 1; i < n; i++) {
+        FLPair v = p[i];
+        j = i - 1;
+        while (j >= 0 && p[j].pbf < v.pbf) {
+            p[j + 1] = p[j];
+            j--;
+        }
+        p[j + 1] = v;
+    }
+}
+
+/* drawPairAtRandomByProbability (resultpairs.c:726-752) */
+static int flp_draw_random(FLPairs *fp, uint64_t *rng)
+{
+    double sum = 0.0, pthresh, sv = 0.0;
+    int i;
+    for (i = 0; i < fp->n_pairs; i++) sum += fp->pairs[i].pbf;
+    pthresh = fl_drand48(rng) * sum;
+    for (i = 0; i < fp->n_pairs; i++) {
+        sv += fp->pairs[i].pbf;
+        if (sv + MINLOGARG > pthresh) return i;
+    }
+    return fp->n_pairs ? fp->n_pairs - 1 : -1;
+}
+
+/* scorePairsSimple (resultpairs.c:828-952).  Outputs result indices
+ * (-1 = none), marginal mapqs, mapflg, n_max. */
+static void flp_score_simple(FLPairs *fp, int pairflg, int rsltouflg,
+                             FLResultSet *rsA, FLResultSet *rsB,
+                             uint64_t *rng,
+                             int *ap_out, int *bp_out,
+                             int64_t *mapqA_out, int64_t *mapqB_out,
+                             int *mapflg_out, int *n_max_out)
+{
+    int n_pairs = fp->n_pairs, mapflg = 0, i, n_max, sel;
+    double psum, marga, margb, maxprob;
+    *mapqA_out = *mapqB_out = 0;
+    if (n_pairs == 0) {
+        int is_randsel = (rsltouflg & RESULTFLG_RANDSEL) != 0;
+        int mA, mB;
+        *ap_out = rs_get_top(rsA, is_randsel, rng, &mA);
+        *bp_out = rs_get_top(rsB, is_randsel, rng, &mB);
+        *mapflg_out = 0;
+        *n_max_out = 0;
+        return;
+    }
+    flp_assign_prob(fp, pairflg, rsA, rsB, &psum, &marga, &margb);
+    if (psum < MINLOGARG) psum = MINLOGARG;
+    flp_sort_pbf(fp->pairs, n_pairs);
+    i = 1;
+    while (i < n_pairs && fp->pairs[i].pbf + MINLOGARG >= fp->pairs[0].pbf)
+        i++;
+    n_max = i;
+    sel = 0;
+    maxprob = fp->pairs[0].pbf / psum;
+    if (maxprob <= 0.6 && n_pairs > 1) {
+        mapflg = MAPFLG_MULT1ST | MAPFLG_MULT2ND;
+        if (rsltouflg & RESULTFLG_RANDSEL)
+            sel = flp_draw_random(fp, rng);
+        else if (!(rsltouflg & RESULTFLG_SINGLE))
+            sel = 0;
+        else
+            sel = -1;
+    }
+    if (sel < 0) {
+        *ap_out = *bp_out = -1;
+        *mapflg_out = mapflg;
+        *n_max_out = n_max;
+        return;
+    }
+    {
+        FLPair *mp = &fp->pairs[sel];
+        int a = mp->a, b = mp->b;
+        mapflg |= mp->mapflg;
+        for (i = 0; i < n_pairs; i++) {
+            if (fp->pairs[i].a == a) marga += fp->pairs[i].pbf;
+            if (fp->pairs[i].b == b) margb += fp->pairs[i].pbf;
+        }
+        *ap_out = a;
+        *bp_out = b;
+        *mapqA_out = fl_conv_prob_mapscor(marga / psum);
+        *mapqB_out = fl_conv_prob_mapscor(margb / psum);
+        *mapflg_out = mapflg;
+        *n_max_out = n_max;
+    }
+}
+
+/* ---------------- pair report (report.py Report with pairs) -------- */
+
+typedef struct {
+    int status;                 /* REPFLG_* */
+    int64_t swatscor, mapscor;
+    int64_t q_start, q_end, s_start, s_end, s_idx;
+    const uint8_t *diff;
+    int diff_len;
+    int was_output;
+} FLRepAli;
+
+typedef struct {
+    int iA, iB;
+    int64_t isize;
+    int pairflg;
+} FLRepPair;
+
+#define FLREP_MAX 128
+
+typedef struct {
+    FLRepAli arA[FLREP_MAX], arB[FLREP_MAX];
+    int nA, nB;
+    FLRepPair pairs[FLREP_MAX];
+    int n_pairs;
+} FLReport;
+
+static void flrep_blank(FLReport *rep)
+{
+    rep->nA = rep->nB = rep->n_pairs = 0;
+}
+
+static int flrep_find(const FLRepAli *arr, int n, int64_t q_start,
+                      int64_t q_end, int mateflg, int64_t s_start,
+                      int64_t s_end, int64_t s_idx)
+{
+    int mask = REPFLG_REVERSE | REPFLG_MATE2, i;
+    for (i = n - 1; i >= 0; i--) {
+        const FLRepAli *r = &arr[i];
+        if (s_start == r->s_start && s_end == r->s_end &&
+            s_idx == r->s_idx && q_start == r->q_start &&
+            q_end == r->q_end && (mateflg & mask) == (r->status & mask))
+            return i;
+    }
+    return -1;
+}
+
+/* reportAddMap (report.c:1596-1717; report.py:98-169) */
+static int flrep_add_map(FLReport *rep, int pairid, int64_t swatscor,
+                         int64_t mapscor, int64_t q_start, int64_t q_end,
+                         int64_t s_start, int64_t s_end, int64_t s_idx,
+                         const uint8_t *diff, int diff_len, int64_t insiz,
+                         int mateflg, int pairflg)
+{
+    FLRepPair *pp = NULL;
+    FLRepAli *rp = NULL;
+    if (diff == NULL || diff_len < 1)
+        mateflg &= ~REPFLG_MAPPED;
+    if ((mateflg & REPFLG_PAIRED) && pairid >= 0) {
+        pp = &rep->pairs[pairid];
+        if (pp->pairflg == 0) pp->pairflg = pairflg;
+        else if (pp->pairflg != pairflg) return FL_ERR_ASSERT;
+    }
+    if (pp != NULL && (mateflg & REPFLG_MATE2)) {
+        if (pp->iA >= 0) {
+            int idx;
+            if (insiz != pp->isize) return FL_ERR_ASSERT;
+            idx = flrep_find(rep->arB, rep->nB, q_start, q_end, mateflg,
+                             s_start, s_end, s_idx);
+            if (idx < 0) {
+                if (rep->nB >= FLREP_MAX) return FL_ERR_CAP;
+                pp->iB = rep->nB;
+                rp = &rep->arB[rep->nB++];
+            } else {
+                pp->iB = idx;
+                rp = &rep->arB[idx];
+            }
+        } else {
+            pp->isize = insiz;
+        }
+    } else {
+        FLRepAli *arr = rep->arA;
+        int *np = &rep->nA;
+        int idx;
+        if (pp == NULL) {
+            if (mateflg & REPFLG_MATE2) { arr = rep->arB; np = &rep->nB; }
+        } else {
+            if (pp->iB >= 0) {
+                if (insiz != pp->isize) return FL_ERR_ASSERT;
+            } else {
+                pp->isize = insiz;
+            }
+        }
+        idx = flrep_find(arr, *np, q_start, q_end, mateflg, s_start,
+                         s_end, s_idx);
+        if (idx < 0) {
+            if (*np >= FLREP_MAX) return FL_ERR_CAP;
+            if (pp != NULL) pp->iA = *np;
+            rp = &arr[(*np)++];
+        } else {
+            if (pp == NULL) rp = NULL;   /* known single mapping */
+            else { pp->iA = idx; rp = &arr[idx]; }
+        }
+    }
+    if (rp != NULL) {
+        rp->status = mateflg;
+        rp->was_output = 0;
+        if (mateflg & REPFLG_MAPPED) {
+            rp->swatscor = swatscor;
+            rp->mapscor = mapscor;
+            rp->q_start = q_start;
+            rp->q_end = q_end;
+            rp->s_start = s_start;
+            rp->s_end = s_end;
+            rp->s_idx = s_idx;
+            rp->diff = diff;
+            rp->diff_len = diff_len;
+        } else {
+            rp->swatscor = rp->mapscor = 0;
+            rp->q_start = rp->q_end = rp->s_start = rp->s_end = 0;
+            rp->s_idx = 0;
+            rp->diff = NULL;
+            rp->diff_len = 0;
+        }
+    }
+    return 0;
+}
+
+/* resultSetAddResultToReport (results.c:2209-2248) */
+static int flrep_add_result(FLReport *rep, int pairid, int64_t mapscor,
+                            int mateflg, int pairflg, int64_t isize,
+                            const FLResultSet *rs, int res_idx)
+{
+    if (res_idx < 0 || (rs->res[res_idx].status & RSLTFLAG_NOOUTPUT))
+        return flrep_add_map(rep, pairid, 0, 0, 0, 0, 0, 0, 0, NULL, 0,
+                            0, mateflg, pairflg);
+    {
+        const FLRes *rp = &rs->res[res_idx];
+        int64_t ms;
+        mateflg |= REPFLG_MAPPED;
+        if (rp->status & RSLTFLAG_REVERSE) mateflg |= REPFLG_REVERSE;
+        ms = pairid < 0 ? rp->mapscor : mapscor;
+        return flrep_add_map(rep, pairid, rp->swatscor, ms, rp->q_start,
+                            rp->q_end, rp->s_start, rp->s_end, rp->sidx,
+                            rs->diffpool + rp->diff_off, rp->diff_len,
+                            isize, mateflg, pairflg);
+    }
+}
+
+/* addPairResultsToReport (resultpairs.c:1008-1068) */
+static int flrep_add_pair_results(FLReport *rep, int mapflg, int repmateflg,
+                                  int apx, int64_t mapqA, FLResultSet *rsA,
+                                  int bpx, int64_t mapqB, FLResultSet *rsB)
+{
+    int64_t isize = 0;
+    int pair_id, reppairflg = 0, rmA, rmB, rc;
+    if (rep->n_pairs >= FLREP_MAX) return FL_ERR_CAP;
+    pair_id = rep->n_pairs++;
+    rep->pairs[pair_id].iA = -1;
+    rep->pairs[pair_id].iB = -1;
+    rep->pairs[pair_id].isize = 0;
+    rep->pairs[pair_id].pairflg = 0;
+    repmateflg |= REPFLG_PAIRED;
+    if ((mapflg & MAPFLG_PAIRED) && apx >= 0 && bpx >= 0 &&
+        !(rsA->res[apx].status & RSLTFLAG_NOOUTPUT) &&
+        !(rsB->res[bpx].status & RSLTFLAG_NOOUTPUT)) {
+        reppairflg |= REPPAIR_MAPPED;
+        if (mapflg & MAPFLG_CONTIG) {
+            int f;
+            reppairflg |= REPPAIR_CONTIG;
+            isize = fl_calc_insert(&rsA->res[apx], &rsB->res[bpx], &f);
+            if (mapflg & MAPFLG_WITHIN) reppairflg |= REPPAIR_WITHIN;
+            if (mapflg & MAPFLG_PROPER) reppairflg |= REPPAIR_PROPER;
+        }
+    }
+    rmA = repmateflg & ~REPFLG_MATE2;
+    if (mapflg & MAPFLG_MULT1ST) rmA |= REPFLG_MULTI;
+    rc = flrep_add_result(rep, pair_id, mapqA, rmA, reppairflg, isize,
+                          rsA, apx);
+    if (rc != 0) return rc;
+    rmB = repmateflg | REPFLG_MATE2;
+    if (mapflg & MAPFLG_MULT2ND) rmB |= REPFLG_MULTI;
+    return flrep_add_result(rep, pair_id, mapqB, rmB, reppairflg, isize,
+                            rsB, bpx);
+}
+
+/* resultSetAddPairToReport (resultpairs.c:1222-1311); split-mode
+ * secondaries excluded by the lane gate */
+static int flrep_add_pair_to_report(FLReport *rep, FLPairs *fp,
+                                    int pairflg, int rsltouflg,
+                                    FLResultSet *rsA, FLResultSet *rsB,
+                                    uint64_t *rng)
+{
+    int apx, bpx, mapflg, n_max, rc, i;
+    int64_t mapqA, mapqB;
+    flp_score_simple(fp, pairflg, rsltouflg, rsA, rsB, rng,
+                     &apx, &bpx, &mapqA, &mapqB, &mapflg, &n_max);
+    if (n_max > 1 && !(rsltouflg & RESULTFLG_RANDSEL) &&
+        (rsltouflg & RESULTFLG_SINGLE)) {
+        int mA, mB, ax, bx;
+        ax = rs_get_top(rsA, 0, rng, &mA);
+        bx = rs_get_top(rsB, 0, rng, &mB);
+        apx = ax;
+        bpx = bx;
+        if (!mA) { bpx = -1; mapflg |= MAPFLG_MULT2ND; }
+        else if (!mB) { apx = -1; mapflg |= MAPFLG_MULT1ST; }
+        else { mapflg |= MAPFLG_MULT1ST | MAPFLG_MULT2ND;
+               apx = -1; bpx = -1; }
+    }
+    rc = flrep_add_pair_results(rep, mapflg,
+                                REPFLG_PAIRED | REPFLG_PRIMARY,
+                                apx, mapqA, rsA, bpx, mapqB, rsB);
+    if (rc != 0) return rc;
+    if ((mapflg & (MAPFLG_MULT1ST | MAPFLG_MULT2ND)) &&
+        !(rsltouflg & RESULTFLG_RANDSEL) &&
+        !(rsltouflg & RESULTFLG_SINGLE)) {
+        for (i = 0; i < n_max; i++) {
+            FLPair *mp = &fp->pairs[i];
+            if (mp->a != apx || mp->b != bpx) {
+                int mflg = mp->mapflg |
+                           (mapflg & (MAPFLG_MULT1ST | MAPFLG_MULT2ND));
+                rc = flrep_add_pair_results(
+                    rep, mflg, REPFLG_PAIRED | REPFLG_PRIMARY,
+                    mp->a, mapqA, rsA, mp->b, mapqB, rsB);
+                if (rc != 0) return rc;
+            }
+        }
+    }
+    return 0;
+}
+
+/* fprintREPALIsam for one PAIRED record (report.py:280-355) */
+static int tx_sam_line_paired(FLText *t,
+                              const char *name, int64_t name_len,
+                              const uint8_t *codes, const uint8_t *qual,
+                              int64_t qlen,
+                              const FLRepAli *rp, const FLRepAli *mp,
+                              int64_t isize, int pairflg,
+                              const char *const *seq_names,
+                              const int64_t *seq_name_lens,
+                              int soft_clip, int x_mismatch)
+{
+    int samflg = 0;
+    int64_t pos = 0, mpos = 0, i;
+    int mapped = (rp->status & REPFLG_MAPPED) != 0;
+    int mate_mapped = 0;
+    int64_t ms_idx = -1;
+
+    /* report.py:258-260 quirk: the CONTIG probe does not require the
+     * mate record to be mapped (an unmapped mate has s_idx 0) */
+    if (mapped && mp != NULL && rp->s_idx == mp->s_idx)
+        pairflg |= REPPAIR_CONTIG;
+    if (rp->status & REPFLG_PAIRED) {
+        samflg |= SAMFLAG_PAIRED;
+        if (rp->status & REPFLG_MATE2) {
+            samflg |= SAMFLAG_MATE2;
+            isize = -isize;
+        } else {
+            samflg |= SAMFLAG_MATE1;
+        }
+        if (mp != NULL && (mp->status & REPFLG_MAPPED)) {
+            mate_mapped = 1;
+            mpos = mp->s_start;
+            ms_idx = mp->s_idx;
+            if (mp->status & REPFLG_REVERSE) samflg |= SAMFLAG_MATESTRAND;
+        } else {
+            samflg |= SAMFLAG_MATENOMAP;
+            isize = 0;
+            mpos = 0;
+        }
+    }
+    if (!mapped) { samflg |= SAMFLAG_NOMAP; isize = 0; }
+    else {
+        if (rp->status & REPFLG_REVERSE) samflg |= SAMFLAG_STRAND;
+        if ((pairflg & REPPAIR_PROPER) && (pairflg & REPPAIR_WITHIN))
+            samflg |= SAMFLAG_PROPER;
+        if (rp->status & REPFLG_PARTIAL) samflg |= SAMFLAG_NOTPRIMARY;
+        pos = rp->s_start;
+    }
+
+    tx_putn(t, name, name_len);
+    tx_putc(t, '\t');
+    tx_puti(t, samflg);
+    tx_putc(t, '\t');
+    if (mapped) tx_putn(t, seq_names[rp->s_idx], seq_name_lens[rp->s_idx]);
+    else tx_putc(t, '*');
+    tx_putc(t, '\t');
+    tx_puti(t, pos);
+    tx_putc(t, '\t');
+    tx_puti(t, rp->mapscor);
+    tx_putc(t, '\t');
+    if (mapped) {
+        int is_rev = (rp->status & REPFLG_REVERSE) != 0;
+        int64_t clip_start, clip_end, q0, q1;
+        int rc2;
+        if (is_rev) {
+            clip_start = qlen - rp->q_end;
+            clip_end = rp->q_start - 1;
+        } else {
+            clip_start = rp->q_start - 1;
+            clip_end = qlen - rp->q_end;
+        }
+        rc2 = tx_cigar(t, rp->diff, rp->diff_len, !x_mismatch,
+                       clip_start, clip_end, soft_clip);
+        if (rc2 != 0) return rc2;
+        tx_putc(t, '\t');
+        if (mate_mapped)
+            tx_putn(t, seq_names[ms_idx], seq_name_lens[ms_idx]);
+        else
+            tx_putc(t, '*');
+        tx_putc(t, '\t');
+        tx_puti(t, mpos);
+        tx_putc(t, '\t');
+        tx_puti(t, isize);
+        tx_putc(t, '\t');
+        if (soft_clip) { q0 = 0; q1 = qlen; }
+        else { q0 = rp->q_start - 1; q1 = rp->q_end; }
+        if (q1 > q0) {
+            if (is_rev)
+                for (i = q1 - 1; i >= q0; i--)
+                    tx_putc(t, fl_decode1_comp(codes[i]));
+            else
+                for (i = q0; i < q1; i++)
+                    tx_putc(t, fl_decode1(codes[i]));
+        } else {
+            tx_putc(t, '*');
+        }
+        tx_putc(t, '\t');
+        if (qual && q1 > q0) {
+            if (is_rev)
+                for (i = q1 - 1; i >= q0; i--) tx_putc(t, (char)qual[i]);
+            else
+                for (i = q0; i < q1; i++) tx_putc(t, (char)qual[i]);
+        } else {
+            tx_putc(t, '*');
+        }
+        tx_puts(t, "\tNM:i:");
+        tx_puti(t, fl_levenshtein(rp->diff, rp->diff_len));
+        tx_puts(t, "\tAS:i:");
+        tx_puti(t, rp->swatscor);
+    } else {
+        tx_puts(t, "*\t");
+        if (mate_mapped)
+            tx_putn(t, seq_names[ms_idx], seq_name_lens[ms_idx]);
+        else
+            tx_putc(t, '*');
+        tx_putc(t, '\t');
+        tx_puti(t, mpos);
+        tx_puts(t, "\t0\t");
+        if (soft_clip) {
+            for (i = 0; i < qlen; i++) tx_putc(t, fl_decode1(codes[i]));
+            tx_putc(t, '\t');
+            if (qual) for (i = 0; i < qlen; i++) tx_putc(t, (char)qual[i]);
+            else tx_putc(t, '*');
+        } else {
+            tx_puts(t, "*\t*");
+        }
+        tx_puts(t, "\tNM:i:0\tAS:i:0");
+    }
+    tx_putc(t, '\n');
+    return 0;
+}
+
+/* ReportWriter.write for a pair (report.py:236-254) */
+static int flrep_write(FLText *t, FLReport *rep,
+                       const char *nameA, int64_t nlenA,
+                       const uint8_t *codesA, const uint8_t *qualA,
+                       int64_t qlenA,
+                       const char *nameB, int64_t nlenB,
+                       const uint8_t *codesB, const uint8_t *qualB,
+                       int64_t qlenB,
+                       const char *const *seq_names,
+                       const int64_t *seq_name_lens,
+                       int soft_clip, int x_mismatch)
+{
+    int i, rc, pairflg0 = rep->n_pairs ? rep->pairs[0].pairflg : 0;
+    for (i = 0; i < rep->nA; i++) rep->arA[i].was_output = 0;
+    for (i = 0; i < rep->nB; i++) rep->arB[i].was_output = 0;
+    for (i = 0; i < rep->n_pairs; i++) {
+        FLRepPair *pp = &rep->pairs[i];
+        FLRepAli *ap = &rep->arA[pp->iA];
+        FLRepAli *bp = &rep->arB[pp->iB];
+        if (pp->iA < 0 || pp->iB < 0) return FL_ERR_ASSERT;
+        ap->was_output = 1;
+        bp->was_output = 1;
+        rc = tx_sam_line_paired(t, nameA, nlenA, codesA, qualA, qlenA,
+                                ap, bp, pp->isize, pp->pairflg,
+                                seq_names, seq_name_lens,
+                                soft_clip, x_mismatch);
+        if (rc != 0) return rc;
+        rc = tx_sam_line_paired(t, nameB, nlenB, codesB, qualB, qlenB,
+                                bp, ap, pp->isize, pp->pairflg,
+                                seq_names, seq_name_lens,
+                                soft_clip, x_mismatch);
+        if (rc != 0) return rc;
+    }
+    for (i = 0; i < rep->nA; i++) {
+        if (!rep->arA[i].was_output) {
+            rc = tx_sam_line_paired(t, nameA, nlenA, codesA, qualA, qlenA,
+                                    &rep->arA[i], NULL, 0, pairflg0,
+                                    seq_names, seq_name_lens,
+                                    soft_clip, x_mismatch);
+            if (rc != 0) return rc;
+        }
+    }
+    for (i = 0; i < rep->nB; i++) {
+        if (!rep->arB[i].was_output) {
+            rc = tx_sam_line_paired(t, nameB, nlenB, codesB, qualB, qlenB,
+                                    &rep->arB[i], NULL, 0, pairflg0,
+                                    seq_names, seq_name_lens,
+                                    soft_clip, x_mismatch);
+            if (rc != 0) return rc;
+        }
+    }
+    return 0;
+}
+
+/* ---------------- pair block driver ---------------- */
+
+#define RMAPFLG_ALLPAIR 0x08
+#define RMAPFLG_PAIRED 0x10
+
+/* One single-read mapping with the pair-flow parameters (engine.py
+ * _map_single_native: MINSCOR_BELOW_MAX_BEST, rmapflg|PAIRED,
+ * optional interval restriction), plus the probability propagation
+ * the pair model reads.  Returns 0 ok, 1 shortseq (rs blank), <0 err.
+ * nhit_out = cutoff-limited hit count (rare-mate ordering). */
+static int fl_pair_map_single(const FLParams *Pbase, FLScratch *s,
+                              const uint8_t *codes, const uint8_t *qual,
+                              int64_t qlen,
+                              const int64_t *ovr, int64_t novr,
+                              int blank, const int64_t *pre_hout,
+                              int64_t *nhit_out)
+{
+    FLParams P = *Pbase;
+    FLStage1 st;
+    int64_t out_max[3], nhit = 0, j;
+    int rc, q;
+    P.ovr_ivals = ovr;
+    P.ovr_nivals = novr;
+    P.min_swatscor_below_max = 0;      /* MINSCOR_BELOW_MAX_BEST */
+    int prof = fl_prof();
+    double t0 = prof ? fl_prof_now() : 0.0;
+    P.rmapflg = (Pbase->rmapflg | RMAPFLG_PAIRED) & ~RMAPFLG_ALLPAIR;
+    if (blank)
+        rs_blank(s->rs);
+    rc = fl_read_stage1(&P, s, codes, qual, qlen, pre_hout, &st);
+    if (prof) { double t1 = fl_prof_now(); fl_prof_acc[0] += t1 - t0; t0 = t1; }
+    if (rc != 0) return rc;
+    if (st.shortseq) return 1;
+    for (j = 0; j < st.nF; j++)
+        if (P.ktuple_maxhit < 1 || s->nhitsF[j] <= P.ktuple_maxhit)
+            nhit += s->nhitsF[j];
+    for (j = 0; j < st.nR; j++)
+        if (P.ktuple_maxhit < 1 || s->nhitsR[j] <= P.ktuple_maxhit)
+            nhit += s->nhitsR[j];
+    s->rs->n_ali_done = st.n_sort;
+    s->rs->n_ali_tot = st.n_mincover;
+    s->rs->n_ali_max = P.max_depth;
+    s->rs->n_hits_used = st.hits_used;
+    s->rs->n_hits_tot = st.hits_tot;
+    fl_profiles(&P, codes, qlen, s->Wf, s->Wr);
+    rc = (int)mc_score_cands(s->out11, s->stat_idxs, st.n_sort,
+                             P.wordlen, P.nskip,
+                             P.refcodes, P.offsets, P.nseq, qlen,
+                             s->Wf, s->Wr, P.gap_init, P.gap_ext,
+                             P.match_avg, P.mismatch_avg,
+                             (P.rmapflg & RMAPFLG_BEST) != 0,
+                             st.deficit_f, st.deficit_r,
+                             s->Hbuf, s->Ebuf, s->score_out, out_max);
+    if (prof) { double t1 = fl_prof_now(); fl_prof_acc[1] += t1 - t0; t0 = t1; }
+    if (rc != 0) return FL_ERR_ASSERT;
+    rc = fl_read_finish(&P, s, qual, qlen, out_max[2],
+                        out_max[0], out_max[1]);
+    if (prof) fl_prof_acc[2] += fl_prof_now() - t0;
+    if (rc != 0) return rc;
+    for (q = 0; q < s->rs->qsegno; q++)
+        rs_propagate_prob(s->rs, q);
+    *nhit_out = nhit;
+    return 0;
+}
+
+/* hashCalcHitInfoNumberOfHits probe (fl_hit_count body).  Returns the
+ * cutoff-limited count, or -1 = ShortSeq/hit-info failure. */
+static int64_t fl_pair_probe(const FLParams *P, FLScratch *s,
+                             const uint8_t *codes, const uint8_t *qual,
+                             int64_t qlen, int64_t *hout_save)
+{
+    int64_t *hout = hout_save;
+    int64_t n = 0, j, nF, nR;
+    int rc;
+    int prof = fl_prof();
+    double t0 = prof ? fl_prof_now() : 0.0;
+    if (qlen < P->wordlen) return -1;
+    rc = (int)mc_hitinfo_short2(P->words, P->starts, P->nwords, P->table,
+                                P->wordlen, P->nskip, codes, qual, qlen,
+                                P->ktuple_maxhit, P->maxhit_total,
+                                P->min_basq,
+                                s->qmaskF, s->qoffsF, s->nhitsF, s->slotF,
+                                s->sidxF,
+                                s->qmaskR, s->qoffsR, s->nhitsR, s->slotR,
+                                s->sidxR, s->qbuf, s->keybuf, hout);
+    if (rc != 0) return -1;
+    nF = hout[0];
+    nR = hout[2];
+    for (j = 0; j < nF; j++)
+        if (P->ktuple_maxhit < 1 || s->nhitsF[j] <= P->ktuple_maxhit)
+            n += s->nhitsF[j];
+    for (j = 0; j < nR; j++)
+        if (P->ktuple_maxhit < 1 || s->nhitsR[j] <= P->ktuple_maxhit)
+            n += s->nhitsR[j];
+    if (prof) fl_prof_acc[4] += fl_prof_now() - t0;
+    return n;
+}
+
+/* setupInterValFromResultSet + interValPrune (rmap.c:354-436;
+ * engine.py _intervals_from_results + _map_single_native conversion):
+ * emits GLOBAL rows {offs[sx]+lo, offs[sx]+hi+1, sx} into iv[3*cap].
+ * Returns the row count or <0 on a seq-index assert. */
+static int64_t fl_gen_intervals(const FLParams *P, FLResultSet *rs1,
+                                int64_t readlen, int64_t matelen,
+                                int64_t dmin, int64_t dmax,
+                                int64_t *iv, int64_t cap)
+{
+    int64_t delta = matelen * FILTERIVALEXT / 100;
+    int64_t ktup = P->wordlen;
+    int nmax, n2, n, i;
+    int64_t m = 0, w;
+    rs_scor_stats(rs1, &nmax, &n2);
+    n = nmax < rs1->n_sortr ? nmax : rs1->n_sortr;
+    for (i = 0; i < n; i++) {
+        const FLRes *rp = &rs1->res[rs1->sortr[i]];
+        int64_t rlen, lo, hi;
+        if (rp->sidx < 0 || rp->sidx >= P->nseq) return FL_ERR_ASSERT;
+        rlen = P->offsets[rp->sidx + 1] - P->offsets[rp->sidx];
+#define FL_ADJ(t) ((t) >= rlen ? rlen - 1 : ((t) < 1 ? 0 : (t)))
+        lo = FL_ADJ(rp->s_end + readlen - rp->q_end - dmax);
+        hi = FL_ADJ(rp->s_end + readlen + matelen + delta - rp->q_end -
+                    dmin - ktup);
+        if (lo <= hi) {
+            if (m >= cap) return FL_ERR_CAP;
+            iv[m * 3] = lo; iv[m * 3 + 1] = hi; iv[m * 3 + 2] = rp->sidx;
+            m++;
+        }
+        lo = FL_ADJ(rp->s_start - rp->q_start + dmin - matelen);
+        hi = FL_ADJ(rp->s_start - rp->q_start + dmax - ktup + delta);
+        if (lo <= hi) {
+            if (m >= cap) return FL_ERR_CAP;
+            iv[m * 3] = lo; iv[m * 3 + 1] = hi; iv[m * 3 + 2] = rp->sidx;
+            m++;
+        }
+#undef FL_ADJ
+    }
+    /* stable insertion sort by (sidx, lo) */
+    for (w = 1; w < m; w++) {
+        int64_t v0 = iv[w * 3], v1 = iv[w * 3 + 1], v2 = iv[w * 3 + 2];
+        int64_t j = w - 1;
+        while (j >= 0 && (iv[j * 3 + 2] > v2 ||
+                          (iv[j * 3 + 2] == v2 && iv[j * 3] > v0))) {
+            iv[(j + 1) * 3] = iv[j * 3];
+            iv[(j + 1) * 3 + 1] = iv[j * 3 + 1];
+            iv[(j + 1) * 3 + 2] = iv[j * 3 + 2];
+            j--;
+        }
+        iv[(j + 1) * 3] = v0;
+        iv[(j + 1) * 3 + 1] = v1;
+        iv[(j + 1) * 3 + 2] = v2;
+    }
+    /* merge overlaps within a sequence */
+    {
+        int64_t out = 0;
+        for (w = 0; w < m; w++) {
+            if (out > 0 && iv[(out - 1) * 3 + 2] == iv[w * 3 + 2] &&
+                iv[w * 3] <= iv[(out - 1) * 3 + 1]) {
+                if (iv[w * 3 + 1] > iv[(out - 1) * 3 + 1])
+                    iv[(out - 1) * 3 + 1] = iv[w * 3 + 1];
+            } else {
+                iv[out * 3] = iv[w * 3];
+                iv[out * 3 + 1] = iv[w * 3 + 1];
+                iv[out * 3 + 2] = iv[w * 3 + 2];
+                out++;
+            }
+        }
+        m = out;
+    }
+    /* to global rows (lo_global, hi_global + 1, sidx) */
+    for (w = 0; w < m; w++) {
+        int64_t o = P->offsets[iv[w * 3 + 2]];
+        iv[w * 3] += o;
+        iv[w * 3 + 1] += o + 1;
+    }
+    return m;
+}
+
+/* scorIsAboveFractMax (rmap.c:176-186) */
+static int fl_above_fract_max(int64_t scor_read, int64_t scor_mate,
+                              int64_t rlen, int64_t mlen)
+{
+    return (double)scor_read >=
+           (double)(scor_mate * rlen) * MINFRACT_MAXSCOR_2ND /
+           (double)mlen;
+}
+
+/* Map a block of read pairs to SAM text — the exact engine's
+ * rmapPair (rmap.c:1744-2112) common flow plus the full pair layer,
+ * all native.  Reads are passed render_block-style: mangled codes,
+ * quals, names for the A mates then (same layout) the B mates.
+ *
+ * Covered flow per pair: hit probes, rare-first single mappings (the
+ * second restricted to the implied insert windows), proper-pair gate,
+ * full pair enumeration, probability model + marginal mapqs, report
+ * + paired SAM.  Any pair hitting an uncovered branch (remap/rescue/
+ * fine-rehash path, report caps) stops the block cleanly: pairs
+ * [start..k) are rendered (RNG committed), *done_io = k, and the
+ * caller replays pair k through the Python oracle.
+ *
+ * Returns the text length, or FL_ERR_* with nothing consumed. */
+int64_t fl_map_pair_block(
+    /* index */
+    const uint64_t *words, const int64_t *starts, int64_t nwords,
+    const int32_t *table, const uint32_t *pos, int wordlen, int nskip,
+    /* reference */
+    const uint8_t *refcodes, const int64_t *offsets, int64_t nseq,
+    const int64_t *seq_ivals,
+    const char *snames, const int64_t *sname_offs,
+    /* scoring */
+    const int32_t *matrix, int gap_init, int gap_ext,
+    int64_t match_avg, int64_t mismatch_avg,
+    /* params */
+    int64_t ktuple_maxhit, int64_t maxhit_total,
+    double min_cover_frac, int64_t min_swatscor,
+    int64_t min_swatscor_below_max, int min_basq,
+    int64_t target_depth, int64_t max_depth,
+    int rmapflg, int rsltouflg,
+    int64_t filter_minscor, int64_t filter_belowmax, double filter_minid,
+    int soft_clip, int x_mismatch,
+    /* pair params */
+    int64_t insert_min, int64_t insert_max, int pairtyp,
+    /* reads: A mates then B mates, mangled codes; names_raw: cut
+     * whitespace + /1 /2 here (else names are pre-stripped) */
+    int names_raw,
+    int64_t n_pairs,
+    const uint8_t *codesA, const int64_t *offsA,
+    const uint8_t *qualsA, const uint8_t *has_qualA,
+    const char *namesA, const int64_t *name_offsA,
+    const uint8_t *codesB, const int64_t *offsB,
+    const uint8_t *qualsB, const uint8_t *has_qualB,
+    const char *namesB, const int64_t *name_offsB,
+    /* rng + output */
+    uint64_t *rng_io, char *out_text, int64_t out_cap,
+    int64_t *done_io)
+{
+    FLParams P;
+    FLScratch sA, sB;
+    FLText t;
+    FLPairs fp;
+    FLReport rep;
+    FLIval *ivbuf = NULL;
+    int64_t *oviv = NULL;
+    uint64_t rng = *rng_io;
+    const char **seq_name_ptr = NULL;
+    int64_t *seq_name_len = NULL;
+    int64_t i, qmaxA = 1, qmaxB = 1, qmax;
+    int rc = 0;
+    int initA = 0, initB = 0;
+
+    P.words = words; P.starts = starts; P.nwords = nwords;
+    P.table = table; P.pos = pos; P.wordlen = wordlen; P.nskip = nskip;
+    P.refcodes = refcodes; P.offsets = offsets; P.nseq = nseq;
+    P.seq_ivals = seq_ivals;
+    P.ovr_ivals = NULL; P.ovr_nivals = 0;
+    P.matrix = matrix; P.gap_init = gap_init; P.gap_ext = gap_ext;
+    P.match_avg = match_avg; P.mismatch_avg = mismatch_avg;
+    P.ktuple_maxhit = ktuple_maxhit; P.maxhit_total = maxhit_total;
+    P.min_cover_frac = min_cover_frac; P.min_swatscor = min_swatscor;
+    P.min_swatscor_below_max = min_swatscor_below_max;
+    P.min_basq = min_basq;
+    P.target_depth = target_depth; P.max_depth = max_depth;
+    P.rmapflg = rmapflg; P.rsltouflg = rsltouflg;
+    P.filter_minscor = filter_minscor; P.filter_belowmax = filter_belowmax;
+    P.filter_minid = filter_minid;
+    P.soft_clip = soft_clip; P.x_mismatch = x_mismatch;
+
+    *done_io = 0;
+    for (i = 0; i < n_pairs; i++) {
+        int64_t ql = offsA[i + 1] - offsA[i];
+        if (ql > qmaxA) qmaxA = ql;
+        ql = offsB[i + 1] - offsB[i];
+        if (ql > qmaxB) qmaxB = ql;
+    }
+    qmax = qmaxA > qmaxB ? qmaxA : qmaxB;
+    if (fl_scratch_init(&sA, qmax) == 0) initA = 1;
+    if (initA && fl_scratch_init(&sB, qmax) == 0) initB = 1;
+    fp.pairs = (FLPair *)fl_alloc(FL_MAXPAIRNUM * (int64_t)sizeof(FLPair));
+    ivbuf = (FLIval *)fl_alloc(2 * RES_MAX * (int64_t)sizeof(FLIval));
+    oviv = (int64_t *)fl_alloc(2 * RES_MAX * 3 *
+                               (int64_t)sizeof(int64_t));
+    seq_name_ptr = (const char **)fl_alloc(nseq *
+                                           (int64_t)sizeof(char *));
+    seq_name_len = (int64_t *)fl_alloc(nseq * (int64_t)sizeof(int64_t));
+    if (!initA || !initB || !fp.pairs || !ivbuf || !oviv ||
+        !seq_name_ptr || !seq_name_len) {
+        rc = FL_ERR_CAP;
+        goto done;
+    }
+    for (i = 0; i < nseq; i++) {
+        seq_name_ptr[i] = snames + sname_offs[i];
+        seq_name_len[i] = sname_offs[i + 1] - sname_offs[i];
+    }
+    t.p = out_text;
+    t.end = out_text + out_cap;
+    t.overflow = 0;
+
+    for (i = 0; i < n_pairs; i++) {
+        const uint8_t *cA = codesA + offsA[i];
+        const uint8_t *qA = has_qualA[i] ? qualsA + offsA[i] : NULL;
+        int64_t qlA = offsA[i + 1] - offsA[i];
+        const uint8_t *cB = codesB + offsB[i];
+        const uint8_t *qB = has_qualB[i] ? qualsB + offsB[i] : NULL;
+        int64_t qlB = offsB[i + 1] - offsB[i];
+        int64_t nhitA, nhitB, nh1;
+        int64_t houtA[4], houtB[4];
+        uint64_t rng_save = rng;   /* fallback must not consume RNG */
+        int pairflg = PAIRFLG_PAIRED;
+        FLScratch *s1, *s2;
+        const uint8_t *c1, *c2;
+        const uint8_t *q1, *q2;
+        int64_t ql1, ql2;
+        int rare_is_mate, mrc;
+
+        rs_blank(sA.rs);
+        rs_blank(sB.rs);
+        flp_blank(&fp);
+        nhitA = fl_pair_probe(&P, &sA, cA, qA, qlA, houtA);
+        nhitB = fl_pair_probe(&P, &sB, cB, qB, qlB, houtB);
+        if (nhitA < 0 && nhitB < 0) {
+            /* both ShortSeq: two empty result sets */
+            goto report;
+        }
+        if (nhitA < 0 || nhitB < 0) {
+            FLScratch *st_ = nhitA < 0 ? &sB : &sA;
+            const uint8_t *cc = nhitA < 0 ? cB : cA;
+            const uint8_t *qq = nhitA < 0 ? qB : qA;
+            int64_t qq_l = nhitA < 0 ? qlB : qlA;
+            const int64_t *hh = nhitA < 0 ? houtB : houtA;
+            mrc = fl_pair_map_single(&P, st_, cc, qq, qq_l, NULL, 0, 1,
+                                     hh, &nh1);
+            if (mrc < 0) { rng = rng_save; *done_io = i; goto finish; }
+            /* mrc == 1 (ShortSeq): the Python flow passes with an
+             * empty result set (engine.py: `except ShortSeq: pass`) */
+            if (mrc == 1) rs_blank(st_->rs);
+            goto report;
+        }
+        {
+        const int64_t *h1, *h2;
+        if (nhitA > nhitB) {
+            pairflg |= PAIRFLG_RAREMATE;
+            rare_is_mate = 1;
+            s1 = &sB; c1 = cB; q1 = qB; ql1 = qlB; h1 = houtB;
+            s2 = &sA; c2 = cA; q2 = qA; ql2 = qlA; h2 = houtA;
+        } else {
+            rare_is_mate = 0;
+            s1 = &sA; c1 = cA; q1 = qA; ql1 = qlA; h1 = houtA;
+            s2 = &sB; c2 = cB; q2 = qB; ql2 = qlB; h2 = houtB;
+        }
+        mrc = fl_pair_map_single(&P, s1, c1, q1, ql1, NULL, 0, 1, h1,
+                                 &nh1);
+        if (mrc != 0) { rng = rng_save; *done_io = i; goto finish; }
+        {
+            int64_t mapq1 = 0, swscor1 = 0, swscor2r = 0, niv;
+            if (s1->rs->n_sortr) {
+                mapq1 = s1->rs->res[s1->rs->sortr[0]].mapscor;
+                swscor1 = s1->rs->res[s1->rs->sortr[0]].swatscor;
+            }
+            niv = fl_gen_intervals(&P, s1->rs, ql1, ql2,
+                                   insert_min, insert_max,
+                                   oviv, 2 * RES_MAX);
+            if (niv < 0) { rng = rng_save; *done_io = i; goto finish; }
+            mrc = fl_pair_map_single(&P, s2, c2, q2, ql2, oviv, niv,
+                                     1, h2, &nh1);
+            if (mrc != 0) { rng = rng_save; *done_io = i; goto finish; }
+            flp_find_proper(&fp, insert_min, insert_max, FL_PAIRS_TOTAL,
+                            0, pairtyp, sA.rs, sB.rs, ivbuf);
+            if (s2->rs->n_sortr)
+                swscor2r = s2->rs->res[s2->rs->sortr[0]].swatscor;
+            if ((P.rmapflg & RMAPFLG_ALLPAIR) || fp.n_proper < 1 ||
+                mapq1 < MAPQ_UNIQUE_1ST ||
+                !fl_above_fract_max(swscor2r, swscor1, ql2, ql1)) {
+                /* remap branch (rmap.c:1988-2031): read2 remaps
+                 * unrestricted — APPENDING onto the restricted results
+                 * unless no proper pair was found.  Only the fine-
+                 * rehash continuation stays with the Python oracle. */
+                int64_t mapq2 = 0, swscor2 = 0;
+                mrc = fl_pair_map_single(&P, s2, c2, q2, ql2, NULL, 0,
+                                         fp.n_proper < 1, h2, &nh1);
+                if (mrc != 0) {
+                    rng = rng_save;
+                    *done_io = i;
+                    goto finish;
+                }
+                if (s2->rs->n_sortr) {
+                    mapq2 = s2->rs->res[s2->rs->sortr[0]].mapscor;
+                    swscor2 = s2->rs->res[s2->rs->sortr[0]].swatscor;
+                }
+                if (mapq2 > MAPQ_UNIQUE_1ST || swscor2 > swscor2r ||
+                    swscor2 > swscor1) {
+                    rng = rng_save;
+                    *done_io = i;
+                    goto finish;
+                }
+            } else {
+                pairflg |= rare_is_mate ? PAIRFLG_RESTRICT_1st
+                                        : PAIRFLG_RESTRICT_2nd;
+            }
+            flp_find_pairs(&fp, pairflg, pairtyp, insert_min, insert_max,
+                           sA.rs, sB.rs);
+            rs_filter(sA.rs, qlA, P.filter_minscor, P.filter_belowmax,
+                      P.filter_minid);
+            rs_filter(sB.rs, qlB, P.filter_minscor, P.filter_belowmax,
+                      P.filter_minid);
+        }
+        }
+
+report:
+        {
+        int prof = fl_prof();
+        double t0 = prof ? fl_prof_now() : 0.0;
+        flrep_blank(&rep);
+        rc = flrep_add_pair_to_report(&rep, &fp, pairflg, rsltouflg,
+                                      sA.rs, sB.rs, &rng);
+        if (rc != 0) { rc = 0; rng = rng_save; *done_io = i;
+                       goto finish; }
+        {
+        int64_t nlA = name_offsA[i + 1] - name_offsA[i];
+        int64_t nlB = name_offsB[i + 1] - name_offsB[i];
+        if (names_raw) {
+            nlA = fl_sam_name_len(namesA + name_offsA[i], nlA);
+            nlB = fl_sam_name_len(namesB + name_offsB[i], nlB);
+        }
+        rc = flrep_write(&t, &rep,
+                         namesA + name_offsA[i], nlA,
+                         cA, qA, qlA,
+                         namesB + name_offsB[i], nlB,
+                         cB, qB, qlB,
+                         seq_name_ptr, seq_name_len,
+                         soft_clip, x_mismatch);
+        }
+        if (prof) fl_prof_acc[5] += fl_prof_now() - t0;
+        }
+        if (rc != 0) goto done;
+        if (t.overflow) { rc = FL_ERR_TEXT; goto done; }
+        *done_io = i + 1;
+    }
+
+finish:
+    rc = 0;
+done:
+    free(fp.pairs);
+    free(ivbuf);
+    free(oviv);
+    free((void *)seq_name_ptr);
+    free(seq_name_len);
+    if (initA) fl_scratch_free(&sA);
+    if (initB) fl_scratch_free(&sB);
+    if (rc != 0) return rc;
+    *rng_io = rng;
+    return t.p - out_text;
+}
+
+/* ---------------- bulk FASTQ scan (fast-mode input) ---------------- */
+
+/* Scan strict 4-line FASTQ records from buf[0..len), at most max_rec.
+ * Per record r: name_off/name_len (header after '@', cut at the first
+ * space/tab — the same cut as fastmode.iter_fastq_batches), seq_off/
+ * seq_len, qual_off (qual length must equal seq_len).  Offsets are
+ * absolute into buf, so the batched tail renders zero-copy.
+ * *consumed = offset one past the last complete record.  Returns the
+ * record count, or -1 on any malformed/unsupported shape ('\r' line
+ * endings, multi-line records, length mismatch) — the caller then
+ * falls back to the Python parser. */
+int64_t fl_fastq_scan(const uint8_t *buf, int64_t len, int64_t max_rec,
+                      int64_t *name_off, int64_t *name_len,
+                      int64_t *seq_off, int64_t *seq_len,
+                      int64_t *qual_off, int64_t *consumed)
+{
+    int64_t p = 0, n = 0;
+    *consumed = 0;
+    while (n < max_rec) {
+        int64_t l1, l2, l3, l4, i;
+        const uint8_t *nl;
+        if (p >= len) break;
+        if (buf[p] != '@') return -1;
+        nl = memchr(buf + p, '\n', (size_t)(len - p));
+        if (!nl) break;
+        l1 = nl - (buf + p);
+        if (l1 < 2 || buf[p + l1 - 1] == '\r') return -1;
+        name_off[n] = p + 1;
+        for (i = p + 1; i < p + l1; i++)
+            if (buf[i] == ' ' || buf[i] == '\t') break;
+        name_len[n] = i - (p + 1);
+        p += l1 + 1;
+
+        if (p >= len) break;
+        nl = memchr(buf + p, '\n', (size_t)(len - p));
+        if (!nl) break;
+        l2 = nl - (buf + p);
+        if (l2 < 1 || buf[p + l2 - 1] == '\r') return -1;
+        seq_off[n] = p;
+        seq_len[n] = l2;
+        p += l2 + 1;
+
+        if (p >= len) break;
+        if (buf[p] != '+') return -1;
+        nl = memchr(buf + p, '\n', (size_t)(len - p));
+        if (!nl) break;
+        l3 = nl - (buf + p);
+        if (l3 > 1 && buf[p + l3 - 1] == '\r') return -1;
+        p += l3 + 1;
+
+        if (p >= len) break;
+        nl = memchr(buf + p, '\n', (size_t)(len - p));
+        if (!nl) {
+            /* a final qual line may lack the trailing newline only at
+             * end-of-input; accept it if the length matches */
+            if (len - p != l2) break;
+            l4 = l2;
+            qual_off[n] = p;
+            p = len;
+            n++;
+            *consumed = p;
+            break;
+        }
+        l4 = nl - (buf + p);
+        if (l4 != l2) return -1;
+        qual_off[n] = p;
+        p += l4 + 1;
+        n++;
+        *consumed = p;
+    }
+    return n;
+}
+
+/* Fill the padded [n, Q] device batch (3-bit alpha codes, pad 7) from
+ * scanned record extents — one call replaces encode_batch's Python
+ * loop. */
+int64_t fl_fastq_encode(const uint8_t *buf, int64_t n,
+                        const int64_t *seq_off, const int64_t *seq_len,
+                        int64_t Q, uint8_t *enc)
+{
+    int64_t r, j;
+    fl_codtab_init();
+    memset(enc, 7, (size_t)(n * Q));
+    for (r = 0; r < n; r++) {
+        const uint8_t *s = buf + seq_off[r];
+        int64_t L = seq_len[r] < Q ? seq_len[r] : Q;
+        uint8_t *e = enc + r * Q;
+        for (j = 0; j < L; j++)
+            e[j] = (uint8_t)(fl_codtab[s[j]] & 7);
+    }
+    return 0;
+}
+
 /* refset.find_seqidx: greatest s with offsets[s] <= g (offsets has
  * nseq+1 entries, offsets[nseq] = total length) */
 static int64_t fl_find_seqidx(const int64_t *offsets, int64_t nseq,
@@ -2130,10 +3657,15 @@ int64_t fl_fast_tail_block(
     int soft_clip, int x_mismatch,
     /* window geometry (per batch) */
     int64_t win_len, int64_t pad, int64_t q_padded,
-    /* reads: raw ASCII letters + raw FASTQ names */
-    int64_t n_reads, const uint8_t *seqs_concat, const int64_t *read_offs,
-    const uint8_t *quals_concat, const uint8_t *has_qual,
-    const char *names_concat, const int64_t *name_offs,
+    /* reads: raw ASCII letters + raw FASTQ names, addressed by
+     * per-read (offset, length) extents — with fl_fastq_scan's output
+     * these point straight into the input chunk, zero copies */
+    int64_t n_reads, const uint8_t *seqs_buf, const int64_t *seq_off,
+    const int64_t *seq_len,
+    const uint8_t *quals_buf, const int64_t *qual_off,
+    const uint8_t *has_qual,
+    const char *names_buf, const int64_t *name_off,
+    const int64_t *name_len_in,
     /* device-pass outputs, int32 per read */
     const int32_t *score, const int32_t *score2, const int32_t *wstart,
     const int32_t *strand, const int32_t *hits_used,
@@ -2163,8 +3695,7 @@ int64_t fl_fast_tail_block(
         minscorlen = minscore / match_avg;
 
     for (i = 0; i < n_reads; i++) {
-        int64_t ql = read_offs[i + 1] - read_offs[i];
-        if (ql > qmax) qmax = ql;
+        if (seq_len[i] > qmax) qmax = seq_len[i];
     }
     dirm_cap = (qmax + win_len + 2) * (win_len + 1);
     back_cap = 2 * (qmax + win_len) + 8;
@@ -2196,13 +3727,12 @@ int64_t fl_fast_tail_block(
     t.overflow = 0;
 
     for (i = 0; i < n_reads; i++) {
-        const uint8_t *ascii = seqs_concat + read_offs[i];
-        const uint8_t *qual = has_qual[i] ? quals_concat + read_offs[i]
+        const uint8_t *ascii = seqs_buf + seq_off[i];
+        const uint8_t *qual = has_qual[i] ? quals_buf + qual_off[i]
                                           : NULL;
-        int64_t qlen = read_offs[i + 1] - read_offs[i];
-        const char *name = names_concat + name_offs[i];
-        int64_t name_len = fl_sam_name_len(name,
-                                           name_offs[i + 1] - name_offs[i]);
+        int64_t qlen = seq_len[i];
+        const char *name = names_buf + name_off[i];
+        int64_t name_len = fl_sam_name_len(name, name_len_in[i]);
         int64_t sc1 = score[i];
         int is_rev = strand[i] != 0;
         int64_t j, nres = 0;
@@ -2457,7 +3987,7 @@ int64_t fl_single_rs(
         FLStage1 st;
         int64_t out_max[3], nhit_cutoff = 0, j;
         rs_blank(s.rs);
-        rc = fl_read_stage1(&P, &s, codes, qual, qlen, &st);
+        rc = fl_read_stage1(&P, &s, codes, qual, qlen, NULL, &st);
         if (rc != 0) { if (own) fl_scratch_free(&local); return rc; }
         if (!st.shortseq) {
             for (j = 0; j < st.nF; j++)
@@ -2968,9 +4498,12 @@ int64_t fl_fast_tail_pairs(
     int soft_clip, int x_mismatch,
     int64_t win_len, int64_t pad, int64_t q_padded,
     int64_t insert_min, int64_t insert_max, int libcode,
-    int64_t n_reads, const uint8_t *seqs_concat, const int64_t *read_offs,
-    const uint8_t *quals_concat, const uint8_t *has_qual,
-    const char *names_concat, const int64_t *name_offs,
+    int64_t n_reads, const uint8_t *seqs_buf, const int64_t *seq_off,
+    const int64_t *seq_len,
+    const uint8_t *quals_buf, const int64_t *qual_off,
+    const uint8_t *has_qual,
+    const char *names_buf, const int64_t *name_off,
+    const int64_t *name_len_in,
     const int32_t *score, const int32_t *score2, const int32_t *wstart,
     const int32_t *strand, const int32_t *hits_used,
     const int32_t *hits_tot, const int32_t *n2nd, const int32_t *ambig,
@@ -2994,8 +4527,7 @@ int64_t fl_fast_tail_pairs(
         c.minscorlen = c.minscore / match_avg;
     c.win_len = win_len; c.pad = pad; c.q_padded = q_padded;
     for (i = 0; i < n_reads; i++) {
-        int64_t ql = read_offs[i + 1] - read_offs[i];
-        if (ql > qmax) qmax = ql;
+        if (seq_len[i] > qmax) qmax = seq_len[i];
     }
     {
         /* rescue windows reach insert_max + 2*qmax wide */
@@ -3036,20 +4568,18 @@ int64_t fl_fast_tail_pairs(
 
     for (i = 0; i < B; i++) {
         int64_t ia = i, ib = B + i, j;
-        int64_t qlA = read_offs[ia + 1] - read_offs[ia];
-        int64_t qlB = read_offs[ib + 1] - read_offs[ib];
-        const uint8_t *asciiA = seqs_concat + read_offs[ia];
-        const uint8_t *asciiB = seqs_concat + read_offs[ib];
+        int64_t qlA = seq_len[ia];
+        int64_t qlB = seq_len[ib];
+        const uint8_t *asciiA = seqs_buf + seq_off[ia];
+        const uint8_t *asciiB = seqs_buf + seq_off[ib];
         const uint8_t *qualA = has_qual[ia]
-                               ? quals_concat + read_offs[ia] : NULL;
+                               ? quals_buf + qual_off[ia] : NULL;
         const uint8_t *qualB = has_qual[ib]
-                               ? quals_concat + read_offs[ib] : NULL;
-        const char *nameA = names_concat + name_offs[ia];
-        int64_t nlenA = fl_sam_name_len(nameA,
-                                        name_offs[ia + 1] - name_offs[ia]);
-        const char *nameB = names_concat + name_offs[ib];
-        int64_t nlenB = fl_sam_name_len(nameB,
-                                        name_offs[ib + 1] - name_offs[ib]);
+                               ? quals_buf + qual_off[ib] : NULL;
+        const char *nameA = names_buf + name_off[ia];
+        int64_t nlenA = fl_sam_name_len(nameA, name_len_in[ia]);
+        const char *nameB = names_buf + name_off[ib];
+        int64_t nlenB = fl_sam_name_len(nameB, name_len_in[ib]);
         FTAli A, Bm;
         int okA, okB, proper = 0;
         int64_t isizeA = 0;
