@@ -315,12 +315,14 @@ def _bench_exact_pe(fa_path, genome, rng):
     refset = RefSet.from_fasta(fa_path)
     idx = build_index(refset, KMER, NSKIP)
     _ = idx.addrs
-    rand.ranseed(1)
-    eng = MapEngine(refset, idx, MapParams())
-    sink = io.StringIO()
-    t0 = time.time()
-    run_pipeline(eng, PairedReader(fq1, fq2), sink, refset)
-    ours = 2 * N / (time.time() - t0)
+    ours = 0.0
+    for _r in range(2):          # best-of-2, like the reference below
+        rand.ranseed(1)
+        eng = MapEngine(refset, idx, MapParams())
+        sink = io.StringIO()
+        t0 = time.time()
+        run_pipeline(eng, PairedReader(fq1, fq2), sink, refset)
+        ours = max(ours, 2 * N / (time.time() - t0))
 
     ref_rate = 0.0
     ref = os.environ.get("SMALT_REF") or "/tmp/refbuild/src/smalt"

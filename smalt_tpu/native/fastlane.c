@@ -121,6 +121,14 @@ int64_t mc_fast_align(
     uint8_t *back, int64_t back_cap,
     uint8_t *diffpool, int64_t diff_cap,
     int64_t *res, int64_t res_cap);
+int64_t mc_hitinfo_collect(
+    const uint64_t *words, const int64_t *starts, int64_t nwords,
+    const int32_t *table,
+    int wordlen, int nskip,
+    const uint8_t *codes, const uint8_t *qual, int64_t qlen,
+    int is_reverse, int64_t maxhit_per_tuple, int basq_thresh,
+    int64_t seq_start, int64_t seq_end,
+    uint8_t *qmask, int64_t *qoffs, int64_t *nhits, int64_t *slot);
 int64_t mc_dev_align(
     const uint8_t *qcodes, int64_t qlen, int do_revcomp,
     const int32_t *matrix,
@@ -1228,6 +1236,7 @@ static int fl_read_stage1(const FLParams *P, FLScratch *s,
                           FLStage1 *o)
 {
     int64_t hout[4], nF, rankF, nR, rankR;
+    int has_rankF = 0, has_rankR = 0;
     int64_t min_cover, min_ktup, mincov_below_max;
     int64_t maxcov[2] = {0, 0};
     int64_t ncand = 0, n_sort, n_mincover = 0;
@@ -1245,6 +1254,8 @@ static int fl_read_stage1(const FLParams *P, FLScratch *s,
     if (pre_hout != NULL) {
         hout[0] = pre_hout[0]; hout[1] = pre_hout[1];
         hout[2] = pre_hout[2]; hout[3] = pre_hout[3];
+        has_rankF = (int)pre_hout[4];
+        has_rankR = (int)pre_hout[5];
     } else {
         rc = (int)mc_hitinfo_short2(P->words, P->starts, P->nwords,
                                     P->table,
@@ -1261,6 +1272,10 @@ static int fl_read_stage1(const FLParams *P, FLScratch *s,
             o->shortseq = 1;
             return 0;
         }
+    }
+    if (pre_hout == NULL) {
+        has_rankF = hout[0] > 1;
+        has_rankR = hout[2] > 1;
     }
     nF = hout[0]; rankF = hout[1]; nR = hout[2]; rankR = hout[3];
     o->nF = nF;
@@ -1324,10 +1339,12 @@ static int fl_read_stage1(const FLParams *P, FLScratch *s,
     }
 
     /* cover deficits (engine.py:483) */
-    o->deficit_f = mc_cover_deficit(s->qoffsF, s->sidxF, nF, nF > 1, rankF,
+    o->deficit_f = mc_cover_deficit(s->qoffsF, s->sidxF, nF, has_rankF,
+                                    rankF,
                                     s->qmaskF, qlen, P->wordlen, P->nskip,
                                     s->qbuf);
-    o->deficit_r = mc_cover_deficit(s->qoffsR, s->sidxR, nR, nR > 1, rankR,
+    o->deficit_r = mc_cover_deficit(s->qoffsR, s->sidxR, nR, has_rankR,
+                                    rankR,
                                     s->qmaskR, qlen, P->wordlen, P->nskip,
                                     s->qbuf);
 
@@ -3088,6 +3105,69 @@ static int flrep_write(FLText *t, FLReport *rep,
     return 0;
 }
 
+/* ---------------- fine re-hash (rmap.c:495-517) ---------------- */
+
+#define FINEHASH_WORDLEN 5            /* engine.py:53 */
+#define FINEHASH_MAXKTUPPOS (128 * 1024 * 1024)
+#define FL_FINE_CAP (1 << 16)
+
+typedef struct { uint64_t w; uint32_t p; } FLWordPos;
+
+static int flwp_cmp(const void *a, const void *b)
+{
+    const FLWordPos *x = (const FLWordPos *)a;
+    const FLWordPos *y = (const FLWordPos *)b;
+    if (x->w != y->w) return x->w < y->w ? -1 : 1;
+    if (x->p != y->p) return x->p < y->p ? -1 : 1;
+    return 0;
+}
+
+/* build_index over LOCAL restrict rows (index/table.py:188-233):
+ * sampled words per interval, (word, serial) sort, CSR.  Returns the
+ * distinct-word count, or FL_ERR_CAP when over cap. */
+static int64_t fl_fine_build(const uint8_t *refcodes,
+                             const int64_t *offsets,
+                             const int64_t *loc, int64_t nloc,
+                             int k, int nskip,
+                             uint64_t *words, int64_t *starts,
+                             uint32_t *pos, FLWordPos *wp, int64_t cap)
+{
+    int64_t n = 0, v, i, nw = 0;
+    for (v = 0; v < nloc; v++) {
+        int64_t lo = loc[v * 3], hi = loc[v * 3 + 1];
+        int64_t sx = loc[v * 3 + 2];
+        int64_t soffs = offsets[sx] + lo;
+        int64_t slen = hi - lo + 1;
+        int64_t g0 = ((soffs + nskip - 1) / nskip) * nskip;
+        int64_t gs;
+        for (gs = g0; gs + k <= soffs + slen; gs += nskip) {
+            uint64_t w = 0;
+            int ok = 1, j;
+            for (j = 0; j < k; j++) {
+                uint8_t c = refcodes[gs + j];
+                if (c & 4) { ok = 0; break; }
+                w = (w << 2) | (uint64_t)(c & 3);
+            }
+            if (!ok) continue;
+            if (n >= cap) return FL_ERR_CAP;
+            wp[n].w = w;
+            wp[n].p = (uint32_t)(gs / nskip);
+            n++;
+        }
+    }
+    qsort(wp, (size_t)n, sizeof(FLWordPos), flwp_cmp);
+    for (i = 0; i < n; i++) {
+        if (i == 0 || wp[i].w != wp[i - 1].w) {
+            words[nw] = wp[i].w;
+            starts[nw] = i;
+            nw++;
+        }
+        pos[i] = wp[i].p;
+    }
+    starts[nw] = n;
+    return nw;
+}
+
 /* ---------------- pair block driver ---------------- */
 
 #define RMAPFLG_ALLPAIR 0x08
@@ -3155,6 +3235,8 @@ static int fl_pair_map_single(const FLParams *Pbase, FLScratch *s,
 
 /* hashCalcHitInfoNumberOfHits probe (fl_hit_count body).  Returns the
  * cutoff-limited count, or -1 = ShortSeq/hit-info failure. */
+/* hout_save: 6 entries {nF, rankF, nR, rankR, has_rankF, has_rankR}
+ * — the pre_hout contract of fl_read_stage1. */
 static int64_t fl_pair_probe(const FLParams *P, FLScratch *s,
                              const uint8_t *codes, const uint8_t *qual,
                              int64_t qlen, int64_t *hout_save)
@@ -3182,6 +3264,8 @@ static int64_t fl_pair_probe(const FLParams *P, FLScratch *s,
     for (j = 0; j < nR; j++)
         if (P->ktuple_maxhit < 1 || s->nhitsR[j] <= P->ktuple_maxhit)
             n += s->nhitsR[j];
+    hout[4] = nF > 1;
+    hout[5] = nR > 1;
     if (prof) fl_prof_acc[4] += fl_prof_now() - t0;
     return n;
 }
@@ -3193,7 +3277,8 @@ static int64_t fl_pair_probe(const FLParams *P, FLScratch *s,
 static int64_t fl_gen_intervals(const FLParams *P, FLResultSet *rs1,
                                 int64_t readlen, int64_t matelen,
                                 int64_t dmin, int64_t dmax,
-                                int64_t *iv, int64_t cap)
+                                int64_t *iv, int64_t cap,
+                                int64_t *loc)
 {
     int64_t delta = matelen * FILTERIVALEXT / 100;
     int64_t ktup = P->wordlen;
@@ -3256,9 +3341,15 @@ static int64_t fl_gen_intervals(const FLParams *P, FLResultSet *rs1,
         }
         m = out;
     }
-    /* to global rows (lo_global, hi_global + 1, sidx) */
+    /* to global rows (lo_global, hi_global + 1, sidx); `loc` keeps the
+     * merged LOCAL rows (lo, hi, sidx) for the fine-index build */
     for (w = 0; w < m; w++) {
         int64_t o = P->offsets[iv[w * 3 + 2]];
+        if (loc != NULL) {
+            loc[w * 3] = iv[w * 3];
+            loc[w * 3 + 1] = iv[w * 3 + 1];
+            loc[w * 3 + 2] = iv[w * 3 + 2];
+        }
         iv[w * 3] += o;
         iv[w * 3 + 1] += o + 1;
     }
@@ -3329,7 +3420,11 @@ int64_t fl_map_pair_block(
     FLPairs fp;
     FLReport rep;
     FLIval *ivbuf = NULL;
-    int64_t *oviv = NULL;
+    int64_t *oviv = NULL, *lociv = NULL;
+    FLWordPos *fine_wp = NULL;
+    uint64_t *fine_words = NULL;
+    int64_t *fine_starts = NULL;
+    uint32_t *fine_pos = NULL;
     uint64_t rng = *rng_io;
     const char **seq_name_ptr = NULL;
     int64_t *seq_name_len = NULL;
@@ -3368,10 +3463,21 @@ int64_t fl_map_pair_block(
     ivbuf = (FLIval *)fl_alloc(2 * RES_MAX * (int64_t)sizeof(FLIval));
     oviv = (int64_t *)fl_alloc(2 * RES_MAX * 3 *
                                (int64_t)sizeof(int64_t));
+    lociv = (int64_t *)fl_alloc(2 * RES_MAX * 3 *
+                                (int64_t)sizeof(int64_t));
+    fine_wp = (FLWordPos *)fl_alloc(FL_FINE_CAP *
+                                    (int64_t)sizeof(FLWordPos));
+    fine_words = (uint64_t *)fl_alloc(FL_FINE_CAP *
+                                      (int64_t)sizeof(uint64_t));
+    fine_starts = (int64_t *)fl_alloc((FL_FINE_CAP + 1) *
+                                      (int64_t)sizeof(int64_t));
+    fine_pos = (uint32_t *)fl_alloc(FL_FINE_CAP *
+                                    (int64_t)sizeof(uint32_t));
     seq_name_ptr = (const char **)fl_alloc(nseq *
                                            (int64_t)sizeof(char *));
     seq_name_len = (int64_t *)fl_alloc(nseq * (int64_t)sizeof(int64_t));
-    if (!initA || !initB || !fp.pairs || !ivbuf || !oviv ||
+    if (!initA || !initB || !fp.pairs || !ivbuf || !oviv || !lociv ||
+        !fine_wp || !fine_words || !fine_starts || !fine_pos ||
         !seq_name_ptr || !seq_name_len) {
         rc = FL_ERR_CAP;
         goto done;
@@ -3392,7 +3498,7 @@ int64_t fl_map_pair_block(
         const uint8_t *qB = has_qualB[i] ? qualsB + offsB[i] : NULL;
         int64_t qlB = offsB[i + 1] - offsB[i];
         int64_t nhitA, nhitB, nh1;
-        int64_t houtA[4], houtB[4];
+        int64_t houtA[6], houtB[6];
         uint64_t rng_save = rng;   /* fallback must not consume RNG */
         int pairflg = PAIRFLG_PAIRED;
         FLScratch *s1, *s2;
@@ -3447,7 +3553,7 @@ int64_t fl_map_pair_block(
             }
             niv = fl_gen_intervals(&P, s1->rs, ql1, ql2,
                                    insert_min, insert_max,
-                                   oviv, 2 * RES_MAX);
+                                   oviv, 2 * RES_MAX, NULL);
             if (niv < 0) { rng = rng_save; *done_io = i; goto finish; }
             mrc = fl_pair_map_single(&P, s2, c2, q2, ql2, oviv, niv,
                                      1, h2, &nh1);
@@ -3477,9 +3583,82 @@ int64_t fl_map_pair_block(
                 }
                 if (mapq2 > MAPQ_UNIQUE_1ST || swscor2 > swscor2r ||
                     swscor2 > swscor1) {
-                    rng = rng_save;
-                    *done_io = i;
-                    goto finish;
+                    /* fine re-hash (rmap.c:1996-2060): re-map read1
+                     * against an on-the-fly k=5 index of read2's
+                     * implied windows, appending onto rs1 */
+                    int64_t sw1_2nd = s1->rs->swatscor_2ndmax;
+                    int64_t niv1, nw = -1, total = 0, v;
+                    niv1 = fl_gen_intervals(&P, s2->rs, ql2, ql1,
+                                            insert_min, insert_max,
+                                            oviv, 2 * RES_MAX, lociv);
+                    if (niv1 < 0) {
+                        rng = rng_save; *done_io = i; goto finish;
+                    }
+                    for (v = 0; v < niv1; v++)
+                        total += lociv[v * 3 + 1] - lociv[v * 3] + 1;
+                    if (niv1 > 0 && total <= FINEHASH_MAXKTUPPOS &&
+                        P.wordlen <= ql1) {
+                        nw = fl_fine_build(refcodes, offsets, lociv,
+                                           niv1, FINEHASH_WORDLEN, 1,
+                                           fine_words, fine_starts,
+                                           fine_pos, fine_wp,
+                                           FL_FINE_CAP);
+                        if (nw < 0) {
+                            rng = rng_save; *done_io = i; goto finish;
+                        }
+                    }
+                    if (nw >= 0) {
+                        FLParams P2 = P;
+                        int64_t hout6[6], nF1, nR1, w;
+                        P2.words = fine_words;
+                        P2.starts = fine_starts;
+                        P2.nwords = nw;
+                        P2.table = NULL;
+                        P2.pos = fine_pos;
+                        P2.wordlen = FINEHASH_WORDLEN;
+                        P2.nskip = 1;
+                        P2.min_swatscor = sw1_2nd;
+                        nF1 = mc_hitinfo_collect(
+                            fine_words, fine_starts, nw, NULL,
+                            FINEHASH_WORDLEN, 1, c1, q1, ql1,
+                            0, 0, P.min_basq, 0, 0,
+                            s1->qmaskF, s1->qoffsF, s1->nhitsF,
+                            s1->slotF);
+                        nR1 = mc_hitinfo_collect(
+                            fine_words, fine_starts, nw, NULL,
+                            FINEHASH_WORDLEN, 1, c1, q1, ql1,
+                            1, 0, P.min_basq, 0, 0,
+                            s1->qmaskR, s1->qoffsR, s1->nhitsR,
+                            s1->slotR);
+                        if (nF1 >= 0 && nR1 >= 0) {
+                            for (w = 0; w < nF1; w++)
+                                s1->sidxF[w] = (uint32_t)w;
+                            for (w = 0; w < nR1; w++)
+                                s1->sidxR[w] = (uint32_t)w;
+                            hout6[0] = nF1; hout6[1] = 0;
+                            hout6[2] = nR1; hout6[3] = 0;
+                            hout6[4] = 0; hout6[5] = 0;
+                            mrc = fl_pair_map_single(&P2, s1, c1, q1,
+                                                     ql1, oviv, niv1, 0,
+                                                     hout6, &nh1);
+                            if (mrc != 0) {
+                                rng = rng_save; *done_io = i;
+                                goto finish;
+                            }
+                        }
+                        /* negative: ShortSeq — the Python flow passes */
+                    } else {
+                        /* fine unavailable: restricted re-map on the
+                         * main index (engine.py:963-967) */
+                        FLParams P3 = P;
+                        P3.min_swatscor = sw1_2nd;
+                        mrc = fl_pair_map_single(&P3, s1, c1, q1, ql1,
+                                                 oviv, niv1, 0, h1,
+                                                 &nh1);
+                        if (mrc != 0) {
+                            rng = rng_save; *done_io = i; goto finish;
+                        }
+                    }
                 }
             } else {
                 pairflg |= rare_is_mate ? PAIRFLG_RESTRICT_1st
@@ -3531,6 +3710,11 @@ done:
     free(fp.pairs);
     free(ivbuf);
     free(oviv);
+    free(lociv);
+    free(fine_wp);
+    free(fine_words);
+    free(fine_starts);
+    free(fine_pos);
     free((void *)seq_name_ptr);
     free(seq_name_len);
     if (initA) fl_scratch_free(&sA);
