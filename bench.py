@@ -189,14 +189,22 @@ def main():
 
     # --- end-to-end map --fast: FASTQ on disk -> SAM on disk, one
     # process, C batched tail + single packed fetch per batch ---
-    e2e_rate = exact_rate = 0.0
+    e2e_rate = e2e_rate_n2 = exact_rate = dp1_rate = 0.0
     pe_rate = pe_ref = 0.0
+    long_rate = long_bases = 0.0
+    chr_rate = 0.0
     try:
-        e2e_rate, exact_rate = _bench_end_to_end(fa_path, genome, rng)
+        e2e_rate, e2e_rate_n2, exact_rate, dp1_rate = \
+            _bench_end_to_end(fa_path, genome, rng)
         pe_rate, pe_ref = _bench_exact_pe(fa_path, genome, rng)
+        long_rate, long_bases = _bench_longreads(fa_path, genome, rng)
     except Exception as e:        # noqa: BLE001 - report, don't fail bench
         print(f"# end_to_end bench failed: {e!r}", file=sys.stderr)
     os.unlink(fa_path)
+    try:
+        chr_rate = _bench_chr_scale()
+    except Exception as e:        # noqa: BLE001
+        print(f"# chr_scale bench failed: {e!r}", file=sys.stderr)
     e2e_base = live_ref if live_ref else baseline
     result = {
         "metric": "ecoli_scale_device_map_throughput",
@@ -205,11 +213,16 @@ def main():
         "vs_baseline": round(reads_per_s / baseline, 3),
         "end_to_end_fast_reads_per_s": round(e2e_rate, 1),
         "end_to_end_fast_vs_ref_same_genome": round(e2e_rate / e2e_base, 3),
+        "end_to_end_fast_nthreads2_reads_per_s": round(e2e_rate_n2, 1),
         "exact_lane_reads_per_s": round(exact_rate, 1),
         "exact_lane_vs_ref_same_genome": round(exact_rate / e2e_base, 3),
+        "exact_dp1_reads_per_s": round(dp1_rate, 1),
         "reference_same_genome_reads_per_s": round(live_ref or 0.0, 1),
         "exact_pe_reads_per_s": round(pe_rate, 1),
         "exact_pe_vs_ref": round(pe_rate / pe_ref, 3) if pe_ref else 0.0,
+        "chr_scale_fast_pe_reads_per_s": round(chr_rate, 1),
+        "longread_fast_reads_per_s": round(long_rate, 1),
+        "longread_fast_bases_per_s": round(long_bases, 1),
     }
     print(json.dumps(result))
     print(f"# backend={jax.default_backend()} batch={BATCH} "
@@ -217,13 +230,20 @@ def main():
           f"on_target_frac={on_target_frac:.3f} "
           f"baseline={baseline:.0f} reads/s (reference smalt, 1 CPU core, "
           f"same genome/reads/k/step)", file=sys.stderr)
+    print("# nthreads sweep: this rig exposes ONE vCPU, so the proven-"
+          "deterministic worker pool cannot multiply here; nthreads=2 is "
+          "recorded to show the (absent) knee.  On an N-core host every "
+          "host-bound stage (parse, tail, exact lanes) scales with the "
+          "pool (tests/test_fastmode.py worker-pool determinism).",
+          file=sys.stderr)
 
 
 def _bench_end_to_end(fa_path, genome, rng):
-    """(fast_e2e_reads_per_s, exact_lane_reads_per_s): full CLI-path
-    pipelines, FASTQ to SAM text, one host core + (for fast) one chip.
-    Measured warm (index artifacts cached, jit compiled by a small
-    priming run) — the steady state of a production run."""
+    """(fast_e2e, fast_e2e_nthreads2, exact_lane, exact_dp1) reads/s:
+    full CLI-path pipelines, FASTQ to SAM text, one host core + (for
+    fast/dp1) one chip.  Measured warm (index artifacts cached, jit
+    compiled by a small priming run) — the steady state of a
+    production run."""
     import io
     import time
     import jax
@@ -260,6 +280,14 @@ def _bench_end_to_end(fa_path, genome, rng):
                if l and not l.startswith("@"))
     assert nrec == N_FAST, nrec
 
+    # nthreads sweep point (VERDICT r2 #2): the forked tail pool on
+    # this 1-vCPU rig — records the knee (expected ~flat here)
+    kw2 = dict(kw)
+    kw2["nthreads"] = 2
+    t0 = time.time()
+    run_fast_pipeline(refset, idx, fq, io.StringIO(), **kw2)
+    e2e_n2 = N_FAST / (time.time() - t0)
+
     fqx = fa_path + ".exact.fq"
     with open(fqx, "w") as f:
         for i, s in enumerate(reads[:N_EXACT]):
@@ -276,9 +304,31 @@ def _bench_end_to_end(fa_path, genome, rng):
     t0 = time.time()
     ok = run_pipeline_raw_fastq(eng, fqx, sink2, refset)
     exact = N_EXACT / (time.time() - t0) if ok else 0.0
+
+    # --device-pass1: the byte-identical device-assisted exact engine
+    # (TPU scores pass-1 windows, host does seeding + exact pass-2).
+    # Warm once for the jit, then measure; output equality with the
+    # host lane is asserted (the north-star artifact must stay exact).
+    dp1 = 0.0
+    if on_tpu:
+        os.environ.setdefault("SMALT_DP1_BATCH", "8192")
+        rand.ranseed(1)
+        eng_w = MapEngine(refset, idx, MapParams())
+        run_pipeline_raw_fastq(eng_w, fq_small, io.StringIO(), refset,
+                               device_pass1=True)
+        rand.ranseed(1)
+        eng2 = MapEngine(refset, idx, MapParams())
+        sink3 = io.StringIO()
+        t0 = time.time()
+        ok2 = run_pipeline_raw_fastq(eng2, fqx, sink3, refset,
+                                     device_pass1=True)
+        if ok2:
+            dp1 = N_EXACT / (time.time() - t0)
+            assert sink3.getvalue() == sink2.getvalue(), \
+                "--device-pass1 output diverged from the host lane"
     for p in (fq, fq_small, fqx):
         os.unlink(p)
-    return e2e, exact
+    return e2e, e2e_n2, exact, dp1
 
 
 def _bench_exact_pe(fa_path, genome, rng):
@@ -342,6 +392,133 @@ def _bench_exact_pe(fa_path, genome, rng):
     os.unlink(fq1)
     os.unlink(fq2)
     return ours, ref_rate
+
+
+def _bench_longreads(fa_path, genome, rng):
+    """BASELINE config 5: kilobase noisy reads (454/PacBio-style, 1%
+    substitutions + 1.5% indels) through the fast pipeline — the
+    banded Pallas kernel (Q > LONG_READ_Q) plus the banded host tail.
+    Returns (reads_per_s, bases_per_s)."""
+    import io
+    import time
+    import jax
+    from smalt_tpu.seq.refset import RefSet
+    from smalt_tpu.index.table import build_index
+    from smalt_tpu.map.fastmode import run_fast_pipeline
+
+    on_tpu = jax.default_backend() == "tpu"
+    N = 1024 if on_tpu else 64
+    RL = 1500
+    comp = str.maketrans("ACGT", "TGCA")
+    fq = fa_path + ".long.fq"
+    with open(fq, "w") as f:
+        for i in range(N):
+            pos = int(rng.integers(0, len(genome) - RL - 100))
+            src = genome[pos : pos + RL + 100]
+            out = []
+            j = 0
+            while j < len(src) and len(out) < RL:
+                r = rng.random()
+                if r < 0.0075:              # deletion
+                    j += 1
+                    continue
+                if r < 0.015:               # insertion
+                    out.append("ACGT"[int(rng.integers(0, 4))])
+                    continue
+                c = src[j]
+                if r < 0.025:               # substitution
+                    c = "ACGT"[(("ACGT".index(c) + 1 +
+                                 int(rng.random() * 3)) % 4)]
+                out.append(c)
+                j += 1
+            s = "".join(out[:RL])
+            if rng.random() < 0.5:
+                s = s.translate(comp)[::-1]
+            f.write(f"@L{i}\n{s}\n+\n{'5' * len(s)}\n")
+    refset = RefSet.from_fasta(fa_path)
+    idx = build_index(refset, KMER, NSKIP)
+    kw = dict(nthreads=1, batch=256, interpret=None if on_tpu else True)
+    run_fast_pipeline(refset, idx, fq, io.StringIO(), **kw)  # warm/compile
+    sink = io.StringIO()
+    t0 = time.time()
+    run_fast_pipeline(refset, idx, fq, sink, **kw)
+    dt = time.time() - t0
+    os.unlink(fq)
+    nrec = sum(1 for l in sink.getvalue().splitlines()
+               if l and not l.startswith("@"))
+    assert nrec == N, nrec
+    return N / dt, N * RL / dt
+
+
+def _bench_chr_scale():
+    """BASELINE config 4 (scaled): chromosome-size genome (64 Mb, human
+    chr20-like scale) mapped paired-end through the fast CLI path on
+    one chip.  The range-sharded index (ip > 1) is exercised on the
+    virtual CPU mesh by bench_scaling.py / tests/test_mesh.py — one
+    physical chip is attached here, so this records the single-chip
+    64 Mb throughput."""
+    import io
+    import tempfile
+    import time
+    import jax
+    from smalt_tpu.seq.refset import RefSet
+    from smalt_tpu.index.table import build_index
+    from smalt_tpu.map.fastmode import run_fast_pipeline
+
+    on_tpu = jax.default_backend() == "tpu"
+    GLEN = 64_000_000 if on_tpu else 2_000_000
+    NPAIR = 50_000 if on_tpu else 500
+    RL = 150
+    rng = np.random.default_rng(77)
+    bases = np.array(list(b"ACGT"), np.uint8)
+    g = rng.choice(bases, GLEN)
+    genome = g.tobytes().decode()
+    comp = str.maketrans("ACGT", "TGCA")
+    with tempfile.TemporaryDirectory() as d:
+        fa = os.path.join(d, "chr.fa")
+        with open(fa, "w") as f:
+            f.write(">chr20_sim\n")
+            for i in range(0, GLEN, 10000):
+                f.write(genome[i : i + 10000] + "\n")
+        fq1 = os.path.join(d, "r1.fq")
+        fq2 = os.path.join(d, "r2.fq")
+        with open(fq1, "w") as f1, open(fq2, "w") as f2:
+            for i in range(NPAIR):
+                ins = int(rng.normal(400, 40))
+                ins = max(2 * RL + 10, min(600, ins))
+                st = int(rng.integers(0, GLEN - ins))
+                frag = genome[st : st + ins]
+                a = list(frag[:RL])
+                b = list(frag[-RL:])
+                for arr in (a, b):
+                    for j in np.flatnonzero(rng.random(RL) < 0.01):
+                        arr[j] = "ACGT"[int(rng.integers(0, 4))]
+                f1.write(f"@c{i}\n{''.join(a)}\n+\n{'5' * RL}\n")
+                f2.write(f"@c{i}\n{''.join(b).translate(comp)[::-1]}\n"
+                         f"+\n{'5' * RL}\n")
+        refset = RefSet.from_fasta(fa)
+        idx = build_index(refset, KMER, NSKIP)
+        kw = dict(nthreads=1, batch=8192,
+                  interpret=None if on_tpu else True)
+        # warm: compile + device index upload
+        wfq1 = os.path.join(d, "w1.fq")
+        wfq2 = os.path.join(d, "w2.fq")
+        with open(fq1) as src, open(wfq1, "w") as dst:
+            for _ in range(4 * 8192):
+                dst.write(src.readline())
+        with open(fq2) as src, open(wfq2, "w") as dst:
+            for _ in range(4 * 8192):
+                dst.write(src.readline())
+        run_fast_pipeline(refset, idx, wfq1, io.StringIO(),
+                          mates_path=wfq2, **kw)
+        sink = io.StringIO()
+        t0 = time.time()
+        run_fast_pipeline(refset, idx, fq1, sink, mates_path=fq2, **kw)
+        dt = time.time() - t0
+        nrec = sum(1 for l in sink.getvalue().splitlines()
+                   if l and not l.startswith("@"))
+        assert nrec == 2 * NPAIR, nrec
+        return 2 * NPAIR / dt
 
 
 if __name__ == "__main__":

@@ -347,7 +347,9 @@ def _cmd_map_fast(a, argv) -> int:
     refset = RefSet.load(a.index_name)
     idx = KmerIndex.load(a.index_name)
     exact_engine = None
-    if a.fallback_exact and a.mates is None:
+    if a.fallback_exact:
+        # SE: truncated reads remap singly; PE: either mate truncated
+        # remaps the whole pair through the exact engine
         exact_engine, _, _ = _build_engine(a, argv)
     libcode = {"pe": pairs_mod.LIB_PAIREDEND,
                "mp": pairs_mod.LIB_MATEPAIR,

@@ -22,7 +22,8 @@ from . import engine as eng_mod
 
 
 class FastLane:
-    def __init__(self, engine, soft_clip: bool, x_mismatch: bool):
+    def __init__(self, engine, soft_clip: bool, x_mismatch: bool,
+                 out_fmt: int = 0):
         lib = get_lib()
         p = engine.params
         refset = engine.refset
@@ -31,6 +32,7 @@ class FastLane:
         self.engine = engine
         self.soft_clip = soft_clip
         self.x_mismatch = x_mismatch
+        self.out_fmt = out_fmt           # 0 = SAM, 1 = plain cigar
         # pinned argument buffers
         self._matrix = np.ascontiguousarray(engine.matrix, dtype=np.int32)
         self._ivals = np.ascontiguousarray(engine._seq_ivals, dtype=np.int64)
@@ -57,7 +59,7 @@ class FastLane:
         lib = get_lib()
         if lib is None or not hasattr(lib, "fl_map_block"):
             return None
-        if fmt != "sam" or ali_out or fix_primary:
+        if fmt not in ("sam", "cigar") or ali_out or fix_primary:
             return None
         p = engine.params
         need = eng_mod.RMAPFLG_BEST | eng_mod.RMAPFLG_SEQBYSEQ
@@ -67,7 +69,8 @@ class FastLane:
             return None
         if p.use_cplx:
             return None
-        return cls(engine, soft_clip, x_mismatch)
+        return cls(engine, soft_clip, x_mismatch,
+                   out_fmt=1 if fmt == "cigar" else 0)
 
     def render_block(self, block) -> Optional[str]:
         """One native call for a block of Read objects."""
@@ -93,8 +96,8 @@ class FastLane:
                 has_qual[i] = 1
             else:
                 qual_parts.append(b"\x00" * ql)
-            nm = read.sam_name.encode()
-            name_parts.append(nm)
+            nm = read.name.encode()     # raw: the C side applies the
+            name_parts.append(nm)       # format's own name cut
             read_offs[i + 1] = read_offs[i] + ql
             name_offs[i + 1] = name_offs[i] + len(nm)
         codes = np.concatenate(codes_parts) if codes_parts else \
@@ -103,7 +106,7 @@ class FastLane:
         names = np.frombuffer(b"".join(name_parts) or b"\0", np.uint8)
         return self._call(n, qmax, codes, read_offs, quals, has_qual,
                           names, name_offs, ascii_codes=False,
-                          names_raw=False)
+                          names_raw=True)
 
     def render_raw_block(self, names, seqs, quals) -> Optional[str]:
         """One native call for raw bulk-reader output (bytes lists):
@@ -158,6 +161,7 @@ class FastLane:
                 filt.min_swscor, filt.min_swscor_below_max,
                 filt.min_identity,
                 1 if self.soft_clip else 0, 1 if self.x_mismatch else 0,
+                self.out_fmt,
                 1 if ascii_codes else 0, 1 if names_raw else 0,
                 n, codes.ctypes.data, read_offs.ctypes.data,
                 quals.ctypes.data, has_qual.ctypes.data,
@@ -540,6 +544,7 @@ class DevicePass1:
                 filt.min_swscor, filt.min_swscor_below_max,
                 filt.min_identity,
                 1 if lane.soft_clip else 0, 1 if lane.x_mismatch else 0,
+                lane.out_fmt,
                 1 if ascii_codes else 0, 1 if names_raw else 0,
                 n, codes.ctypes.data, read_offs.ctypes.data,
                 quals.ctypes.data, has_qual.ctypes.data,

@@ -653,6 +653,7 @@ class FastTail:
         st, sd = a32("start"), a32("strand")
         hu, ht = a32("hits_used"), a32("hits_tot")
         n2, am = a32("n2nd"), a32("ambig")
+        assert len(sc) == n, (len(sc), n)   # the C tail reads n entries
         if "tb_i" in outs:
             tbi, tbj = a32("tb_i"), a32("tb_j")
         else:
@@ -717,11 +718,13 @@ class FastTail:
     def render_pairs_native(self, names, seqs, quals, outs, win_len: int,
                             pad: int, q_padded: int, insert_min: int,
                             insert_max: int, soft: bool, xmm: bool,
-                            buf, libcode=None) -> bool:
+                            buf, libcode=None, ihist=None,
+                            exact_fallback=None, base_idx: int = 0) -> bool:
         """One C call (fl_fast_tail_pairs) renders the whole PE batch,
-        byte-identical to render_pairs without an insert histogram.
-        Returns False when the lane is unavailable (Python oracle
-        runs)."""
+        byte-identical to render_pairs — including the -g histogram
+        weighting (cumulative bins passed through) and the exact-pair
+        fallback for MAXC-truncated searches.  Returns False when the
+        lane is unavailable (Python oracle runs)."""
         import os
         from ..native import get_lib
         from ..results.pairs import LIB_PAIREDEND
@@ -757,6 +760,7 @@ class FastTail:
         st, sd = a32("start"), a32("strand")
         hu, ht = a32("hits_used"), a32("hits_tot")
         n2, am = a32("n2nd"), a32("ambig")
+        assert len(sc) == n, (len(sc), n)   # the C tail reads n entries
         if "tb_i" in outs:
             tbi, tbj = a32("tb_i"), a32("tb_j")
         else:
@@ -766,6 +770,19 @@ class FastTail:
         cap = int(name_len.sum()) + n * (2 * qmax + 192)
         ma, _ = self.avgs
         lc = LIB_PAIREDEND if libcode is None else libcode
+        if ihist is not None:
+            harr = ihist.smooth if ihist.smoothed else ihist.counts
+            hist_cum = np.cumsum(np.asarray(harr, np.int64))
+            hist_args = (hist_cum.ctypes.data, ihist.span, ihist.insizlo,
+                         ihist.insizhi, ihist.scalfac, ihist.num)
+        else:
+            hist_args = (None, 0, 0, 0, 0, 0)
+        B = n // 2
+        skip = None
+        pair_offs = np.zeros(B + 1, np.int64)
+        if exact_fallback is not None:
+            trunc = ht > hu
+            skip = (trunc[:B] | trunc[B:]).astype(np.uint8)
         for _ in range(3):
             out = np.empty(cap, np.uint8)
             rc = lib.fl_fast_tail_pairs(
@@ -788,13 +805,35 @@ class FastTail:
                 sd.ctypes.data, hu.ctypes.data, ht.ctypes.data,
                 n2.ctypes.data, am.ctypes.data,
                 tbi.ctypes.data, tbj.ctypes.data,
+                *hist_args,
+                skip.ctypes.data if skip is not None else None,
+                pair_offs.ctypes.data,
                 out.ctypes.data, cap)
             if rc == -3:
                 cap *= 4
                 continue
             if rc < 0:
                 return False
-            buf.write(out[:rc].tobytes().decode("ascii"))
+            text = out[:rc].tobytes().decode("ascii")
+            if skip is None or not skip.any():
+                buf.write(text)
+                return True
+            raw = isinstance(names, RawBatch)
+            for i in range(B):
+                if skip[i]:
+                    if raw:
+                        args = (names.name(i), names.seq(i),
+                                names.qual(i), names.name(B + i),
+                                names.seq(B + i), names.qual(B + i))
+                    else:
+                        args = (names[i], seqs[i], quals[i],
+                                names[B + i], seqs[B + i], quals[B + i])
+                    ft = exact_fallback(*args, base_idx + i)
+                    if ft is None:
+                        return False
+                    buf.write(ft)
+                else:
+                    buf.write(text[pair_offs[i] : pair_offs[i + 1]])
             return True
         return False
 
@@ -878,7 +917,9 @@ class FastTail:
     def render_pairs(self, names, seqs, quals, outs, win_len: int,
                      pad: int, q_padded: int, insert_min: int,
                      insert_max: int, writer: ReportWriter,
-                     libcode=None, ihist=None) -> None:
+                     libcode=None, ihist=None,
+                     exact_fallback=None, raw_out=None,
+                     base_idx: int = 0) -> None:
         from ..report.report import REPPAIR
         score = outs["score"]
         score2 = outs["score2"]
@@ -899,6 +940,17 @@ class FastTail:
         B = len(names) // 2
         for i in range(B):
             ia, ib = i, B + i
+            if exact_fallback is not None and used is not None and \
+                    (int(tot[ia]) > int(used[ia]) or
+                     int(tot[ib]) > int(used[ib])):
+                # MAXC-truncated search on either mate: the whole pair
+                # remaps through the exact engine
+                ft = exact_fallback(names[ia], seqs[ia], quals[ia],
+                                    names[ib], seqs[ib], quals[ib],
+                                    base_idx + i)
+                if ft is not None:
+                    raw_out.write(ft)
+                    continue
             readA = Read(name=names[ia].decode(),
                          seq=codec.encode(seqs[ia]), qual=quals[ia])
             readB = Read(name=names[ib].decode(),
@@ -980,6 +1032,32 @@ def _exact_fallback(name, seq, qual, serial) -> Optional[str]:
     return lane.render_raw_block([name], [seq], [qual])
 
 
+def _exact_fallback_pair(nameA, seqA, qualA, nameB, seqB, qualB,
+                         serial) -> Optional[str]:
+    """Remap one truncated-search PAIR through the exact engine (the
+    fast-mode analogue of the SE exact fallback).  Reseeded per pair
+    serial so output is independent of worker count / batch size."""
+    engine = _g.get("exact_engine")
+    if engine is None:
+        return None
+    from .. import rand
+    from ..report.report import Report
+    from ..results.pairs import add_pair_to_report
+    soft, xmm = _g["writer_args"]
+    rand.ranseed((_g.get("seed") or 1) + serial * 7919)
+    readA = Read(name=nameA.decode(), seq=codec.encode(seqA), qual=qualA)
+    readB = Read(name=nameB.decode(), seq=codec.encode(seqB), qual=qualB)
+    buf = io.StringIO()
+    writer = ReportWriter(buf, _g["tail"].refset, fmt="sam",
+                          soft_clip=soft, x_mismatch=xmm, header=False)
+    rep = Report()
+    rsr, rsm, rpairs, pairflg = engine.rmap_pair(readA, readB)
+    add_pair_to_report(rep, _g.get("pair_ihist"), rpairs, pairflg,
+                       engine.params.rsltouflg, rsr, rsm)
+    writer.write(rep, readA, readB)
+    return buf.getvalue()
+
+
 def _tail_render(args):
     paired, item, outs, win_len, pad, q_padded, base_idx = args
     if isinstance(item, RawBatch):
@@ -993,19 +1071,23 @@ def _tail_render(args):
                           x_mismatch=xmm, header=False)
     if paired:
         imin, imax = _g["inserts"]
-        # the C tail covers the no-histogram configuration; with -g the
-        # Python tail applies the histogram-weighted elevation
-        if _g.get("pair_ihist") is not None or \
-                not tail.render_pairs_native(names, seqs, quals, outs,
-                                             win_len, pad, q_padded,
-                                             imin, imax, soft, xmm, buf,
-                                             libcode=_g.get("libcode")):
+        fbp = (_exact_fallback_pair
+               if _g.get("exact_engine") is not None else None)
+        if not tail.render_pairs_native(names, seqs, quals, outs,
+                                        win_len, pad, q_padded,
+                                        imin, imax, soft, xmm, buf,
+                                        libcode=_g.get("libcode"),
+                                        ihist=_g.get("pair_ihist"),
+                                        exact_fallback=fbp,
+                                        base_idx=base_idx):
             if isinstance(names, RawBatch):
                 names, seqs, quals = names.as_lists()
             tail.render_pairs(names, seqs, quals, outs, win_len, pad,
                               q_padded, imin, imax, writer,
                               libcode=_g.get("libcode"),
-                              ihist=_g.get("pair_ihist"))
+                              ihist=_g.get("pair_ihist"),
+                              exact_fallback=fbp, raw_out=buf,
+                              base_idx=base_idx)
     else:
         fb = _exact_fallback if _g.get("exact_engine") is not None else None
         if not tail.render_native(names, seqs, quals, outs, win_len, pad,
@@ -1123,23 +1205,29 @@ def run_fast_pipeline(refset: RefSet, idx: KmerIndex, reads_path: str,
         single-host run."""
         pending = deque()
 
+        def nreads(item):
+            """Read count of a batch item — a RawBatch or a
+            (names, seqs, quals) list triple.  len() of the TRIPLE is
+            3, never use it for counting."""
+            return item.n if isinstance(item, RawBatch) else len(item[0])
+
         def force(work):
             bno, item, o, wl, wp, Q, base = work
             # ONE packed [len(OUT_KEYS), B] fetch per batch: per-array
             # fetches each pay a full round trip on tunnel-attached
             # chips and dominated the end-to-end wall clock
             arr = np.asarray(o)
-            outs = {k: arr[i, : len(item)]
+            outs = {k: arr[i, : nreads(item)]
                     for i, k in enumerate(OUT_KEYS)}
             return bno, (paired, item, outs, wl, wp, Q, base)
 
         base = 0
         for bno, item in enumerate(raw_batches()):
             if n_hosts > 1 and bno % n_hosts != host_id:
-                base += len(item)
+                base += nreads(item)
                 continue
-            if base + len(item) <= skip_reads:
-                base += len(item)      # checkpointed: already written
+            if base + nreads(item) <= skip_reads:
+                base += nreads(item)   # checkpointed: already written
                 continue
             if isinstance(item, RawBatch):
                 qmax = int(item.seq_len.max()) if item.n else 0
@@ -1170,7 +1258,7 @@ def run_fast_pipeline(refset: RefSet, idx: KmerIndex, reads_path: str,
             o = step(jnp.asarray(arr))          # async dispatch
             pending.append((bno, item, o,
                             window_len(Q), window_pad(Q), Q, base))
-            base += len(item)
+            base += nreads(item)
             if len(pending) >= PREFETCH:
                 yield force(pending.popleft())
         while pending:
@@ -1197,13 +1285,17 @@ def run_fast_pipeline(refset: RefSet, idx: KmerIndex, reads_path: str,
     if nthreads <= 1:
         _tail_init(refset, penalties, minscor, writer_args, inserts,
                    exact_engine, seed, libcode, ihist)
+        def _args_nreads(a):
+            it = a[1]
+            return it.n if isinstance(it, RawBatch) else len(it[0])
+
         for bno, args in batches():
             emit(bno, _tail_render(args))
-            n_done += len(args[1])
+            n_done += _args_nreads(args)
             n_batches += 1
             if resume_log is not None:
                 out.flush()
-                resume_log.tick(args[6] + len(args[1]), out.tell(), 0)
+                resume_log.tick(args[6] + _args_nreads(args), out.tell(), 0)
         if resume_log is not None:
             resume_log.done()
         if timing:

@@ -140,6 +140,7 @@ def _declare_fastlane(lib):
         i64, i64, dbl, i64, i64, ci,        # params 1
         i64, i64, ci, ci,                   # params 2
         i64, i64, dbl, ci, ci,              # filter + sam opts
+        ci,                                 # out_fmt (0 sam, 1 cigar)
         ci, ci,                             # codes_are_ascii, names_raw
         i64, vp, vp, vp, vp, vp, vp,        # reads
         vp, vp, i64]                        # rng + output
@@ -183,6 +184,8 @@ def _declare_fastlane(lib):
         i64, vp, vp, vp, vp, vp, vp, vp, vp, vp,  # reads (off/len form)
         vp, vp, vp, vp, vp, vp, vp, vp,     # device outputs
         vp, vp,                             # tb anchors (NULL = banded)
+        vp, i64, i64, i64, i64, i64,        # -g histogram (NULL = flat)
+        vp, vp,                             # skip mask + pair extents
         vp, i64]                            # out text, cap
     lib.fl_map_pair_block.restype = i64
     lib.fl_map_pair_block.argtypes = [
@@ -229,7 +232,7 @@ def _declare_fastlane(lib):
         vp, ci, ci, i64, i64,               # scoring
         i64, i64, dbl, i64, i64, ci,        # params 1
         i64, i64, ci, ci,                   # params 2
-        i64, i64, dbl, ci, ci,              # filter + sam opts
+        i64, i64, dbl, ci, ci, ci,          # filter + sam opts + fmt
         ci, ci,                             # codes_are_ascii, names_raw
         i64, vp, vp, vp, vp, vp, vp,        # reads
         vp, vp,                             # state

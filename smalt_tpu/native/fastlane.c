@@ -195,6 +195,7 @@ int sw_band_fast(const int32_t *W, int qlen_prof, const uint8_t *subj,
 #define REPFLG_REVERSE 0x02
 #define REPFLG_PRIMARY 0x10
 #define REPFLG_MULTI 0x40
+#define REPFLG_PARTIAL 0x20
 
 #define SAMFLAG_NOMAP 0x0004
 #define SAMFLAG_STRAND 0x0010
@@ -952,6 +953,133 @@ static int tx_sam_line(FLText *t,
     return 0;
 }
 
+/* plain CIGAR: "<op> <count> " tokens (diffstr.py extended=False,
+ * silent_mismatch=True), no clip segments */
+static int tx_cigar_plain(FLText *t, const uint8_t *diff, int diff_len)
+{
+    static const char symx[4] = {'M', 'D', 'I', 'X'};
+    int64_t prev_count = 0;
+    int prev_typ = DIFFCOD_M, typ = DIFFCOD_M, i = 0;
+
+    if (diff_len < 1) { tx_putc(t, '*'); return 0; }
+
+#define TXC_EMIT(ch, ctr) do { \
+        if ((ctr) > 0) { \
+            tx_putc(t, (ch)); tx_putc(t, ' '); \
+            tx_puti(t, (ctr)); tx_putc(t, ' '); \
+        } \
+    } while (0)
+
+    while (i < diff_len && diff[i]) {
+        int64_t count = diff[i] & 0x3F;
+        typ = diff[i] >> 6;
+        i++;
+        if (prev_typ == DIFFCOD_M) {
+            prev_count += count;
+            if (typ == DIFFCOD_M || typ == DIFFCOD_S) {
+                prev_count += 1;
+                continue;
+            }
+        } else if (typ == prev_typ && count < 1) {
+            prev_count += 1;
+            continue;
+        }
+        TXC_EMIT(symx[prev_typ], prev_count);
+        if (typ == DIFFCOD_M || typ == DIFFCOD_S) {
+            prev_count = count + 1;
+            prev_typ = DIFFCOD_M;
+        } else {
+            if (count > 0 && prev_typ != DIFFCOD_M)
+                TXC_EMIT(symx[DIFFCOD_M], count);
+            prev_count = 1;
+            prev_typ = typ;
+        }
+    }
+    if (typ != DIFFCOD_S) return FL_ERR_ASSERT;
+    if (prev_count > 1)
+        TXC_EMIT(symx[DIFFCOD_M], prev_count - 1);
+#undef TXC_EMIT
+    return 0;
+}
+
+/* copyReadNamStrToREPSTR is_stripped=0 (report.py _qname): cut at the
+ * first whitespace, /1 /2 KEPT */
+static int64_t fl_cigar_name_len(const char *name, int64_t n)
+{
+    int64_t i = 0;
+    while (i < n && name[i] != ' ' && name[i] != '\t' &&
+           name[i] != '\r' && name[i] != '\n' && name[i] != '\v' &&
+           name[i] != '\f')
+        i++;
+    return i;
+}
+
+/* getMapLabelFromFlag (report.c:215-246), single-end pairflg = 0 */
+static char fl_map_label(int mateflg)
+{
+    if (mateflg & REPFLG_MAPPED)
+        return (mateflg & REPFLG_PARTIAL) ? 'P' : 'S';
+    if (mateflg & REPFLG_MULTI)
+        return 'R';
+    return 'N';
+}
+
+/* fprintREPALIcigar (report.c:712-760 via report.py:380-408) */
+static int tx_cigar_line(FLText *t,
+                         const char *name, int64_t name_len,
+                         const uint8_t *diffpool, const FLRes *rp,
+                         int mateflg, int64_t mapscor,
+                         const char *const *seq_names,
+                         const int64_t *seq_name_lens)
+{
+    int mapped = rp != NULL && (mateflg & REPFLG_MAPPED);
+    int64_t qs = 0, qe = 0, rs = 0, re_ = 0, swatscor = 0, ms;
+    char dirc = '*';
+    ms = mapped ? mapscor : 0;
+    if (ms > 99) ms = 99;
+    tx_puts(t, "cigar:");
+    tx_putc(t, fl_map_label(mateflg));
+    tx_putc(t, ':');
+    tx_putc(t, (char)('0' + ms / 10));
+    tx_putc(t, (char)('0' + ms % 10));
+    tx_putc(t, ' ');
+    if (name_len > 0) tx_putn(t, name, name_len);
+    else tx_putc(t, '*');
+    tx_putc(t, ' ');
+    if (mapped) {
+        if (mateflg & REPFLG_REVERSE) {
+            qs = rp->q_end; qe = rp->q_start; dirc = '-';
+        } else {
+            qs = rp->q_start; qe = rp->q_end; dirc = '+';
+        }
+        rs = rp->s_start; re_ = rp->s_end;
+        swatscor = rp->swatscor;
+    }
+    tx_puti(t, qs);
+    tx_putc(t, ' ');
+    tx_puti(t, qe);
+    tx_putc(t, ' ');
+    tx_putc(t, dirc);
+    tx_putc(t, ' ');
+    if (mapped) tx_putn(t, seq_names[rp->sidx], seq_name_lens[rp->sidx]);
+    else tx_putc(t, '*');
+    tx_putc(t, ' ');
+    tx_puti(t, rs);
+    tx_putc(t, ' ');
+    tx_puti(t, re_);
+    tx_puts(t, " + ");
+    tx_puti(t, swatscor);
+    tx_putc(t, ' ');
+    if (mapped) {
+        int rc = tx_cigar_plain(t, diffpool + rp->diff_off, rp->diff_len);
+        if (rc != 0) return rc;
+    } else {
+        tx_putc(t, '*');
+    }
+    tx_putc(t, '\n');
+    return 0;
+}
+
 /* ---------------- the per-block report stage ---------------- */
 
 /* One report record queued for output (Report.add_map collapses to a
@@ -1634,6 +1762,8 @@ int64_t fl_map_block(
     int rmapflg, int rsltouflg,
     int64_t filter_minscor, int64_t filter_belowmax, double filter_minid,
     int soft_clip, int x_mismatch,
+    /* out_fmt: 0 = SAM lines, 1 = plain cigar lines (report.c:712) */
+    int out_fmt,
     /* reads; codes_are_ascii: codes_concat holds raw FASTQ letters to
      * encode here; names_raw: name extents are full header fields to
      * cut at whitespace / trailing mate suffix */
@@ -1709,7 +1839,8 @@ int64_t fl_map_block(
             codes = s.enc;
         }
         if (names_raw)
-            name_len = fl_sam_name_len(name, name_len);
+            name_len = out_fmt == 1 ? fl_cigar_name_len(name, name_len)
+                                    : fl_sam_name_len(name, name_len);
         rc = fl_map_read(&P, &s, codes, qual, qlen);
         if (rc != 0) goto done;
         {
@@ -1721,12 +1852,20 @@ int64_t fl_map_block(
                 for (r = 0; r < n_rep; r++) {
                     const FLRes *rp = s.rep[r].res_idx >= 0
                                       ? &s.rs->res[s.rep[r].res_idx] : NULL;
-                    rc = tx_sam_line(&t, name, name_len,
-                                     codes, qual, qlen,
-                                     s.rs->diffpool, rp, s.rep[r].mateflg,
-                                     rp ? s.rep[r].mapscor : 0,
-                                     seq_name_ptr, seq_name_len,
-                                     soft_clip, x_mismatch);
+                    if (out_fmt == 1)
+                        rc = tx_cigar_line(&t, name, name_len,
+                                           s.rs->diffpool, rp,
+                                           s.rep[r].mateflg,
+                                           rp ? s.rep[r].mapscor : 0,
+                                           seq_name_ptr, seq_name_len);
+                    else
+                        rc = tx_sam_line(&t, name, name_len,
+                                         codes, qual, qlen,
+                                         s.rs->diffpool, rp,
+                                         s.rep[r].mateflg,
+                                         rp ? s.rep[r].mapscor : 0,
+                                         seq_name_ptr, seq_name_len,
+                                         soft_clip, x_mismatch);
                     if (rc != 0) break;
                 }
             }
@@ -1914,7 +2053,7 @@ int64_t fl_pass2_block(
     int64_t target_depth, int64_t max_depth,
     int rmapflg, int rsltouflg,
     int64_t filter_minscor, int64_t filter_belowmax, double filter_minid,
-    int soft_clip, int x_mismatch,
+    int soft_clip, int x_mismatch, int out_fmt,
     int codes_are_ascii, int names_raw,
     int64_t n_reads, const uint8_t *codes_concat, const int64_t *read_offs,
     const uint8_t *quals_concat, const uint8_t *has_qual,
@@ -1989,7 +2128,8 @@ int64_t fl_pass2_block(
             codes = s.enc;
         }
         if (names_raw)
-            name_len = fl_sam_name_len(name, name_len);
+            name_len = out_fmt == 1 ? fl_cigar_name_len(name, name_len)
+                                    : fl_sam_name_len(name, name_len);
 
         rs_blank(s.rs);
         if (!hdr[0]) {                   /* not shortseq */
@@ -2070,11 +2210,17 @@ int64_t fl_pass2_block(
         for (r = 0; r < n_rep; r++) {
             const FLRes *rp = s.rep[r].res_idx >= 0
                               ? &s.rs->res[s.rep[r].res_idx] : NULL;
-            rc = tx_sam_line(&t, name, name_len, codes, qual, qlen,
-                             s.rs->diffpool, rp, s.rep[r].mateflg,
-                             rp ? s.rep[r].mapscor : 0,
-                             seq_name_ptr, seq_name_len,
-                             soft_clip, x_mismatch);
+            if (out_fmt == 1)
+                rc = tx_cigar_line(&t, name, name_len, s.rs->diffpool,
+                                   rp, s.rep[r].mateflg,
+                                   rp ? s.rep[r].mapscor : 0,
+                                   seq_name_ptr, seq_name_len);
+            else
+                rc = tx_sam_line(&t, name, name_len, codes, qual, qlen,
+                                 s.rs->diffpool, rp, s.rep[r].mateflg,
+                                 rp ? s.rep[r].mapscor : 0,
+                                 seq_name_ptr, seq_name_len,
+                                 soft_clip, x_mismatch);
             if (rc != 0) goto done;
         }
         if (t.overflow) {
@@ -2176,7 +2322,6 @@ static int64_t fl_fast_mapq(int64_t sw1, int64_t sw2, int64_t qlen,
 #define CUMULPROB_IMP 1e-4            /* CUMULPROB_IMPROPER */
 #define REPFLG_PAIRED 0x04
 #define REPFLG_MATE2 0x08
-#define REPFLG_PARTIAL 0x20
 #define REPPAIR_MAPPED 0x01
 #define REPPAIR_CONTIG 0x02
 #define REPPAIR_PROPER 0x04
@@ -4538,8 +4683,14 @@ static int ft_proper(int64_t isize, int revA, int revB, int leftmost2,
     return m;
 }
 
-/* FastTail._pair_elevate, no-histogram branch */
-static void ft_elevate(FTAli *r, const FTAli *other, int64_t n2)
+/* FastTail._pair_elevate incl. the -g insert-histogram weighting:
+ * hist_cum = per-bin cumulative counts (insert.py count_cumulative),
+ * NULL for the flat no-histogram model. */
+static void ft_elevate(FTAli *r, const FTAli *other, int64_t n2,
+                       int64_t isiz,
+                       const int64_t *hist_cum, int64_t hist_span,
+                       int64_t hist_lo, int64_t hist_hi,
+                       int64_t hist_scal, int64_t hist_num)
 {
     double p_prop, p_in, p_allout, marg;
     int64_t elev, cap;
@@ -4549,6 +4700,20 @@ static void ft_elevate(FTAli *r, const FTAli *other, int64_t n2)
     p_prop = 1.0 - 1e-4;                 /* CUMULPROB_IMPROPER */
     p_in = p_prop * (1.0 - 3e-3);        /* CUMULPROB_PROPER_OUTSIDE */
     p_allout = 1e-4 + p_prop * 3e-3;
+    if (hist_cum != NULL && hist_num > 0) {
+        int64_t x = isiz < 0 ? -isiz : isiz, cc = 0;
+        if (hist_lo <= x && x <= hist_hi) {
+            int64_t ix = (x - hist_lo) / (hist_scal > 0 ? hist_scal : 1);
+            if (ix > hist_span - 1) ix = hist_span - 1;
+            cc = hist_cum[ix];
+        }
+        {
+            double pp = (double)cc / (double)hist_num;
+            double iab = p_prop;
+            if (pp >= 0.5) iab = 0.5 - pp / 2.0;
+            p_in = iab * (pp * (1.0 - 3e-3) + 3e-3);
+        }
+    }
     if (n2 < 1) n2 = 1;
     marg = p_in / (p_in + (double)n2 * p_allout);
     if (marg >= 1.0)
@@ -4692,6 +4857,11 @@ int64_t fl_fast_tail_pairs(
     const int32_t *strand, const int32_t *hits_used,
     const int32_t *hits_tot, const int32_t *n2nd, const int32_t *ambig,
     const int32_t *tb_i, const int32_t *tb_j,
+    /* -g histogram (NULL = flat model) */
+    const int64_t *hist_cum, int64_t hist_span, int64_t hist_lo,
+    int64_t hist_hi, int64_t hist_scal, int64_t hist_num,
+    /* pairs rendered elsewhere (exact fallback) + per-pair extents */
+    const uint8_t *skip, int64_t *pair_offs,
     char *out_text, int64_t out_cap)
 {
     FLText t;
@@ -4768,6 +4938,9 @@ int64_t fl_fast_tail_pairs(
         int okA, okB, proper = 0;
         int64_t isizeA = 0;
 
+        if (pair_offs) pair_offs[i] = t.p - out_text;
+        if (skip && skip[i])
+            continue;
         for (j = 0; j < qlA; j++) encA[j] = fl_codtab[asciiA[j]];
         for (j = 0; j < qlB; j++) encB[j] = fl_codtab[asciiB[j]];
         okA = ft_map_one(&c, encA, qlA, score[ia], strand[ia] != 0,
@@ -4802,8 +4975,12 @@ int64_t fl_fast_tail_pairs(
                           insert_min, insert_max, libcode);
             proper = (m & FT_PROPER) && (m & FT_WITHIN);
             if (proper) {
-                ft_elevate(&A, &Bm, n2nd[ia]);
-                ft_elevate(&Bm, &A, n2nd[ib]);
+                ft_elevate(&A, &Bm, n2nd[ia], isizeA,
+                           hist_cum, hist_span, hist_lo, hist_hi,
+                           hist_scal, hist_num);
+                ft_elevate(&Bm, &A, n2nd[ib], isizeA,
+                           hist_cum, hist_span, hist_lo, hist_hi,
+                           hist_scal, hist_num);
             }
         }
         if (!okA) A.mapped = 0;
@@ -4820,6 +4997,7 @@ int64_t fl_fast_tail_pairs(
         if (rc != 0) goto done;
         if (t.overflow) { rc = FL_ERR_TEXT; goto done; }
     }
+    if (pair_offs) pair_offs[B] = t.p - out_text;
 
 done:
     free((void *)seq_name_ptr); free(seq_name_len);

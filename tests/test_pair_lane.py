@@ -1,0 +1,108 @@
+"""C pair lane (fl_map_pair_block) byte-parity against the pure-Python
+engine on a repeat-planted genome that exercises every covered branch:
+the restricted common flow, the unrestricted remap (append), and the
+fine re-hash continuation."""
+import io
+import os
+
+import numpy as np
+import pytest
+
+from smalt_tpu import rand
+from smalt_tpu.index.table import build_index
+from smalt_tpu.map.engine import MapEngine, MapParams
+from smalt_tpu.map.pipeline import run_pipeline
+from smalt_tpu.seq.io import PairedReader
+from smalt_tpu.seq.refset import RefSet
+
+
+@pytest.fixture(scope="module")
+def pe_workload(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pairlane")
+    rng = np.random.default_rng(42)
+    bases = np.array(list(b"ACGT"), np.uint8)
+    g = rng.choice(bases, 300_000)
+    # dispersed near-identical repeat copies force weak first-mapping
+    # mapqs (the remap branch) and score-improving re-maps (fine)
+    unit = rng.choice(bases, 900)
+    for _ in range(25):
+        cp = unit.copy()
+        for j in rng.integers(0, len(cp), 9):
+            cp[j] = bases[int(rng.integers(0, 4))]
+        at = int(rng.integers(0, len(g) - len(cp)))
+        g[at:at + len(cp)] = cp
+    genome = g.tobytes().decode()
+    fa = d / "g.fa"
+    fa.write_text(">chr\n" + "\n".join(
+        genome[i:i + 60] for i in range(0, len(genome), 60)) + "\n")
+    comp = str.maketrans("ACGT", "TGCA")
+    N, RL = 400, 120
+    fq1, fq2 = d / "r1.fq", d / "r2.fq"
+    with open(fq1, "w") as f1, open(fq2, "w") as f2:
+        for i in range(N):
+            ins = int(rng.normal(360, 40))
+            ins = max(2 * RL + 10, min(560, ins))
+            st = int(rng.integers(0, len(genome) - ins))
+            frag = genome[st:st + ins]
+            a = list(frag[:RL])
+            b = list(frag[-RL:])
+            for arr in (a, b):
+                for j in np.flatnonzero(rng.random(RL) < 0.01):
+                    arr[j] = "ACGT"[int(rng.integers(0, 4))]
+            f1.write(f"@p{i}\n{''.join(a)}\n+\n{'5' * RL}\n")
+            f2.write(f"@p{i}\n{''.join(b).translate(comp)[::-1]}\n+\n"
+                     f"{'5' * RL}\n")
+    refset = RefSet.from_fasta(str(fa))
+    idx = build_index(refset, 13, 2)
+    _ = idx.addrs
+    return refset, idx, str(fq1), str(fq2)
+
+
+def _run(refset, idx, fq1, fq2, no_lane):
+    if no_lane:
+        os.environ["SMALT_TPU_NO_FASTLANE"] = "1"
+    else:
+        os.environ.pop("SMALT_TPU_NO_FASTLANE", None)
+    try:
+        rand.ranseed(1)
+        eng = MapEngine(refset, idx, MapParams())
+        sink = io.StringIO()
+        run_pipeline(eng, PairedReader(fq1, fq2), sink, refset)
+        return sink.getvalue()
+    finally:
+        os.environ.pop("SMALT_TPU_NO_FASTLANE", None)
+
+
+def test_pair_lane_byte_identical(pe_workload):
+    refset, idx, fq1, fq2 = pe_workload
+    import smalt_tpu.map.fastlane as FL
+    stats = {"c": 0, "oracle": 0, "blocks": 0}
+    orig_call = FL.PairLane._call
+    orig_rb = FL.PairLane.render_block
+
+    def call(self, A, B):
+        r = orig_call(self, A, B)
+        if r is not None:
+            stats["c"] += r[1]
+        return r
+
+    def rb(self, block, oracle):
+        stats["blocks"] += 1
+
+        def o2(item):
+            stats["oracle"] += 1
+            return oracle(item)
+        return orig_rb(self, block, o2)
+
+    FL.PairLane._call = call
+    FL.PairLane.render_block = rb
+    try:
+        c_text = _run(refset, idx, fq1, fq2, no_lane=False)
+    finally:
+        FL.PairLane._call = orig_call
+        FL.PairLane.render_block = orig_rb
+    py_text = _run(refset, idx, fq1, fq2, no_lane=True)
+    assert c_text == py_text
+    # the lane must actually carry the load (fine/remap included)
+    assert stats["blocks"] > 0
+    assert stats["c"] >= 390, stats

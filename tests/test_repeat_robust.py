@@ -183,6 +183,104 @@ def test_repeat_exact_fallback(repeat_world):
     assert n_agree >= 0.9 * n_rep, f"{n_agree}/{n_rep} mapq agree"
 
 
+@pytest.fixture(scope="module")
+def repeat_pairs(repeat_world, tmp_path_factory):
+    """PE reads over the same repeat genome: one mate inside a
+    dispersed copy (truncated search), the other unique."""
+    refset, idx, fq, recs, kinds = repeat_world
+    d = tmp_path_factory.mktemp("repeat_pe")
+    rng = np.random.default_rng(31)
+    from smalt_tpu.seq import codec
+    genome = codec.decode(
+        refset.codes[refset.offsets[0]:refset.offsets[1]]).decode()
+    comp = str.maketrans("ACGT", "TGCA")
+    RL = 80
+    fq1 = os.path.join(d, "p1.fq")
+    fq2 = os.path.join(d, "p2.fq")
+    n = 40
+    with open(fq1, "w") as f1, open(fq2, "w") as f2:
+        for i in range(n):
+            ins = int(rng.integers(2 * RL + 20, 420))
+            st = int(rng.integers(0, len(genome) - ins))
+            frag = genome[st:st + ins]
+            a = frag[:RL]
+            b = frag[-RL:].translate(comp)[::-1]
+            f1.write(f"@q{i}\n{a}\n+\n{'I' * RL}\n")
+            f2.write(f"@q{i}\n{b}\n+\n{'I' * RL}\n")
+    return refset, idx, fq1, fq2
+
+
+def test_repeat_pe_exact_fallback(repeat_pairs):
+    """PE fast mode with --fallback-exact: pairs whose either mate's
+    seed search was MAXC-truncated remap through the exact engine;
+    their mapqs match an exact PE run of the same pairs."""
+    from smalt_tpu.map.engine import MapEngine, MapParams
+    from smalt_tpu.map.pipeline import run_pipeline
+    from smalt_tpu.seq.io import PairedReader
+    from smalt_tpu import rand
+    import smalt_tpu.map.fastmode as FM
+    refset, idx, fq1, fq2 = repeat_pairs
+    eng = MapEngine(refset, idx, MapParams())
+
+    fell_back = []
+    orig = FM._exact_fallback_pair
+
+    def spy(*a):
+        fell_back.append(a[-1])
+        return orig(*a)
+    FM._exact_fallback_pair = spy
+    try:
+        buf = io.StringIO()
+        run_fast_pipeline(refset, idx, fq1, buf, nthreads=1, batch=64,
+                          interpret=True, mates_path=fq2,
+                          exact_engine=eng)
+    finally:
+        FM._exact_fallback_pair = orig
+    fb = _parse(buf.getvalue())
+    assert fell_back, "no pair took the exact fallback on a repeat genome"
+
+    rand.ranseed(0)
+    eng2 = MapEngine(refset, idx, MapParams())
+    buf2 = io.StringIO()
+    run_pipeline(eng2, PairedReader(fq1, fq2), buf2, refset)
+    exact = _parse(buf2.getvalue())
+    n_cmp = n_agree = 0
+    for name, (flg, pos, mapq) in fb.items():
+        if name in exact:
+            n_cmp += 1
+            if abs(mapq - exact[name][2]) <= 3:
+                n_agree += 1
+    assert n_cmp > 0 and n_agree >= 0.85 * n_cmp, (n_agree, n_cmp)
+
+
+def test_pe_histogram_c_tail_matches_python(repeat_pairs):
+    """-g (insert histogram) PE fast runs stay on the C tail and are
+    byte-identical to the Python tail."""
+    from smalt_tpu.results.insert import InsHist, InsSample
+    import smalt_tpu.map.fastmode as FM
+    refset, idx, fq1, fq2 = repeat_pairs
+    samp = InsSample()
+    rng = np.random.default_rng(5)
+    for _ in range(600):
+        samp.add(int(rng.normal(300, 30)))
+    ihist = InsHist.from_sample(samp)
+    assert ihist is not None
+
+    kw = dict(nthreads=1, batch=64, interpret=True, mates_path=fq2,
+              ihist=ihist)
+    buf_c = io.StringIO()
+    run_fast_pipeline(refset, idx, fq1, buf_c, **kw)
+
+    orig = FM.FastTail.render_pairs_native
+    FM.FastTail.render_pairs_native = lambda self, *a, **k: False
+    try:
+        buf_py = io.StringIO()
+        run_fast_pipeline(refset, idx, fq1, buf_py, **kw)
+    finally:
+        FM.FastTail.render_pairs_native = orig
+    assert buf_c.getvalue() == buf_py.getvalue()
+
+
 def test_fast_mapq_completeness_cap():
     # full search: no cap
     assert fast_mapq(80, 0, 80, hits_used=32, hits_tot=32) == 60
