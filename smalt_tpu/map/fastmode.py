@@ -517,12 +517,19 @@ class FastTail:
             return self._finish(w0, tb, is_rev,
                                 fast_mapq(sc1, sc2, qlen, hits_used,
                                           hits_tot, n2nd, ambig), qlen)
-        # long-read path: narrow band around the seed diagonal, with a
-        # full-band retry whenever the banded score misses the device's
-        # score
+        # long-read path: the host band must cover the DEVICE band (the
+        # banded kernel scored diag offsets center +- W/2) — narrower
+        # and the banded score misses the device score on nearly every
+        # noisy kilobase read, forcing the O(Q*S) full-band retry.
+        # Short reads (legacy no-anchor callers) keep the +-24/48 band.
         center = -(pad + shift) + (w0 - ws)
-        tb = self._traceback(read.seq, is_rev, win, center - 24,
-                             center + 48)
+        drift = 0
+        if qlen > 512:
+            from ..ops.sw import band_width_for
+            drift = band_width_for(qlen, pad) // 2
+        tb = self._traceback(read.seq, is_rev, win,
+                             center - 24 - drift,
+                             center + 48 + drift)
         if tb is None or tb[0] < sc1:
             full = self._traceback(read.seq, is_rev, win,
                                    -(len(win) - 1), qlen - 1)

@@ -3962,6 +3962,18 @@ int64_t fl_fastq_encode(const uint8_t *buf, int64_t n,
     return 0;
 }
 
+/* ops/sw.py band_width_for: the device banded kernel's width */
+static int64_t fl_band_width_for(int64_t qlen, int64_t pad)
+{
+    int64_t dr = qlen / 32 > 32 ? qlen / 32 : 32;
+    int64_t need = 2 * pad + 2 * dr;
+    int64_t W = ((need + 127) / 128) * 128;
+    int64_t cap = ((qlen + 127) / 128) * 128 + 128;
+    if (W < 128) W = 128;
+    if (W > cap) W = cap;
+    return W;
+}
+
 /* refset.find_seqidx: greatest s with offsets[s] <= g (offsets has
  * nseq+1 entries, offsets[nseq] = total length) */
 static int64_t fl_find_seqidx(const int64_t *offsets, int64_t nseq,
@@ -4119,8 +4131,12 @@ int64_t fl_fast_tail_block(
                         best[4] = ares[4]; best[5] = ares[6];
                     }
                 } else if (slen >= 1 && qlen >= ALILEN_MIN) {
+                    /* cover the device band (fastmode.map_one) */
+                    int64_t drift = qlen > 512
+                        ? fl_band_width_for(qlen, pad) / 2 : 0;
                     nres = mc_fast_align(enc, qlen, is_rev, matrix, win,
-                                         slen, center - 24, center + 48,
+                                         slen, center - 24 - drift,
+                                         center + 48 + drift,
                                          minscore, minscorlen,
                                          gap_init, gap_ext,
                                          Wbuf, Hbuf, Ebuf,
@@ -4142,7 +4158,13 @@ int64_t fl_fast_tail_block(
                     if (!have_tb || best[0] < sc1) {
                         /* full-band retry in a second pool region */
                         int64_t half = diff_cap / 2;
-                        int64_t nf = mc_fast_align(
+                        int64_t nf;
+                        if (fl_prof()) {
+                            fl_prof_acc[4] += 1.0;      /* retry count */
+                            fl_prof_acc[5] += have_tb
+                                ? (double)(sc1 - best[0]) : -1.0;
+                        }
+                        nf = mc_fast_align(
                             enc, qlen, is_rev, matrix, win, slen,
                             -(slen - 1), qlen - 1, minscore, minscorlen,
                             gap_init, gap_ext, Wbuf, Hbuf, Ebuf,
@@ -4524,8 +4546,10 @@ static int ft_map_one(FTCtx *c, const uint8_t *enc, int64_t qlen,
         }
     } else if (slen >= 1 && qlen >= ALILEN_MIN) {
         int64_t half = c->diff_cap / 2;
+        int64_t drift = qlen > 512
+            ? fl_band_width_for(qlen, c->pad) / 2 : 0;
         nres = mc_fast_align(enc, qlen, is_rev, c->matrix, win, slen,
-                             center - 24, center + 48,
+                             center - 24 - drift, center + 48 + drift,
                              c->minscore, c->minscorlen,
                              c->gap_init, c->gap_ext,
                              c->Wbuf, c->Hbuf, c->Ebuf,
