@@ -63,8 +63,9 @@ class FastLane:
             return None
         p = engine.params
         need = eng_mod.RMAPFLG_BEST | eng_mod.RMAPFLG_SEQBYSEQ
-        block = (eng_mod.RMAPFLG_SPLIT | eng_mod.RMAPFLG_CMPLXW |
-                 eng_mod.RMAPFLG_NOSHRTINFO)
+        # split mode (-p: SPLIT | NOSHRTINFO | SENSITIVE) is covered
+        # natively since round 3 (fl_map_read's mapSecondary pass)
+        block = eng_mod.RMAPFLG_CMPLXW
         if (p.rmapflg & need) != need or (p.rmapflg & block):
             return None
         if p.use_cplx:
@@ -360,6 +361,11 @@ class DevicePass1:
         lane = FastLane.make(engine, fmt, soft_clip, x_mismatch, ali_out,
                              fix_primary)
         if lane is None:
+            return None
+        if engine.params.rmapflg & (eng_mod.RMAPFLG_SPLIT |
+                                    eng_mod.RMAPFLG_NOSHRTINFO):
+            # the two-phase block drivers (fl_pass1/2_block) have no
+            # mapSecondary pass; -p runs through the one-phase C lane
             return None
         if -engine.gapopen < -engine.gapext:
             return None

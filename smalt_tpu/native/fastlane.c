@@ -15,8 +15,10 @@
  * for any mode this lane does not cover, and for any block where this
  * lane reports an error (no RNG state is consumed on failure).
  *
- * Coverage: single-end reads, RMAPFLG_BEST + SEQBYSEQ, no split mode,
- * no complexity weighting, SAM output (soft/hard clip, optional -x).
+ * Coverage: single-end reads, RMAPFLG_BEST + SEQBYSEQ, split mode
+ * (-p: secondary complement-segment pass + PARTIAL records), SAM and
+ * plain-cigar output (soft/hard clip, optional -x).  Not covered:
+ * complexity weighting (-c).
  */
 #include <math.h>
 #include <stdint.h>
@@ -190,6 +192,8 @@ int sw_band_fast(const int32_t *W, int qlen_prof, const uint8_t *subj,
 
 #define RMAPFLG_BEST 0x02
 #define RMAPFLG_SENSITIVE 0x20
+#define RMAPFLG_NOSHRTINFO 0x40
+#define RMAPFLG_SPLIT 0x80
 
 #define REPFLG_MAPPED 0x01
 #define REPFLG_REVERSE 0x02
@@ -236,6 +240,7 @@ typedef struct {
     int32_t status;
     int32_t diff_off, diff_len;
     int32_t swrank, qsegx, tmpord;
+    int32_t rsltx;              /* split-read link (findSplitReads) */
 } FLRes;
 
 typedef struct {
@@ -319,6 +324,7 @@ static int rs_add_from_ali(FLResultSet *rs, const int64_t *ali, int64_t nali,
         nr->swrank = 0;
         nr->qsegx = -1;
         nr->tmpord = 0;
+        nr->rsltx = -1;
         rs_update_swatmax(rs, r[0]);
     }
     return 0;
@@ -485,6 +491,31 @@ static void rs_label_segments(FLResultSet *rs)
             if (rs->res[rs->segsrtr[i]].qsegx > rs->res[rs->segsrtr[i - 1]].qsegx)
                 rs->segnor[nb++] = i;
         rs->segnor[nb] = n;
+    }
+}
+
+/* findSplitReads (result.py:507-525, results.c:1436-1472): link each
+ * top-score result to a non-overlapping later result (split-read
+ * second fragment).  rsltx/HASSECOND have no SAM-output effect but are
+ * kept for parity with the Python result-set state. */
+static void rs_find_split_reads(FLResultSet *rs)
+{
+    int n = rs->n_sortr, i, j;
+    int64_t sw1;
+    if (n < 1) return;
+    sw1 = rs->res[rs->sortr[0]].swatscor;
+    for (i = 0; i < n; i++) {
+        FLRes *a = &rs->res[rs->sortr[i]];
+        if (a->swatscor < sw1) break;
+        for (j = i + 1; j < n; j++) {
+            FLRes *b = &rs->res[rs->sortr[j]];
+            if (b->rsltx >= 0) continue;
+            if (a->q_end < b->q_start || a->q_start > b->q_end) {
+                b->rsltx = i;
+                a->status |= RSLTFLAG_HASSECOND;
+                break;
+            }
+        }
     }
 }
 
@@ -883,6 +914,7 @@ static int tx_sam_line(FLText *t,
     tx_putn(t, name, name_len);
     if (!mapped) samflg |= SAMFLAG_NOMAP;
     if (mapped && (mateflg & REPFLG_REVERSE)) samflg |= SAMFLAG_STRAND;
+    if (mapped && (mateflg & REPFLG_PARTIAL)) samflg |= SAMFLAG_NOTPRIMARY;
     if (mapped) pos = rp->s_start;
     tx_putc(t, '\t');
     tx_puti(t, samflg);
@@ -1169,6 +1201,30 @@ static int fl_add_single_to_report(FLResultSet *rs, int rsltouflg,
             }
         }
     }
+    if ((rsltouflg & RESULTFLG_BEST) && (rsltouflg & RESULTFLG_SPLIT)) {
+        /* resultSetAdd2ndaryResultsToReport (results/pairs.py:456-474,
+         * results.c:2249-2280): per query segment, report the
+         * best-score chain not yet reported, flagged PARTIAL */
+        int qsegx;
+        for (qsegx = 0; qsegx < rs->qsegno; qsegx++) {
+            int64_t swscor = 0;
+            int k;
+            for (k = rs->segnor[qsegx]; k < rs->segnor[qsegx + 1]; k++) {
+                FLRes *r = &rs->res[rs->segsrtr[k]];
+                if (r->status & RSLTFLAG_NOOUTPUT) continue;
+                if ((r->status & RSLTFLAG_REPORTED) ||
+                    (r->swatscor < swscor &&
+                     ((rsltouflg & RESULTFLG_BEST) ||
+                      (r->status & RSLTFLAG_BELOWRELSW))))
+                    break;
+                rc = rep_add(rep, n_rep, rs, rs->segsrtr[k],
+                             mateflg | REPFLG_PARTIAL);
+                if (rc != 0) return rc;
+                r->status |= RSLTFLAG_REPORTED;
+                swscor = r->swatscor;
+            }
+        }
+    }
     return 0;
 }
 
@@ -1358,10 +1414,16 @@ typedef struct {
  * scratch for this read (the pair flow's probe) — the qmask/qoffs/
  * nhits/slot/sidx arrays are reused as-is and only the collation
  * onward runs (hashhit arrays are read-only downstream). */
+/* sec_qs/sec_qe: -1,-1 for a normal read.  sec_qs >= 0 restricts the
+ * hit collection to query positions [sec_qs, sec_qe] (mapSecondary,
+ * rmap.c:1435-1505); the restricted pass — like the primary pass in
+ * RMAPFLG_NOSHRTINFO mode (-p sets it) — uses the FULL hit-info
+ * variant (collect_hit_info, hitinfo.py:144: maxhit=0, no seed
+ * ranking) instead of the ranked short2 variant. */
 static int fl_read_stage1(const FLParams *P, FLScratch *s,
                           const uint8_t *codes, const uint8_t *qual,
                           int64_t qlen, const int64_t *pre_hout,
-                          FLStage1 *o)
+                          FLStage1 *o, int64_t sec_qs, int64_t sec_qe)
 {
     int64_t hout[4], nF, rankF, nR, rankR;
     int has_rankF = 0, has_rankR = 0;
@@ -1384,6 +1446,33 @@ static int fl_read_stage1(const FLParams *P, FLScratch *s,
         hout[2] = pre_hout[2]; hout[3] = pre_hout[3];
         has_rankF = (int)pre_hout[4];
         has_rankR = (int)pre_hout[5];
+    } else if (sec_qs >= 0 || (P->rmapflg & RMAPFLG_NOSHRTINFO)) {
+        /* full variant per strand (engine.py _hitinfo short=False):
+         * maxhit_per_tuple 0, no ranking, sidx = arange */
+        int64_t q0 = sec_qs >= 0 ? sec_qs : 0;
+        int64_t q1 = sec_qs >= 0 ? sec_qe : 0;
+        int64_t nFu, nRu, w;
+        nFu = mc_hitinfo_collect(P->words, P->starts, P->nwords,
+                                 P->table, P->wordlen, P->nskip,
+                                 codes, qual, qlen, 0, 0, P->min_basq,
+                                 q0, q1,
+                                 s->qmaskF, s->qoffsF, s->nhitsF,
+                                 s->slotF);
+        nRu = mc_hitinfo_collect(P->words, P->starts, P->nwords,
+                                 P->table, P->wordlen, P->nskip,
+                                 codes, qual, qlen, 1, 0, P->min_basq,
+                                 q0, q1,
+                                 s->qmaskR, s->qoffsR, s->nhitsR,
+                                 s->slotR);
+        if (nFu < 0 || nRu < 0) {
+            o->shortseq = 1;
+            return 0;
+        }
+        for (w = 0; w < nFu; w++) s->sidxF[w] = (uint32_t)w;
+        for (w = 0; w < nRu; w++) s->sidxR[w] = (uint32_t)w;
+        hout[0] = nFu; hout[1] = 0;     /* rank 0: all seeds in rank */
+        hout[2] = nRu; hout[3] = 0;
+        has_rankF = has_rankR = 0;
     } else {
         rc = (int)mc_hitinfo_short2(P->words, P->starts, P->nwords,
                                     P->table,
@@ -1401,7 +1490,8 @@ static int fl_read_stage1(const FLParams *P, FLScratch *s,
             return 0;
         }
     }
-    if (pre_hout == NULL) {
+    if (pre_hout == NULL &&
+        !(sec_qs >= 0 || (P->rmapflg & RMAPFLG_NOSHRTINFO))) {
         has_rankF = hout[0] > 1;
         has_rankR = hout[2] > 1;
     }
@@ -1509,9 +1599,14 @@ static int fl_read_stage1(const FLParams *P, FLScratch *s,
 /* Pass 2 onward: min-score dynamics, full alignment of survivors,
  * result sorting/mapq/filter (engine.py:416-443, 505-529).  Consumes
  * the pass-1 rows in s->score_out. */
+/* search_split: run rs_find_split_reads after the per-segment mapq
+ * pass (sort_and_assign's search_split arg).  do_filter: run the final
+ * rs_filter — rmapSingle filters ONCE after the (optional) secondary
+ * mapping pass, so split mode defers it to the caller. */
 static int fl_read_finish(const FLParams *P, FLScratch *s,
                           const uint8_t *qual, int64_t qlen,
-                          int64_t n_out, int64_t max1, int64_t max2)
+                          int64_t n_out, int64_t max1, int64_t max2,
+                          int search_split, int do_filter)
 {
     FLResultSet *rs = s->rs;
     int64_t min_swatscor = P->min_swatscor;
@@ -1617,7 +1712,7 @@ static int fl_read_finish(const FLParams *P, FLScratch *s,
     }
 
     /* sort_and_assign (engine.py:527-529 -> result.py:210-229), seqidx
-     * already assigned (SEQBYSEQ), no split search on this lane */
+     * already assigned (SEQBYSEQ) */
     rs_sort_and_prune(rs);
     rs->qsegno = 0;
     if (rs->n_sortr) {
@@ -1629,20 +1724,28 @@ static int fl_read_finish(const FLParams *P, FLScratch *s,
             /* _propagate_prob only feeds the pair model; no effect on
              * single-end output (result.py:472-505) */
         }
+        if (search_split)
+            rs_find_split_reads(rs);
     }
 
     /* filter_results (engine.py:559 -> result.py:596) */
-    rs_filter(rs, qlen, P->filter_minscor, P->filter_belowmax,
-              P->filter_minid);
+    if (do_filter)
+        rs_filter(rs, qlen, P->filter_minscor, P->filter_belowmax,
+                  P->filter_minid);
     return 0;
 }
 
 /* rmapSingle + mapSingleRead (engine.py:539-560, 447-529) for one read,
  * all-host: stage 1, host pass-1 (mc_score_cands), then pass 2 onward.
  * Fills s->rs.  Returns 0 or FL_ERR_*. */
-static int fl_map_read(const FLParams *P, FLScratch *s,
+/* One mapSingleRead pass (stage 1 restricted to [sec_qs, sec_qe] when
+ * sec_qs >= 0) appending into s->rs; ends at sort_and_assign (no
+ * filter).  o_shortseq reports the ShortSeq/empty-stage outcome so the
+ * caller can skip stats mirroring. */
+static int fl_map_pass(const FLParams *P, FLScratch *s,
                        const uint8_t *codes, const uint8_t *qual,
-                       int64_t qlen)
+                       int64_t qlen, int64_t sec_qs, int64_t sec_qe,
+                       int search_split, int do_profiles)
 {
     FLStage1 st;
     int64_t out_max[3];
@@ -1650,8 +1753,8 @@ static int fl_map_read(const FLParams *P, FLScratch *s,
     int prof = fl_prof();
     double t0 = prof ? fl_prof_now() : 0.0;
 
-    rs_blank(s->rs);
-    rc = fl_read_stage1(P, s, codes, qual, qlen, NULL, &st);
+    rc = fl_read_stage1(P, s, codes, qual, qlen, NULL, &st,
+                        sec_qs, sec_qe);
     if (prof) { double t1 = fl_prof_now(); fl_prof_acc[0] += t1 - t0; t0 = t1; }
     if (rc != 0) return rc;
     if (st.shortseq) return 0;
@@ -1662,7 +1765,8 @@ static int fl_map_read(const FLParams *P, FLScratch *s,
     s->rs->n_hits_used = st.hits_used;
     s->rs->n_hits_tot = st.hits_tot;
 
-    fl_profiles(P, codes, qlen, s->Wf, s->Wr);
+    if (do_profiles)
+        fl_profiles(P, codes, qlen, s->Wf, s->Wr);
 
     /* pass 1 (engine.py:500-501 -> mc_score_cands) */
     rc = (int)mc_score_cands(s->out11, s->stat_idxs, st.n_sort,
@@ -1676,9 +1780,46 @@ static int fl_map_read(const FLParams *P, FLScratch *s,
     if (prof) { double t1 = fl_prof_now(); fl_prof_acc[1] += t1 - t0; t0 = t1; }
     if (rc != 0) return FL_ERR_ASSERT;
     rc = fl_read_finish(P, s, qual, qlen, out_max[2],
-                        out_max[0], out_max[1]);
+                        out_max[0], out_max[1], search_split, 0);
     if (prof) fl_prof_acc[2] += fl_prof_now() - t0;
     return rc;
+}
+
+static int fl_map_read(const FLParams *P, FLScratch *s,
+                       const uint8_t *codes, const uint8_t *qual,
+                       int64_t qlen)
+{
+    FLResultSet *rs = s->rs;
+    int split = (P->rmapflg & RMAPFLG_SPLIT) != 0;
+    int rc;
+
+    rs_blank(rs);
+    if (qlen < P->wordlen) return 0;    /* ShortSeq -> empty set */
+    rc = fl_map_pass(P, s, codes, qual, qlen, -1, -1, split, 1);
+    if (rc != 0) return rc;
+
+    if (split && rs->n_sortr && rs->qsegno >= 1) {
+        /* mapSecondary (engine.py:571-599, rmap.c:1435-1505): re-map
+         * the query segment the top result does NOT cover */
+        const FLRes *top = &rs->res[rs->segsrtr[0]];
+        int64_t qs = top->q_start, qe = top->q_end;
+        if (qs + qe > qlen) {
+            qe = qs > 1 ? qs - 2 : 0;
+            qs = 0;
+        } else {
+            qs = qe;
+            qe = qlen - 1;
+        }
+        if (qs + P->wordlen + P->nskip <= qe + 1) {
+            rc = fl_map_pass(P, s, codes, qual, qlen, qs, qe, split, 0);
+            if (rc != 0) return rc;
+        }
+    }
+
+    /* filter_results once, after any secondary pass (engine.py:558) */
+    rs_filter(rs, qlen, P->filter_minscor, P->filter_belowmax,
+              P->filter_minid);
+    return 0;
 }
 
 /* ---------------- ASCII -> mangled encode (codec.py CODTAB) -------- */
@@ -1971,7 +2112,8 @@ int64_t fl_pass1_block(
             codes = s.enc;
         }
         state_offs[i] = state_used;
-        rc = fl_read_stage1(&P, &s, codes, qual, qlen, NULL, &st);
+        rc = fl_read_stage1(&P, &s, codes, qual, qlen, NULL, &st,
+                            -1, -1);
         if (rc != 0) goto done;
         if (state_used + FL_HDR_FIELDS + st.n_sort * FL_GEOM_FIELDS >
             state_cap) {
@@ -2202,7 +2344,8 @@ int64_t fl_pass2_block(
                     }
                 }
             }
-            rc = fl_read_finish(&P, &s, qual, qlen, n_out, max1, max2);
+            rc = fl_read_finish(&P, &s, qual, qlen, n_out, max1, max2,
+                                0, 1);
             if (rc != 0) goto done;
         }
         rc = fl_add_single_to_report(s.rs, rsltouflg, &rng, s.rep, &n_rep);
@@ -3342,7 +3485,8 @@ static int fl_pair_map_single(const FLParams *Pbase, FLScratch *s,
     P.rmapflg = (Pbase->rmapflg | RMAPFLG_PAIRED) & ~RMAPFLG_ALLPAIR;
     if (blank)
         rs_blank(s->rs);
-    rc = fl_read_stage1(&P, s, codes, qual, qlen, pre_hout, &st);
+    rc = fl_read_stage1(&P, s, codes, qual, qlen, pre_hout, &st,
+                        -1, -1);
     if (prof) { double t1 = fl_prof_now(); fl_prof_acc[0] += t1 - t0; t0 = t1; }
     if (rc != 0) return rc;
     if (st.shortseq) return 1;
@@ -3369,7 +3513,7 @@ static int fl_pair_map_single(const FLParams *Pbase, FLScratch *s,
     if (prof) { double t1 = fl_prof_now(); fl_prof_acc[1] += t1 - t0; t0 = t1; }
     if (rc != 0) return FL_ERR_ASSERT;
     rc = fl_read_finish(&P, s, qual, qlen, out_max[2],
-                        out_max[0], out_max[1]);
+                        out_max[0], out_max[1], 0, 1);
     if (prof) fl_prof_acc[2] += fl_prof_now() - t0;
     if (rc != 0) return rc;
     for (q = 0; q < s->rs->qsegno; q++)
@@ -4338,7 +4482,8 @@ int64_t fl_single_rs(
         FLStage1 st;
         int64_t out_max[3], nhit_cutoff = 0, j;
         rs_blank(s.rs);
-        rc = fl_read_stage1(&P, &s, codes, qual, qlen, NULL, &st);
+        rc = fl_read_stage1(&P, &s, codes, qual, qlen, NULL, &st,
+                            -1, -1);
         if (rc != 0) { if (own) fl_scratch_free(&local); return rc; }
         if (!st.shortseq) {
             for (j = 0; j < st.nF; j++)
@@ -4363,7 +4508,7 @@ int64_t fl_single_rs(
                                      s.Hbuf, s.Ebuf, s.score_out, out_max);
             if (rc != 0) { if (own) fl_scratch_free(&local); return FL_ERR_ASSERT; }
             rc = fl_read_finish(&P, &s, qual, qlen, out_max[2],
-                                out_max[0], out_max[1]);
+                                out_max[0], out_max[1], 0, 1);
             if (rc != 0) { if (own) fl_scratch_free(&local); return rc; }
         }
         stats_out[10] = st.shortseq;

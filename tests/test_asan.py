@@ -118,6 +118,27 @@ assert ft.render_pairs_native(tn, ts, tq, outs, 128, 16, 96, 0, 500,
 # fl_single_rs + fl_hit_count via the native pair path explicitly
 for a, b in list(zip(reads[::2], reads[1::2]))[:40]:
     out = eng._rmap_pair_native(a, b)
+
+# split mode (-p): secondary complement-segment pass + PARTIAL records
+from smalt_tpu.map.engine import (RMAPFLG_SPLIT, RMAPFLG_NOSHRTINFO,
+                                  RMAPFLG_SENSITIVE)
+from smalt_tpu.results.pairs import RESULTFLG_SPLIT
+ps = MapParams()
+ps.rmapflg |= RMAPFLG_SPLIT | RMAPFLG_NOSHRTINFO | RMAPFLG_SENSITIVE
+ps.rsltouflg |= RESULTFLG_SPLIT
+engp = MapEngine(refset, idx, ps)
+lanep = FastLane.make(engp, 'sam', True, False, False, False)
+assert lanep is not None
+chim_n, chim_s, chim_q = [], [], []
+for i in range(32):
+    sa = int(rng.integers(0, refset.total_len - 400))
+    sb = int(rng.integers(0, refset.total_len - 400))
+    s = (codec.decode(refset.codes[sa : sa + 50]) +
+         codec.decode(refset.codes[sb : sb + 50]))
+    chim_n.append(f'c{i}'.encode()); chim_s.append(s)
+    chim_q.append(b'5' * len(s))
+text = lanep.render_raw_block(chim_n, chim_s, chim_q)
+assert text is not None
 print('ASAN RUN CLEAN')
 """
 

@@ -65,6 +65,15 @@ def fixture_dir(tmp_path_factory):
             s = s.translate(comp)[::-1]
         qual = "".join(chr(33 + int(q)) for q in rng.integers(2, 41, ql))
         reads.append((f"r{i}", s, qual))
+    for i in range(40):     # chimeric reads: the -p split-mode case
+        la = 40 + int(rng.integers(0, 30))
+        lb = 40 + int(rng.integers(0, 30))
+        sa = int(rng.integers(0, len(genome) - la))
+        sb = int(rng.integers(0, len(g2) - lb))
+        s = genome[sa : sa + la] + g2[sb : sb + lb]
+        if i % 2:
+            s = s.translate(comp)[::-1]
+        reads.append((f"chim{i}", s, "5" * len(s)))
     reads.append(("tiny", "ACGTAC", "IIIIII"))           # ShortSeq path
     reads.append(("allN", "N" * 80, "I" * 80))           # no seeds
     fq = str(d / "r.fq")
@@ -92,6 +101,8 @@ def fixture_dir(tmp_path_factory):
     ["-f", "sam:clip"],                  # hard clip
     ["-f", "sam:x"],                     # X mismatch CIGAR
     ["-c", "0.5"],                       # min cover
+    ["-p"],                              # split-read (secondary pass)
+    ["-p", "-f", "cigar"],               # split + cigar lines
 ])
 def test_fastlane_matches_python(fixture_dir, tmp_path, extra):
     pref, fq = fixture_dir
