@@ -191,13 +191,14 @@ def main():
     # process, C batched tail + single packed fetch per batch ---
     e2e_rate = e2e_rate_n2 = exact_rate = dp1_rate = 0.0
     pe_rate = pe_ref = 0.0
-    long_rate = long_bases = 0.0
+    long_rate = long_bases = long_ref = 0.0
     chr_rate = 0.0
     try:
         e2e_rate, e2e_rate_n2, exact_rate, dp1_rate = \
             _bench_end_to_end(fa_path, genome, rng)
         pe_rate, pe_ref = _bench_exact_pe(fa_path, genome, rng)
-        long_rate, long_bases = _bench_longreads(fa_path, genome, rng)
+        long_rate, long_bases, long_ref = \
+            _bench_longreads(fa_path, genome, rng)
     except Exception as e:        # noqa: BLE001 - report, don't fail bench
         print(f"# end_to_end bench failed: {e!r}", file=sys.stderr)
     os.unlink(fa_path)
@@ -223,6 +224,8 @@ def main():
         "chr_scale_fast_pe_reads_per_s": round(chr_rate, 1),
         "longread_fast_reads_per_s": round(long_rate, 1),
         "longread_fast_bases_per_s": round(long_bases, 1),
+        "longread_vs_ref": round(long_rate / long_ref, 3) if long_ref
+        else 0.0,
     }
     print(json.dumps(result))
     print(f"# backend={jax.default_backend()} batch={BATCH} "
@@ -398,7 +401,9 @@ def _bench_longreads(fa_path, genome, rng):
     """BASELINE config 5: kilobase noisy reads (454/PacBio-style, 1%
     substitutions + 1.5% indels) through the fast pipeline — the
     banded Pallas kernel (Q > LONG_READ_Q) plus the banded host tail.
-    Returns (reads_per_s, bases_per_s)."""
+    Returns (reads_per_s, bases_per_s, ref_reads_per_s) — the last is
+    the live reference binary on the SAME reads/genome (0.0 without a
+    binary; its 16-bit wide-band kernel slot, swsimd.c:443)."""
     import io
     import time
     import jax
@@ -443,11 +448,33 @@ def _bench_longreads(fa_path, genome, rng):
     t0 = time.time()
     run_fast_pipeline(refset, idx, fq, sink, **kw)
     dt = time.time() - t0
-    os.unlink(fq)
     nrec = sum(1 for l in sink.getvalue().splitlines()
                if l and not l.startswith("@"))
     assert nrec == N, nrec
-    return N / dt, N * RL / dt
+    # live reference on the same long reads (subset keeps bench time
+    # bounded; rate is per-read so the subset is representative)
+    ref_rate = 0.0
+    ref = os.environ.get("SMALT_REF") or "/tmp/refbuild/src/smalt"
+    if on_tpu and os.path.exists(ref):
+        import subprocess
+        import tempfile
+        nsub = min(N, 256)
+        with tempfile.TemporaryDirectory() as d:
+            sub = os.path.join(d, "sub.fq")
+            with open(sub, "w") as f, open(fq) as src:
+                for _ in range(4 * nsub):
+                    f.write(src.readline())
+            subprocess.run([ref, "index", "-k", str(KMER), "-s",
+                            str(NSKIP), os.path.join(d, "idx"), fa_path],
+                           check=True, capture_output=True)
+            for _ in range(2):
+                t0 = time.time()
+                subprocess.run([ref, "map", "-f", "sam", "-o", os.devnull,
+                                os.path.join(d, "idx"), sub],
+                               check=True, capture_output=True)
+                ref_rate = max(ref_rate, nsub / (time.time() - t0))
+    os.unlink(fq)
+    return N / dt, N * RL / dt, ref_rate
 
 
 def _bench_chr_scale():
