@@ -377,10 +377,10 @@ def align_band_recursive(prof: ScoreProfile, subj_codes: np.ndarray,
     subj_alpha = np.ascontiguousarray(codec.alpha(subj_codes), dtype=np.uint8)
     slen = len(subj_alpha)
     lib = get_lib()
-    if lib is not None and not use_cplx:
+    if lib is not None:
         r = _align_band_recursive_native(
             lib, prof, subj_alpha, slen, l_edge, r_edge, q_left, q_right,
-            s_left, s_right, minscore, minscorlen)
+            s_left, s_right, minscore, minscorlen, use_cplx)
         if r is not None:
             return r
     cplx = CplxCounter(prof.lam) if use_cplx else None
@@ -397,7 +397,8 @@ _scr_diffpool = _GrowBuf(np.uint8, 4096)
 
 def _align_band_recursive_native(lib, prof, subj_alpha, slen,
                                  l_edge, r_edge, q_left, q_right,
-                                 s_left, s_right, minscore, minscorlen):
+                                 s_left, s_right, minscore, minscorlen,
+                                 use_cplx=False):
     qlen = prof.qlen
     ndir_cap = (qlen + slen + 2) * (slen + 1)
     _scr_dirm.ensure(ndir_cap)
@@ -418,7 +419,8 @@ def _align_band_recursive_native(lib, prof, subj_alpha, slen,
         _scr_dirm.addr, ndir_cap,
         _scr_back.addr, back_cap,
         _scr_diffpool.addr, diff_cap,
-        _scr_res.addr, res_cap)
+        _scr_res.addr, res_cap,
+        1 if use_cplx else 0, float(prof.lam))
     if n == -1:
         return None          # scratch overflow: Python fallback
     if n == -2:

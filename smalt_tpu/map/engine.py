@@ -620,8 +620,8 @@ class MapEngine:
             return None
         p = self.params
         need = RMAPFLG_BEST | RMAPFLG_SEQBYSEQ
-        block = RMAPFLG_SPLIT | RMAPFLG_CMPLXW | RMAPFLG_NOSHRTINFO
-        if (p.rmapflg & need) != need or (p.rmapflg & block) or p.use_cplx:
+        block = RMAPFLG_SPLIT | RMAPFLG_NOSHRTINFO
+        if (p.rmapflg & need) != need or (p.rmapflg & block):
             self._npctx = False
             return None
         wa, sa, pa, ta = self.index.addrs
@@ -696,7 +696,7 @@ class MapEngine:
             ctx["rows"].addr, len(ctx["rows"].arr) // 12,
             ctx["diff"].addr, len(ctx["diff"].arr),
             ctx["sortr"].addr, ctx["seg"].addr, stats.ctypes.data,
-            ctx["scratch"])
+            ctx["scratch"], float(self.lam))
         if n < 0:
             return None
         rows = ctx["rows"].arr

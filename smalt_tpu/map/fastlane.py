@@ -63,12 +63,10 @@ class FastLane:
             return None
         p = engine.params
         need = eng_mod.RMAPFLG_BEST | eng_mod.RMAPFLG_SEQBYSEQ
-        # split mode (-p: SPLIT | NOSHRTINFO | SENSITIVE) is covered
-        # natively since round 3 (fl_map_read's mapSecondary pass)
-        block = eng_mod.RMAPFLG_CMPLXW
-        if (p.rmapflg & need) != need or (p.rmapflg & block):
-            return None
-        if p.use_cplx:
+        # split mode (-p: SPLIT | NOSHRTINFO | SENSITIVE) and complexity
+        # weighting (-w: CMPLXW, scaled in mc_align_recursive) are both
+        # covered natively since round 3
+        if (p.rmapflg & need) != need:
             return None
         return cls(engine, soft_clip, x_mismatch,
                    out_fmt=1 if fmt == "cigar" else 0)
@@ -167,7 +165,8 @@ class FastLane:
                 n, codes.ctypes.data, read_offs.ctypes.data,
                 quals.ctypes.data, has_qual.ctypes.data,
                 names.ctypes.data, name_offs.ctypes.data,
-                self._rng_io.ctypes.data, out.ctypes.data, cap)
+                self._rng_io.ctypes.data, out.ctypes.data, cap,
+                float(self.engine.lam))
             if rc == -3:          # text buffer too small: grow and retry
                 cap *= 4
                 continue
@@ -286,7 +285,7 @@ class PairLane:
                 qB.ctypes.data, hB.ctypes.data,
                 nB.ctypes.data, noB.ctypes.data,
                 lane._rng_io.ctypes.data, out.ctypes.data, cap,
-                done.ctypes.data)
+                done.ctypes.data, float(eng.lam))
             if rc == -3:                   # text buffer too small
                 cap *= 4
                 continue
@@ -557,7 +556,8 @@ class DevicePass1:
                 names.ctypes.data, name_offs.ctypes.data,
                 state.ctypes.data, state_offs.ctypes.data,
                 scores64.ctypes.data, len(scores64),
-                lane._rng_io.ctypes.data, out.ctypes.data, cap)
+                lane._rng_io.ctypes.data, out.ctypes.data, cap,
+                float(lane.engine.lam))
             if rc == -3:
                 cap *= 4
                 continue

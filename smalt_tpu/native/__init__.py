@@ -124,7 +124,8 @@ def _declare(lib):
         i64, i64, i64, i64, i64, i64,        # band + q/s segments
         i64, i64, ci, ci,                    # minscore, minscorlen, gaps
         vp, vp, vp, i64, vp, i64,            # H, E, dirm/cap, back/cap
-        vp, i64, vp, i64]                    # diffpool/cap, res/cap
+        vp, i64, vp, i64,                    # diffpool/cap, res/cap
+        ctypes.c_int, ctypes.c_double]       # use_cplx, lam
 
 
 def _declare_fastlane(lib):
@@ -143,7 +144,7 @@ def _declare_fastlane(lib):
         ci,                                 # out_fmt (0 sam, 1 cigar)
         ci, ci,                             # codes_are_ascii, names_raw
         i64, vp, vp, vp, vp, vp, vp,        # reads
-        vp, vp, i64]                        # rng + output
+        vp, vp, i64, dbl]                   # rng + output + lam
     lib.fl_prof_fetch.restype = i64
     lib.fl_prof_fetch.argtypes = [vp, ci]
     lib.fl_scratch_new.restype = vp
@@ -164,7 +165,8 @@ def _declare_fastlane(lib):
         i64, i64, dbl, i64, i64, ci,        # params 1
         i64, i64, ci,                       # params 2
         vp, vp, i64,                        # read
-        vp, i64, vp, i64, vp, vp, vp, vp]   # outputs + scratch
+        vp, i64, vp, i64, vp, vp, vp, vp,   # outputs + scratch
+        dbl]                                # lam
     lib.fl_fast_tail_block.restype = i64
     lib.fl_fast_tail_block.argtypes = [
         vp, vp, i64, vp, vp,                # reference + names
@@ -198,7 +200,7 @@ def _declare_fastlane(lib):
         i64, i64, ci, ci,                   # pair params + names_raw
         i64, vp, vp, vp, vp, vp, vp,        # reads A
         vp, vp, vp, vp, vp, vp,             # reads B
-        vp, vp, i64, vp]                    # rng, out, cap, done
+        vp, vp, i64, vp, dbl]               # rng, out, cap, done, lam
     lib.fl_fastq_scan.restype = i64
     lib.fl_fastq_scan.argtypes = [
         vp, i64, i64,                       # buf, len, max_rec
@@ -237,7 +239,7 @@ def _declare_fastlane(lib):
         i64, vp, vp, vp, vp, vp, vp,        # reads
         vp, vp,                             # state
         vp, i64,                            # scores
-        vp, vp, i64]                        # rng + output
+        vp, vp, i64, dbl]                   # rng + output + lam
 
 
 def _load():

@@ -17,8 +17,8 @@
  *
  * Coverage: single-end reads, RMAPFLG_BEST + SEQBYSEQ, split mode
  * (-p: secondary complement-segment pass + PARTIAL records), SAM and
- * plain-cigar output (soft/hard clip, optional -x).  Not covered:
- * complexity weighting (-c).
+ * plain-cigar output (soft/hard clip, optional -x), complexity
+ * weighting (-w via RMAPFLG_CMPLXW + lam).
  */
 #include <math.h>
 #include <stdint.h>
@@ -110,7 +110,8 @@ int64_t mc_align_recursive(
     uint8_t *dirm, int64_t dirm_cap,
     uint8_t *back, int64_t back_cap,
     uint8_t *diffpool, int64_t diff_cap,
-    int64_t *res, int64_t res_cap);
+    int64_t *res, int64_t res_cap,
+    int use_cplx, double lam);
 int64_t mc_fast_align(
     const uint8_t *qcodes, int64_t qlen, int do_revcomp,
     const int32_t *matrix,
@@ -190,6 +191,7 @@ int sw_band_fast(const int32_t *W, int qlen_prof, const uint8_t *subj,
 #define RESULTFLG_RANDSEL 0x04
 #define RESULTFLG_SPLIT 0x08
 
+#define RMAPFLG_CMPLXW 0x01
 #define RMAPFLG_BEST 0x02
 #define RMAPFLG_SENSITIVE 0x20
 #define RMAPFLG_NOSHRTINFO 0x40
@@ -1262,6 +1264,8 @@ typedef struct {
     int64_t filter_minscor, filter_belowmax;
     double filter_minid;
     int soft_clip, x_mismatch;
+    int use_cplx;               /* -w: complexity-weight SW scores */
+    double lam;                 /* scoreMatrixCalcLambda (score.c:253) */
 } FLParams;
 
 typedef struct {
@@ -1692,7 +1696,8 @@ static int fl_read_finish(const FLParams *P, FLScratch *s,
                 s->back, s->back_cap,
                 rs->diffpool + rs->diff_used,
                 DIFFPOOL_CAP - rs->diff_used,
-                s->ares, res_need);
+                s->ares, res_need,
+                P->use_cplx, P->lam);
             if (nali < 0) return (int)nali;   /* -1 cap / -2 checksum */
             {
                 /* ares diff offsets are relative to the pool tail */
@@ -1913,7 +1918,9 @@ int64_t fl_map_block(
     const uint8_t *quals_concat, const uint8_t *has_qual,
     const char *names_concat, const int64_t *name_offs,
     /* rng + output */
-    uint64_t *rng_io, char *out_text, int64_t out_cap)
+    uint64_t *rng_io, char *out_text, int64_t out_cap,
+    /* scoreMatrixCalcLambda, used only under RMAPFLG_CMPLXW */
+    double lam)
 {
     FLParams P;
     FLScratch s;
@@ -1941,6 +1948,8 @@ int64_t fl_map_block(
     P.filter_minscor = filter_minscor; P.filter_belowmax = filter_belowmax;
     P.filter_minid = filter_minid;
     P.soft_clip = soft_clip; P.x_mismatch = x_mismatch;
+    P.use_cplx = (rmapflg & RMAPFLG_CMPLXW) ? 1 : 0;
+    P.lam = lam;
 
     for (i = 0; i < n_reads; i++) {
         int64_t ql = read_offs[i + 1] - read_offs[i];
@@ -2202,7 +2211,8 @@ int64_t fl_pass2_block(
     const char *names_concat, const int64_t *name_offs,
     const int64_t *state, const int64_t *state_offs,
     const int64_t *scores, int64_t n_scores,
-    uint64_t *rng_io, char *out_text, int64_t out_cap)
+    uint64_t *rng_io, char *out_text, int64_t out_cap,
+    double lam)
 {
     FLParams P;
     FLScratch s;
@@ -2230,6 +2240,8 @@ int64_t fl_pass2_block(
     P.filter_minscor = filter_minscor; P.filter_belowmax = filter_belowmax;
     P.filter_minid = filter_minid;
     P.soft_clip = soft_clip; P.x_mismatch = x_mismatch;
+    P.use_cplx = (rmapflg & RMAPFLG_CMPLXW) ? 1 : 0;
+    P.lam = lam;
 
     for (i = 0; i < n_reads; i++) {
         int64_t ql = read_offs[i + 1] - read_offs[i];
@@ -3701,7 +3713,7 @@ int64_t fl_map_pair_block(
     const char *namesB, const int64_t *name_offsB,
     /* rng + output */
     uint64_t *rng_io, char *out_text, int64_t out_cap,
-    int64_t *done_io)
+    int64_t *done_io, double lam)
 {
     FLParams P;
     FLScratch sA, sB;
@@ -3737,6 +3749,8 @@ int64_t fl_map_pair_block(
     P.filter_minscor = filter_minscor; P.filter_belowmax = filter_belowmax;
     P.filter_minid = filter_minid;
     P.soft_clip = soft_clip; P.x_mismatch = x_mismatch;
+    P.use_cplx = (rmapflg & RMAPFLG_CMPLXW) ? 1 : 0;
+    P.lam = lam;
 
     *done_io = 0;
     for (i = 0; i < n_pairs; i++) {
@@ -4439,7 +4453,7 @@ int64_t fl_single_rs(
     int64_t *out_rows, int64_t out_cap_rows,
     uint8_t *diff_out, int64_t diff_cap,
     int64_t *sortr_out, int64_t *seg_out, int64_t *stats_out,
-    void *scratch_h)
+    void *scratch_h, double lam)
 {
     FLParams P;
     FLScratch local;
@@ -4465,6 +4479,8 @@ int64_t fl_single_rs(
     P.rmapflg = rmapflg; P.rsltouflg = 0;
     P.filter_minscor = 0; P.filter_belowmax = 0; P.filter_minid = 0.0;
     P.soft_clip = 1; P.x_mismatch = 0;
+    P.use_cplx = (rmapflg & RMAPFLG_CMPLXW) ? 1 : 0;
+    P.lam = lam;
 
     if (scratch_h && ((FLScratch *)scratch_h)->qmax >= qlen) {
         sp = (FLScratch *)scratch_h;

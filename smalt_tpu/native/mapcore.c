@@ -833,10 +833,38 @@ static int64_t diff_reverse(const uint8_t *back, int64_t nback,
 
 #define REC_STACK 128
 
+/* ALICPLX scale (core.py CplxCounter.scale, alignment.c:81-305):
+ * complexity-weight a traceback's score from the matched/mismatched
+ * subject letter counts.  Replicates the Python float expression
+ * verbatim (same op order, double throughout; int() == trunc). */
+static int64_t mc_cplx_scale(const int64_t *cnt, int64_t orig, double lam)
+{
+    double t_factor = 0.0, t_sum = 0.0;
+    int64_t t_counts = 0, adj;
+    int i;
+    for (i = 0; i < 8; i++) {
+        int64_t c = cnt[i];
+        if (c) {
+            t_factor += (double)c * log((double)c);
+            t_sum += (double)c * (-1.386294);   /* LN0P25 alignment.c:71 */
+            t_counts += c;
+        }
+    }
+    if (t_counts == 0) return orig;
+    t_factor -= (double)t_counts * log((double)t_counts);
+    t_sum -= t_factor;
+    adj = (int64_t)((double)orig + t_sum / lam + 0.999);
+    if (adj > orig) return adj;     /* ERRCODE_CPLXSCOR path */
+    if (adj < 0) adj = 0;
+    return adj;
+}
+
 /* alignSmiWatBandRecursive (alignment.c:1300-1434): after the best
  * local alignment of a band, recurse on the subject intervals left
  * and right of it; iterative worklist in the identical pre-order.
- * Complexity-weighted scoring (-w) stays on the Python path.
+ * use_cplx (-w): rescale each traceback's score by letter-composition
+ * complexity (lam = scoreMatrixCalcLambda); the SCALED score gates the
+ * result, the recursion anchors stay on the raw alignment.
  *
  * res rows: {score, qs, qe, rs, re, diff_off, diff_len}; diff bytes
  * accumulate (forward-form) in diffpool.
@@ -852,7 +880,8 @@ int64_t mc_align_recursive(
     uint8_t *dirm, int64_t dirm_cap,
     uint8_t *back, int64_t back_cap,
     uint8_t *diffpool, int64_t diff_cap,
-    int64_t *res, int64_t res_cap)
+    int64_t *res, int64_t res_cap,
+    int use_cplx, double lam)
 {
     int64_t stack[REC_STACK][2];
     int sp = 0;
@@ -888,16 +917,20 @@ int64_t mc_align_recursive(
                            dirm, &mi, &mj, Hbuf, Ebuf);
         if (sc < minscore) continue;
         max_i_ = mi; max_j_ = mj;
-        rc = mc_traceback(W, qlen, subj, bsl, bql, bl, bw,
-                          max_i_, max_j_, sc, dirm,
-                          gap_init, gap_ext, 0,
-                          back, back_cap, out6, NULL);
-        if (rc != 0) return -2;
+        {
+            int64_t cnt8[8];
+            rc = mc_traceback(W, qlen, subj, bsl, bql, bl, bw,
+                              max_i_, max_j_, sc, dirm,
+                              gap_init, gap_ext, use_cplx,
+                              back, back_cap, out6, cnt8);
+            if (rc != 0) return -2;
+            if (use_cplx)
+                sc = mc_cplx_scale(cnt8, sc, lam);
+        }
         {
             int64_t ps = out6[1], pe = out6[2], ss = out6[3], se = out6[4];
             if (ps + minscorlen > pe + 1) continue;
-            /* score >= minscore (no cplx rescale on this path) */
-            {
+            if (sc >= minscore) {   /* always true without cplx rescale */
                 int64_t dn = diff_reverse(back, out6[0],
                                           diffpool + diff_used,
                                           diff_cap - diff_used);
@@ -1197,7 +1230,7 @@ int64_t mc_fast_align(
                               minscore, minscorlen, gap_init, gap_ext,
                               Hbuf, Ebuf, dirm, dirm_cap,
                               back, back_cap, diffpool, diff_cap,
-                              res, res_cap);
+                              res, res_cap, 0, 1.0);
 }
 
 /* ---------------- device-canonical tail (short-read fast mode) ------ */

@@ -100,3 +100,35 @@ def test_diffstr_reverse_roundtrip():
     fwd = ds.diffstr_reverse(back)
     assert ds.diffstr_to_cigar(fwd, True, True) == "10M"
     assert ds.ali_len(fwd) == (10, 10)
+
+
+def test_recursive_cplx_native_matches_python(matrix):
+    """-w path: C mc_align_recursive with use_cplx must reproduce the
+    Python CplxCounter oracle (scaleALICPLX, alignment.c:268) on random
+    low/high-complexity subjects, including the recursion split."""
+    from smalt_tpu.native import get_lib
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(11)
+    for trial in range(30):
+        # alternate high-complexity random and low-complexity AT-rich
+        pool = b"ACGT" if trial % 2 == 0 else b"AATATTAC"
+        q = bytes(rng.choice(list(pool), 48).tolist())
+        s = bytearray(q + bytes(rng.choice(list(pool), 30).tolist()) + q)
+        for _ in range(3):   # sprinkle mismatches
+            i = int(rng.integers(0, len(s)))
+            s[i] = pool[int(rng.integers(0, 4)) % len(pool)]
+        p = _prof(q, matrix)
+        subj = codec.encode(bytes(s))
+        want = []
+        ali._recurse(p, np.ascontiguousarray(codec.alpha(subj), np.uint8),
+                     p.qlen, len(subj), -40, 40, 0, len(q) - 1,
+                     0, len(subj) - 1, 12, 6,
+                     ali.CplxCounter(p.lam), want)
+        got = ali.align_band_recursive(p, subj, -40, 40, 0, len(q) - 1,
+                                       0, len(subj) - 1, minscore=12,
+                                       minscorlen=6, use_cplx=True)
+        assert [(r.score, r.qs, r.qe, r.rs, r.re, list(r.diff))
+                for r in got] == \
+               [(r.score, r.qs, r.qe, r.rs, r.re, list(r.diff))
+                for r in want]

@@ -106,3 +106,30 @@ def test_pair_lane_byte_identical(pe_workload):
     # the lane must actually carry the load (fine/remap included)
     assert stats["blocks"] > 0
     assert stats["c"] >= 390, stats
+
+
+def _run_w(refset, idx, fq1, fq2, no_lane):
+    """Same as _run but with -w (complexity weighting) switched on."""
+    from smalt_tpu.map.engine import RMAPFLG_CMPLXW
+    if no_lane:
+        os.environ["SMALT_TPU_NO_FASTLANE"] = "1"
+        os.environ["SMALT_TPU_NO_PAIRNATIVE"] = "1"
+    try:
+        rand.ranseed(1)
+        p = MapParams(use_cplx=True)
+        p.rmapflg |= RMAPFLG_CMPLXW
+        eng = MapEngine(refset, idx, p)
+        sink = io.StringIO()
+        run_pipeline(eng, PairedReader(fq1, fq2), sink, refset)
+        return sink.getvalue()
+    finally:
+        os.environ.pop("SMALT_TPU_NO_FASTLANE", None)
+        os.environ.pop("SMALT_TPU_NO_PAIRNATIVE", None)
+
+
+def test_pair_lane_cplx_byte_identical(pe_workload):
+    """-w through the C pair lane == the Python CplxCounter oracle."""
+    refset, idx, fq1, fq2 = pe_workload
+    c_text = _run_w(refset, idx, fq1, fq2, no_lane=False)
+    py_text = _run_w(refset, idx, fq1, fq2, no_lane=True)
+    assert c_text == py_text
