@@ -503,10 +503,10 @@ class FastTail:
         if w1 - w0 < 1:
             return None
         win = self.ref_codes[w0:w1]
-        if tb_i >= 0:
-            # device-canonical tail: the kernel's argmax anchors a
-            # gapless shortcut; gapped/clamped reads replay the device
-            # DP host-side (mc_dev_align)
+        if tb_i >= 0 and q_padded <= 512:
+            # device-canonical tail (short-read batch): the kernel's
+            # argmax anchors a gapless shortcut; gapped/clamped reads
+            # replay the device DP host-side (mc_dev_align)
             ti_l = tb_i - (w0 - ws)
             tj_l = tb_j - shift
             if not (0 <= ti_l < (w1 - w0) and 0 <= tj_l < qlen):
@@ -517,24 +517,39 @@ class FastTail:
             return self._finish(w0, tb, is_rev,
                                 fast_mapq(sc1, sc2, qlen, hits_used,
                                           hits_tot, n2nd, ambig), qlen)
-        # long-read path: the host band must cover the DEVICE band (the
-        # banded kernel scored diag offsets center +- W/2) — narrower
-        # and the banded score misses the device score on nearly every
-        # noisy kilobase read, forcing the O(Q*S) full-band retry.
-        # Short reads (legacy no-anchor callers) keep the +-24/48 band.
+        # long-read path.  With a banded-kernel argmax anchor, a NARROW
+        # band centred on the end diagonal tj - ti suffices (the path's
+        # diagonal wander is bounded by its indels, not by the seed
+        # placement slack) — verified against the device score, so a
+        # drift-out falls back to the wide band.  Without an anchor the
+        # host band must cover the DEVICE band (diag offsets
+        # center +- W/2); short reads (legacy no-anchor callers) keep
+        # the +-24/48 band.
         center = -(pad + shift) + (w0 - ws)
         drift = 0
-        if qlen > 512:
+        tb = None
+        if q_padded > 512:
             from ..ops.sw import band_width_for
-            drift = band_width_for(qlen, pad) // 2
-        tb = self._traceback(read.seq, is_rev, win,
-                             center - 24 - drift,
-                             center + 48 + drift)
-        if tb is None or tb[0] < sc1:
-            full = self._traceback(read.seq, is_rev, win,
-                                   -(len(win) - 1), qlen - 1)
-            if full is not None and (tb is None or full[0] > tb[0]):
-                tb = full
+            drift = band_width_for(q_padded, pad) // 2
+            if tb_i >= 0:
+                ti_l = tb_i - (w0 - ws)
+                tj_l = tb_j - shift
+                if 0 <= ti_l < (w1 - w0) and 0 <= tj_l < qlen:
+                    d_end = tj_l - ti_l
+                    margin = max(32, qlen // 48) + 16
+                    tb = self._traceback(read.seq, is_rev, win,
+                                         d_end - margin, d_end + margin)
+                    if tb is not None and tb[0] < sc1:
+                        tb = None
+        if tb is None:
+            tb = self._traceback(read.seq, is_rev, win,
+                                 center - 24 - drift,
+                                 center + 48 + drift)
+            if tb is None or tb[0] < sc1:
+                full = self._traceback(read.seq, is_rev, win,
+                                       -(len(win) - 1), qlen - 1)
+                if full is not None and (tb is None or full[0] > tb[0]):
+                    tb = full
         if tb is None:
             return None
         return self._finish(w0, tb, is_rev,

@@ -4266,11 +4266,11 @@ int64_t fl_fast_tail_block(
                 int64_t center = -(pad + shift) + (w0 - ws);
                 const uint8_t *win = refcodes + w0;
                 if (slen >= 1 && qlen >= ALILEN_MIN &&
-                    tb_i != NULL && tb_i[i] >= 0) {
-                    /* device-canonical tail: gapless shortcut from the
-                     * kernel's argmax cell, else the same DP host-side
-                     * (window row/query col translated to the clamped
-                     * window / raw-read frames) */
+                    tb_i != NULL && tb_i[i] >= 0 && q_padded <= 512) {
+                    /* device-canonical tail (short-read batch): gapless
+                     * shortcut from the kernel's argmax cell, else the
+                     * same DP host-side (window row/query col translated
+                     * to the clamped window / raw-read frames) */
                     int64_t ti_l = (int64_t)tb_i[i] - (w0 - ws);
                     int64_t tj_l = (int64_t)tb_j[i] - shift;
                     if (ti_l < 0 || ti_l >= slen ||
@@ -4289,9 +4289,41 @@ int64_t fl_fast_tail_block(
                         best[4] = ares[4]; best[5] = ares[6];
                     }
                 } else if (slen >= 1 && qlen >= ALILEN_MIN) {
+                    int64_t drift = q_padded > 512
+                        ? fl_band_width_for(q_padded, pad) / 2 : 0;
+                    if (q_padded > 512 && tb_i != NULL && tb_i[i] >= 0) {
+                        /* banded-kernel anchor: a narrow band centred
+                         * on the end diagonal suffices (diag wander is
+                         * bounded by the path's indels, not the seed
+                         * placement slack); score-verified vs the
+                         * device, wide-band fallback on a miss */
+                        int64_t ti_l = (int64_t)tb_i[i] - (w0 - ws);
+                        int64_t tj_l = (int64_t)tb_j[i] - shift;
+                        if (ti_l >= 0 && ti_l < slen &&
+                            tj_l >= 0 && tj_l < qlen) {
+                            int64_t d_end = tj_l - ti_l;
+                            int64_t margin = (qlen / 48 < 32
+                                              ? 32 : qlen / 48) + 16;
+                            nres = mc_fast_align(
+                                enc, qlen, is_rev, matrix, win, slen,
+                                d_end - margin, d_end + margin,
+                                minscore, minscorlen,
+                                gap_init, gap_ext, Wbuf, Hbuf, Ebuf,
+                                dirm, dirm_cap, back, back_cap,
+                                diffpool, diff_cap, ares, ares_cap);
+                            if (nres > 0 && ares[0] >= sc1) {
+                                have_tb = 1;
+                                best[0] = ares[0]; best[1] = ares[1];
+                                best[2] = ares[2]; best[3] = ares[3];
+                                best[4] = ares[4]; best[5] = ares[6];
+                                if (ares[5] != 0)
+                                    memmove(diffpool, diffpool + ares[5],
+                                            (size_t)ares[6]);
+                            }
+                        }
+                    }
+                    if (!have_tb) {
                     /* cover the device band (fastmode.map_one) */
-                    int64_t drift = qlen > 512
-                        ? fl_band_width_for(qlen, pad) / 2 : 0;
                     nres = mc_fast_align(enc, qlen, is_rev, matrix, win,
                                          slen, center - 24 - drift,
                                          center + 48 + drift,
@@ -4340,6 +4372,7 @@ int64_t fl_fast_tail_block(
                                     (size_t)ares[6]);
                         }
                     }
+                    }   /* !have_tb (narrow-band anchor missed) */
                 }
             }
         }
@@ -4688,7 +4721,8 @@ static int ft_map_one(FTCtx *c, const uint8_t *enc, int64_t qlen,
     slen = w1 - w0;
     center = -(c->pad + shift) + (w0 - ws);
     win = c->refcodes + w0;
-    if (slen >= 1 && qlen >= ALILEN_MIN && ti >= 0) {
+    if (slen >= 1 && qlen >= ALILEN_MIN && ti >= 0 &&
+        c->q_padded <= 512) {
         int64_t ti_l = ti - (w0 - ws);
         int64_t tj_l = tj - shift;
         if (ti_l < 0 || ti_l >= slen || tj_l < 0 || tj_l >= qlen)
@@ -4707,8 +4741,35 @@ static int ft_map_one(FTCtx *c, const uint8_t *enc, int64_t qlen,
         }
     } else if (slen >= 1 && qlen >= ALILEN_MIN) {
         int64_t half = c->diff_cap / 2;
-        int64_t drift = qlen > 512
-            ? fl_band_width_for(qlen, c->pad) / 2 : 0;
+        int64_t drift = c->q_padded > 512
+            ? fl_band_width_for(c->q_padded, c->pad) / 2 : 0;
+        if (c->q_padded > 512 && ti >= 0) {
+            /* banded-kernel anchor: narrow band on the end diagonal,
+             * score-verified vs the device (see fl_fast_tail_block) */
+            int64_t ti_l = ti - (w0 - ws);
+            int64_t tj_l = tj - shift;
+            if (ti_l >= 0 && ti_l < slen && tj_l >= 0 && tj_l < qlen) {
+                int64_t d_end = tj_l - ti_l;
+                int64_t margin = (qlen / 48 < 32 ? 32 : qlen / 48) + 16;
+                nres = mc_fast_align(
+                    enc, qlen, is_rev, c->matrix, win, slen,
+                    d_end - margin, d_end + margin,
+                    c->minscore, c->minscorlen,
+                    c->gap_init, c->gap_ext, c->Wbuf, c->Hbuf, c->Ebuf,
+                    c->dirm, c->dirm_cap, c->back, c->back_cap,
+                    pool, half, c->ares, c->ares_cap);
+                if (nres > 0 && c->ares[0] >= sc1) {
+                    have = 1;
+                    best[0] = c->ares[0]; best[1] = c->ares[1];
+                    best[2] = c->ares[2]; best[3] = c->ares[3];
+                    best[4] = c->ares[4]; best[5] = c->ares[6];
+                    if (c->ares[5] != 0)
+                        memmove(pool, pool + c->ares[5],
+                                (size_t)c->ares[6]);
+                }
+            }
+        }
+        if (!have) {
         nres = mc_fast_align(enc, qlen, is_rev, c->matrix, win, slen,
                              center - 24 - drift, center + 48 + drift,
                              c->minscore, c->minscorlen,
@@ -4740,6 +4801,7 @@ static int ft_map_one(FTCtx *c, const uint8_t *enc, int64_t qlen,
                         (size_t)c->ares[6]);
             }
         }
+        }   /* !have (narrow-band anchor missed) */
     }
     if (!have)
         return 0;

@@ -15,6 +15,7 @@
  * Compiled together with swdp.c into one shared object by
  * smalt_tpu/native/__init__.py.
  */
+#include <math.h>
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>

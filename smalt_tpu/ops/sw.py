@@ -248,7 +248,7 @@ def sw_score_batch(qcodes, subj, slens, matrix, gapopen_pos, gapext_pos,
     return out[:B]
 
 
-def _swb_kernel(qprof_ref, sstate_ref, slen_ref, params_ref, out_ref):
+def _make_swb_kernel(track: bool):
     """Banded SW, skewed frame: one grid step = CB candidates, band of
     W query columns on lanes.  The band slides one query column per
     subject row, so in band coordinates the DIAGONAL predecessor stays
@@ -256,67 +256,108 @@ def _swb_kernel(qprof_ref, sstate_ref, slen_ref, params_ref, out_ref):
     left, and the subject-gap F is the usual in-row prefix-max.  The
     8 per-subject-code profile planes are precomputed over the padded
     query and rolled UNROLL lanes per outer step; inside the unrolled
-    body the current band is the static slice [r : r+W]."""
-    go = params_ref[0, 0]
-    ge = params_ref[0, 1]
-    CB = sstate_ref.shape[0]
-    S = sstate_ref.shape[-1]
-    W = out_ref.shape[-1]          # static band width (padded to 128x)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (CB, W), 1)
-    jidx = lane
-    slens = slen_ref[:, 0]
+    body the current band is the static slice [r : r+W].
 
-    def cummax(x):
-        d = 1
-        while d < W:
-            shifted = jnp.where(lane < d, NEG, pltpu.roll(x, d, 1))
-            x = jnp.maximum(x, shifted)
-            d *= 2
-        return x
+    With `track`, the kernel also reports the row-major-first argmax
+    cell of T (subject row, band LANE; strictly-greater row updates,
+    min-lane within a row) in output lanes 1..2 — the anchor the
+    long-read host tail centres its narrow traceback band on.  A
+    0-scoring padded query lane's T never exceeds the running best
+    (same inductive argument as the full-matrix kernel), so the
+    anchor lands on a real cell."""
 
-    def one_row(H, E, vmax, prof8, scol, r, i):
-        Wrow = prof8[0][:, r : r + W]
-        for a in range(1, 8):
-            Wrow = jnp.where(scol == a, prof8[a][:, r : r + W], Wrow)
-        T = H + Wrow                       # diagonal: same band lane
-        E_in = jnp.where(lane >= W - 1, NEG, pltpu.roll(E, W - 1, 1))
-        H0 = jnp.maximum(jnp.maximum(T, E_in), 0)
-        c = H0 + jidx * ge
-        cm = cummax(c)
-        cm_shift = jnp.where(lane < 1, NEG, pltpu.roll(cm, 1, 1))
-        F = cm_shift - go - (jidx - 1) * ge
-        Hn = jnp.maximum(H0, F)
-        En = jnp.maximum(E_in - ge, Hn - go)
-        keep = (i < slens)[:, None]
-        Hn = jnp.where(keep, Hn, H)
-        En = jnp.where(keep, En, E)
-        vmax = jnp.where(keep, jnp.maximum(vmax, T), vmax)
-        return Hn, En, vmax
+    def _swb_kernel(qprof_ref, sstate_ref, slen_ref, params_ref, out_ref):
+        go = params_ref[0, 0]
+        ge = params_ref[0, 1]
+        CB = sstate_ref.shape[0]
+        S = sstate_ref.shape[-1]
+        W = out_ref.shape[-1]          # static band width (padded to 128x)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (CB, W), 1)
+        jidx = lane
+        slens = slen_ref[:, 0]
 
-    def body(i, carry):
-        H, E, vmax, prof8, sstate = carry
-        for r in range(BAND_UNROLL):
-            H, E, vmax = one_row(H, E, vmax, prof8,
-                                 sstate[:, r : r + 1], r,
-                                 BAND_UNROLL * i + r)
-        prof8 = tuple(pltpu.roll(p, p.shape[-1] - BAND_UNROLL, 1)
-                      for p in prof8)
-        return (H, E, vmax, prof8,
-                pltpu.roll(sstate, S - BAND_UNROLL, 1))
+        def cummax(x):
+            d = 1
+            while d < W:
+                shifted = jnp.where(lane < d, NEG, pltpu.roll(x, d, 1))
+                x = jnp.maximum(x, shifted)
+                d *= 2
+            return x
 
-    qp = qprof_ref[:, :, :]                # [8, CB, QB]
-    prof8 = tuple(qp[a] for a in range(8))
-    H0 = jnp.zeros((CB, W), jnp.int32)
-    E0 = jnp.full((CB, W), NEG, jnp.int32)
-    _, _, vmax, _, _ = jax.lax.fori_loop(
-        0, S // BAND_UNROLL, body,
-        (H0, E0, jnp.zeros((CB, W), jnp.int32), prof8, sstate_ref[:, :]))
-    best = jnp.maximum(jnp.max(vmax, axis=1), 0)
-    out_ref[:, :] = jnp.broadcast_to(best[:, None], (CB, W))
+        def one_row(H, E, acc, prof8, scol, r, i):
+            Wrow = prof8[0][:, r : r + W]
+            for a in range(1, 8):
+                Wrow = jnp.where(scol == a, prof8[a][:, r : r + W], Wrow)
+            T = H + Wrow                       # diagonal: same band lane
+            E_in = jnp.where(lane >= W - 1, NEG, pltpu.roll(E, W - 1, 1))
+            H0 = jnp.maximum(jnp.maximum(T, E_in), 0)
+            c = H0 + jidx * ge
+            cm = cummax(c)
+            cm_shift = jnp.where(lane < 1, NEG, pltpu.roll(cm, 1, 1))
+            F = cm_shift - go - (jidx - 1) * ge
+            Hn = jnp.maximum(H0, F)
+            En = jnp.maximum(E_in - ge, Hn - go)
+            keep = (i < slens)[:, None]
+            Hn = jnp.where(keep, Hn, H)
+            En = jnp.where(keep, En, E)
+            if track:
+                best, bi, bl = acc
+                rowmax = jnp.max(T, axis=1, keepdims=True)     # [CB, 1]
+                upd = keep & (rowmax > best)
+                minlane = jnp.min(jnp.where(T == rowmax, lane, 1 << 28),
+                                  axis=1, keepdims=True)
+                best = jnp.where(upd, rowmax, best)
+                bi = jnp.where(upd, i, bi)
+                bl = jnp.where(upd, minlane, bl)
+                acc = (best, bi, bl)
+            else:
+                acc = jnp.where(keep, jnp.maximum(acc, T), acc)
+            return Hn, En, acc
+
+        def body(i, carry):
+            H, E, acc, prof8, sstate = carry
+            for r in range(BAND_UNROLL):
+                H, E, acc = one_row(H, E, acc, prof8,
+                                    sstate[:, r : r + 1], r,
+                                    BAND_UNROLL * i + r)
+            prof8 = tuple(pltpu.roll(p, p.shape[-1] - BAND_UNROLL, 1)
+                          for p in prof8)
+            return (H, E, acc, prof8,
+                    pltpu.roll(sstate, S - BAND_UNROLL, 1))
+
+        qp = qprof_ref[:, :, :]                # [8, CB, QB]
+        prof8 = tuple(qp[a] for a in range(8))
+        H0 = jnp.zeros((CB, W), jnp.int32)
+        E0 = jnp.full((CB, W), NEG, jnp.int32)
+        if track:
+            acc0 = (jnp.zeros((CB, 1), jnp.int32),
+                    jnp.zeros((CB, 1), jnp.int32),
+                    jnp.zeros((CB, 1), jnp.int32))
+        else:
+            acc0 = jnp.zeros((CB, W), jnp.int32)
+        _, _, acc, _, _ = jax.lax.fori_loop(
+            0, S // BAND_UNROLL, body,
+            (H0, E0, acc0, prof8, sstate_ref[:, :]))
+        if track:
+            best, bi, bl = acc
+            lo = jax.lax.broadcasted_iota(jnp.int32, (CB, W), 1)
+            out_ref[:, :] = jnp.where(
+                lo == 0, jnp.maximum(best, 0),
+                jnp.where(lo == 1, bi, jnp.where(lo == 2, bl, 0)))
+        else:
+            best = jnp.maximum(jnp.max(acc, axis=1), 0)
+            out_ref[:, :] = jnp.broadcast_to(best[:, None], (CB, W))
+
+    return _swb_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("W", "interpret"))
-def _swb_batch_call(qprof, subj, slens, params, W, interpret=False):
+_swb_kernel = _make_swb_kernel(track=False)
+_swb_kernel_track = _make_swb_kernel(track=True)
+
+
+@functools.partial(jax.jit, static_argnames=("W", "interpret", "track"))
+def _swb_batch_call(qprof, subj, slens, params, W, interpret=False,
+                    track=False):
     B = subj.shape[0]
     S = subj.shape[1]
     QB = qprof.shape[-1]
@@ -324,7 +365,7 @@ def _swb_batch_call(qprof, subj, slens, params, W, interpret=False):
     CB = min(CB, B)
     grid = (B // CB,)
     out = pl.pallas_call(
-        _swb_kernel,
+        _swb_kernel_track if track else _swb_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, CB, QB), lambda b: (0, b, 0)),
@@ -337,6 +378,8 @@ def _swb_batch_call(qprof, subj, slens, params, W, interpret=False):
         out_shape=jax.ShapeDtypeStruct((B, W), jnp.int32),
         interpret=interpret,
     )(qprof, subj, slens, params)
+    if track:
+        return out[:, 0], out[:, 1], out[:, 2]
     return out[:, 0]
 
 
@@ -350,14 +393,19 @@ def band_width_for(Q: int, pad: int) -> int:
 
 def sw_band_score_batch(qcodes, subj, slens, matrix, gapopen_pos,
                         gapext_pos, pad: int, W: int = 0,
-                        interpret=None):
+                        interpret=None, track=False):
     """Banded batched SW scores for LONG reads: cost O(W*S) instead of
     O(Q*S) (the device analogue of the reference's banded host pass,
     rmap.c:888-896).  Subject row i covers query columns
     [i - pad - W/2, i - pad + W/2): `pad` must be the window's left
     backoff (window_pad) so the seed diagonal sits mid-band.  Scores
     equal the full-matrix kernel whenever the optimal alignment stays
-    inside the band; otherwise they lower-bound it."""
+    inside the band; otherwise they lower-bound it.
+
+    With track=True returns (scores, ti, tj): the row-major-first
+    argmax cell in (subject row, QUERY column) coordinates — the
+    host tail centres its narrow traceback band on the end diagonal
+    tj - ti instead of covering the whole device band."""
     assert gapopen_pos >= gapext_pos
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -387,13 +435,18 @@ def sw_band_score_batch(qcodes, subj, slens, matrix, gapopen_pos,
     slens = _pad_to(slens, Bp, 0)
     params = jnp.asarray([[gapopen_pos, gapext_pos, W, 0]], jnp.int32)
     out = _swb_batch_call(prof, subj, slens[:, None], params, W,
-                          interpret=interpret)
+                          interpret=interpret, track=track)
+    if track:
+        sc, ti, tl = out
+        return sc[:B], ti[:B], (ti + tl - prepad)[:B]
     return out[:B]
 
 
 def sw_band_score_ref(qcodes, subj, slens, matrix, gapopen_pos,
-                      gapext_pos, pad: int, W: int):
-    """Pure-jnp oracle of the banded recurrence (band frame)."""
+                      gapext_pos, pad: int, W: int, track=False):
+    """Pure-jnp oracle of the banded recurrence (band frame).
+    track=True adds the row-major-first argmax cell in
+    (subject row, query column) coordinates, like the kernel."""
     qcodes = jnp.asarray(qcodes, jnp.int32)
     subj = jnp.asarray(subj, jnp.int32)
     slens = jnp.asarray(slens, jnp.int32)
@@ -406,7 +459,7 @@ def sw_band_score_ref(qcodes, subj, slens, matrix, gapopen_pos,
     tidx = jnp.arange(W, dtype=jnp.int32)
 
     def scan_row(carry, i):
-        H, E, vmax = carry
+        H, E, vmax, bi, bl = carry
         j = i - prepad + tidx                       # query cols [B-free]
         jc = jnp.clip(j, 0, Q - 1)
         qc = jnp.where((j >= 0) & (j < Q), qcodes[:, jc], 7)
@@ -425,14 +478,22 @@ def sw_band_score_ref(qcodes, subj, slens, matrix, gapopen_pos,
         keep = (i < slens)
         Hn = jnp.where(keep[:, None], Hn, H)
         En = jnp.where(keep[:, None], En, E)
-        vmax = jnp.where(keep, jnp.maximum(vmax, jnp.max(T, axis=1)),
-                         vmax)
-        return (Hn, En, vmax), None
+        rowmax = jnp.max(T, axis=1)
+        upd = keep & (rowmax > vmax)
+        minlane = jnp.min(jnp.where(T == rowmax[:, None], tidx[None, :],
+                                    1 << 28), axis=1)
+        vmax = jnp.where(upd, rowmax, vmax)
+        bi = jnp.where(upd, i, bi)
+        bl = jnp.where(upd, minlane, bl)
+        return (Hn, En, vmax, bi, bl), None
 
     H0 = jnp.zeros((B, W), jnp.int32)
     E0 = jnp.full((B, W), NEG, jnp.int32)
-    (H, E, vmax), _ = jax.lax.scan(
-        scan_row, (H0, E0, jnp.zeros(B, jnp.int32)), jnp.arange(S))
+    z = jnp.zeros(B, jnp.int32)
+    (H, E, vmax, bi, bl), _ = jax.lax.scan(
+        scan_row, (H0, E0, z, z, z), jnp.arange(S))
+    if track:
+        return jnp.maximum(vmax, 0), bi, bi + bl - prepad
     return jnp.maximum(vmax, 0)
 
 

@@ -480,17 +480,17 @@ def device_map_step(di: DeviceIndex, reads, matrix, gapopen_pos, gapext_pos,
     if Q > LONG_READ_Q:
         # kilobase reads: banded scoring around the seed diagonal — the
         # window gather placed it `pad` columns in, so the band covers
-        # the drift the window slack was sized for.  No argmax tracking:
-        # the long-read tail keeps its banded host traceback.  tb_i MUST
-        # be -1 here (no anchor): 0 would pass the tail's `tb_i >= 0`
-        # anchored-path gate and replay a FULL-matrix host DP per read
-        # (the gapless shortcut never applies to gapped kilobase
-        # alignments) — 4x the banded tail's work.
-        scores = sw_band_score_batch(qcs, wins, slens, matrix,
-                                     gapopen_pos, gapext_pos, pad=pad,
-                                     W=band_width_for(Q, pad),
-                                     interpret=interpret)
-        tis = tjs = jnp.full_like(scores, -1)
+        # the drift the window slack was sized for.  The tracked argmax
+        # anchors the host tail's NARROW band (centred on the end
+        # diagonal tj - ti) instead of a band covering the whole device
+        # band; the tail verifies score >= device score and widens on a
+        # miss, so the anchor is a pure accelerator.
+        scores, tis, tjs = sw_band_score_batch(qcs, wins, slens, matrix,
+                                               gapopen_pos, gapext_pos,
+                                               pad=pad,
+                                               W=band_width_for(Q, pad),
+                                               interpret=interpret,
+                                               track=True)
     else:
         scores, tis, tjs = sw_score_batch(qcs, wins, slens, matrix,
                                           gapopen_pos, gapext_pos,

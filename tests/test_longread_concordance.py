@@ -75,11 +75,13 @@ def test_fast_vs_exact_kilobase(world, monkeypatch):
     refset, idx, fq, truth = world
     from smalt_tpu.ops.sw import sw_band_score_ref
 
-    def band_oracle(q, s, sl, mat, go, ge, pad, W=0, interpret=None):
+    def band_oracle(q, s, sl, mat, go, ge, pad, W=0, interpret=None,
+                    track=False):
         if not W:
             from smalt_tpu.ops.sw import band_width_for
             W = band_width_for(q.shape[1], pad)
-        return sw_band_score_ref(q, s, sl, mat, go, ge, pad, W)
+        return sw_band_score_ref(q, s, sl, mat, go, ge, pad, W,
+                                 track=track)
 
     monkeypatch.setattr(M, "sw_band_score_batch", band_oracle)
     buf = io.StringIO()

@@ -106,3 +106,37 @@ def test_banded_pallas_interpret_matches_ref():
                                        pad, W))
     assert (ker == ref).all(), (ker, ref)
     assert (ker == Q).all()
+
+
+def test_banded_track_anchor_interpret():
+    """track=True: the banded kernel's argmax anchor (subject row,
+    query column) must land on the end cell of the planted alignment,
+    and equal the full-matrix kernel's anchor when the band covers the
+    whole matrix."""
+    from smalt_tpu.ops.sw import sw_band_score_batch, sw_score_batch
+    rng = np.random.default_rng(13)
+    m, go, ge = ali.make_score_matrix()
+    m = np.asarray(m, np.int32)
+    Q, pad = 256, 32
+    W = band_width_for(Q, pad)
+    S = 384
+    B = 4
+    qs = rng.integers(0, 4, (B, Q)).astype(np.int32)
+    ss = np.full((B, S), 7, np.int32)
+    offs = [pad, pad + 3, pad - 5, pad + 11]   # shifted copies in band
+    for b in range(B):
+        ss[b, :S] = rng.integers(0, 4, S)
+        ss[b, offs[b] : offs[b] + Q] = qs[b]
+    slens = np.full(B, S, np.int32)
+    sc, ti, tj = (np.asarray(x) for x in sw_band_score_batch(
+        qs, ss, slens, m, -go, -ge, pad, W, interpret=True, track=True))
+    assert (sc == Q).all()
+    # exact copy: alignment ends at subject row offs[b]+Q-1, query Q-1
+    for b in range(B):
+        assert tj[b] == Q - 1, (b, tj)
+        assert ti[b] == offs[b] + Q - 1, (b, ti, offs[b])
+    # against the full-matrix tracker on the same input
+    fsc, fti, ftj = (np.asarray(x) for x in sw_score_batch(
+        qs, ss, slens, m, -go, -ge, interpret=True, track=True))
+    assert (fsc == sc).all()
+    assert (fti == ti).all() and (ftj == tj).all()
