@@ -105,9 +105,35 @@ def measure_reference(fa_path, reads):
         return max(best, BASELINE_READS_PER_S), best
 
 
+def _backend_watchdog(timeout_s=900):
+    """Fail loudly if jax backend acquisition wedges (a down TPU tunnel
+    blocks inside a C call, so SIGALRM handlers never run — a watchdog
+    thread is the only escape).  Returns an Event to set once the
+    backend is live."""
+    import threading
+
+    done = threading.Event()
+
+    def _watch():
+        if not done.wait(timeout_s):
+            print(json.dumps({
+                "metric": "ecoli_scale_device_map_throughput",
+                "value": 0.0, "unit": "reads/s", "vs_baseline": 0.0,
+                "error": f"jax backend init exceeded {timeout_s}s "
+                         f"(device tunnel unreachable)"}))
+            sys.stdout.flush()
+            os._exit(3)
+
+    threading.Thread(target=_watch, daemon=True).start()
+    return done
+
+
 def main():
+    _bd = _backend_watchdog()
     import jax
     import jax.numpy as jnp
+    jax.devices()          # force backend acquisition under the watchdog
+    _bd.set()
 
     from smalt_tpu.seq import codec
     from smalt_tpu.seq.refset import RefSet
