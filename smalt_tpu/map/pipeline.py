@@ -208,6 +208,15 @@ def run_pipeline_raw_fastq(engine, path: str, out, refset,
             resume_log.tick(reads_done, out.tell(), rand._global._x)
     if resume_log is not None:
         resume_log.done()
+    if os.environ.get("SMALT_FL_TIMING"):
+        from ..native import fl_prof_report
+        prof = fl_prof_report()
+        if prof:
+            tot = sum(prof.values()) or 1.0
+            split = "  ".join(f"{k} {v:.2f}s ({100 * v / tot:.0f}%)"
+                              for k, v in prof.items())
+            print(f"# SMALT_FL_TIMING exact lane ({reads_done} reads): "
+                  f"{split}", file=sys.stderr)
     return True
 
 

@@ -274,6 +274,27 @@ def ptr(a: np.ndarray, ct=None):
     return a.ctypes.data
 
 
+FL_PROF_STAGES = ("seed/collate", "pass1-score", "pass2-align",
+                  "report/SAM")
+
+
+def fl_prof_report(reset: bool = True):
+    """Per-stage seconds accumulated by the C lane since the last
+    reset, as {stage: seconds} — empty when the lane is unavailable or
+    SMALT_FL_TIMING wasn't set (the C side only accumulates under that
+    env var, fastlane.c fl_prof)."""
+    import ctypes
+    lib = _load()
+    if lib is None or not hasattr(lib, "fl_prof_fetch"):
+        return {}
+    buf = (ctypes.c_double * 6)()
+    lib.fl_prof_fetch(buf, 1 if reset else 0)
+    vals = list(buf)[: len(FL_PROF_STAGES)]
+    if not any(vals):
+        return {}
+    return dict(zip(FL_PROF_STAGES, vals))
+
+
 class GrowBuf:
     """Reusable scratch array with a cached raw address."""
     __slots__ = ("arr", "addr", "dtype")

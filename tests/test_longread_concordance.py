@@ -108,3 +108,40 @@ def test_fast_vs_exact_kilobase(world, monkeypatch):
     n_truth = sum(1 for name, pos in fast.items()
                   if abs(pos - 1 - truth[name]) <= 150)
     assert n_truth >= 0.85 * len(fast), (n_truth, len(fast))
+
+
+def test_anchor_is_pure_accelerator(world, monkeypatch):
+    """The banded kernel's argmax anchor only CENTRES the host tail's
+    narrow band — a miss falls back to the wide band, so suppressing
+    every anchor (tis = -1, the legacy no-anchor contract) must leave
+    the fast-mode SAM byte-identical."""
+    refset, idx, fq, truth = world
+    from smalt_tpu.ops.sw import sw_band_score_ref, band_width_for
+
+    def band_oracle(q, s, sl, mat, go, ge, pad, W=0, interpret=None,
+                    track=False):
+        if not W:
+            W = band_width_for(q.shape[1], pad)
+        return sw_band_score_ref(q, s, sl, mat, go, ge, pad, W,
+                                 track=track)
+
+    def band_oracle_noanchor(q, s, sl, mat, go, ge, pad, W=0,
+                             interpret=None, track=False):
+        out = band_oracle(q, s, sl, mat, go, ge, pad, W, interpret,
+                          track)
+        if track:
+            sc, ti, tj = out
+            import jax.numpy as jnp
+            return sc, jnp.full_like(ti, -1), jnp.full_like(tj, -1)
+        return out
+
+    monkeypatch.setattr(M, "sw_band_score_batch", band_oracle)
+    with_anchor = io.StringIO()
+    run_fast_pipeline(refset, idx, fq, with_anchor, nthreads=1,
+                      batch=16, interpret=True)
+
+    monkeypatch.setattr(M, "sw_band_score_batch", band_oracle_noanchor)
+    without = io.StringIO()
+    run_fast_pipeline(refset, idx, fq, without, nthreads=1, batch=16,
+                      interpret=True)
+    assert with_anchor.getvalue() == without.getvalue()
