@@ -16,9 +16,9 @@
  * lane reports an error (no RNG state is consumed on failure).
  *
  * Coverage: single-end reads, RMAPFLG_BEST + SEQBYSEQ, split mode
- * (-p: secondary complement-segment pass + PARTIAL records), SAM and
- * plain-cigar output (soft/hard clip, optional -x), complexity
- * weighting (-w via RMAPFLG_CMPLXW + lam).
+ * (-p: secondary complement-segment pass + PARTIAL records), SAM,
+ * plain-cigar and ssaha output (soft/hard clip, optional -x),
+ * complexity weighting (-w via RMAPFLG_CMPLXW + lam).
  */
 #include <math.h>
 #include <stdint.h>
@@ -1114,6 +1114,92 @@ static int tx_cigar_line(FLText *t,
     return 0;
 }
 
+/* width-padded decimal (Python "{v:Nd}" / "{v:<Nd}") */
+static void tx_puti_pad(FLText *t, int64_t v, int width, int left)
+{
+    char buf[24];
+    int n = 0, i, ndig;
+    int neg = v < 0;
+    uint64_t u = neg ? (uint64_t)(-v) : (uint64_t)v;
+    do { buf[n++] = (char)('0' + (u % 10)); u /= 10; } while (u);
+    if (neg) buf[n++] = '-';
+    ndig = n;
+    if (!left)
+        for (i = ndig; i < width; i++) tx_putc(t, ' ');
+    while (n) tx_putc(t, buf[--n]);
+    if (left)
+        for (i = ndig; i < width; i++) tx_putc(t, ' ');
+}
+
+/* fprintREPALIssaha (report.c:579-648 via report.py:410-447);
+ * alilen/matchnum via fl_ali_len above */
+static int tx_ssaha_line(FLText *t,
+                         const char *name, int64_t name_len,
+                         const uint8_t *diffpool, const FLRes *rp,
+                         int mateflg, int64_t mapscor,
+                         const char *const *seq_names,
+                         const int64_t *seq_name_lens,
+                         const int64_t *offsets, int64_t qlen)
+{
+    int mapped = rp != NULL && (mateflg & REPFLG_MAPPED);
+    int64_t qs = 0, qe = 0, rs = 0, re_ = 0, swatscor = 0, ms;
+    int64_t matchlen = 0, alilen = 0, s_len = 0;
+    double idfrac = 0.0;
+    char sensechr = '*';
+    char fbuf[32];
+
+    ms = mapped ? mapscor : 0;
+    if (ms > 99) ms = 99;
+    if (mapped) {
+        if (mateflg & REPFLG_REVERSE) {
+            qs = rp->q_end; qe = rp->q_start; sensechr = 'C';
+        } else {
+            qs = rp->q_start; qe = rp->q_end; sensechr = 'F';
+        }
+        rs = rp->s_start; re_ = rp->s_end;
+        swatscor = rp->swatscor;
+        s_len = offsets[rp->sidx + 1] - offsets[rp->sidx];
+        fl_ali_len(diffpool + rp->diff_off, rp->diff_len,
+                   &alilen, &matchlen);
+        if (alilen > 0)
+            idfrac = 100.0 * (double)matchlen / (double)alilen;
+    }
+    tx_puts(t, "alignment:");
+    tx_putc(t, fl_map_label(mateflg));
+    tx_putc(t, ':');
+    tx_putc(t, (char)('0' + ms / 10));
+    tx_putc(t, (char)('0' + ms % 10));
+    tx_putc(t, ' ');
+    tx_puti_pad(t, swatscor, 5, 1);
+    tx_putc(t, ' ');
+    if (name_len > 0) tx_putn(t, name, name_len);
+    else tx_putc(t, '*');
+    tx_putc(t, ' ');
+    if (mapped) tx_putn(t, seq_names[rp->sidx], seq_name_lens[rp->sidx]);
+    else tx_putc(t, '*');
+    tx_putc(t, ' ');
+    tx_puti_pad(t, qs, 8, 0);
+    tx_putc(t, ' ');
+    tx_puti_pad(t, qe, 8, 0);
+    tx_putc(t, ' ');
+    tx_puti_pad(t, rs, 9, 0);
+    tx_putc(t, ' ');
+    tx_puti_pad(t, re_, 9, 0);
+    tx_puts(t, "   ");
+    tx_putc(t, sensechr);
+    tx_putc(t, ' ');
+    tx_puti_pad(t, matchlen, 7, 0);
+    tx_putc(t, ' ');
+    snprintf(fbuf, sizeof fbuf, "%5.2f", idfrac);
+    tx_puts(t, fbuf);
+    tx_putc(t, ' ');
+    tx_puti(t, qlen);
+    tx_putc(t, ' ');
+    tx_puti(t, s_len);
+    tx_putc(t, '\n');
+    return 0;
+}
+
 /* ---------------- the per-block report stage ---------------- */
 
 /* One report record queued for output (Report.add_map collapses to a
@@ -1908,7 +1994,7 @@ int64_t fl_map_block(
     int rmapflg, int rsltouflg,
     int64_t filter_minscor, int64_t filter_belowmax, double filter_minid,
     int soft_clip, int x_mismatch,
-    /* out_fmt: 0 = SAM lines, 1 = plain cigar lines (report.c:712) */
+    /* out_fmt: 0 = SAM, 1 = plain cigar (report.c:712), 2 = ssaha (report.c:579) */
     int out_fmt,
     /* reads; codes_are_ascii: codes_concat holds raw FASTQ letters to
      * encode here; names_raw: name extents are full header fields to
@@ -1989,7 +2075,7 @@ int64_t fl_map_block(
             codes = s.enc;
         }
         if (names_raw)
-            name_len = out_fmt == 1 ? fl_cigar_name_len(name, name_len)
+            name_len = out_fmt >= 1 ? fl_cigar_name_len(name, name_len)
                                     : fl_sam_name_len(name, name_len);
         rc = fl_map_read(&P, &s, codes, qual, qlen);
         if (rc != 0) goto done;
@@ -2002,7 +2088,14 @@ int64_t fl_map_block(
                 for (r = 0; r < n_rep; r++) {
                     const FLRes *rp = s.rep[r].res_idx >= 0
                                       ? &s.rs->res[s.rep[r].res_idx] : NULL;
-                    if (out_fmt == 1)
+                    if (out_fmt == 2)
+                        rc = tx_ssaha_line(&t, name, name_len,
+                                           s.rs->diffpool, rp,
+                                           s.rep[r].mateflg,
+                                           rp ? s.rep[r].mapscor : 0,
+                                           seq_name_ptr, seq_name_len,
+                                           offsets, qlen);
+                    else if (out_fmt == 1)
                         rc = tx_cigar_line(&t, name, name_len,
                                            s.rs->diffpool, rp,
                                            s.rep[r].mateflg,
@@ -2282,7 +2375,7 @@ int64_t fl_pass2_block(
             codes = s.enc;
         }
         if (names_raw)
-            name_len = out_fmt == 1 ? fl_cigar_name_len(name, name_len)
+            name_len = out_fmt >= 1 ? fl_cigar_name_len(name, name_len)
                                     : fl_sam_name_len(name, name_len);
 
         rs_blank(s.rs);
@@ -2365,7 +2458,13 @@ int64_t fl_pass2_block(
         for (r = 0; r < n_rep; r++) {
             const FLRes *rp = s.rep[r].res_idx >= 0
                               ? &s.rs->res[s.rep[r].res_idx] : NULL;
-            if (out_fmt == 1)
+            if (out_fmt == 2)
+                rc = tx_ssaha_line(&t, name, name_len, s.rs->diffpool,
+                                   rp, s.rep[r].mateflg,
+                                   rp ? s.rep[r].mapscor : 0,
+                                   seq_name_ptr, seq_name_len,
+                                   offsets, qlen);
+            else if (out_fmt == 1)
                 rc = tx_cigar_line(&t, name, name_len, s.rs->diffpool,
                                    rp, s.rep[r].mateflg,
                                    rp ? s.rep[r].mapscor : 0,

@@ -103,6 +103,8 @@ def fixture_dir(tmp_path_factory):
     ["-c", "0.5"],                       # min cover
     ["-p"],                              # split-read (secondary pass)
     ["-p", "-f", "cigar"],               # split + cigar lines
+    ["-f", "ssaha"],                     # ssaha alignment lines
+    ["-p", "-f", "ssaha"],               # split + ssaha
 ])
 def test_fastlane_matches_python(fixture_dir, tmp_path, extra):
     pref, fq = fixture_dir
