@@ -251,6 +251,7 @@ def cmd_map(argv: List[str]) -> int:
         idx.print_stats(sys.stderr)
     t_setup = time.time()
     bam_writer = None
+    resume_log = None
     if a.oformat.split(":")[0] == "bam":
         from .report.bam import BamWriter
         mods = a.oformat.split(":")[1].split(",") if ":" in a.oformat else []
@@ -309,17 +310,32 @@ def cmd_map(argv: List[str]) -> int:
     fmt = a.oformat.split(":")[0]
     mods = a.oformat.split(":")[1].split(",") if ":" in a.oformat else []
     ran_raw = False
-    if (a.mates is None and a.nthreads <= 1 and bam_writer is None and
+    if (a.mates is None and a.nthreads <= 1 and
             a.informat not in ("sam", "bam") and
             not a.reads.endswith((".sam", ".sam.gz", ".bam"))):
-        # single-end serial FASTQ: bulk parser + C fast-lane end to end
-        ran_raw = run_pipeline_raw_fastq(
-            engine, a.reads, out, refset, fmt=fmt,
-            soft_clip="clip" not in mods, x_mismatch="x" in mods,
-            seed=(a.randseed if a.randseed is not None else 0),
-            ihist=ihist, fix_primary=fix_primary, ali_out=a.aliout,
-            device_pass1=a.device_pass1,
-            resume_log=(resume_log if not a.device_pass1 else None))
+        # single-end serial FASTQ: bulk parser + C fast-lane end to end.
+        # BAM rides the same lane: the C lane renders SAM text and a
+        # cheap re-encode turns it into BAM records (report/bam.py
+        # SamTextEncoder), byte-identical to the Report-object path.
+        raw_out, raw_fmt, raw_ok = out, fmt, True
+        if bam_writer is not None:
+            from .report.bam import SamTextEncoder
+            enc = SamTextEncoder.make(refset)
+            if enc is None:
+                raw_ok = False
+            else:
+                class _SamTextBamSink:
+                    def write(self, text: str):
+                        bam_writer.write_raw(enc.encode_text(text))
+                raw_out, raw_fmt = _SamTextBamSink(), "sam"
+        if raw_ok:
+            ran_raw = run_pipeline_raw_fastq(
+                engine, a.reads, raw_out, refset, fmt=raw_fmt,
+                soft_clip="clip" not in mods, x_mismatch="x" in mods,
+                seed=(a.randseed if a.randseed is not None else 0),
+                ihist=ihist, fix_primary=fix_primary, ali_out=a.aliout,
+                device_pass1=a.device_pass1,
+                resume_log=(resume_log if not a.device_pass1 else None))
     if not ran_raw:
         run_pipeline(engine, reads_iter, out, refset, fmt=fmt,
                      soft_clip="clip" not in mods, x_mismatch="x" in mods,

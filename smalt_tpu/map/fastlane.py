@@ -201,6 +201,10 @@ class PairLane:
                              fix_primary)
         if lane is None or ihist is not None:
             return None
+        if lane.out_fmt != 0:
+            # fl_map_pair_block renders SAM only: paired cigar/ssaha
+            # runs fall back to the Python ReportWriter
+            return None
         if not hasattr(lane.lib, "fl_map_pair_block"):
             return None
         p = engine.params

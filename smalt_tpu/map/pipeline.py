@@ -41,6 +41,9 @@ def _init_worker(engine, writer_args, seed):
     _g["seed"] = seed
     _g.pop("lane", None)   # rebuilt per run: it pins engine + buffers
     _g.pop("pair_lane", None)
+    _g.pop("bam_enc", None)
+    _g.pop("bam_sam_lane", None)
+    _g.pop("bam_pair_lane", None)
 
 
 def _render_block(args):
@@ -74,6 +77,33 @@ def _render_block(args):
         text = plane.render_block(block, _oracle_one_pair)
         if text is not None:
             return text
+    if fmt == "bam" and "bam_enc" not in _g:
+        # BAM: the C lane maps + renders SAM text, a cheap re-encode
+        # turns it into BAM records byte-identical to the Report path
+        _g["bam_enc"] = _g["bam_sam_lane"] = _g["bam_pair_lane"] = None
+        if not os.environ.get("SMALT_TPU_NO_FASTLANE"):
+            from ..report.bam import SamTextEncoder
+            enc = SamTextEncoder.make(refset)
+            if enc is not None:
+                from .fastlane import FastLane, PairLane
+                fp = _g.get("fix_primary", False)
+                _g["bam_enc"] = enc
+                _g["bam_sam_lane"] = FastLane.make(engine, "sam", soft,
+                                                   xmm, ali_out, fp)
+                _g["bam_pair_lane"] = PairLane.make(engine, "sam", soft,
+                                                    xmm, ali_out, fp,
+                                                    _g.get("ihist"))
+    if fmt == "bam" and _g.get("bam_enc") is not None:
+        text = None
+        if _g["bam_sam_lane"] is not None and \
+                not any(isinstance(it, tuple) for it in block):
+            text = _g["bam_sam_lane"].render_block(block)
+        elif _g["bam_pair_lane"] is not None and \
+                all(isinstance(it, tuple) for it in block) and block:
+            text = _g["bam_pair_lane"].render_block(
+                block, _oracle_one_pair_sam)
+        if text is not None:
+            return _g["bam_enc"].encode_text(text)
     if fmt == "bam":
         from ..report.bam import BamRecordEncoder
         buf = None
@@ -102,11 +132,19 @@ def _render_block(args):
     return writer.take() if buf is None else buf.getvalue()
 
 
-def _oracle_one_pair(item) -> str:
+def _oracle_one_pair_sam(item) -> str:
+    """_oracle_one_pair pinned to SAM text — the fallback arm of the
+    BAM path's pair lane (the SAM->BAM re-encode needs text)."""
+    return _oracle_one_pair(item, force_fmt="sam")
+
+
+def _oracle_one_pair(item, force_fmt=None) -> str:
     """Render ONE (read, mate) pair through the Python engine — the
     per-pair fallback arm of the C pair lane (fastlane.PairLane)."""
     engine = _g["engine"]
     fmt, soft, xmm, refset, ali_out = _g["writer_args"]
+    if force_fmt is not None:
+        fmt = force_fmt
     read, mate = item
     buf = io.StringIO()
     writer = ReportWriter(buf, refset, fmt=fmt, soft_clip=soft,

@@ -234,6 +234,86 @@ class BamRecordEncoder:
         self._sink += struct.pack("<i", len(rec)) + rec
 
 
+class SamTextEncoder:
+    """Re-encodes SAM text lines (the C exact lane's output) into raw
+    BAM records, byte-identical to BamRecordEncoder on the same
+    mapping: -f bam keeps the native mapping speed and only pays a
+    cheap per-line re-encode (the reference's writeREPALIbam is the
+    same record assembly, report.c:917)."""
+
+    def __init__(self, refset):
+        names = [refset.sam_name(i) for i in range(refset.nseq)]
+        self._ref_id = {n: i for i, n in enumerate(names)}
+        self._dup = len(self._ref_id) != len(names)
+
+    @classmethod
+    def make(cls, refset) -> Optional["SamTextEncoder"]:
+        """None when whitespace-truncated reference names collide —
+        RNAME would be ambiguous, the Report-object path must run."""
+        enc = cls(refset)
+        return None if enc._dup else enc
+
+    def encode_text(self, text: str) -> bytes:
+        sink = bytearray()
+        ref_id_of = self._ref_id
+        for line in text.splitlines():
+            if not line or line.startswith("@"):
+                continue
+            f = line.split("\t")
+            qname, flag, rname, pos, mapq = \
+                f[0], int(f[1]), f[2], int(f[3]), int(f[4])
+            cigar, rnext, pnext, tlen = f[5], f[6], int(f[7]), int(f[8])
+            seqstr = "" if f[9] == "*" else f[9]
+            qualstr = "" if f[10] == "*" else f[10]
+            editdist = swatscor = 0
+            for tag in f[11:]:
+                if tag.startswith("NM:i:"):
+                    editdist = int(tag[5:])
+                elif tag.startswith("AS:i:"):
+                    swatscor = int(tag[5:])
+            ref_id = ref_id_of[rname] if rname != "*" else -1
+            if rnext == "=":
+                mref_id = ref_id
+            elif rnext == "*":
+                mref_id = -1
+            else:
+                mref_id = ref_id_of[rnext]
+            cigar_ops = ([] if cigar == "*" else
+                         [(int(n), c) for n, c in _CIG_RE.findall(cigar)])
+            name = qname.encode() + b"\x00"
+            l_seq = len(seqstr)
+            seq4 = bytearray((l_seq + 1) // 2)
+            for i, ch in enumerate(seqstr):
+                nib = _SEQ_NIBBLE.get(ch, 15)
+                if i % 2 == 0:
+                    seq4[i // 2] = nib << 4
+                else:
+                    seq4[i // 2] |= nib
+            if qualstr:
+                qarr = bytes(max(0, min(93, ord(c) - 33))
+                             for c in qualstr)
+            else:
+                qarr = b"\xff" * l_seq
+            pos0 = pos - 1 if pos > 0 else -1
+            reflen = sum(n for n, c in cigar_ops if c in "MDN=X")
+            bam_bin = _reg2bin(max(pos0, 0), max(pos0, 0) + max(reflen, 1))
+            rec = struct.pack("<iiBBHHHiiii",
+                              ref_id, pos0,
+                              len(name), mapq & 0xFF, bam_bin,
+                              len(cigar_ops), flag,
+                              l_seq, mref_id,
+                              pnext - 1 if pnext > 0 else -1,
+                              tlen)
+            rec += name
+            for n, c in cigar_ops:
+                rec += struct.pack("<I", (n << 4) | _CIGAR_OPS.index(c))
+            rec += bytes(seq4) + qarr
+            rec += b"NMi" + struct.pack("<i", editdist)
+            rec += b"ASi" + struct.pack("<i", swatscor)
+            sink += struct.pack("<i", len(rec)) + rec
+        return bytes(sink)
+
+
 class BamWriter:
     """Full BAM writer: header + BGZF container around the encoder.
     Accepts a BINARY file object."""

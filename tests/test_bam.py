@@ -141,3 +141,30 @@ def test_bgzf_bsize_block_walk(index_prefix, data_dir, tmp_path):
     assert data.endswith(BGZF_EOF)
     assert nblocks >= 2
     assert payload[:4] == b"BAM\x01"
+
+
+def test_bam_lane_byte_identical(index_prefix, data_dir, tmp_path,
+                                 monkeypatch):
+    """-f bam through the C lane (SAM text -> SamTextEncoder records)
+    must produce the BYTE-identical BAM container vs the Python
+    Report-object path (same output filename so the @PG CL line
+    matches)."""
+    out = str(tmp_path / "o.bam")
+    args = ["map", "-f", "bam", "-r", "1", "-o", out, index_prefix,
+            os.path.join(data_dir, "reads_se.fq.gz")]
+    assert main(args) == 0
+    fast = open(out, "rb").read()
+    monkeypatch.setenv("SMALT_TPU_NO_FASTLANE", "1")
+    assert main(args) == 0
+    assert open(out, "rb").read() == fast
+
+    # paired: the pair lane + SAM->BAM re-encode
+    args = ["map", "-f", "bam", "-r", "1", "-o", out, index_prefix,
+            os.path.join(data_dir, "reads_pe_1.fq"),
+            os.path.join(data_dir, "reads_pe_2.fq")]
+    monkeypatch.delenv("SMALT_TPU_NO_FASTLANE")
+    assert main(args) == 0
+    fast = open(out, "rb").read()
+    monkeypatch.setenv("SMALT_TPU_NO_FASTLANE", "1")
+    assert main(args) == 0
+    assert open(out, "rb").read() == fast

@@ -120,6 +120,19 @@ def test_cigar_output_format(index_prefix, data_dir, tmp_path):
                      "100 1 - chr2 7709 7808 + 100 M 100 \n")
 
 
+def test_cigar_output_format_paired(index_prefix, data_dir, tmp_path):
+    """Regression: the paired C lane renders SAM only — a paired -f
+    cigar run must fall back to the cigar writer, not emit SAM lines
+    (bug found when ssaha joined the single-end C lane)."""
+    out = str(tmp_path / "out.cig")
+    assert main(["map", "-f", "cigar", "-r", "1", "-o", out, index_prefix,
+                 os.path.join(data_dir, "reads_pe_1.fq"),
+                 os.path.join(data_dir, "reads_pe_2.fq")]) == 0
+    lines = open(out).read().splitlines()
+    assert all(ln.startswith("cigar:") for ln in lines), lines[0]
+    assert len(lines) == 240
+
+
 def test_ssaha_output_format(index_prefix, data_dir, tmp_path):
     out = str(tmp_path / "out.ssaha")
     assert main(["map", "-f", "ssaha", "-r", "1", "-o", out, index_prefix,
