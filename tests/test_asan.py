@@ -80,15 +80,17 @@ for i in range(60):
         ft._traceback(qc, rev, win, -40, 40)
         ft._traceback(qc, rev, win, -(len(win) - 1), len(qc) - 1)
 
-# C fast-lane block (fl_map_block): whole-block exact SE mapping
+# C fast-lane block (fl_map_block): whole-block exact SE mapping,
+# all three text emitters (sam / cigar / ssaha)
 from smalt_tpu.map.fastlane import FastLane
-lane = FastLane.make(eng, 'sam', True, False, False, False)
-assert lane is not None
 names = [r.sam_name.encode() for r in reads[:64]]
 seqs = [codec.decode(r.seq) for r in reads[:64]]
 qls = [r.qual for r in reads[:64]]
-text = lane.render_raw_block(names, seqs, qls)
-assert text is not None
+for _fmt in ('sam', 'cigar', 'ssaha'):
+    lane = FastLane.make(eng, _fmt, True, False, False, False)
+    assert lane is not None
+    text = lane.render_raw_block(names, seqs, qls)
+    assert text is not None
 
 # C batched fast tails (fl_fast_tail_block / fl_fast_tail_pairs) with
 # synthetic device outputs (no jax needed under ASan)
