@@ -250,11 +250,14 @@ def run_pipeline_raw_fastq(engine, path: str, out, refset,
         from ..native import fl_prof_report
         prof = fl_prof_report()
         if prof:
+            sc_hits = prof.pop("_shortcut_hits", 0.0)
+            dp_runs = prof.pop("_dp_runs", 0.0)
             tot = sum(prof.values()) or 1.0
             split = "  ".join(f"{k} {v:.2f}s ({100 * v / tot:.0f}%)"
                               for k, v in prof.items())
             print(f"# SMALT_FL_TIMING exact lane ({reads_done} reads): "
-                  f"{split}", file=sys.stderr)
+                  f"{split}  [gapless shortcut {sc_hits:.0f} / "
+                  f"DP {dp_runs:.0f}]", file=sys.stderr)
     return True
 
 

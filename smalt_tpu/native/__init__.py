@@ -292,7 +292,11 @@ def fl_prof_report(reset: bool = True):
     vals = list(buf)[: len(FL_PROF_STAGES)]
     if not any(vals):
         return {}
-    return dict(zip(FL_PROF_STAGES, vals))
+    out = dict(zip(FL_PROF_STAGES, vals))
+    # slots 4/5: pass-2 gapless-shortcut fire / full-DP counters
+    out["_shortcut_hits"] = buf[4]
+    out["_dp_runs"] = buf[5]
+    return out
 
 
 class GrowBuf:

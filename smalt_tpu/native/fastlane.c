@@ -216,6 +216,7 @@ int sw_band_fast(const int32_t *W, int qlen_prof, const uint8_t *subj,
 #define DIFFCOD_D 1
 #define DIFFCOD_I 2
 #define DIFFCOD_S 3
+#define MAXMISMATCH 61      /* diffstr.c record count cap (mapcore.c) */
 
 #define RES_MAX 4096
 #define DIFFPOOL_CAP (1 << 20)
@@ -1372,6 +1373,12 @@ typedef struct {
     int64_t back_cap;
     int64_t *ares;
     int64_t ares_cap;
+    /* pass-2 gapless-shortcut data (fl_perfect_prep): per-strand
+     * perfect self-scores + the code sequences an exact occurrence
+     * must equal.  pf_ok gates the shortcut for the CURRENT read. */
+    uint8_t *pf_af, *pf_ar;
+    int64_t pf_score_f, pf_score_r;
+    int pf_ok;
     FLResultSet *rs;
     FLRepRec rep[REP_MAX];
 } FLScratch;
@@ -1428,6 +1435,8 @@ static int fl_scratch_init(FLScratch *s, int64_t qmax)
     s->back = fl_alloc(s->back_cap);
     s->ares_cap = 4096;
     s->ares = fl_alloc(s->ares_cap * 7 * 8);
+    s->pf_af = fl_alloc(qmax);
+    s->pf_ar = fl_alloc(qmax);
     s->rs = fl_alloc(sizeof(FLResultSet));
     if (!s->Wf || !s->Wr || !s->qmaskF || !s->qmaskR || !s->qbuf || !s->qm ||
         !s->maskbuf || !s->qoffsF || !s->nhitsF || !s->slotF || !s->qoffsR ||
@@ -1436,7 +1445,7 @@ static int fl_scratch_init(FLScratch *s, int64_t qmax)
         !s->seg_nseed || !s->seg_cover || !s->hreg_idx || !s->hreg_num ||
         !s->rows10 || !s->out11 || !s->score_out || !s->stat_keys ||
         !s->stat_idxs || !s->enc || !s->Hbuf || !s->Ebuf || !s->dirm || !s->back ||
-        !s->ares || !s->rs)
+        !s->ares || !s->pf_af || !s->pf_ar || !s->rs)
         return FL_ERR_CAP;
     return 0;
 }
@@ -1454,7 +1463,7 @@ static void fl_scratch_free(FLScratch *s)
     free(s->rows10); free(s->out11); free(s->score_out);
     free(s->stat_keys); free(s->stat_idxs);
     free(s->enc); free(s->Hbuf); free(s->Ebuf); free(s->dirm); free(s->back);
-    free(s->ares); free(s->rs);
+    free(s->ares); free(s->pf_af); free(s->pf_ar); free(s->rs);
 }
 
 static int fl_grow(void **buf, int64_t *cap, int64_t need, int64_t elem)
@@ -1486,6 +1495,43 @@ static void fl_profiles(const FLParams *P, const uint8_t *codes, int64_t qlen,
             Wr[(int64_t)a * qlen + j] = P->matrix[a * 8 + ar];
         }
     }
+}
+
+/* Pass-2 gapless-shortcut precompute: the read's per-strand perfect
+ * self-score (sum of diagonal matrix entries) and the code sequence an
+ * exact subject occurrence must equal.  Eligible only when every
+ * base's diagonal score is the STRICT maximum of its matrix column and
+ * positive (then pass-1 score == perfect  <=>  one exact full-length
+ * gapless occurrence — any mismatch, gap or clip is strictly worse),
+ * all read bases are plain ACGT, and -w complexity weighting is off
+ * (it rescales traceback scores).  pf_ok gates per read. */
+static void fl_perfect_prep(const FLParams *P, FLScratch *s,
+                            const uint8_t *codes, int64_t qlen)
+{
+    int c, a;
+    int64_t j, sf = 0, sr = 0;
+    s->pf_ok = 0;
+    if (P->use_cplx)
+        return;
+    for (c = 0; c < 4; c++) {
+        int32_t d = P->matrix[c * 8 + c];
+        if (d <= 0) return;
+        for (a = 0; a < 8; a++)
+            if (a != c && P->matrix[a * 8 + c] >= d) return;
+    }
+    for (j = 0; j < qlen; j++) {
+        uint8_t al = (uint8_t)(codes[j] & 7);
+        uint8_t cr = codes[qlen - 1 - j];
+        uint8_t ar = (uint8_t)((cr & 4) ? (cr & 7) : ((~cr) & 3));
+        if (al > 3 || ar > 3) return;
+        sf += P->matrix[al * 8 + al];
+        sr += P->matrix[ar * 8 + ar];
+        s->pf_af[j] = al;
+        s->pf_ar[j] = ar;
+    }
+    s->pf_score_f = sf;
+    s->pf_score_r = sr;
+    s->pf_ok = 1;
 }
 
 /* Everything through depth selection: hit info, candidate collection,
@@ -1762,6 +1808,77 @@ static int fl_read_finish(const FLParams *P, FLScratch *s,
                 minscorlen = min_swatscor / matchscor;
             if (minscorlen < ALILEN_MIN) return FL_ERR_ASSERT;
 
+            /* pass-2 gapless shortcut (fl_perfect_prep): a pass-1
+             * score equal to the read's strict-diagonal perfect
+             * self-score can only be ONE exact full-length gapless
+             * occurrence, so the banded DP + traceback is replaced by
+             * a code scan over the band's diagonals.  Fires only when
+             * the recursion provably emits exactly one result: a
+             * single in-band occurrence whose flanks are too short for
+             * the recursion's sub-interval pushes (mc_align_recursive
+             * pushes left iff sl + minscorlen < ss, right iff
+             * sr > se + minscorlen) and minscorlen <= qlen (else the
+             * DP's own result is dropped).  Any doubt falls through to
+             * the full DP, so the shortcut cannot change output. */
+            nali = -1;
+            if (s->pf_ok && cqs <= 0 && (cqe < 0 || cqe >= qlen - 1) &&
+                swscor == (is_rev ? s->pf_score_r : s->pf_score_f) &&
+                minscorlen <= qlen &&
+                (qlen / 62 + 2) <= DIFFPOOL_CAP - rs->diff_used) {
+                int64_t bl2, br2, bsl2, bslen2, bql2, bqlen2, bw2;
+                if (mc_ali_band_make(band_l, band_r, cqs, cqe, qlen,
+                                     0, slen - 1, slen,
+                                     &bl2, &br2, &bsl2, &bslen2,
+                                     &bql2, &bqlen2, &bw2) == 0 &&
+                    bql2 == 0 && bqlen2 == qlen) {
+                    /* an occurrence at window offset o runs along band
+                     * diagonal d = bsl2 - o (subject row i = o + j,
+                     * query col j, d = j - (i - bsl2)); in-band means
+                     * bl2 <= d <= br2 and rows o..o+qlen-1 inside
+                     * [bsl2, bslen2) */
+                    const uint8_t *am = is_rev ? s->pf_ar : s->pf_af;
+                    int64_t o_lo = bsl2 - br2, o_hi = bsl2 - bl2;
+                    int64_t o2, found = -1;
+                    int multi = 0;
+                    if (o_lo < bsl2) o_lo = bsl2;
+                    if (o_hi > bslen2 - qlen) o_hi = bslen2 - qlen;
+                    for (o2 = o_lo; o2 <= o_hi; o2++) {
+                        const uint8_t *sp2 = subj + o2;
+                        int64_t j2 = 0;
+                        while (j2 < qlen &&
+                               (uint8_t)(sp2[j2] & 7) == am[j2])
+                            j2++;
+                        if (j2 == qlen) {
+                            if (found >= 0) { multi = 1; break; }
+                            found = o2;
+                        }
+                    }
+                    if (!multi && found >= 0 &&
+                        slen - 1 <= found + qlen - 1 + minscorlen &&
+                        minscorlen >= found) {
+                        int64_t r3 = qlen, dn = 0;
+                        uint8_t *dp2 = rs->diffpool + rs->diff_used;
+                        while (r3 > MAXMISMATCH) {
+                            dp2[dn++] = (uint8_t)((DIFFCOD_M << 6) |
+                                                  MAXMISMATCH);
+                            r3 -= MAXMISMATCH + 1;
+                        }
+                        dp2[dn++] = (uint8_t)((DIFFCOD_S << 6) | r3);
+                        dp2[dn++] = (uint8_t)(DIFFCOD_M << 6);
+                        s->ares[0] = swscor;
+                        s->ares[1] = 0;
+                        s->ares[2] = qlen - 1;
+                        s->ares[3] = found;
+                        s->ares[4] = found + qlen - 1;
+                        s->ares[5] = 0;
+                        s->ares[6] = dn;
+                        nali = 1;
+                        if (fl_prof()) fl_prof_acc[4] += 1.0;
+                    }
+                }
+            }
+            if (nali < 0 && fl_prof()) fl_prof_acc[5] += 1.0;
+            if (nali < 0) {
             ndir_need = (qlen + slen + 2) * (slen + 1);
             if (fl_grow((void **)&s->dirm, &s->dirm_cap, ndir_need, 1) != 0)
                 return FL_ERR_CAP;
@@ -1785,6 +1902,7 @@ static int fl_read_finish(const FLParams *P, FLScratch *s,
                 s->ares, res_need,
                 P->use_cplx, P->lam);
             if (nali < 0) return (int)nali;   /* -1 cap / -2 checksum */
+            }   /* nali < 0: gapless shortcut did not fire */
             {
                 /* ares diff offsets are relative to the pool tail */
                 int64_t a, base = rs->diff_used, used_max = 0;
@@ -1856,8 +1974,10 @@ static int fl_map_pass(const FLParams *P, FLScratch *s,
     s->rs->n_hits_used = st.hits_used;
     s->rs->n_hits_tot = st.hits_tot;
 
-    if (do_profiles)
+    if (do_profiles) {
         fl_profiles(P, codes, qlen, s->Wf, s->Wr);
+        fl_perfect_prep(P, s, codes, qlen);
+    }
 
     /* pass 1 (engine.py:500-501 -> mc_score_cands) */
     rc = (int)mc_score_cands(s->out11, s->stat_idxs, st.n_sort,
@@ -2391,6 +2511,7 @@ int64_t fl_pass2_block(
             s.rs->n_hits_used = hdr[5];
             s.rs->n_hits_tot = hdr[6];
             fl_profiles(&P, codes, qlen, s.Wf, s.Wr);
+            fl_perfect_prep(&P, &s, codes, qlen);
 
             /* scoreRMAPCAND replay (mapcore.c mc_score_cands with the
              * full-matrix kernel's scores precomputed on the device) */
@@ -3613,6 +3734,7 @@ static int fl_pair_map_single(const FLParams *Pbase, FLScratch *s,
     s->rs->n_hits_used = st.hits_used;
     s->rs->n_hits_tot = st.hits_tot;
     fl_profiles(&P, codes, qlen, s->Wf, s->Wr);
+    fl_perfect_prep(&P, s, codes, qlen);
     rc = (int)mc_score_cands(s->out11, s->stat_idxs, st.n_sort,
                              P.wordlen, P.nskip,
                              P.refcodes, P.offsets, P.nseq, qlen,
@@ -4646,6 +4768,7 @@ int64_t fl_single_rs(
             s.rs->n_hits_used = st.hits_used;
             s.rs->n_hits_tot = st.hits_tot;
             fl_profiles(&P, codes, qlen, s.Wf, s.Wr);
+            fl_perfect_prep(&P, &s, codes, qlen);
             rc = (int)mc_score_cands(s.out11, s.stat_idxs, st.n_sort,
                                      P.wordlen, P.nskip,
                                      P.refcodes, P.offsets, P.nseq, qlen,

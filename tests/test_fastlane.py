@@ -153,3 +153,56 @@ def test_device_pass1_matches_host(fixture_dir, tmp_path):
     got_py = _run_map(tmp_path, ["map", "-f", "sam", "-r", "1", pref, fq],
                       no_lane=True)
     assert got_dev == got_py
+
+
+def test_gapless_shortcut_stress(tmp_path):
+    """Pass-2 gapless shortcut (fl_read_finish): perfect-copy reads in
+    adversarial placements — tandem duplications (two exact occurrences
+    in one window: must fall through to the DP), occurrences mid-array,
+    reads with N, and plain unique perfects — stay byte-identical to
+    the no-fastlane oracle."""
+    rng = np.random.default_rng(99)
+    g = "".join("ACGT"[int(x)] for x in rng.integers(0, 4, 40_000))
+    unit = g[1000:1100]
+    # tandem pair 60 apart (both copies inside one candidate window)
+    g = g[:5000] + unit + g[5000:5060] + unit + g[5060:]
+    # triple array of an 80-mer
+    u2 = g[9000:9080]
+    g = g[:12000] + u2 + u2 + u2 + g[12000:]
+    fa = str(tmp_path / "g.fa")
+    with open(fa, "w") as f:
+        f.write(">tg\n")
+        for i in range(0, len(g), 60):
+            f.write(g[i : i + 60] + "\n")
+    comp = str.maketrans("ACGT", "TGCA")
+    reads = [("dup", unit), ("dup_rc", unit.translate(comp)[::-1]),
+             ("arr", u2), ("arr2", (u2 + u2)[:100]),
+             ("uniq", g[20000:20100]),
+             ("uniq_rc", g[25000:25100].translate(comp)[::-1]),
+             ("withN", g[30000:30050] + "N" + g[30051:30100]),
+             ("edge", g[60:160]), ("tail", g[-160:-60])]
+    for i in range(40):   # random perfect + 1-mismatch reads
+        st = int(rng.integers(0, len(g) - 120))
+        s = g[st : st + 100]
+        if i % 3 == 1:
+            p = int(rng.integers(0, 100))
+            s = s[:p] + "ACGT"[int(rng.integers(0, 4))] + s[p + 1:]
+        if i % 2:
+            s = s.translate(comp)[::-1]
+        reads.append((f"r{i}", s))
+    fq = str(tmp_path / "r.fq")
+    with open(fq, "w") as f:
+        for nm, s in reads:
+            f.write(f"@{nm}\n{s}\n+\n{'I' * len(s)}\n")
+    pref = str(tmp_path / "idx")
+    r = subprocess.run([sys.executable, "-c",
+                        "import sys; sys.path.insert(0, %r); "
+                        "from smalt_tpu.cli import main; "
+                        "sys.exit(main(['index', '-k', '11', '-s', '2', "
+                        "%r, %r]))" % (REPO, pref, fa)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    args = ["map", "-f", "sam", "-r", "1", pref, fq]
+    got_fl = _run_map(tmp_path, args, no_lane=False)
+    got_py = _run_map(tmp_path, args, no_lane=True)
+    assert got_fl == got_py
