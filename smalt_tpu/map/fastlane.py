@@ -201,10 +201,6 @@ class PairLane:
                              fix_primary)
         if lane is None or ihist is not None:
             return None
-        if lane.out_fmt != 0:
-            # fl_map_pair_block renders SAM only: paired cigar/ssaha
-            # runs fall back to the Python ReportWriter
-            return None
         if not hasattr(lane.lib, "fl_map_pair_block"):
             return None
         p = engine.params
@@ -229,7 +225,11 @@ class PairLane:
                 has_qual[i] = 1
             else:
                 qual_parts.append(b"\x00" * ql)
-            nm = rd.sam_name.encode()
+            if self.lane.out_fmt == 0:
+                nm = rd.sam_name.encode()           # SAM: /1 /2 stripped
+            else:
+                # cigar/ssaha qname keeps /1 /2 (report.py _qname)
+                nm = (rd.name.split()[0] if rd.name else "").encode()
             name_parts.append(nm)
             offs[i + 1] = offs[i] + ql
             name_offs[i + 1] = name_offs[i] + len(nm)
@@ -280,6 +280,7 @@ class PairLane:
                 filt.min_swscor, filt.min_swscor_below_max,
                 filt.min_identity,
                 1 if lane.soft_clip else 0, 1 if lane.x_mismatch else 0,
+                lane.out_fmt,
                 self.insert_min, self.insert_max, self.pairtyp,
                 0,                          # names pre-stripped
                 n, cA.ctypes.data, oA.ctypes.data,

@@ -197,6 +197,7 @@ def _declare_fastlane(lib):
         i64, i64, dbl, i64, i64, ci,        # params 1
         i64, i64, ci, ci,                   # params 2
         i64, i64, dbl, ci, ci,              # filter + sam opts
+        ci,                                 # out_fmt (0 sam, 1 cigar, 2 ssaha)
         i64, i64, ci, ci,                   # pair params + names_raw
         i64, vp, vp, vp, vp, vp, vp,        # reads A
         vp, vp, vp, vp, vp, vp,             # reads B
@@ -287,15 +288,16 @@ def fl_prof_report(reset: bool = True):
     lib = _load()
     if lib is None or not hasattr(lib, "fl_prof_fetch"):
         return {}
-    buf = (ctypes.c_double * 6)()
-    lib.fl_prof_fetch(buf, 1 if reset else 0)
+    buf = (ctypes.c_double * 8)()
+    if lib.fl_prof_fetch(buf, 1 if reset else 0) < 8:
+        return {}
     vals = list(buf)[: len(FL_PROF_STAGES)]
     if not any(vals):
         return {}
     out = dict(zip(FL_PROF_STAGES, vals))
-    # slots 4/5: pass-2 gapless-shortcut fire / full-DP counters
-    out["_shortcut_hits"] = buf[4]
-    out["_dp_runs"] = buf[5]
+    # slots 6/7: pass-2 gapless-shortcut fire / full-DP counters
+    out["_shortcut_hits"] = buf[6]
+    out["_dp_runs"] = buf[7]
     return out
 
 

@@ -30,8 +30,10 @@
 /* Env-gated stage profiler (SMALT_FL_TIMING): seconds accumulated per
  * stage across calls, fetched (and optionally reset) from Python via
  * fl_prof_fetch.  Stages: 0 seed/collate, 1 pass-1 candidate scoring,
- * 2 pass-2 align+mapq+filter, 3 report+SAM render, 4 spare, 5 spare. */
-#define FL_PROF_N 6
+ * 2 pass-2 align+mapq+filter, 3 report+SAM render, 4/5 reused by the
+ * pair block (timing) and the fast tail (retry counters), 6 pass-2
+ * gapless-shortcut fires, 7 pass-2 full-DP runs. */
+#define FL_PROF_N 8
 static int fl_prof_on = -1;
 static double fl_prof_acc[FL_PROF_N];
 
@@ -1049,31 +1051,49 @@ static int64_t fl_cigar_name_len(const char *name, int64_t n)
     return i;
 }
 
-/* getMapLabelFromFlag (report.c:215-246), single-end pairflg = 0 */
-static char fl_map_label(int mateflg)
+/* getMapLabelFromFlag (report.c:215-246); REPPAIR_* flags defined at
+ * the pair section below (0x01 MAPPED, 0x02 CONTIG, 0x04 PROPER,
+ * 0x08 WITHIN — report.py REPPAIR).  Single-end callers pass 0. */
+static char fl_map_label2(int mateflg, int pairflg)
 {
-    if (mateflg & REPFLG_MAPPED)
-        return (mateflg & REPFLG_PARTIAL) ? 'P' : 'S';
+    if (mateflg & REPFLG_MAPPED) {
+        if (mateflg & REPFLG_PARTIAL)
+            return 'P';
+        if (pairflg & 0x01) {               /* REPPAIR_MAPPED */
+            if (pairflg & 0x02) {           /* REPPAIR_CONTIG */
+                if (pairflg & 0x04)         /* REPPAIR_PROPER */
+                    return (pairflg & 0x08) ? 'A' : 'B';  /* WITHIN */
+                return 'C';
+            }
+            return 'D';
+        }
+        return 'S';
+    }
     if (mateflg & REPFLG_MULTI)
         return 'R';
     return 'N';
 }
 
-/* fprintREPALIcigar (report.c:712-760 via report.py:380-408) */
-static int tx_cigar_line(FLText *t,
-                         const char *name, int64_t name_len,
-                         const uint8_t *diffpool, const FLRes *rp,
-                         int mateflg, int64_t mapscor,
-                         const char *const *seq_names,
-                         const int64_t *seq_name_lens)
+/* fprintREPALIcigar (report.c:712-760 via report.py:380-408);
+ * field-level core shared by the single-end (FLRes) and paired
+ * (FLRepAli) callers */
+static int tx_cigar_fields(FLText *t,
+                           const char *name, int64_t name_len,
+                           int mateflg, int pairflg, int64_t mapscor,
+                           int64_t q_start, int64_t q_end,
+                           int64_t s_start, int64_t s_end,
+                           int64_t swat, int64_t sidx,
+                           const uint8_t *diff, int diff_len,
+                           const char *const *seq_names,
+                           const int64_t *seq_name_lens)
 {
-    int mapped = rp != NULL && (mateflg & REPFLG_MAPPED);
+    int mapped = (mateflg & REPFLG_MAPPED) && diff != NULL;
     int64_t qs = 0, qe = 0, rs = 0, re_ = 0, swatscor = 0, ms;
     char dirc = '*';
     ms = mapped ? mapscor : 0;
     if (ms > 99) ms = 99;
     tx_puts(t, "cigar:");
-    tx_putc(t, fl_map_label(mateflg));
+    tx_putc(t, fl_map_label2(mateflg, pairflg));
     tx_putc(t, ':');
     tx_putc(t, (char)('0' + ms / 10));
     tx_putc(t, (char)('0' + ms % 10));
@@ -1083,12 +1103,12 @@ static int tx_cigar_line(FLText *t,
     tx_putc(t, ' ');
     if (mapped) {
         if (mateflg & REPFLG_REVERSE) {
-            qs = rp->q_end; qe = rp->q_start; dirc = '-';
+            qs = q_end; qe = q_start; dirc = '-';
         } else {
-            qs = rp->q_start; qe = rp->q_end; dirc = '+';
+            qs = q_start; qe = q_end; dirc = '+';
         }
-        rs = rp->s_start; re_ = rp->s_end;
-        swatscor = rp->swatscor;
+        rs = s_start; re_ = s_end;
+        swatscor = swat;
     }
     tx_puti(t, qs);
     tx_putc(t, ' ');
@@ -1096,7 +1116,7 @@ static int tx_cigar_line(FLText *t,
     tx_putc(t, ' ');
     tx_putc(t, dirc);
     tx_putc(t, ' ');
-    if (mapped) tx_putn(t, seq_names[rp->sidx], seq_name_lens[rp->sidx]);
+    if (mapped) tx_putn(t, seq_names[sidx], seq_name_lens[sidx]);
     else tx_putc(t, '*');
     tx_putc(t, ' ');
     tx_puti(t, rs);
@@ -1106,13 +1126,31 @@ static int tx_cigar_line(FLText *t,
     tx_puti(t, swatscor);
     tx_putc(t, ' ');
     if (mapped) {
-        int rc = tx_cigar_plain(t, diffpool + rp->diff_off, rp->diff_len);
+        int rc = tx_cigar_plain(t, diff, diff_len);
         if (rc != 0) return rc;
     } else {
         tx_putc(t, '*');
     }
     tx_putc(t, '\n');
     return 0;
+}
+
+static int tx_cigar_line(FLText *t,
+                         const char *name, int64_t name_len,
+                         const uint8_t *diffpool, const FLRes *rp,
+                         int mateflg, int64_t mapscor,
+                         const char *const *seq_names,
+                         const int64_t *seq_name_lens)
+{
+    if (rp == NULL)
+        return tx_cigar_fields(t, name, name_len, mateflg, 0, mapscor,
+                               0, 0, 0, 0, 0, 0, NULL, 0,
+                               seq_names, seq_name_lens);
+    return tx_cigar_fields(t, name, name_len, mateflg, 0, mapscor,
+                           rp->q_start, rp->q_end, rp->s_start,
+                           rp->s_end, rp->swatscor, rp->sidx,
+                           diffpool + rp->diff_off, rp->diff_len,
+                           seq_names, seq_name_lens);
 }
 
 /* width-padded decimal (Python "{v:Nd}" / "{v:<Nd}") */
@@ -1133,16 +1171,20 @@ static void tx_puti_pad(FLText *t, int64_t v, int width, int left)
 }
 
 /* fprintREPALIssaha (report.c:579-648 via report.py:410-447);
- * alilen/matchnum via fl_ali_len above */
-static int tx_ssaha_line(FLText *t,
-                         const char *name, int64_t name_len,
-                         const uint8_t *diffpool, const FLRes *rp,
-                         int mateflg, int64_t mapscor,
-                         const char *const *seq_names,
-                         const int64_t *seq_name_lens,
-                         const int64_t *offsets, int64_t qlen)
+ * alilen/matchnum via fl_ali_len above; field-level core shared by
+ * the single-end (FLRes) and paired (FLRepAli) callers */
+static int tx_ssaha_fields(FLText *t,
+                           const char *name, int64_t name_len,
+                           int mateflg, int pairflg, int64_t mapscor,
+                           int64_t q_start, int64_t q_end,
+                           int64_t s_start, int64_t s_end,
+                           int64_t swat, int64_t sidx,
+                           const uint8_t *diff, int diff_len,
+                           const char *const *seq_names,
+                           const int64_t *seq_name_lens,
+                           const int64_t *offsets, int64_t qlen)
 {
-    int mapped = rp != NULL && (mateflg & REPFLG_MAPPED);
+    int mapped = (mateflg & REPFLG_MAPPED) && diff != NULL;
     int64_t qs = 0, qe = 0, rs = 0, re_ = 0, swatscor = 0, ms;
     int64_t matchlen = 0, alilen = 0, s_len = 0;
     double idfrac = 0.0;
@@ -1153,20 +1195,19 @@ static int tx_ssaha_line(FLText *t,
     if (ms > 99) ms = 99;
     if (mapped) {
         if (mateflg & REPFLG_REVERSE) {
-            qs = rp->q_end; qe = rp->q_start; sensechr = 'C';
+            qs = q_end; qe = q_start; sensechr = 'C';
         } else {
-            qs = rp->q_start; qe = rp->q_end; sensechr = 'F';
+            qs = q_start; qe = q_end; sensechr = 'F';
         }
-        rs = rp->s_start; re_ = rp->s_end;
-        swatscor = rp->swatscor;
-        s_len = offsets[rp->sidx + 1] - offsets[rp->sidx];
-        fl_ali_len(diffpool + rp->diff_off, rp->diff_len,
-                   &alilen, &matchlen);
+        rs = s_start; re_ = s_end;
+        swatscor = swat;
+        s_len = offsets[sidx + 1] - offsets[sidx];
+        fl_ali_len(diff, diff_len, &alilen, &matchlen);
         if (alilen > 0)
             idfrac = 100.0 * (double)matchlen / (double)alilen;
     }
     tx_puts(t, "alignment:");
-    tx_putc(t, fl_map_label(mateflg));
+    tx_putc(t, fl_map_label2(mateflg, pairflg));
     tx_putc(t, ':');
     tx_putc(t, (char)('0' + ms / 10));
     tx_putc(t, (char)('0' + ms % 10));
@@ -1176,7 +1217,7 @@ static int tx_ssaha_line(FLText *t,
     if (name_len > 0) tx_putn(t, name, name_len);
     else tx_putc(t, '*');
     tx_putc(t, ' ');
-    if (mapped) tx_putn(t, seq_names[rp->sidx], seq_name_lens[rp->sidx]);
+    if (mapped) tx_putn(t, seq_names[sidx], seq_name_lens[sidx]);
     else tx_putc(t, '*');
     tx_putc(t, ' ');
     tx_puti_pad(t, qs, 8, 0);
@@ -1199,6 +1240,25 @@ static int tx_ssaha_line(FLText *t,
     tx_puti(t, s_len);
     tx_putc(t, '\n');
     return 0;
+}
+
+static int tx_ssaha_line(FLText *t,
+                         const char *name, int64_t name_len,
+                         const uint8_t *diffpool, const FLRes *rp,
+                         int mateflg, int64_t mapscor,
+                         const char *const *seq_names,
+                         const int64_t *seq_name_lens,
+                         const int64_t *offsets, int64_t qlen)
+{
+    if (rp == NULL)
+        return tx_ssaha_fields(t, name, name_len, mateflg, 0, mapscor,
+                               0, 0, 0, 0, 0, 0, NULL, 0,
+                               seq_names, seq_name_lens, offsets, qlen);
+    return tx_ssaha_fields(t, name, name_len, mateflg, 0, mapscor,
+                           rp->q_start, rp->q_end, rp->s_start,
+                           rp->s_end, rp->swatscor, rp->sidx,
+                           diffpool + rp->diff_off, rp->diff_len,
+                           seq_names, seq_name_lens, offsets, qlen);
 }
 
 /* ---------------- the per-block report stage ---------------- */
@@ -1873,11 +1933,11 @@ static int fl_read_finish(const FLParams *P, FLScratch *s,
                         s->ares[5] = 0;
                         s->ares[6] = dn;
                         nali = 1;
-                        if (fl_prof()) fl_prof_acc[4] += 1.0;
+                        if (fl_prof()) fl_prof_acc[6] += 1.0;
                     }
                 }
             }
-            if (nali < 0 && fl_prof()) fl_prof_acc[5] += 1.0;
+            if (nali < 0 && fl_prof()) fl_prof_acc[7] += 1.0;
             if (nali < 0) {
             ndir_need = (qlen + slen + 2) * (slen + 1);
             if (fl_grow((void **)&s->dirm, &s->dirm_cap, ndir_need, 1) != 0)
@@ -3571,6 +3631,33 @@ static int tx_sam_line_paired(FLText *t,
     return 0;
 }
 
+/* one paired record in cigar (out_fmt 1) or ssaha (2) form —
+ * ReportWriter._write_one's non-SAM arms: per-record CONTIG bit, then
+ * the shared field-level emitters */
+static int flrep_line_alt(FLText *t, int out_fmt,
+                          const char *name, int64_t nlen, int64_t qlen,
+                          const FLRepAli *ap, const FLRepAli *mp,
+                          int pairflg,
+                          const char *const *seq_names,
+                          const int64_t *seq_name_lens,
+                          const int64_t *offsets)
+{
+    if ((ap->status & REPFLG_MAPPED) && mp != NULL &&
+        ap->s_idx == mp->s_idx)
+        pairflg |= 0x02;                       /* REPPAIR_CONTIG */
+    if (out_fmt == 2)
+        return tx_ssaha_fields(t, name, nlen, ap->status, pairflg,
+                               ap->mapscor, ap->q_start, ap->q_end,
+                               ap->s_start, ap->s_end, ap->swatscor,
+                               ap->s_idx, ap->diff, ap->diff_len,
+                               seq_names, seq_name_lens, offsets, qlen);
+    return tx_cigar_fields(t, name, nlen, ap->status, pairflg,
+                           ap->mapscor, ap->q_start, ap->q_end,
+                           ap->s_start, ap->s_end, ap->swatscor,
+                           ap->s_idx, ap->diff, ap->diff_len,
+                           seq_names, seq_name_lens);
+}
+
 /* ReportWriter.write for a pair (report.py:236-254) */
 static int flrep_write(FLText *t, FLReport *rep,
                        const char *nameA, int64_t nlenA,
@@ -3581,7 +3668,8 @@ static int flrep_write(FLText *t, FLReport *rep,
                        int64_t qlenB,
                        const char *const *seq_names,
                        const int64_t *seq_name_lens,
-                       int soft_clip, int x_mismatch)
+                       int soft_clip, int x_mismatch,
+                       int out_fmt, const int64_t *offsets)
 {
     int i, rc, pairflg0 = rep->n_pairs ? rep->pairs[0].pairflg : 0;
     for (i = 0; i < rep->nA; i++) rep->arA[i].was_output = 0;
@@ -3593,6 +3681,17 @@ static int flrep_write(FLText *t, FLReport *rep,
         if (pp->iA < 0 || pp->iB < 0) return FL_ERR_ASSERT;
         ap->was_output = 1;
         bp->was_output = 1;
+        if (out_fmt != 0) {
+            rc = flrep_line_alt(t, out_fmt, nameA, nlenA, qlenA, ap, bp,
+                                pp->pairflg, seq_names, seq_name_lens,
+                                offsets);
+            if (rc != 0) return rc;
+            rc = flrep_line_alt(t, out_fmt, nameB, nlenB, qlenB, bp, ap,
+                                pp->pairflg, seq_names, seq_name_lens,
+                                offsets);
+            if (rc != 0) return rc;
+            continue;
+        }
         rc = tx_sam_line_paired(t, nameA, nlenA, codesA, qualA, qlenA,
                                 ap, bp, pp->isize, pp->pairflg,
                                 seq_names, seq_name_lens,
@@ -3606,19 +3705,31 @@ static int flrep_write(FLText *t, FLReport *rep,
     }
     for (i = 0; i < rep->nA; i++) {
         if (!rep->arA[i].was_output) {
-            rc = tx_sam_line_paired(t, nameA, nlenA, codesA, qualA, qlenA,
-                                    &rep->arA[i], NULL, 0, pairflg0,
-                                    seq_names, seq_name_lens,
-                                    soft_clip, x_mismatch);
+            if (out_fmt != 0)
+                rc = flrep_line_alt(t, out_fmt, nameA, nlenA, qlenA,
+                                    &rep->arA[i], NULL, pairflg0,
+                                    seq_names, seq_name_lens, offsets);
+            else
+                rc = tx_sam_line_paired(t, nameA, nlenA, codesA, qualA,
+                                        qlenA, &rep->arA[i], NULL, 0,
+                                        pairflg0, seq_names,
+                                        seq_name_lens,
+                                        soft_clip, x_mismatch);
             if (rc != 0) return rc;
         }
     }
     for (i = 0; i < rep->nB; i++) {
         if (!rep->arB[i].was_output) {
-            rc = tx_sam_line_paired(t, nameB, nlenB, codesB, qualB, qlenB,
-                                    &rep->arB[i], NULL, 0, pairflg0,
-                                    seq_names, seq_name_lens,
-                                    soft_clip, x_mismatch);
+            if (out_fmt != 0)
+                rc = flrep_line_alt(t, out_fmt, nameB, nlenB, qlenB,
+                                    &rep->arB[i], NULL, pairflg0,
+                                    seq_names, seq_name_lens, offsets);
+            else
+                rc = tx_sam_line_paired(t, nameB, nlenB, codesB, qualB,
+                                        qlenB, &rep->arB[i], NULL, 0,
+                                        pairflg0, seq_names,
+                                        seq_name_lens,
+                                        soft_clip, x_mismatch);
             if (rc != 0) return rc;
         }
     }
@@ -3920,6 +4031,8 @@ int64_t fl_map_pair_block(
     int rmapflg, int rsltouflg,
     int64_t filter_minscor, int64_t filter_belowmax, double filter_minid,
     int soft_clip, int x_mismatch,
+    /* out_fmt: 0 SAM, 1 plain cigar, 2 ssaha (report.c:712/579) */
+    int out_fmt,
     /* pair params */
     int64_t insert_min, int64_t insert_max, int pairtyp,
     /* reads: A mates then B mates, mangled codes; names_raw: cut
@@ -4210,8 +4323,15 @@ report:
         int64_t nlA = name_offsA[i + 1] - name_offsA[i];
         int64_t nlB = name_offsB[i + 1] - name_offsB[i];
         if (names_raw) {
-            nlA = fl_sam_name_len(namesA + name_offsA[i], nlA);
-            nlB = fl_sam_name_len(namesB + name_offsB[i], nlB);
+            /* SAM strips a trailing /1 /2; cigar/ssaha keep it
+             * (copyReadNamStrToREPSTR is_stripped, report.py _qname) */
+            if (out_fmt != 0) {
+                nlA = fl_cigar_name_len(namesA + name_offsA[i], nlA);
+                nlB = fl_cigar_name_len(namesB + name_offsB[i], nlB);
+            } else {
+                nlA = fl_sam_name_len(namesA + name_offsA[i], nlA);
+                nlB = fl_sam_name_len(namesB + name_offsB[i], nlB);
+            }
         }
         rc = flrep_write(&t, &rep,
                          namesA + name_offsA[i], nlA,
@@ -4219,7 +4339,8 @@ report:
                          namesB + name_offsB[i], nlB,
                          cB, qB, qlB,
                          seq_name_ptr, seq_name_len,
-                         soft_clip, x_mismatch);
+                         soft_clip, x_mismatch,
+                         out_fmt, offsets);
         }
         if (prof) fl_prof_acc[5] += fl_prof_now() - t0;
         }

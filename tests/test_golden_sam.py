@@ -121,9 +121,9 @@ def test_cigar_output_format(index_prefix, data_dir, tmp_path):
 
 
 def test_cigar_output_format_paired(index_prefix, data_dir, tmp_path):
-    """Regression: the paired C lane renders SAM only — a paired -f
-    cigar run must fall back to the cigar writer, not emit SAM lines
-    (bug found when ssaha joined the single-end C lane)."""
+    """Regression: a paired -f cigar run must emit cigar lines, not
+    SAM (bug found when ssaha joined the single-end C lane; the paired
+    C lane now renders cigar/ssaha natively via flrep_write)."""
     out = str(tmp_path / "out.cig")
     assert main(["map", "-f", "cigar", "-r", "1", "-o", out, index_prefix,
                  os.path.join(data_dir, "reads_pe_1.fq"),

@@ -133,3 +133,30 @@ def test_pair_lane_cplx_byte_identical(pe_workload):
     c_text = _run_w(refset, idx, fq1, fq2, no_lane=False)
     py_text = _run_w(refset, idx, fq1, fq2, no_lane=True)
     assert c_text == py_text
+
+
+@pytest.mark.parametrize("fmt", ["cigar", "ssaha"])
+def test_pair_lane_alt_formats_byte_identical(pe_workload, fmt):
+    """Paired -f cigar / -f ssaha through the C pair lane (flrep_write
+    out_fmt dispatch, /1 /2 kept in qnames, per-record CONTIG labels)
+    must equal the Python ReportWriter byte-for-byte."""
+    refset, idx, fq1, fq2 = pe_workload
+
+    def run(no_lane):
+        if no_lane:
+            os.environ["SMALT_TPU_NO_FASTLANE"] = "1"
+        try:
+            rand.ranseed(1)
+            eng = MapEngine(refset, idx, MapParams())
+            sink = io.StringIO()
+            run_pipeline(eng, PairedReader(fq1, fq2), sink, refset,
+                         fmt=fmt)
+            return sink.getvalue()
+        finally:
+            os.environ.pop("SMALT_TPU_NO_FASTLANE", None)
+
+    c_text = run(False)
+    py_text = run(True)
+    assert c_text == py_text
+    tag = "cigar:" if fmt == "cigar" else "alignment:"
+    assert c_text.startswith(tag)
