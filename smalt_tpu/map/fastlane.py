@@ -32,7 +32,7 @@ class FastLane:
         self.engine = engine
         self.soft_clip = soft_clip
         self.x_mismatch = x_mismatch
-        self.out_fmt = out_fmt           # 0 = SAM, 1 = cigar, 2 = ssaha
+        self.out_fmt = out_fmt       # 0 SAM, 1 cigar, 2 ssaha, 3 gff
         # pinned argument buffers
         self._matrix = np.ascontiguousarray(engine.matrix, dtype=np.int32)
         self._ivals = np.ascontiguousarray(engine._seq_ivals, dtype=np.int64)
@@ -59,7 +59,7 @@ class FastLane:
         lib = get_lib()
         if lib is None or not hasattr(lib, "fl_map_block"):
             return None
-        if fmt not in ("sam", "cigar", "ssaha") or ali_out or fix_primary:
+        if fmt not in ("sam", "cigar", "ssaha", "gff") or ali_out or fix_primary:
             return None
         p = engine.params
         need = eng_mod.RMAPFLG_BEST | eng_mod.RMAPFLG_SEQBYSEQ
@@ -69,7 +69,7 @@ class FastLane:
         if (p.rmapflg & need) != need:
             return None
         return cls(engine, soft_clip, x_mismatch,
-                   out_fmt={"sam": 0, "cigar": 1, "ssaha": 2}[fmt])
+                   out_fmt={"sam": 0, "cigar": 1, "ssaha": 2, "gff": 3}[fmt])
 
     def render_block(self, block) -> Optional[str]:
         """One native call for a block of Read objects."""

@@ -1242,6 +1242,100 @@ static int tx_ssaha_fields(FLText *t,
     return 0;
 }
 
+/* fprintREPALIgff2 (report.c:648-711 via report.py:448-483) with
+ * diffStrFindBlocks (diffstr.c:664-707) block decomposition, emitted
+ * in place */
+static int tx_gff_fields(FLText *t,
+                         const char *name, int64_t name_len,
+                         int mateflg, int64_t mapscor,
+                         int64_t q_start, int64_t q_end,
+                         int64_t s_start, int64_t s_end,
+                         int64_t swat, int64_t sidx,
+                         const uint8_t *diff, int diff_len,
+                         const char *const *seq_names,
+                         const int64_t *seq_name_lens)
+{
+    int mapped = (mateflg & REPFLG_MAPPED) && diff != NULL;
+    int is_rev = (mateflg & REPFLG_REVERSE) != 0;
+    int64_t qs = 0, qe = 0, rs = 0, re_ = 0, swatscor = 0;
+    char sensechr = '*';
+    int64_t n_blocks = 0;
+    (void)mapscor;
+    if (mapped) {
+        if (is_rev) { qs = q_end; qe = q_start; sensechr = '-'; }
+        else { qs = q_start; qe = q_end; sensechr = '+'; }
+        rs = s_start; re_ = s_end;
+        swatscor = swat;
+    }
+    tx_puts(t, "gff: ");
+    if (name_len > 0) tx_putn(t, name, name_len);
+    else tx_putc(t, '*');
+    tx_puts(t, "\tSMALT\tsimilarity\t");
+    tx_puti(t, qs);
+    tx_putc(t, '\t');
+    tx_puti(t, qe);
+    tx_putc(t, '\t');
+    tx_puti(t, swatscor);
+    tx_putc(t, '\t');
+    tx_putc(t, sensechr);
+    tx_puts(t, "\t.\tSubject \"");
+    if (mapped) tx_putn(t, seq_names[sidx], seq_name_lens[sidx]);
+    else tx_putc(t, '-');
+    tx_puts(t, "\" ");
+    tx_puti(t, rs);
+    tx_putc(t, ' ');
+    tx_puti(t, re_);
+    tx_puts(t, ";\t");
+    if (mapped) {
+        /* diffStrFindBlocks: maximal gap-free blocks (u, p, l) */
+        int64_t u = 0, pp = 0, l = 0;
+        int typ = DIFFCOD_M, i;
+        for (i = 0; i < diff_len && diff[i]; i++) {
+            int64_t count = diff[i] & 0x3F;
+            typ = diff[i] >> 6;
+            l += count;
+            if (typ == DIFFCOD_I) {
+                if (l > 0) {
+                    int64_t q0 = is_rev ? q_end - q_start - pp : pp;
+                    tx_puts(t, " Align ");
+                    tx_puti(t, q0 + 1); tx_putc(t, ' ');
+                    tx_puti(t, u + 1); tx_putc(t, ' ');
+                    tx_puti(t, l); tx_putc(t, ';');
+                    n_blocks++;
+                    u += l; pp += l; l = 0;
+                }
+                pp += 1;
+            } else if (typ == DIFFCOD_D) {
+                if (l > 0) {
+                    int64_t q0 = is_rev ? q_end - q_start - pp : pp;
+                    tx_puts(t, " Align ");
+                    tx_puti(t, q0 + 1); tx_putc(t, ' ');
+                    tx_puti(t, u + 1); tx_putc(t, ' ');
+                    tx_puti(t, l); tx_putc(t, ';');
+                    n_blocks++;
+                    u += l; pp += l; l = 0;
+                }
+                u += 1;
+            } else {
+                l += 1;
+            }
+        }
+        l -= 1;
+        if (l > 0) {
+            int64_t q0 = is_rev ? q_end - q_start - pp : pp;
+            tx_puts(t, " Align ");
+            tx_puti(t, q0 + 1); tx_putc(t, ' ');
+            tx_puti(t, u + 1); tx_putc(t, ' ');
+            tx_puti(t, l); tx_putc(t, ';');
+            n_blocks++;
+        }
+    }
+    if (n_blocks == 0)
+        tx_puts(t, " Align 0 0 0;");
+    tx_putc(t, '\n');
+    return 0;
+}
+
 static int tx_ssaha_line(FLText *t,
                          const char *name, int64_t name_len,
                          const uint8_t *diffpool, const FLRes *rp,
@@ -2268,7 +2362,22 @@ int64_t fl_map_block(
                 for (r = 0; r < n_rep; r++) {
                     const FLRes *rp = s.rep[r].res_idx >= 0
                                       ? &s.rs->res[s.rep[r].res_idx] : NULL;
-                    if (out_fmt == 2)
+                    if (out_fmt == 3)
+                        rc = rp
+                            ? tx_gff_fields(&t, name, name_len,
+                                            s.rep[r].mateflg,
+                                            s.rep[r].mapscor,
+                                            rp->q_start, rp->q_end,
+                                            rp->s_start, rp->s_end,
+                                            rp->swatscor, rp->sidx,
+                                            s.rs->diffpool + rp->diff_off,
+                                            rp->diff_len,
+                                            seq_name_ptr, seq_name_len)
+                            : tx_gff_fields(&t, name, name_len,
+                                            s.rep[r].mateflg, 0,
+                                            0, 0, 0, 0, 0, 0, NULL, 0,
+                                            seq_name_ptr, seq_name_len);
+                    else if (out_fmt == 2)
                         rc = tx_ssaha_line(&t, name, name_len,
                                            s.rs->diffpool, rp,
                                            s.rep[r].mateflg,
@@ -2639,7 +2748,20 @@ int64_t fl_pass2_block(
         for (r = 0; r < n_rep; r++) {
             const FLRes *rp = s.rep[r].res_idx >= 0
                               ? &s.rs->res[s.rep[r].res_idx] : NULL;
-            if (out_fmt == 2)
+            if (out_fmt == 3)
+                rc = rp
+                    ? tx_gff_fields(&t, name, name_len, s.rep[r].mateflg,
+                                    s.rep[r].mapscor,
+                                    rp->q_start, rp->q_end,
+                                    rp->s_start, rp->s_end,
+                                    rp->swatscor, rp->sidx,
+                                    s.rs->diffpool + rp->diff_off,
+                                    rp->diff_len,
+                                    seq_name_ptr, seq_name_len)
+                    : tx_gff_fields(&t, name, name_len, s.rep[r].mateflg,
+                                    0, 0, 0, 0, 0, 0, 0, NULL, 0,
+                                    seq_name_ptr, seq_name_len);
+            else if (out_fmt == 2)
                 rc = tx_ssaha_line(&t, name, name_len, s.rs->diffpool,
                                    rp, s.rep[r].mateflg,
                                    rp ? s.rep[r].mapscor : 0,
@@ -3645,6 +3767,12 @@ static int flrep_line_alt(FLText *t, int out_fmt,
     if ((ap->status & REPFLG_MAPPED) && mp != NULL &&
         ap->s_idx == mp->s_idx)
         pairflg |= 0x02;                       /* REPPAIR_CONTIG */
+    if (out_fmt == 3)
+        return tx_gff_fields(t, name, nlen, ap->status, ap->mapscor,
+                             ap->q_start, ap->q_end, ap->s_start,
+                             ap->s_end, ap->swatscor, ap->s_idx,
+                             ap->diff, ap->diff_len,
+                             seq_names, seq_name_lens);
     if (out_fmt == 2)
         return tx_ssaha_fields(t, name, nlen, ap->status, pairflg,
                                ap->mapscor, ap->q_start, ap->q_end,

@@ -105,6 +105,7 @@ def fixture_dir(tmp_path_factory):
     ["-p", "-f", "cigar"],               # split + cigar lines
     ["-f", "ssaha"],                     # ssaha alignment lines
     ["-p", "-f", "ssaha"],               # split + ssaha
+    ["-f", "gff"],                       # gff2 Align blocks
 ])
 def test_fastlane_matches_python(fixture_dir, tmp_path, extra):
     pref, fq = fixture_dir

@@ -135,7 +135,7 @@ def test_pair_lane_cplx_byte_identical(pe_workload):
     assert c_text == py_text
 
 
-@pytest.mark.parametrize("fmt", ["cigar", "ssaha"])
+@pytest.mark.parametrize("fmt", ["cigar", "ssaha", "gff"])
 def test_pair_lane_alt_formats_byte_identical(pe_workload, fmt):
     """Paired -f cigar / -f ssaha through the C pair lane (flrep_write
     out_fmt dispatch, /1 /2 kept in qnames, per-record CONTIG labels)
@@ -158,5 +158,5 @@ def test_pair_lane_alt_formats_byte_identical(pe_workload, fmt):
     c_text = run(False)
     py_text = run(True)
     assert c_text == py_text
-    tag = "cigar:" if fmt == "cigar" else "alignment:"
+    tag = {"cigar": "cigar:", "ssaha": "alignment:", "gff": "gff: "}[fmt]
     assert c_text.startswith(tag)
