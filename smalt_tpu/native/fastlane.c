@@ -1977,6 +1977,11 @@ static int fl_read_finish(const FLParams *P, FLScratch *s,
             nali = -1;
             if (s->pf_ok && cqs <= 0 && (cqe < 0 || cqe >= qlen - 1) &&
                 swscor == (is_rev ? s->pf_score_r : s->pf_score_f) &&
+                swscor > P->gap_init &&    /* sw_band_track's best gate:
+                                            * a perfect score <= gap_init
+                                            * is silently dropped by the
+                                            * DP (tiny read + huge -S
+                                            * gapopen) — must not fire */
                 minscorlen <= qlen &&
                 (qlen / 62 + 2) <= DIFFPOOL_CAP - rs->diff_used) {
                 int64_t bl2, br2, bsl2, bslen2, bql2, bqlen2, bw2;
