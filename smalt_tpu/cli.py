@@ -325,8 +325,11 @@ def cmd_map(argv: List[str]) -> int:
                 raw_ok = False
             else:
                 class _SamTextBamSink:
+                    # strict-FASTQ input: every record carries a real
+                    # quality string, so a 1-base '*' QUAL is literal
                     def write(self, text: str):
-                        bam_writer.write_raw(enc.encode_text(text))
+                        bam_writer.write_raw(
+                            enc.encode_text(text, star_qual_literal=True))
                 raw_out, raw_fmt = _SamTextBamSink(), "sam"
         if raw_ok:
             ran_raw = run_pipeline_raw_fastq(

@@ -34,6 +34,12 @@ from ..seq import codec
 from ..seq.io import Read, open_maybe_gzip
 from ..seq.refset import RefSet
 from ..index.table import KmerIndex
+
+# Kernel-selection boundary: reads padded above this use the banded
+# device kernel and the banded/anchored host tail.  MUST match
+# parallel/mesh.py LONG_READ_Q (asserted there at import) and the
+# literal 512 in native/fastlane.c (fl_fast_tail_block / ft_map_one).
+LONG_READ_Q = 512
 from ..align import core as ali_mod
 from ..report.report import ReportWriter, RepAli, REPMATEFLG
 
@@ -503,7 +509,7 @@ class FastTail:
         if w1 - w0 < 1:
             return None
         win = self.ref_codes[w0:w1]
-        if tb_i >= 0 and q_padded <= 512:
+        if tb_i >= 0 and q_padded <= LONG_READ_Q:
             # device-canonical tail (short-read batch): the kernel's
             # argmax anchors a gapless shortcut; gapped/clamped reads
             # replay the device DP host-side (mc_dev_align)
@@ -520,15 +526,20 @@ class FastTail:
         # long-read path.  With a banded-kernel argmax anchor, a NARROW
         # band centred on the end diagonal tj - ti suffices (the path's
         # diagonal wander is bounded by its indels, not by the seed
-        # placement slack) — verified against the device score, so a
-        # drift-out falls back to the wide band.  Without an anchor the
-        # host band must cover the DEVICE band (diag offsets
-        # center +- W/2); short reads (legacy no-anchor callers) keep
-        # the +-24/48 band.
+        # placement slack); a result below the device score falls back
+        # to the wide band.  Contract note: the anchored band accepts
+        # the first alignment scoring >= the device score (the
+        # device-canonical placement) — in the rare case the wide
+        # band's extra +-24/48 margin holds a strictly better
+        # alignment, the two paths may differ (fast mode is heuristic;
+        # the score never drops below the device score).  Without an
+        # anchor the host band must cover the DEVICE band (diag
+        # offsets center +- W/2); short reads (legacy no-anchor
+        # callers) keep the +-24/48 band.
         center = -(pad + shift) + (w0 - ws)
         drift = 0
         tb = None
-        if q_padded > 512:
+        if q_padded > LONG_READ_Q:
             from ..ops.sw import band_width_for
             drift = band_width_for(q_padded, pad) // 2
             if tb_i >= 0:

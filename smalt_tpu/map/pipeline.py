@@ -94,16 +94,27 @@ def _render_block(args):
                                                     xmm, ali_out, fp,
                                                     _g.get("ihist"))
     if fmt == "bam" and _g.get("bam_enc") is not None:
+        flat = [r for it in block
+                for r in (it if isinstance(it, tuple) else (it,))]
+        all_q = all(r.qual is not None for r in flat)
+        # a 1-base read whose quality char is '*' prints a QUAL column
+        # indistinguishable from a missing quality; with mixed qual
+        # presence in the block the text can't be decoded faithfully —
+        # the Report-object path below handles it
+        ambiguous = (not all_q and
+                     any(r.qual == b"*" for r in flat
+                         if r.qual is not None and len(r.seq) == 1))
         text = None
-        if _g["bam_sam_lane"] is not None and \
+        if not ambiguous and _g["bam_sam_lane"] is not None and \
                 not any(isinstance(it, tuple) for it in block):
             text = _g["bam_sam_lane"].render_block(block)
-        elif _g["bam_pair_lane"] is not None and \
+        elif not ambiguous and _g["bam_pair_lane"] is not None and \
                 all(isinstance(it, tuple) for it in block) and block:
             text = _g["bam_pair_lane"].render_block(
                 block, _oracle_one_pair_sam)
         if text is not None:
-            return _g["bam_enc"].encode_text(text)
+            return _g["bam_enc"].encode_text(text,
+                                             star_qual_literal=all_q)
     if fmt == "bam":
         from ..report.bam import BamRecordEncoder
         buf = None

@@ -1336,6 +1336,24 @@ static int tx_gff_fields(FLText *t,
     return 0;
 }
 
+static int tx_gff_line(FLText *t,
+                       const char *name, int64_t name_len,
+                       const uint8_t *diffpool, const FLRes *rp,
+                       int mateflg, int64_t mapscor,
+                       const char *const *seq_names,
+                       const int64_t *seq_name_lens)
+{
+    if (rp == NULL)
+        return tx_gff_fields(t, name, name_len, mateflg, mapscor,
+                             0, 0, 0, 0, 0, 0, NULL, 0,
+                             seq_names, seq_name_lens);
+    return tx_gff_fields(t, name, name_len, mateflg, mapscor,
+                         rp->q_start, rp->q_end, rp->s_start,
+                         rp->s_end, rp->swatscor, rp->sidx,
+                         diffpool + rp->diff_off, rp->diff_len,
+                         seq_names, seq_name_lens);
+}
+
 static int tx_ssaha_line(FLText *t,
                          const char *name, int64_t name_len,
                          const uint8_t *diffpool, const FLRes *rp,
@@ -2273,7 +2291,7 @@ int64_t fl_map_block(
     int rmapflg, int rsltouflg,
     int64_t filter_minscor, int64_t filter_belowmax, double filter_minid,
     int soft_clip, int x_mismatch,
-    /* out_fmt: 0 = SAM, 1 = plain cigar (report.c:712), 2 = ssaha (report.c:579) */
+    /* out_fmt: 0 SAM, 1 plain cigar, 2 ssaha, 3 gff2 (report.c) */
     int out_fmt,
     /* reads; codes_are_ascii: codes_concat holds raw FASTQ letters to
      * encode here; names_raw: name extents are full header fields to
@@ -2368,20 +2386,11 @@ int64_t fl_map_block(
                     const FLRes *rp = s.rep[r].res_idx >= 0
                                       ? &s.rs->res[s.rep[r].res_idx] : NULL;
                     if (out_fmt == 3)
-                        rc = rp
-                            ? tx_gff_fields(&t, name, name_len,
-                                            s.rep[r].mateflg,
-                                            s.rep[r].mapscor,
-                                            rp->q_start, rp->q_end,
-                                            rp->s_start, rp->s_end,
-                                            rp->swatscor, rp->sidx,
-                                            s.rs->diffpool + rp->diff_off,
-                                            rp->diff_len,
-                                            seq_name_ptr, seq_name_len)
-                            : tx_gff_fields(&t, name, name_len,
-                                            s.rep[r].mateflg, 0,
-                                            0, 0, 0, 0, 0, 0, NULL, 0,
-                                            seq_name_ptr, seq_name_len);
+                        rc = tx_gff_line(&t, name, name_len,
+                                         s.rs->diffpool, rp,
+                                         s.rep[r].mateflg,
+                                         rp ? s.rep[r].mapscor : 0,
+                                         seq_name_ptr, seq_name_len);
                     else if (out_fmt == 2)
                         rc = tx_ssaha_line(&t, name, name_len,
                                            s.rs->diffpool, rp,
@@ -2754,18 +2763,10 @@ int64_t fl_pass2_block(
             const FLRes *rp = s.rep[r].res_idx >= 0
                               ? &s.rs->res[s.rep[r].res_idx] : NULL;
             if (out_fmt == 3)
-                rc = rp
-                    ? tx_gff_fields(&t, name, name_len, s.rep[r].mateflg,
-                                    s.rep[r].mapscor,
-                                    rp->q_start, rp->q_end,
-                                    rp->s_start, rp->s_end,
-                                    rp->swatscor, rp->sidx,
-                                    s.rs->diffpool + rp->diff_off,
-                                    rp->diff_len,
-                                    seq_name_ptr, seq_name_len)
-                    : tx_gff_fields(&t, name, name_len, s.rep[r].mateflg,
-                                    0, 0, 0, 0, 0, 0, 0, NULL, 0,
-                                    seq_name_ptr, seq_name_len);
+                rc = tx_gff_line(&t, name, name_len, s.rs->diffpool,
+                                 rp, s.rep[r].mateflg,
+                                 rp ? s.rep[r].mapscor : 0,
+                                 seq_name_ptr, seq_name_len);
             else if (out_fmt == 2)
                 rc = tx_ssaha_line(&t, name, name_len, s.rs->diffpool,
                                    rp, s.rep[r].mateflg,
@@ -4164,7 +4165,7 @@ int64_t fl_map_pair_block(
     int rmapflg, int rsltouflg,
     int64_t filter_minscor, int64_t filter_belowmax, double filter_minid,
     int soft_clip, int x_mismatch,
-    /* out_fmt: 0 SAM, 1 plain cigar, 2 ssaha (report.c:712/579) */
+    /* out_fmt: 0 SAM, 1 plain cigar, 2 ssaha, 3 gff2 (report.c) */
     int out_fmt,
     /* pair params */
     int64_t insert_min, int64_t insert_max, int pairtyp,

@@ -49,8 +49,13 @@ from ..seq.refset import RefSet
 from ..ops.sw import (sw_score_batch, sw_score_ref, sw_band_score_batch,
                       band_width_for)
 
+from ..map.fastmode import LONG_READ_Q as _FT_LONG_READ_Q
+
 LONG_READ_Q = 512   # above this, windows score with the banded kernel:
                     # O(band*S) instead of O(Q*S) (rmap.c:888-896 analog)
+assert LONG_READ_Q == _FT_LONG_READ_Q, \
+    "kernel-selection boundary desync: fix map/fastmode.py AND the " \
+    "512 literals in native/fastlane.c"
 
 NSEED = 16        # rarest query k-mers expanded per strand
 NSEED_COMMON = 4  # highest-count query k-mers expanded per strand: on a

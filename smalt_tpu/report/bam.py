@@ -253,7 +253,14 @@ class SamTextEncoder:
         enc = cls(refset)
         return None if enc._dup else enc
 
-    def encode_text(self, text: str) -> bytes:
+    def encode_text(self, text: str,
+                    star_qual_literal: bool = False) -> bytes:
+        """star_qual_literal resolves the one ambiguous SAM token: a
+        1-base record whose QUAL column is "*" can mean either a
+        missing quality or a literal Q9 ('*') character.  True (the
+        strict-FASTQ raw path, where every record carries a quality
+        string) decodes it as the literal; False treats it as missing,
+        matching BamRecordEncoder for quality-less reads."""
         sink = bytearray()
         ref_id_of = self._ref_id
         for line in text.splitlines():
@@ -264,7 +271,11 @@ class SamTextEncoder:
                 f[0], int(f[1]), f[2], int(f[3]), int(f[4])
             cigar, rnext, pnext, tlen = f[5], f[6], int(f[7]), int(f[8])
             seqstr = "" if f[9] == "*" else f[9]
-            qualstr = "" if f[10] == "*" else f[10]
+            if f[10] == "*" and not (star_qual_literal and
+                                     len(seqstr) == 1):
+                qualstr = ""
+            else:
+                qualstr = f[10]
             editdist = swatscor = 0
             for tag in f[11:]:
                 if tag.startswith("NM:i:"):

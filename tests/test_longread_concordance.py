@@ -112,9 +112,12 @@ def test_fast_vs_exact_kilobase(world, monkeypatch):
 
 def test_anchor_is_pure_accelerator(world, monkeypatch):
     """The banded kernel's argmax anchor only CENTRES the host tail's
-    narrow band — a miss falls back to the wide band, so suppressing
-    every anchor (tis = -1, the legacy no-anchor contract) must leave
-    the fast-mode SAM byte-identical."""
+    narrow band — a below-device-score result falls back to the wide
+    band.  On this fixture suppressing every anchor (tis = -1, the
+    legacy no-anchor contract) leaves the fast-mode SAM byte-identical;
+    in general the contract is score >= device score (an adversarial
+    wide-band margin alignment may differ — fastmode.py contract
+    note), so this is a fixture-level regression guard."""
     refset, idx, fq, truth = world
     from smalt_tpu.ops.sw import sw_band_score_ref, band_width_for
 
