@@ -59,14 +59,19 @@ class FastLane:
         lib = get_lib()
         if lib is None or not hasattr(lib, "fl_map_block"):
             return None
-        if fmt not in ("sam", "cigar", "ssaha", "gff") or ali_out or fix_primary:
+        if fmt not in ("sam", "cigar", "ssaha", "gff") or ali_out:
             return None
+        # fix_primary (set for -d runs on sam/bam) replays
+        # reportFixMultiplePrimary, which only clears the PRIMARY
+        # status bit — no writer consumes it (SAM NOTPRIMARY derives
+        # from PARTIAL), so the lane's output is unaffected; goldens
+        # golden_se_r1_d5/dm1 pin this.
         p = engine.params
-        need = eng_mod.RMAPFLG_BEST | eng_mod.RMAPFLG_SEQBYSEQ
-        # split mode (-p: SPLIT | NOSHRTINFO | SENSITIVE) and complexity
-        # weighting (-w: CMPLXW, scaled in mc_align_recursive) are both
-        # covered natively since round 3
-        if (p.rmapflg & need) != need:
+        # -d (scorediff) clears RMAPFLG_BEST / RESULTFLG_SINGLE: the C
+        # report stage replicates the non-BEST multi-report walk and
+        # BELOWRELSW filtering (fl_add_single_to_report, rs_filter),
+        # so only SEQBYSEQ is required here
+        if not (p.rmapflg & eng_mod.RMAPFLG_SEQBYSEQ):
             return None
         return cls(engine, soft_clip, x_mismatch,
                    out_fmt={"sam": 0, "cigar": 1, "ssaha": 2, "gff": 3}[fmt])
@@ -200,6 +205,11 @@ class PairLane:
         lane = FastLane.make(engine, fmt, soft_clip, x_mismatch, ali_out,
                              fix_primary)
         if lane is None or ihist is not None:
+            return None
+        # the pair flow is only exercised under the default reporting
+        # flags; -d runs (BEST/SINGLE cleared) keep the Python oracle
+        need = pairs_mod.RESULTFLG_BEST | pairs_mod.RESULTFLG_SINGLE
+        if (engine.params.rsltouflg & need) != need:
             return None
         if not hasattr(lane.lib, "fl_map_pair_block"):
             return None

@@ -106,6 +106,10 @@ def fixture_dir(tmp_path_factory):
     ["-f", "ssaha"],                     # ssaha alignment lines
     ["-p", "-f", "ssaha"],               # split + ssaha
     ["-f", "gff"],                       # gff2 Align blocks
+    ["-d", "0"],                         # all best mappings (fix_primary)
+    ["-d", "5"],                         # scorediff multi-report
+    ["-d", "-1"],                        # all above -m threshold
+    ["-d", "5", "-m", "30"],             # scorediff + score floor
 ])
 def test_fastlane_matches_python(fixture_dir, tmp_path, extra):
     pref, fq = fixture_dir
