@@ -206,10 +206,11 @@ class PairLane:
                              fix_primary)
         if lane is None or ihist is not None:
             return None
-        # the pair flow is only exercised under the default reporting
-        # flags; -d runs (BEST/SINGLE cleared) keep the Python oracle
-        need = pairs_mod.RESULTFLG_BEST | pairs_mod.RESULTFLG_SINGLE
-        if (engine.params.rsltouflg & need) != need:
+        # paired -d: the reference supports only -d 0 for pairs
+        # (map -H), i.e. RESULTFLG_BEST with SINGLE/RANDSEL cleared —
+        # the pair report walk handles it (test_pair_lane d0 case);
+        # anything without BEST keeps the Python oracle
+        if not (engine.params.rsltouflg & pairs_mod.RESULTFLG_BEST):
             return None
         if not hasattr(lane.lib, "fl_map_pair_block"):
             return None

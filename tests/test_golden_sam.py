@@ -188,6 +188,7 @@ PE_VARIANTS = {
     "pp": ["-l", "pp"],
     "i300j100": ["-i", "300", "-j", "100"],
     "x": ["-x"],
+    "d0": ["-d", "0"],
 }
 
 

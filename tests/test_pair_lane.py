@@ -160,3 +160,46 @@ def test_pair_lane_alt_formats_byte_identical(pe_workload, fmt):
     assert c_text == py_text
     tag = {"cigar": "cigar:", "ssaha": "alignment:", "gff": "gff: "}[fmt]
     assert c_text.startswith(tag)
+
+
+def test_pair_lane_d0_byte_identical(pe_workload):
+    """Paired -d 0 (report ALL best-scoring pairings: RESULTFLG_BEST
+    without SINGLE/RANDSEL, reference map -H: 'for paired reads only
+    -d 0 is supported') through the C pair lane must equal the Python
+    oracle byte-for-byte on the repeat-heavy workload (remap + fine
+    re-hash branches included)."""
+    from smalt_tpu.results.pairs import RESULTFLG_BEST
+    refset, idx, fq1, fq2 = pe_workload
+
+    def run(no_lane):
+        if no_lane:
+            os.environ["SMALT_TPU_NO_FASTLANE"] = "1"
+        try:
+            rand.ranseed(1)
+            p = MapParams()
+            p.rsltouflg = RESULTFLG_BEST          # -d 0: no SINGLE sel
+            eng = MapEngine(refset, idx, p)
+            sink = io.StringIO()
+            run_pipeline(eng, PairedReader(fq1, fq2), sink, refset)
+            return sink.getvalue()
+        finally:
+            os.environ.pop("SMALT_TPU_NO_FASTLANE", None)
+
+    import smalt_tpu.map.fastlane as FL
+    stats = {"c": 0}
+    orig_call = FL.PairLane._call
+
+    def call(self, A, B):
+        r = orig_call(self, A, B)
+        if r is not None:
+            stats["c"] += r[1]
+        return r
+
+    FL.PairLane._call = call
+    try:
+        c_text = run(False)
+    finally:
+        FL.PairLane._call = orig_call
+    py_text = run(True)
+    assert c_text == py_text
+    assert stats["c"] >= 390, stats    # the lane must carry the load
