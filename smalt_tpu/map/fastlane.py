@@ -23,7 +23,7 @@ from . import engine as eng_mod
 
 class FastLane:
     def __init__(self, engine, soft_clip: bool, x_mismatch: bool,
-                 out_fmt: int = 0):
+                 out_fmt: int = 0, ali_out: bool = False):
         lib = get_lib()
         p = engine.params
         refset = engine.refset
@@ -33,6 +33,7 @@ class FastLane:
         self.soft_clip = soft_clip
         self.x_mismatch = x_mismatch
         self.out_fmt = out_fmt       # 0 SAM, 1 cigar, 2 ssaha, 3 gff
+        self.ali_out = ali_out       # -a explicit alignment display
         # pinned argument buffers
         self._matrix = np.ascontiguousarray(engine.matrix, dtype=np.int32)
         self._ivals = np.ascontiguousarray(engine._seq_ivals, dtype=np.int64)
@@ -59,8 +60,9 @@ class FastLane:
         lib = get_lib()
         if lib is None or not hasattr(lib, "fl_map_block"):
             return None
-        if fmt not in ("sam", "cigar", "ssaha", "gff") or ali_out:
+        if fmt not in ("sam", "cigar", "ssaha", "gff"):
             return None
+        # -a (explicit alignment display) emits via tx_align_display
         # fix_primary (set for -d runs on sam/bam) replays
         # reportFixMultiplePrimary, which only clears the PRIMARY
         # status bit — no writer consumes it (SAM NOTPRIMARY derives
@@ -74,7 +76,9 @@ class FastLane:
         if not (p.rmapflg & eng_mod.RMAPFLG_SEQBYSEQ):
             return None
         return cls(engine, soft_clip, x_mismatch,
-                   out_fmt={"sam": 0, "cigar": 1, "ssaha": 2, "gff": 3}[fmt])
+                   out_fmt={"sam": 0, "cigar": 1, "ssaha": 2,
+                            "gff": 3}[fmt],
+                   ali_out=ali_out)
 
     def render_block(self, block) -> Optional[str]:
         """One native call for a block of Read objects."""
@@ -165,7 +169,7 @@ class FastLane:
                 filt.min_swscor, filt.min_swscor_below_max,
                 filt.min_identity,
                 1 if self.soft_clip else 0, 1 if self.x_mismatch else 0,
-                self.out_fmt,
+                self.out_fmt, 1 if self.ali_out else 0,
                 1 if ascii_codes else 0, 1 if names_raw else 0,
                 n, codes.ctypes.data, read_offs.ctypes.data,
                 quals.ctypes.data, has_qual.ctypes.data,
@@ -291,7 +295,7 @@ class PairLane:
                 filt.min_swscor, filt.min_swscor_below_max,
                 filt.min_identity,
                 1 if lane.soft_clip else 0, 1 if lane.x_mismatch else 0,
-                lane.out_fmt,
+                lane.out_fmt, 1 if lane.ali_out else 0,
                 self.insert_min, self.insert_max, self.pairtyp,
                 0,                          # names pre-stripped
                 n, cA.ctypes.data, oA.ctypes.data,
@@ -565,7 +569,7 @@ class DevicePass1:
                 filt.min_swscor, filt.min_swscor_below_max,
                 filt.min_identity,
                 1 if lane.soft_clip else 0, 1 if lane.x_mismatch else 0,
-                lane.out_fmt,
+                lane.out_fmt, 1 if lane.ali_out else 0,
                 1 if ascii_codes else 0, 1 if names_raw else 0,
                 n, codes.ctypes.data, read_offs.ctypes.data,
                 quals.ctypes.data, has_qual.ctypes.data,

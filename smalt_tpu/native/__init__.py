@@ -141,7 +141,7 @@ def _declare_fastlane(lib):
         i64, i64, dbl, i64, i64, ci,        # params 1
         i64, i64, ci, ci,                   # params 2
         i64, i64, dbl, ci, ci,              # filter + sam opts
-        ci,                                 # out_fmt (0 sam, 1 cigar, 2 ssaha, 3 gff)
+        ci, ci,                             # out_fmt, ali_out (-a)
         ci, ci,                             # codes_are_ascii, names_raw
         i64, vp, vp, vp, vp, vp, vp,        # reads
         vp, vp, i64, dbl]                   # rng + output + lam
@@ -197,7 +197,7 @@ def _declare_fastlane(lib):
         i64, i64, dbl, i64, i64, ci,        # params 1
         i64, i64, ci, ci,                   # params 2
         i64, i64, dbl, ci, ci,              # filter + sam opts
-        ci,                                 # out_fmt (0 sam, 1 cigar, 2 ssaha, 3 gff)
+        ci, ci,                             # out_fmt, ali_out (-a)
         i64, i64, ci, ci,                   # pair params + names_raw
         i64, vp, vp, vp, vp, vp, vp,        # reads A
         vp, vp, vp, vp, vp, vp,             # reads B
@@ -235,7 +235,7 @@ def _declare_fastlane(lib):
         vp, ci, ci, i64, i64,               # scoring
         i64, i64, dbl, i64, i64, ci,        # params 1
         i64, i64, ci, ci,                   # params 2
-        i64, i64, dbl, ci, ci, ci,          # filter + sam opts + fmt
+        i64, i64, dbl, ci, ci, ci, ci,      # filter + sam opts + fmt + -a
         ci, ci,                             # codes_are_ascii, names_raw
         i64, vp, vp, vp, vp, vp, vp,        # reads
         vp, vp,                             # state

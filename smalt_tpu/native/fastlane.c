@@ -1373,6 +1373,140 @@ static int tx_ssaha_line(FLText *t,
                            seq_names, seq_name_lens, offsets, qlen);
 }
 
+/* fprintAlignment (report.c:248-420 via report.py print_alignment):
+ * explicit alignment display after a mapping line (-a).  Marker line:
+ * transitions 'i', transversions 'v', non-standard '!', gaps '-'.
+ * Emitted in 60-column chunks; the reference writes the marker line
+ * UNstripped and the right-hand coordinates left-justified to width
+ * 10 (trailing spaces kept) — replicated exactly. */
+#define ALI_LINWIDTH 60
+
+static int fl_base_class(char ch)
+{
+    if (ch == 'A' || ch == 'G') return 1;      /* purine */
+    if (ch == 'C' || ch == 'T') return 2;      /* pyrimidine */
+    return 0;
+}
+
+static void tx_pad_i64_cols(FLText *t, int64_t v, int left)
+{
+    tx_puti_pad(t, v, 10, left);
+}
+
+static int tx_align_display(FLText *t,
+                            const uint8_t *codes, int64_t qlen,
+                            int mateflg,
+                            int64_t q_start, int64_t q_end,
+                            int64_t s_start, int64_t s_end,
+                            int64_t sidx,
+                            const uint8_t *diff, int diff_len,
+                            const uint8_t *refcodes,
+                            const int64_t *offsets)
+{
+    int is_rev = (mateflg & REPFLG_REVERSE) != 0;
+    int64_t qseg_len = q_end - q_start + 1;
+    int64_t sseg_len = s_end - s_start + 1;
+    const uint8_t *sseg = refcodes + offsets[sidx] + (s_start - 1);
+    int64_t q = 0, s = 0, ncols = 0, i;
+    int typ = DIFFCOD_M;
+    /* column stream: (qchar, marker, schar, dq, ds) built on the fly
+     * into chunk buffers of ALI_LINWIDTH */
+    char qb[ALI_LINWIDTH], db[ALI_LINWIDTH], sb[ALI_LINWIDTH];
+    int dq[ALI_LINWIDTH], dsu[ALI_LINWIDTH];
+    int64_t q0 = 0, s0 = 0, fill = 0;
+    (void)qlen;
+
+#define ALI_QCH(idx) (is_rev \
+        ? fl_decode1_comp(codes[(q_start - 1) + (qseg_len - 1 - (idx))]) \
+        : fl_decode1(codes[(q_start - 1) + (idx)]))
+#define ALI_SCH(idx) fl_decode1(sseg[idx])
+
+#define ALI_FLUSH() do { \
+        int64_t cdq = 0, cds = 0; \
+        int64_t qa, qbnd, sa, sbnd; \
+        int k; \
+        for (k = 0; k < fill; k++) { cdq += dq[k]; cds += dsu[k]; } \
+        if (is_rev) { \
+            qa = q_end - q0; \
+            qbnd = q_end - (q0 + cdq) + 1; \
+        } else { \
+            qa = q_start + q0; \
+            qbnd = q_start + q0 + cdq - 1; \
+        } \
+        sa = s_start + s0; \
+        sbnd = s_start + s0 + cds - 1; \
+        tx_puts(t, "    QUERY: "); \
+        tx_pad_i64_cols(t, qa, 0); \
+        tx_putc(t, ' '); \
+        tx_putn(t, qb, fill); \
+        tx_putc(t, ' '); \
+        tx_pad_i64_cols(t, qbnd, 1); \
+        tx_putc(t, '\n'); \
+        tx_puts(t, "                      "); \
+        tx_putn(t, db, fill); \
+        tx_putc(t, '\n'); \
+        tx_puts(t, "REFERENCE: "); \
+        tx_pad_i64_cols(t, sa, 0); \
+        tx_putc(t, ' '); \
+        tx_putn(t, sb, fill); \
+        tx_putc(t, ' '); \
+        tx_pad_i64_cols(t, sbnd, 1); \
+        tx_puts(t, "\n\n\n"); \
+        q0 += cdq; s0 += cds; \
+        fill = 0; \
+    } while (0)
+
+#define ALI_COL(qc, dc, sc, a, b) do { \
+        qb[fill] = (qc); db[fill] = (dc); sb[fill] = (sc); \
+        dq[fill] = (a); dsu[fill] = (b); \
+        fill++; ncols++; \
+        if (fill == ALI_LINWIDTH) ALI_FLUSH(); \
+    } while (0)
+
+    for (i = 0; i < diff_len && diff[i]; i++) {
+        int64_t count = diff[i] & 0x3F, c2;
+        typ = diff[i] >> 6;
+        for (c2 = 0; c2 < count; c2++) {
+            if (q >= qseg_len || s >= sseg_len) return FL_ERR_ASSERT;
+            ALI_COL(ALI_QCH(q), ' ', ALI_SCH(s), 1, 1);
+            q++; s++;
+        }
+        if (typ == DIFFCOD_M) {
+            if (q >= qseg_len || s >= sseg_len) return FL_ERR_ASSERT;
+            ALI_COL(ALI_QCH(q), ' ', ALI_SCH(s), 1, 1);
+            q++; s++;
+        } else if (typ == DIFFCOD_S) {
+            if (i + 1 < diff_len && diff[i + 1]) {
+                char qc, sc;
+                int qcl, scl;
+                char d;
+                if (q >= qseg_len || s >= sseg_len) return FL_ERR_ASSERT;
+                qc = ALI_QCH(q); sc = ALI_SCH(s);
+                qcl = fl_base_class(qc); scl = fl_base_class(sc);
+                if (qcl == 0 || scl == 0) d = '!';
+                else if (qcl == scl) d = 'i';
+                else d = 'v';
+                ALI_COL(qc, d, sc, 1, 1);
+                q++; s++;
+            }
+        } else if (typ == DIFFCOD_D) {
+            if (s >= sseg_len) return FL_ERR_ASSERT;
+            ALI_COL('-', '-', ALI_SCH(s), 0, 1);
+            s++;
+        } else {                                   /* DIFFCOD_I */
+            if (q >= qseg_len) return FL_ERR_ASSERT;
+            ALI_COL(ALI_QCH(q), '-', '-', 1, 0);
+            q++;
+        }
+    }
+    if (fill > 0) ALI_FLUSH();
+#undef ALI_COL
+#undef ALI_FLUSH
+#undef ALI_QCH
+#undef ALI_SCH
+    return 0;
+}
+
 /* ---------------- the per-block report stage ---------------- */
 
 /* One report record queued for output (Report.add_map collapses to a
@@ -2293,6 +2427,8 @@ int64_t fl_map_block(
     int soft_clip, int x_mismatch,
     /* out_fmt: 0 SAM, 1 plain cigar, 2 ssaha, 3 gff2 (report.c) */
     int out_fmt,
+    /* -a: explicit alignment display after each mapped record */
+    int ali_out,
     /* reads; codes_are_ascii: codes_concat holds raw FASTQ letters to
      * encode here; names_raw: name extents are full header fields to
      * cut at whitespace / trailing mate suffix */
@@ -2412,6 +2548,16 @@ int64_t fl_map_block(
                                          rp ? s.rep[r].mapscor : 0,
                                          seq_name_ptr, seq_name_len,
                                          soft_clip, x_mismatch);
+                    if (rc == 0 && ali_out && rp != NULL &&
+                        (s.rep[r].mateflg & REPFLG_MAPPED))
+                        rc = tx_align_display(&t, codes, qlen,
+                                              s.rep[r].mateflg,
+                                              rp->q_start, rp->q_end,
+                                              rp->s_start, rp->s_end,
+                                              rp->sidx,
+                                              s.rs->diffpool + rp->diff_off,
+                                              rp->diff_len,
+                                              refcodes, offsets);
                     if (rc != 0) break;
                 }
             }
@@ -2600,7 +2746,7 @@ int64_t fl_pass2_block(
     int64_t target_depth, int64_t max_depth,
     int rmapflg, int rsltouflg,
     int64_t filter_minscor, int64_t filter_belowmax, double filter_minid,
-    int soft_clip, int x_mismatch, int out_fmt,
+    int soft_clip, int x_mismatch, int out_fmt, int ali_out,
     int codes_are_ascii, int names_raw,
     int64_t n_reads, const uint8_t *codes_concat, const int64_t *read_offs,
     const uint8_t *quals_concat, const uint8_t *has_qual,
@@ -2784,6 +2930,13 @@ int64_t fl_pass2_block(
                                  rp ? s.rep[r].mapscor : 0,
                                  seq_name_ptr, seq_name_len,
                                  soft_clip, x_mismatch);
+            if (rc == 0 && ali_out && rp != NULL &&
+                (s.rep[r].mateflg & REPFLG_MAPPED))
+                rc = tx_align_display(&t, codes, qlen, s.rep[r].mateflg,
+                                      rp->q_start, rp->q_end,
+                                      rp->s_start, rp->s_end, rp->sidx,
+                                      s.rs->diffpool + rp->diff_off,
+                                      rp->diff_len, refcodes, offsets);
             if (rc != 0) goto done;
         }
         if (t.overflow) {
@@ -3792,6 +3945,20 @@ static int flrep_line_alt(FLText *t, int out_fmt,
                            seq_names, seq_name_lens);
 }
 
+/* -a display for one paired record (ReportWriter.write tail) */
+static int flrep_ali_display(FLText *t, const FLRepAli *ap,
+                             const uint8_t *codes, int64_t qlen,
+                             const uint8_t *refcodes,
+                             const int64_t *offsets)
+{
+    if (!(ap->status & REPFLG_MAPPED) || ap->diff == NULL)
+        return 0;
+    return tx_align_display(t, codes, qlen, ap->status,
+                            ap->q_start, ap->q_end,
+                            ap->s_start, ap->s_end, ap->s_idx,
+                            ap->diff, ap->diff_len, refcodes, offsets);
+}
+
 /* ReportWriter.write for a pair (report.py:236-254) */
 static int flrep_write(FLText *t, FLReport *rep,
                        const char *nameA, int64_t nlenA,
@@ -3803,7 +3970,8 @@ static int flrep_write(FLText *t, FLReport *rep,
                        const char *const *seq_names,
                        const int64_t *seq_name_lens,
                        int soft_clip, int x_mismatch,
-                       int out_fmt, const int64_t *offsets)
+                       int out_fmt, const int64_t *offsets,
+                       int ali_out, const uint8_t *refcodes)
 {
     int i, rc, pairflg0 = rep->n_pairs ? rep->pairs[0].pairflg : 0;
     for (i = 0; i < rep->nA; i++) rep->arA[i].was_output = 0;
@@ -3819,10 +3987,16 @@ static int flrep_write(FLText *t, FLReport *rep,
             rc = flrep_line_alt(t, out_fmt, nameA, nlenA, qlenA, ap, bp,
                                 pp->pairflg, seq_names, seq_name_lens,
                                 offsets);
+            if (rc == 0 && ali_out)
+                rc = flrep_ali_display(t, ap, codesA, qlenA,
+                                       refcodes, offsets);
             if (rc != 0) return rc;
             rc = flrep_line_alt(t, out_fmt, nameB, nlenB, qlenB, bp, ap,
                                 pp->pairflg, seq_names, seq_name_lens,
                                 offsets);
+            if (rc == 0 && ali_out)
+                rc = flrep_ali_display(t, bp, codesB, qlenB,
+                                       refcodes, offsets);
             if (rc != 0) return rc;
             continue;
         }
@@ -3830,11 +4004,17 @@ static int flrep_write(FLText *t, FLReport *rep,
                                 ap, bp, pp->isize, pp->pairflg,
                                 seq_names, seq_name_lens,
                                 soft_clip, x_mismatch);
+        if (rc == 0 && ali_out)
+            rc = flrep_ali_display(t, ap, codesA, qlenA,
+                                   refcodes, offsets);
         if (rc != 0) return rc;
         rc = tx_sam_line_paired(t, nameB, nlenB, codesB, qualB, qlenB,
                                 bp, ap, pp->isize, pp->pairflg,
                                 seq_names, seq_name_lens,
                                 soft_clip, x_mismatch);
+        if (rc == 0 && ali_out)
+            rc = flrep_ali_display(t, bp, codesB, qlenB,
+                                   refcodes, offsets);
         if (rc != 0) return rc;
     }
     for (i = 0; i < rep->nA; i++) {
@@ -3849,6 +4029,9 @@ static int flrep_write(FLText *t, FLReport *rep,
                                         pairflg0, seq_names,
                                         seq_name_lens,
                                         soft_clip, x_mismatch);
+            if (rc == 0 && ali_out)
+                rc = flrep_ali_display(t, &rep->arA[i], codesA, qlenA,
+                                       refcodes, offsets);
             if (rc != 0) return rc;
         }
     }
@@ -3864,6 +4047,9 @@ static int flrep_write(FLText *t, FLReport *rep,
                                         pairflg0, seq_names,
                                         seq_name_lens,
                                         soft_clip, x_mismatch);
+            if (rc == 0 && ali_out)
+                rc = flrep_ali_display(t, &rep->arB[i], codesB, qlenB,
+                                       refcodes, offsets);
             if (rc != 0) return rc;
         }
     }
@@ -4167,6 +4353,8 @@ int64_t fl_map_pair_block(
     int soft_clip, int x_mismatch,
     /* out_fmt: 0 SAM, 1 plain cigar, 2 ssaha, 3 gff2 (report.c) */
     int out_fmt,
+    /* -a: explicit alignment display after each mapped record */
+    int ali_out,
     /* pair params */
     int64_t insert_min, int64_t insert_max, int pairtyp,
     /* reads: A mates then B mates, mangled codes; names_raw: cut
@@ -4474,7 +4662,7 @@ report:
                          cB, qB, qlB,
                          seq_name_ptr, seq_name_len,
                          soft_clip, x_mismatch,
-                         out_fmt, offsets);
+                         out_fmt, offsets, ali_out, refcodes);
         }
         if (prof) fl_prof_acc[5] += fl_prof_now() - t0;
         }

@@ -110,6 +110,9 @@ def fixture_dir(tmp_path_factory):
     ["-d", "5"],                         # scorediff multi-report
     ["-d", "-1"],                        # all above -m threshold
     ["-d", "5", "-m", "30"],             # scorediff + score floor
+    ["-a"],                              # explicit alignment display
+    ["-a", "-f", "cigar"],               # display after cigar lines
+    ["-a", "-d", "5"],                   # display on multi-reports
 ])
 def test_fastlane_matches_python(fixture_dir, tmp_path, extra):
     pref, fq = fixture_dir
