@@ -197,18 +197,30 @@ class PairLane:
     byte-identical to the pure-Python path for any mix."""
 
     def __init__(self, lane: FastLane, insert_min: int, insert_max: int,
-                 pairtyp: int):
+                 pairtyp: int, ihist=None):
         self.lane = lane
         self.insert_min = insert_min
         self.insert_max = insert_max
         self.pairtyp = pairtyp
+        # -g: precompute the inclusive cumulative bin counts the C
+        # probability model looks up (insGetHistoCountCumulative,
+        # insert.py:81-86); smooth counts when smoothing ran
+        if ihist is not None:
+            arr = ihist.smooth if ihist.smoothed else ihist.counts
+            self._ih_cum = np.cumsum(np.asarray(arr, dtype=np.int64))
+            self._ih_desc = (int(ihist.span), int(ihist.insizlo),
+                             int(ihist.insizhi), int(ihist.scalfac),
+                             int(ihist.num))
+        else:
+            self._ih_cum = None
+            self._ih_desc = (0, 0, 0, 1, 0)
 
     @classmethod
     def make(cls, engine, fmt, soft_clip, x_mismatch, ali_out,
              fix_primary, ihist) -> Optional["PairLane"]:
         lane = FastLane.make(engine, fmt, soft_clip, x_mismatch, ali_out,
                              fix_primary)
-        if lane is None or ihist is not None:
+        if lane is None:
             return None
         # paired -d: the reference supports only -d 0 for pairs
         # (map -H), i.e. RESULTFLG_BEST with SINGLE/RANDSEL cleared —
@@ -219,7 +231,7 @@ class PairLane:
         if not hasattr(lane.lib, "fl_map_pair_block"):
             return None
         p = engine.params
-        return cls(lane, p.insert_min, p.insert_max, p.pairtyp)
+        return cls(lane, p.insert_min, p.insert_max, p.pairtyp, ihist)
 
     def _arrays(self, reads):
         n = len(reads)
@@ -297,6 +309,8 @@ class PairLane:
                 1 if lane.soft_clip else 0, 1 if lane.x_mismatch else 0,
                 lane.out_fmt, 1 if lane.ali_out else 0,
                 self.insert_min, self.insert_max, self.pairtyp,
+                self._ih_cum.ctypes.data if self._ih_cum is not None
+                else None, *self._ih_desc,
                 0,                          # names pre-stripped
                 n, cA.ctypes.data, oA.ctypes.data,
                 qA.ctypes.data, hA.ctypes.data,

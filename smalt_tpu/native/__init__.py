@@ -198,7 +198,9 @@ def _declare_fastlane(lib):
         i64, i64, ci, ci,                   # params 2
         i64, i64, dbl, ci, ci,              # filter + sam opts
         ci, ci,                             # out_fmt, ali_out (-a)
-        i64, i64, ci, ci,                   # pair params + names_raw
+        i64, i64, ci,                       # pair params
+        vp, i64, i64, i64, i64, i64,        # -g insert histogram
+        ci,                                 # names_raw
         i64, vp, vp, vp, vp, vp, vp,        # reads A
         vp, vp, vp, vp, vp, vp,             # reads B
         vp, vp, i64, vp, dbl]               # rng, out, cap, done, lam

@@ -18,7 +18,9 @@
  * Coverage: single-end reads, RMAPFLG_BEST + SEQBYSEQ, split mode
  * (-p: secondary complement-segment pass + PARTIAL records), SAM,
  * plain-cigar and ssaha output (soft/hard clip, optional -x),
- * complexity weighting (-w via RMAPFLG_CMPLXW + lam).
+ * complexity weighting (-w via RMAPFLG_CMPLXW + lam); the pair lane
+ * additionally covers the -g insert histogram (FLInsHist cumulative
+ * bins in flp_assign_prob).
  */
 #include <math.h>
 #include <stdint.h>
@@ -3408,10 +3410,20 @@ static void flp_find_pairs(FLPairs *fp, int pairflg, int libcode,
     }
 }
 
-/* assignProbabilityToPairs (resultpairs.c:753-826); no insert
- * histogram on this lane (the -g configuration stays in Python) */
+/* Insert-size histogram (-g): cumulative counts over fixed-width
+ * bins, precomputed by the caller from InsHist (insert.py:48-86,
+ * insGetHistoCountCumulative).  cum == NULL means no histogram. */
+typedef struct {
+    const int64_t *cum;     /* [span] inclusive cumulative counts */
+    int64_t span, lo, hi, scalfac, num;
+} FLInsHist;
+
+/* assignProbabilityToPairs (resultpairs.c:753-826); with -g the
+ * within-range likelihood is weighted by the sampled cumulative
+ * insert distribution (resultpairs.c:787-801) */
 static void flp_assign_prob(FLPairs *fp, int pairflg,
                             const FLResultSet *rsA, const FLResultSet *rsB,
+                            const FLInsHist *ih,
                             double *psum_out, double *marga_out,
                             double *margb_out)
 {
@@ -3436,8 +3448,26 @@ static void flp_assign_prob(FLPairs *fp, int pairflg,
         }
         if (mp->mapflg & MAPFLG_PROPER) {
             iab = prob_proper;
-            if (mp->mapflg & MAPFLG_WITHIN) iab *= prob_in;
-            else iab *= prob_out;
+            if (mp->mapflg & MAPFLG_WITHIN) {
+                if (ih->cum == NULL || fp->n_pairs < 2) {
+                    iab *= prob_in;
+                } else {
+                    int64_t ins = mp->ins < 0 ? -mp->ins : mp->ins;
+                    int64_t cc = 0, totnum = ih->num;
+                    double p;
+                    if (ins >= ih->lo && ins <= ih->hi) {
+                        int64_t bx = (ins - ih->lo) / ih->scalfac;
+                        if (bx > ih->span - 1) bx = ih->span - 1;
+                        cc = ih->cum[bx];
+                    }
+                    if (totnum < 1) { totnum = 1; cc = 1; }
+                    p = (double)cc / (double)totnum;
+                    if (p >= 0.5) iab = 0.5 - p / 2.0;
+                    iab *= p * prob_in + prob_out;
+                }
+            } else {
+                iab *= prob_out;
+            }
         } else {
             iab = prob_improper;
         }
@@ -3492,7 +3522,7 @@ static int flp_draw_random(FLPairs *fp, uint64_t *rng)
  * (-1 = none), marginal mapqs, mapflg, n_max. */
 static void flp_score_simple(FLPairs *fp, int pairflg, int rsltouflg,
                              FLResultSet *rsA, FLResultSet *rsB,
-                             uint64_t *rng,
+                             const FLInsHist *ih, uint64_t *rng,
                              int *ap_out, int *bp_out,
                              int64_t *mapqA_out, int64_t *mapqB_out,
                              int *mapflg_out, int *n_max_out)
@@ -3509,7 +3539,7 @@ static void flp_score_simple(FLPairs *fp, int pairflg, int rsltouflg,
         *n_max_out = 0;
         return;
     }
-    flp_assign_prob(fp, pairflg, rsA, rsB, &psum, &marga, &margb);
+    flp_assign_prob(fp, pairflg, rsA, rsB, ih, &psum, &marga, &margb);
     if (psum < MINLOGARG) psum = MINLOGARG;
     flp_sort_pbf(fp->pairs, n_pairs);
     i = 1;
@@ -3740,11 +3770,11 @@ static int flrep_add_pair_results(FLReport *rep, int mapflg, int repmateflg,
 static int flrep_add_pair_to_report(FLReport *rep, FLPairs *fp,
                                     int pairflg, int rsltouflg,
                                     FLResultSet *rsA, FLResultSet *rsB,
-                                    uint64_t *rng)
+                                    const FLInsHist *ih, uint64_t *rng)
 {
     int apx, bpx, mapflg, n_max, rc, i;
     int64_t mapqA, mapqB;
-    flp_score_simple(fp, pairflg, rsltouflg, rsA, rsB, rng,
+    flp_score_simple(fp, pairflg, rsltouflg, rsA, rsB, ih, rng,
                      &apx, &bpx, &mapqA, &mapqB, &mapflg, &n_max);
     if (n_max > 1 && !(rsltouflg & RESULTFLG_RANDSEL) &&
         (rsltouflg & RESULTFLG_SINGLE)) {
@@ -4357,6 +4387,9 @@ int64_t fl_map_pair_block(
     int ali_out,
     /* pair params */
     int64_t insert_min, int64_t insert_max, int pairtyp,
+    /* -g insert histogram: cumulative bin counts (NULL = none) */
+    const int64_t *ih_cum, int64_t ih_span, int64_t ih_lo,
+    int64_t ih_hi, int64_t ih_scalfac, int64_t ih_num,
     /* reads: A mates then B mates, mangled codes; names_raw: cut
      * whitespace + /1 /2 here (else names are pre-stripped) */
     int names_raw,
@@ -4375,6 +4408,7 @@ int64_t fl_map_pair_block(
     FLScratch sA, sB;
     FLText t;
     FLPairs fp;
+    FLInsHist ih;
     FLReport rep;
     FLIval *ivbuf = NULL;
     int64_t *oviv = NULL, *lociv = NULL;
@@ -4407,6 +4441,8 @@ int64_t fl_map_pair_block(
     P.soft_clip = soft_clip; P.x_mismatch = x_mismatch;
     P.use_cplx = (rmapflg & RMAPFLG_CMPLXW) ? 1 : 0;
     P.lam = lam;
+    ih.cum = ih_cum; ih.span = ih_span; ih.lo = ih_lo; ih.hi = ih_hi;
+    ih.scalfac = ih_scalfac > 0 ? ih_scalfac : 1; ih.num = ih_num;
 
     *done_io = 0;
     for (i = 0; i < n_pairs; i++) {
@@ -4638,7 +4674,7 @@ report:
         double t0 = prof ? fl_prof_now() : 0.0;
         flrep_blank(&rep);
         rc = flrep_add_pair_to_report(&rep, &fp, pairflg, rsltouflg,
-                                      sA.rs, sB.rs, &rng);
+                                      sA.rs, sB.rs, &ih, &rng);
         if (rc != 0) { rc = 0; rng = rng_save; *done_io = i;
                        goto finish; }
         {

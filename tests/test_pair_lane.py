@@ -162,6 +162,56 @@ def test_pair_lane_alt_formats_byte_identical(pe_workload, fmt):
     assert c_text.startswith(tag)
 
 
+def test_pair_lane_ihist_byte_identical(pe_workload):
+    """-g (insert histogram) through the C pair lane: the cumulative-
+    count weighting in flp_assign_prob (resultpairs.c:787-801) must
+    reproduce the Python _assign_probabilities byte-for-byte, and the
+    lane must actually carry the block (no ihist fallback)."""
+    from smalt_tpu.results.insert import InsHist, InsSample
+    refset, idx, fq1, fq2 = pe_workload
+    samp = InsSample()
+    srng = np.random.default_rng(7)
+    for v in srng.normal(360, 40, 4000):
+        samp.add(max(250, min(560, int(v))))
+    ihist = InsHist.from_sample(samp)
+    ihist.smooth_gauss()
+
+    def run(no_lane):
+        if no_lane:
+            os.environ["SMALT_TPU_NO_FASTLANE"] = "1"
+        try:
+            rand.ranseed(1)
+            p = MapParams()
+            p.insert_min = min(p.insert_min, ihist.insizlo)
+            p.insert_max = max(p.insert_max, ihist.insizhi)
+            eng = MapEngine(refset, idx, p)
+            sink = io.StringIO()
+            run_pipeline(eng, PairedReader(fq1, fq2), sink, refset,
+                         ihist=ihist)
+            return sink.getvalue()
+        finally:
+            os.environ.pop("SMALT_TPU_NO_FASTLANE", None)
+
+    import smalt_tpu.map.fastlane as FL
+    stats = {"c": 0}
+    orig_call = FL.PairLane._call
+
+    def call(self, A, B):
+        r = orig_call(self, A, B)
+        if r is not None:
+            stats["c"] += r[1]
+        return r
+
+    FL.PairLane._call = call
+    try:
+        c_text = run(False)
+    finally:
+        FL.PairLane._call = orig_call
+    py_text = run(True)
+    assert c_text == py_text
+    assert stats["c"] >= 390, stats    # the lane must carry the load
+
+
 def test_pair_lane_d0_byte_identical(pe_workload):
     """Paired -d 0 (report ALL best-scoring pairings: RESULTFLG_BEST
     without SINGLE/RANDSEL, reference map -H: 'for paired reads only
