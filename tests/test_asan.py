@@ -141,6 +141,50 @@ for i in range(32):
     chim_q.append(b'5' * len(s))
 text = lanep.render_raw_block(chim_n, chim_s, chim_q)
 assert text is not None
+
+# C pair lane (fl_map_pair_block) incl. the -g cumulative-histogram arm
+# of flp_assign_prob: a repeat-planted genome makes n_pairs >= 2 so the
+# in-range lookup actually executes under ASan
+import tempfile
+from smalt_tpu.map.fastlane import PairLane
+from smalt_tpu.results.insert import InsHist, InsSample
+bases = np.array(list(b'ACGT'), np.uint8)
+gg = rng.choice(bases, 120_000)
+unit = rng.choice(bases, 800)
+for _ in range(6):
+    cp = unit.copy()
+    for j in rng.integers(0, len(cp), 6):
+        cp[j] = bases[int(rng.integers(0, 4))]
+    at = int(rng.integers(0, len(gg) - len(cp)))
+    gg[at:at + len(cp)] = cp
+gtxt = gg.tobytes().decode()
+with tempfile.NamedTemporaryFile('w', suffix='.fa', delete=False) as gf:
+    gf.write('>rep\n')
+    for i in range(0, len(gtxt), 60):
+        gf.write(gtxt[i:i + 60] + '\n')
+    gpath = gf.name
+refr = RefSet.from_fasta(gpath)
+idxr = build_index(refr, 13, 2)
+engr = MapEngine(refr, idxr, MapParams())
+samp = InsSample()
+for v in range(230, 560, 2):
+    samp.add(v)
+ih = InsHist.from_sample(samp)
+ih.smooth_gauss()
+pl = PairLane.make(engr, 'sam', True, False, False, False, ih)
+assert pl is not None
+comp = bytes.maketrans(b'ACGT', b'TGCA')
+pA, pB = [], []
+for i in range(48):
+    ins = 300 + int(rng.integers(0, 150))
+    st = int(rng.integers(0, len(gtxt) - ins))
+    frag = gtxt[st:st + ins].encode()
+    a, b = frag[:100], frag[-100:].translate(comp)[::-1]
+    pA.append(Read(name=f'pa{i}', seq=codec.encode(a), qual=b'5' * 100))
+    pB.append(Read(name=f'pa{i}', seq=codec.encode(b), qual=b'5' * 100))
+res = pl._call(pA, pB)
+assert res is not None and res[1] > 0, res
+os.unlink(gpath)
 print('ASAN RUN CLEAN')
 """
 
