@@ -71,10 +71,11 @@ class FastLane:
         p = engine.params
         # -d (scorediff) clears RMAPFLG_BEST / RESULTFLG_SINGLE: the C
         # report stage replicates the non-BEST multi-report walk and
-        # BELOWRELSW filtering (fl_add_single_to_report, rs_filter),
-        # so only SEQBYSEQ is required here
-        if not (p.rmapflg & eng_mod.RMAPFLG_SEQBYSEQ):
-            return None
+        # BELOWRELSW filtering (fl_add_single_to_report, rs_filter).
+        # Both reference regimes run natively: seq-by-seq (< 512
+        # sequences) and whole-genome cutoff collection with post-pass
+        # sequence assignment (>= 512; boundary-spanning alignments
+        # fall back per block/pair for splitMultiSpan).
         return cls(engine, soft_clip, x_mismatch,
                    out_fmt={"sam": 0, "cigar": 1, "ssaha": 2,
                             "gff": 3}[fmt],
@@ -180,6 +181,7 @@ class FastLane:
                 cap *= 4
                 continue
             if rc < 0:
+                self.last_rc = rc          # debugging/observability
                 return None
             rand._global._x = int(self._rng_io[0])
             return out[:rc].tobytes().decode("ascii")
@@ -399,6 +401,10 @@ class DevicePass1:
                                     eng_mod.RMAPFLG_NOSHRTINFO):
             # the two-phase block drivers (fl_pass1/2_block) have no
             # mapSecondary pass; -p runs through the one-phase C lane
+            return None
+        if not (engine.params.rmapflg & eng_mod.RMAPFLG_SEQBYSEQ):
+            # fl_pass1/2_block drive seq-by-seq collection only; the
+            # >= 512-sequence regime runs the one-phase C lane
             return None
         if -engine.gapopen < -engine.gapext:
             return None

@@ -15,12 +15,15 @@
  * for any mode this lane does not cover, and for any block where this
  * lane reports an error (no RNG state is consumed on failure).
  *
- * Coverage: single-end reads, RMAPFLG_BEST + SEQBYSEQ, split mode
- * (-p: secondary complement-segment pass + PARTIAL records), SAM,
- * plain-cigar and ssaha output (soft/hard clip, optional -x),
- * complexity weighting (-w via RMAPFLG_CMPLXW + lam); the pair lane
- * additionally covers the -g insert histogram (FLInsHist cumulative
- * bins in flp_assign_prob).
+ * Coverage: single-end reads, RMAPFLG_BEST, both collection regimes
+ * (seq-by-seq under 512 sequences AND whole-genome cutoff collection
+ * with post-pass-2 sequence assignment — boundary-spanning alignments
+ * fall back for splitMultiSpan), split mode (-p: secondary
+ * complement-segment pass + PARTIAL records), SAM, plain-cigar and
+ * ssaha output (soft/hard clip, optional -x), complexity weighting
+ * (-w via RMAPFLG_CMPLXW + lam); the pair lane additionally covers
+ * the -g insert histogram (FLInsHist cumulative bins in
+ * flp_assign_prob).
  */
 #include <math.h>
 #include <stdint.h>
@@ -149,6 +152,7 @@ int64_t mc_dev_align(
     uint8_t *diffpool, int64_t diff_cap,
     int64_t *res);
 int nr_sort2(uint32_t *a, uint32_t *b, int n);
+int nr_sort2_64_32(uint64_t *a, uint32_t *b, int n);
 int mc_calc_seg_offsets(const int64_t *row, int ktup, int nskip,
                         const int64_t *offsets, int64_t nseq, int64_t qlen,
                         int64_t *o_qs, int64_t *o_qe,
@@ -184,6 +188,7 @@ int sw_band_fast(const int32_t *W, int qlen_prof, const uint8_t *subj,
 #define ALILEN_MIN 5
 
 #define RSLTFLAG_REVERSE 0x01
+#define RSLTFLAG_NOSEQID 0x04
 #define RSLTFLAG_SELECT 0x08
 #define RSLTFLAG_NOOUTPUT 0x10
 #define RSLTFLAG_BELOWRELSW 0x20
@@ -197,6 +202,7 @@ int sw_band_fast(const int32_t *W, int qlen_prof, const uint8_t *subj,
 
 #define RMAPFLG_CMPLXW 0x01
 #define RMAPFLG_BEST 0x02
+#define RMAPFLG_SEQBYSEQ 0x04
 #define RMAPFLG_SENSITIVE 0x20
 #define RMAPFLG_NOSHRTINFO 0x40
 #define RMAPFLG_SPLIT 0x80
@@ -325,7 +331,8 @@ static int rs_add_from_ali(FLResultSet *rs, const int64_t *ali, int64_t nali,
         nr->swatscor = r[0];
         nr->mapscor = 0;
         nr->prob = 0.0;
-        nr->status = RSLTFLAG_SELECT | (is_reverse ? RSLTFLAG_REVERSE : 0);
+        nr->status = RSLTFLAG_SELECT | (is_reverse ? RSLTFLAG_REVERSE : 0)
+                     | (seqidx < 0 ? RSLTFLAG_NOSEQID : 0);
         nr->diff_off = (int32_t)r[5];
         nr->diff_len = (int32_t)r[6];
         nr->swrank = 0;
@@ -414,6 +421,48 @@ static int cmp_seg_sw(const FLResultSet *rs, int a, int b)
     const FLRes *x = &rs->res[a], *y = &rs->res[b];
     if (x->qsegx != y->qsegx) return x->qsegx < y->qsegx ? -1 : 1;
     if (x->swatscor != y->swatscor) return x->swatscor > y->swatscor ? -1 : 1;
+    return 0;
+}
+
+/* assignSequenceIndex (result.py:231-265, results.c:1695-1780):
+ * whole-genome mode (no SEQBYSEQ) resolves global subject offsets to
+ * (sidx, within-sequence offsets).  An alignment spanning a
+ * concatenated-sequence boundary needs splitMultiSpan's re-alignment
+ * (results.c:1474-1695) — that rare branch returns FL_ERR_ASSERT so
+ * the caller replays the read/pair through the Python oracle. */
+static int rs_assign_seqidx(FLResultSet *rs, const int64_t *ofp,
+                            int64_t nseq)
+{
+    uint64_t keys[RES_MAX];
+    uint32_t idxs[RES_MAX];
+    int i, n = 0, s = 0;
+    for (i = 0; i < rs->n_res; i++) {
+        const FLRes *r = &rs->res[i];
+        if ((r->status & RSLTFLAG_SELECT) && r->sidx < 0) {
+            keys[n] = (uint64_t)r->s_start;
+            idxs[n] = (uint32_t)i;
+            n++;
+        }
+    }
+    if (n == 0) return 0;
+    if (n > 1 && nr_sort2_64_32(keys, idxs, n) != 0) return FL_ERR_CAP;
+    for (i = 0; i < n; i++) {
+        FLRes *r = &rs->res[idxs[i]];
+        int64_t e;
+        if (!(r->status & (RSLTFLAG_NOSEQID | RSLTFLAG_SELECT)))
+            continue;
+        while (s < nseq && r->s_start > ofp[s + 1])
+            s++;
+        e = s + 1;
+        while (e < nseq && r->s_end > ofp[e])
+            e++;
+        if (r->s_end > ofp[e]) return FL_ERR_ASSERT;
+        if (e > s + 1) return FL_ERR_ASSERT;      /* splitMultiSpan */
+        r->sidx = s;
+        r->s_start -= ofp[s];
+        r->s_end -= ofp[s];
+        r->status &= ~RSLTFLAG_NOSEQID;
+    }
     return 0;
 }
 
@@ -1973,8 +2022,16 @@ static int fl_read_stage1(const FLParams *P, FLScratch *s,
     if (budget_rd > s->budget) return FL_ERR_CAP;
 
     /* collect both strands (engine.py:191-269 _collect_native; fused
-     * fillRMAPBUFF, mode 1 = seq-by-seq over seq_ivals) */
+     * fillRMAPBUFF).  Modes: explicit intervals (pair remap), seq-by-
+     * seq over seq_ivals (< 512 sequences), or whole-genome cutoff
+     * collection (mode 0, UNKNOWN seqidx resolved after pass 2 —
+     * rmap.c:1153-1227 / engine.py:232-235) */
     for (strand = 0; strand < 2; strand++) {
+        int seqbyseq = (P->rmapflg & RMAPFLG_SEQBYSEQ) != 0;
+        int cmode = (P->ovr_ivals || seqbyseq) ? 1 : 0;
+        int use_short = (!P->ovr_ivals && seqbyseq) ? 1 : 0;
+        int64_t cniv = P->ovr_ivals ? P->ovr_nivals
+                                    : (seqbyseq ? P->nseq : 0);
         int64_t n = mc_collect_all(
             P->starts, P->pos,
             strand ? s->qoffsR : s->qoffsF,
@@ -1984,10 +2041,9 @@ static int fl_read_stage1(const FLParams *P, FLScratch *s,
             strand ? nR : nF,
             strand ? rankR : rankF,
             qlen, P->wordlen, P->nskip, strand,
-            1 /* mode: intervals */,
-            P->ovr_ivals ? 0 : 1 /* use_short */,
+            cmode, use_short,
             P->ovr_ivals ? P->ovr_ivals : P->seq_ivals,
-            P->ovr_ivals ? P->ovr_nivals : P->nseq,
+            cniv,
             P->ktuple_maxhit, budget_rd, min_ktup, min_cover,
             s->sqdat, s->qm,
             s->seed_sqo, s->seed_len,
@@ -2093,8 +2149,15 @@ static int fl_read_finish(const FLParams *P, FLScratch *s,
             int64_t ndir_need, back_need, res_need;
             if (swscor < min_swatscor)   /* scored==1 always on this path */
                 continue;
-            if (sqidx < 0 || sqidx >= P->nseq) return FL_ERR_ASSERT;
-            subj = P->refcodes + P->offsets[sqidx] + crs;
+            if (sqidx >= P->nseq) return FL_ERR_ASSERT;
+            if (sqidx < 0) {
+                /* whole-genome mode (no SEQBYSEQ): global coordinates,
+                 * sequence resolved after pass 2 (rs_assign_seqidx) */
+                if (P->rmapflg & RMAPFLG_SEQBYSEQ) return FL_ERR_ASSERT;
+                subj = P->refcodes + crs;
+            } else {
+                subj = P->refcodes + P->offsets[sqidx] + crs;
+            }
             slen = cre - crs + 1;
             if (P->rmapflg & RMAPFLG_BEST) {
                 if (rs->swatscor_2ndmax > min_swatscor)
@@ -2233,8 +2296,12 @@ static int fl_read_finish(const FLParams *P, FLScratch *s,
         }
     }
 
-    /* sort_and_assign (engine.py:527-529 -> result.py:210-229), seqidx
-     * already assigned (SEQBYSEQ) */
+    /* sort_and_assign (engine.py:527-529 -> result.py:210-229); in
+     * whole-genome mode the sequence indices resolve here first */
+    if (!(P->rmapflg & RMAPFLG_SEQBYSEQ)) {
+        rc = rs_assign_seqidx(rs, P->offsets, P->nseq);
+        if (rc != 0) return rc;
+    }
     rs_sort_and_prune(rs);
     rs->qsegno = 0;
     if (rs->n_sortr) {
