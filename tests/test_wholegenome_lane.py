@@ -142,6 +142,57 @@ def test_wholegenome_cigar_lane_byte_identical(contigs560):
     assert c_text == py_text
 
 
+def test_wholegenome_scorediff_byte_identical(contigs560):
+    """-d 3 (multi-report walk, non-BEST) under the whole-genome
+    regime."""
+    from smalt_tpu.map.engine import RMAPFLG_BEST
+    from smalt_tpu.results.pairs import (RESULTFLG_BEST, RESULTFLG_SINGLE,
+                                         RESULTFLG_RANDSEL)
+    refset, idx, fq, _, _ = contigs560
+
+    def run(no_lane):
+        if no_lane:
+            os.environ["SMALT_TPU_NO_FASTLANE"] = "1"
+        try:
+            rand.ranseed(1)
+            p = MapParams()
+            # cli.py -d 3: scorediff nonzero clears BEST/SINGLE/RANDSEL
+            p.rmapflg &= ~RMAPFLG_BEST
+            p.rsltouflg &= ~(RESULTFLG_BEST | RESULTFLG_SINGLE |
+                             RESULTFLG_RANDSEL)
+            p.min_swatscor_below_max = 3
+            eng = MapEngine(refset, idx, p)
+            sink = io.StringIO()
+            run_pipeline(eng, FastqReader(fq), sink, refset)
+            return sink.getvalue()
+        finally:
+            os.environ.pop("SMALT_TPU_NO_FASTLANE", None)
+
+    assert run(False) == run(True)
+
+
+def test_wholegenome_cplx_byte_identical(contigs560):
+    """-w (complexity weighting) under the whole-genome regime."""
+    from smalt_tpu.map.engine import RMAPFLG_CMPLXW
+    refset, idx, fq, _, _ = contigs560
+
+    def run(no_lane):
+        if no_lane:
+            os.environ["SMALT_TPU_NO_FASTLANE"] = "1"
+        try:
+            rand.ranseed(1)
+            p = MapParams(use_cplx=True)
+            p.rmapflg |= RMAPFLG_CMPLXW
+            eng = MapEngine(refset, idx, p)
+            sink = io.StringIO()
+            run_pipeline(eng, FastqReader(fq), sink, refset)
+            return sink.getvalue()
+        finally:
+            os.environ.pop("SMALT_TPU_NO_FASTLANE", None)
+
+    assert run(False) == run(True)
+
+
 def test_wholegenome_split_mode_byte_identical(contigs560):
     """-p (split reads) under the whole-genome regime: the secondary
     complement-segment pass also collects in mode 0 and assigns
