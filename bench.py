@@ -372,21 +372,25 @@ def _bench_end_to_end(fa_path, genome, rng):
     import numpy as _np
 
     def _stage_split(reset_only=False):
-        """Fetch (and reset) the C lane's per-stage seconds
-        (SMALT_FL_TIMING buckets: seed/collate, pass1, pass2, render)."""
+        """The C lane's per-stage split (SMALT_FL_TIMING buckets).
+        run_pipeline_raw_fastq's own reporter fetch-resets the buckets,
+        so read its cached last report; fall back to a direct fetch."""
+        import smalt_tpu.native as native
         lib = get_lib()
         acc = _np.zeros(8)
         if lib is not None and hasattr(lib, "fl_prof_fetch"):
             lib.fl_prof_fetch(acc.ctypes.data_as(ctypes.c_void_p), 1)
         if reset_only:
+            native.fl_prof_lastreport = {}
             return None
-        tot = acc[:4].sum()
+        rep = native.fl_prof_lastreport
+        vals = ([rep.get(k, 0.0) for k in native.FL_PROF_STAGES[:4]]
+                if rep else list(acc[:4]))
+        tot = sum(vals)
         if tot <= 0:
             return None
-        return {"seed_collate": round(100 * acc[0] / tot, 1),
-                "pass1_sw": round(100 * acc[1] / tot, 1),
-                "pass2_align": round(100 * acc[2] / tot, 1),
-                "report_render": round(100 * acc[3] / tot, 1)}
+        keys = ("seed_collate", "pass1_sw", "pass2_align", "report_render")
+        return {k: round(100 * v / tot, 1) for k, v in zip(keys, vals)}
 
     _stage_split(reset_only=True)
     # build the direct-address host table outside the timed region: a

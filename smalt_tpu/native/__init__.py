@@ -300,7 +300,12 @@ def fl_prof_report(reset: bool = True):
     # slots 6/7: pass-2 gapless-shortcut fire / full-DP counters
     out["_shortcut_hits"] = buf[6]
     out["_dp_runs"] = buf[7]
+    global fl_prof_lastreport
+    fl_prof_lastreport = dict(out)   # survives the reset (bench.py)
     return out
+
+
+fl_prof_lastreport = {}
 
 
 class GrowBuf:
