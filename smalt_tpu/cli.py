@@ -306,14 +306,16 @@ def cmd_map(argv: List[str]) -> int:
     else:
         reads_iter = (PairedReader(a.reads, a.mates) if a.mates
                       else FastqReader(a.reads))
-    from .map.pipeline import run_pipeline, run_pipeline_raw_fastq
+    from .map.pipeline import (run_pipeline, run_pipeline_raw_fastq,
+                               run_pipeline_raw_pairs)
     fmt = a.oformat.split(":")[0]
     mods = a.oformat.split(":")[1].split(",") if ":" in a.oformat else []
     ran_raw = False
-    if (a.mates is None and a.nthreads <= 1 and
+    if (a.nthreads <= 1 and
             a.informat not in ("sam", "bam") and
             not a.reads.endswith((".sam", ".sam.gz", ".bam"))):
-        # single-end serial FASTQ: bulk parser + C fast-lane end to end.
+        # serial FASTQ (single-end or two-file paired): bulk parser +
+        # C fast-lane end to end.
         # BAM rides the same lane: the C lane renders SAM text and a
         # cheap re-encode turns it into BAM records (report/bam.py
         # SamTextEncoder), byte-identical to the Report-object path.
@@ -331,7 +333,7 @@ def cmd_map(argv: List[str]) -> int:
                         bam_writer.write_raw(
                             enc.encode_text(text, star_qual_literal=True))
                 raw_out, raw_fmt = _SamTextBamSink(), "sam"
-        if raw_ok:
+        if raw_ok and a.mates is None:
             ran_raw = run_pipeline_raw_fastq(
                 engine, a.reads, raw_out, refset, fmt=raw_fmt,
                 soft_clip="clip" not in mods, x_mismatch="x" in mods,
@@ -339,6 +341,12 @@ def cmd_map(argv: List[str]) -> int:
                 ihist=ihist, fix_primary=fix_primary, ali_out=a.aliout,
                 device_pass1=a.device_pass1,
                 resume_log=(resume_log if not a.device_pass1 else None))
+        elif raw_ok:
+            ran_raw = run_pipeline_raw_pairs(
+                engine, a.reads, a.mates, raw_out, refset, fmt=raw_fmt,
+                soft_clip="clip" not in mods, x_mismatch="x" in mods,
+                seed=(a.randseed if a.randseed is not None else 0),
+                ihist=ihist, fix_primary=fix_primary, ali_out=a.aliout)
     if not ran_raw:
         run_pipeline(engine, reads_iter, out, refset, fmt=fmt,
                      soft_clip="clip" not in mods, x_mismatch="x" in mods,

@@ -268,22 +268,58 @@ class PairLane:
         names = np.frombuffer(b"".join(name_parts) or b"\0", np.uint8)
         return codes, offs, quals, has_qual, names, name_offs
 
+    @staticmethod
+    def _raw_arrays(names, seqs, quals):
+        """Concat arrays straight from bulk-reader bytes (no Read
+        objects); encode + name cutting happen in C."""
+        n = len(names)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in seqs], out=offs[1:])
+        name_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(x) for x in names], out=name_offs[1:])
+        has_qual = np.empty(n, dtype=np.uint8)
+        qual_parts = []
+        for i, q in enumerate(quals):
+            if q is not None:
+                if len(q) != len(seqs[i]):
+                    return None    # malformed record: exact reader decides
+                has_qual[i] = 1
+                qual_parts.append(q)
+            else:
+                has_qual[i] = 0
+                qual_parts.append(b"\x00" * len(seqs[i]))
+        codes = np.frombuffer(b"".join(seqs) or b"\0", np.uint8)
+        qarr = np.frombuffer(b"".join(qual_parts) or b"\0", np.uint8)
+        narr = np.frombuffer(b"".join(names) or b"\0", np.uint8)
+        return codes, offs, qarr, has_qual, narr, name_offs
+
     def _call(self, readsA, readsB):
         """(text, n_done) for the leading pairs the C lane covered, or
         None on a hard error (caller renders the block in Python)."""
+        arrA = self._arrays(readsA)
+        arrB = self._arrays(readsB)
+        if arrA is None or arrB is None:
+            return None
+        return self._call_arrays(len(readsA), arrA, arrB,
+                                 ascii_codes=False, names_raw=False)
+
+    def _call_raw(self, namesA, seqsA, qualsA, namesB, seqsB, qualsB):
+        arrA = self._raw_arrays(namesA, seqsA, qualsA)
+        arrB = self._raw_arrays(namesB, seqsB, qualsB)
+        if arrA is None or arrB is None:
+            return None
+        return self._call_arrays(len(namesA), arrA, arrB,
+                                 ascii_codes=True, names_raw=True)
+
+    def _call_arrays(self, n, arrA, arrB, ascii_codes, names_raw):
         lane = self.lane
         eng = lane.engine
         p = eng.params
         filt = eng.filter
         wa, sa, nwords, ta, pa = lane._idx_addrs
         idx = eng.index
-        arrA = self._arrays(readsA)
-        arrB = self._arrays(readsB)
-        if arrA is None or arrB is None:
-            return None
         cA, oA, qA, hA, nA, noA = arrA
         cB, oB, qB, hB, nB, noB = arrB
-        n = len(readsA)
         if n < 1:
             return "", 0
         qmax = int(max((oA[1:] - oA[:-1]).max(),
@@ -313,7 +349,7 @@ class PairLane:
                 self.insert_min, self.insert_max, self.pairtyp,
                 self._ih_cum.ctypes.data if self._ih_cum is not None
                 else None, *self._ih_desc,
-                0,                          # names pre-stripped
+                1 if ascii_codes else 0, 1 if names_raw else 0,
                 n, cA.ctypes.data, oA.ctypes.data,
                 qA.ctypes.data, hA.ctypes.data,
                 nA.ctypes.data, noA.ctypes.data,
@@ -354,6 +390,33 @@ class PairLane:
             start += ndone
             if start < n:
                 parts.append(oracle_one(block[start]))
+                start += 1
+        return "".join(parts)
+
+    def render_raw_pairs(self, namesA, seqsA, qualsA,
+                         namesB, seqsB, qualsB,
+                         oracle_one_raw) -> Optional[str]:
+        """Same per-pair resume protocol as render_block, but fed
+        straight from bulk-reader bytes (encode + name cutting in C);
+        `oracle_one_raw(i)` renders pair i through the Python engine."""
+        parts = []
+        start = 0
+        n = len(namesA)
+        while start < n:
+            res = self._call_raw(namesA[start:], seqsA[start:],
+                                 qualsA[start:], namesB[start:],
+                                 seqsB[start:], qualsB[start:])
+            if res is None:
+                if start == 0:
+                    return None       # whole batch to the Python path
+                for i in range(start, n):
+                    parts.append(oracle_one_raw(i))
+                return "".join(parts)
+            text, ndone = res
+            parts.append(text)
+            start += ndone
+            if start < n:
+                parts.append(oracle_one_raw(start))
                 start += 1
         return "".join(parts)
 

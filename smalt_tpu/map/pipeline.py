@@ -200,12 +200,7 @@ def run_pipeline_raw_fastq(engine, path: str, out, refset,
     if lane is None:
         return False
     # the bulk parser needs strict 4-line FASTQ
-    from ..seq.io import open_maybe_gzip
-    with open_maybe_gzip(path) as f:
-        head = [f.readline() for _ in range(4)]
-    if len(head) < 4 or not head[0].startswith(b"@") or \
-            not head[2].startswith(b"+") or head[0].endswith(b"\r\n") or \
-            len(head[1].rstrip(b"\r\n")) != len(head[3].rstrip(b"\r\n")):
+    if not _strict_fastq(path):
         return False
 
     from .fastmode import iter_fastq_batches
@@ -268,6 +263,96 @@ def run_pipeline_raw_fastq(engine, path: str, out, refset,
                               for k, v in prof.items())
             print(f"# SMALT_FL_TIMING exact lane ({reads_done} reads): "
                   f"{split}  [gapless shortcut {sc_hits:.0f} / "
+                  f"DP {dp_runs:.0f}]", file=sys.stderr)
+    return True
+
+
+def _strict_fastq(path: str) -> bool:
+    """True when `path` looks like strict 4-line FASTQ (the bulk
+    parser's contract); anything else goes to the record reader."""
+    from ..seq.io import open_maybe_gzip
+    with open_maybe_gzip(path) as f:
+        head = [f.readline() for _ in range(4)]
+    return not (len(head) < 4 or not head[0].startswith(b"@") or
+                not head[2].startswith(b"+") or
+                head[0].endswith(b"\r\n") or
+                len(head[1].rstrip(b"\r\n")) != len(head[3].rstrip(b"\r\n")))
+
+
+def run_pipeline_raw_pairs(engine, reads_path: str, mates_path: str,
+                           out, refset, fmt: str = "sam",
+                           soft_clip: bool = True,
+                           x_mismatch: bool = False, seed: int = 1,
+                           ihist=None, fix_primary: bool = False,
+                           ali_out: bool = False) -> bool:
+    """Serial paired-end bulk path: C-speed FASTQ parsing of both mate
+    files feeding the C pair lane with raw bytes (base encoding + name
+    cutting also native — no per-read Python objects on the covered
+    flow).  Returns False when not applicable — the caller then runs
+    the regular run_pipeline.  Output is byte-identical either way:
+    the pair lane's per-pair resume protocol replays uncovered pairs
+    through the Python oracle on the same sequential drand48 stream
+    (threads.c:985-1014 serial order; rmap.c:1744-2112 pair flow)."""
+    if os.environ.get("SMALT_TPU_NO_FASTLANE"):
+        return False
+    from .fastlane import PairLane
+    plane = PairLane.make(engine, fmt, soft_clip, x_mismatch, ali_out,
+                          fix_primary, ihist)
+    if plane is None:
+        return False
+    if not (_strict_fastq(reads_path) and _strict_fastq(mates_path)):
+        return False
+
+    from .fastmode import iter_fastq_batches
+    from ..seq import codec
+    from ..seq.io import Read
+    writer_args = (fmt, soft_clip, x_mismatch, refset, ali_out)
+    _init_worker(engine, writer_args, seed)
+    _g["ihist"] = ihist
+    _g["fix_primary"] = fix_primary
+    _g["reseed_per_block"] = False
+
+    def mk_pair(i, nA, sA, qA, nB, sB, qB):
+        return (Read(name=nA[i].decode(), seq=codec.encode(sA[i]),
+                     qual=qA[i]),
+                Read(name=nB[i].decode(), seq=codec.encode(sB[i]),
+                     qual=qB[i]))
+
+    pairs_done = 0
+    itB = iter_fastq_batches(mates_path, 1024)
+    for nA, sA, qA in iter_fastq_batches(reads_path, 1024):
+        nB, sB, qB = next(itB, (None, None, None))
+        if nB is None or len(nB) != len(nA):
+            raise ValueError("paired files have different read counts")
+        def oracle_one_raw(i, nA=nA, sA=sA, qA=qA,
+                           nB=nB, sB=sB, qB=qB):
+            return _oracle_one_pair(mk_pair(i, nA, sA, qA, nB, sB, qB))
+        text = plane.render_raw_pairs(nA, sA, qA, nB, sB, qB,
+                                      oracle_one_raw)
+        if text is None:
+            # no RNG consumed: replay the batch through the block
+            # renderer (C pair lane again, then the Python engine)
+            block = [mk_pair(i, nA, sA, qA, nB, sB, qB)
+                     for i in range(len(nA))]
+            parts = []
+            for args in _blocks(iter(block), BLOCK_READS):
+                parts.append(_render_block(args))
+            text = "".join(parts)
+        out.write(text)
+        pairs_done += len(nA)
+    if next(itB, None) is not None:
+        raise ValueError("paired files have different read counts")
+    if os.environ.get("SMALT_FL_TIMING"):
+        from ..native import fl_prof_report
+        prof = fl_prof_report()
+        if prof:
+            sc_hits = prof.pop("_shortcut_hits", 0.0)
+            dp_runs = prof.pop("_dp_runs", 0.0)
+            tot = sum(prof.values()) or 1.0
+            split = "  ".join(f"{k} {v:.2f}s ({100 * v / tot:.0f}%)"
+                              for k, v in prof.items())
+            print(f"# SMALT_FL_TIMING exact pair lane ({pairs_done} "
+                  f"pairs): {split}  [gapless shortcut {sc_hits:.0f} / "
                   f"DP {dp_runs:.0f}]", file=sys.stderr)
     return True
 

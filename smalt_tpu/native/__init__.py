@@ -200,7 +200,7 @@ def _declare_fastlane(lib):
         ci, ci,                             # out_fmt, ali_out (-a)
         i64, i64, ci,                       # pair params
         vp, i64, i64, i64, i64, i64,        # -g insert histogram
-        ci,                                 # names_raw
+        ci, ci,                             # ascii_codes, names_raw
         i64, vp, vp, vp, vp, vp, vp,        # reads A
         vp, vp, vp, vp, vp, vp,             # reads B
         vp, vp, i64, vp, dbl]               # rng, out, cap, done, lam

@@ -4457,9 +4457,10 @@ int64_t fl_map_pair_block(
     /* -g insert histogram: cumulative bin counts (NULL = none) */
     const int64_t *ih_cum, int64_t ih_span, int64_t ih_lo,
     int64_t ih_hi, int64_t ih_scalfac, int64_t ih_num,
-    /* reads: A mates then B mates, mangled codes; names_raw: cut
-     * whitespace + /1 /2 here (else names are pre-stripped) */
-    int names_raw,
+    /* reads: A mates then B mates; codes_are_ascii: raw FASTQ letters
+     * to encode here; names_raw: cut whitespace + /1 /2 here (else
+     * names are pre-stripped) */
+    int codes_are_ascii, int names_raw,
     int64_t n_pairs,
     const uint8_t *codesA, const int64_t *offsA,
     const uint8_t *qualsA, const uint8_t *has_qualA,
@@ -4551,6 +4552,7 @@ int64_t fl_map_pair_block(
     t.p = out_text;
     t.end = out_text + out_cap;
     t.overflow = 0;
+    fl_codtab_init();
 
     for (i = 0; i < n_pairs; i++) {
         const uint8_t *cA = codesA + offsA[i];
@@ -4559,6 +4561,13 @@ int64_t fl_map_pair_block(
         const uint8_t *cB = codesB + offsB[i];
         const uint8_t *qB = has_qualB[i] ? qualsB + offsB[i] : NULL;
         int64_t qlB = offsB[i + 1] - offsB[i];
+        if (codes_are_ascii) {
+            int64_t j;
+            for (j = 0; j < qlA; j++) sA.enc[j] = fl_codtab[cA[j]];
+            for (j = 0; j < qlB; j++) sB.enc[j] = fl_codtab[cB[j]];
+            cA = sA.enc;
+            cB = sB.enc;
+        }
         int64_t nhitA, nhitB, nh1;
         int64_t houtA[6], houtB[6];
         uint64_t rng_save = rng;   /* fallback must not consume RNG */

@@ -253,3 +253,67 @@ def test_pair_lane_d0_byte_identical(pe_workload):
     py_text = run(True)
     assert c_text == py_text
     assert stats["c"] >= 390, stats    # the lane must carry the load
+
+
+@pytest.mark.parametrize("fmt", ["sam", "cigar"])
+def test_raw_pairs_byte_identical(pe_workload, fmt):
+    """The serial bulk PE path (run_pipeline_raw_pairs: C FASTQ
+    parsing + raw-bytes pair lane, base encoding and name cutting in
+    fl_map_pair_block) must equal the regular PairedReader pipeline
+    byte-for-byte."""
+    from smalt_tpu.map.pipeline import run_pipeline_raw_pairs
+    refset, idx, fq1, fq2 = pe_workload
+
+    rand.ranseed(1)
+    eng = MapEngine(refset, idx, MapParams())
+    raw_sink = io.StringIO()
+    ok = run_pipeline_raw_pairs(eng, fq1, fq2, raw_sink, refset, fmt=fmt)
+    assert ok
+
+    rand.ranseed(1)
+    eng = MapEngine(refset, idx, MapParams())
+    reg_sink = io.StringIO()
+    run_pipeline(eng, PairedReader(fq1, fq2), reg_sink, refset, fmt=fmt)
+    assert raw_sink.getvalue() == reg_sink.getvalue()
+
+
+def test_raw_pairs_oracle_resume(pe_workload):
+    """When the native pair call stops mid-batch, the raw path must
+    replay exactly the stopping pair through the Python oracle and
+    resume — byte-identical to the all-Python run."""
+    import smalt_tpu.map.fastlane as FL
+    from smalt_tpu.map.pipeline import run_pipeline_raw_pairs
+    refset, idx, fq1, fq2 = pe_workload
+
+    stats = {"calls": 0, "oracle": 0}
+    orig = FL.PairLane._call_arrays
+
+    def call(self, n, arrA, arrB, ascii_codes, names_raw):
+        stats["calls"] += 1
+        if n > 5:
+            # render only the first 5 pairs: to the caller this is
+            # indistinguishable from a native stop at pair 5, so pair
+            # 5 must replay through the Python oracle
+            return orig(self, 5, arrA, arrB, ascii_codes, names_raw)
+        return orig(self, n, arrA, arrB, ascii_codes, names_raw)
+
+    FL.PairLane._call_arrays = call
+    try:
+        rand.ranseed(1)
+        eng = MapEngine(refset, idx, MapParams())
+        raw_sink = io.StringIO()
+        ok = run_pipeline_raw_pairs(eng, fq1, fq2, raw_sink, refset)
+        assert ok
+    finally:
+        FL.PairLane._call_arrays = orig
+
+    os.environ["SMALT_TPU_NO_FASTLANE"] = "1"
+    try:
+        rand.ranseed(1)
+        eng = MapEngine(refset, idx, MapParams())
+        py_sink = io.StringIO()
+        run_pipeline(eng, PairedReader(fq1, fq2), py_sink, refset)
+    finally:
+        os.environ.pop("SMALT_TPU_NO_FASTLANE", None)
+    assert stats["calls"] >= 10         # the forced stops actually hit
+    assert raw_sink.getvalue() == py_sink.getvalue()
