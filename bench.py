@@ -442,7 +442,8 @@ def _bench_exact_pe(fa_path, genome, rng):
     from smalt_tpu.seq.refset import RefSet
     from smalt_tpu.index.table import build_index
     from smalt_tpu.map.engine import MapEngine, MapParams
-    from smalt_tpu.map.pipeline import run_pipeline
+    from smalt_tpu.map.pipeline import (run_pipeline,
+                                        run_pipeline_raw_pairs)
     from smalt_tpu.seq.io import PairedReader
     from smalt_tpu import rand
 
@@ -481,7 +482,9 @@ def _bench_exact_pe(fa_path, genome, rng):
             eng = MapEngine(refset, idx, MapParams())
             sink = io.StringIO()
             t0 = time.time()
-            run_pipeline(eng, PairedReader(fq1, fq2), sink, refset)
+            # the production serial-PE route (CLI): raw-bytes C lane
+            if not run_pipeline_raw_pairs(eng, fq1, fq2, sink, refset):
+                run_pipeline(eng, PairedReader(fq1, fq2), sink, refset)
             ours = max(ours, 2 * N / (time.time() - t0))
             if have_ref:
                 t0 = time.time()
