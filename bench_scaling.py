@@ -39,7 +39,9 @@ def main():
     from smalt_tpu.seq.refset import RefSet
     from smalt_tpu.index.table import build_index
     from smalt_tpu.align import core as ali
-    from smalt_tpu.parallel.mesh import DeviceIndex, make_sharded_step
+    from smalt_tpu.parallel.mesh import (DeviceIndex, ShardedDeviceIndex,
+                                         make_index_sharded_step,
+                                         make_sharded_step)
 
     rng = np.random.default_rng(7)
     bases = np.array(list(b"ACGT"), np.uint8)
@@ -90,12 +92,40 @@ def main():
     base = times[sizes[0]]
     effs = {n: base * n / times[n] for n in sizes}
     worst = min(effs[n] for n in sizes if n > 1) if len(sizes) > 1 else 1.0
+
+    # --- ip dimension: REAL range-sharded index (ShardedDeviceIndex,
+    # positions rebased per shard, pmax combine).  Work per read is
+    # ~constant across ip (each shard scans 1/n of the positions), so
+    # on the shared-core virtual mesh eff_ip(n) = T(ip=1)/T(ip=n)
+    # records the partitioning overhead (halo scans + collectives) —
+    # the VERDICT-r2 "sharded index throughput" number. ---
+    ip_sizes = [n for n in (1, 2, 4) if n <= ndev]
+    ip_times = {}
+    batch = jnp.asarray(reads_for(B))
+    for n in ip_sizes:
+        devs = np.array(jax.devices()[:n]).reshape(1, n)
+        mesh = Mesh(devs, ("dp", "ip"))
+        sdi = ShardedDeviceIndex.build(refset, idx, n_shards=n)
+        run = make_index_sharded_step(sdi, mesh, m, -go, -ge,
+                                      interpret=interpret)
+        jax.block_until_ready(run(batch))      # compile
+        reps = 3
+        t0 = time.time()
+        for _ in range(reps):
+            jax.block_until_ready(run(batch))
+        ip_times[n] = (time.time() - t0) / reps
+        print(f"# ip={n}: {ip_times[n]*1e3:.1f} ms for {B} reads",
+              file=sys.stderr)
+    ip_base = ip_times[ip_sizes[0]]
+    ip_effs = {n: ip_base / ip_times[n] for n in ip_sizes}
+
     print(json.dumps({
         "metric": "weak_scaling_efficiency",
         "value": round(worst, 3),
         "unit": "fraction",
         "vs_baseline": round(worst / 0.8, 3),
         "per_n": {str(n): round(effs[n], 3) for n in sizes},
+        "per_ip": {str(n): round(ip_effs[n], 3) for n in ip_sizes},
         "backend": jax.default_backend(),
     }))
 

@@ -184,6 +184,20 @@ for i in range(48):
     pB.append(Read(name=f'pa{i}', seq=codec.encode(b), qual=b'5' * 100))
 res = pl._call(pA, pB)
 assert res is not None and res[1] > 0, res
+# raw-bytes entry (codes_are_ascii + names_raw): ASCII encode and the
+# SAM name cut run in C
+nmA = [f'pa{i}/1'.encode() for i in range(48)]
+sqA = []
+sqB = []
+for i in range(48):
+    ins = 300 + int(rng.integers(0, 150))
+    st = int(rng.integers(0, len(gtxt) - ins))
+    frag = gtxt[st:st + ins].encode()
+    sqA.append(frag[:100])
+    sqB.append(frag[-100:].translate(comp)[::-1])
+qs = [b'5' * 100] * 48
+res = pl._call_raw(nmA, sqA, qs, nmA, sqB, qs)
+assert res is not None and res[1] > 0, res
 os.unlink(gpath)
 print('ASAN RUN CLEAN')
 """
