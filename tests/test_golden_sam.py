@@ -330,3 +330,45 @@ def test_ecoli_scale_paired_bit_identical(data_dir, tmp_path):
     want = _read_lines(os.path.join(data_dir, "golden_ecoli_pe_r1.sam.gz"))
     assert len(got) == len(want) == 6000
     assert got == want
+
+
+def test_alignment_display_bit_identical(index_prefix, data_dir, tmp_path):
+    """-a (explicit alignment display, report.c printExplicitAlignment):
+    golden minted from the reference binary — every QUERY/MATCH/SUBJCT
+    block byte-identical, interleaved with the SAM records."""
+    out = str(tmp_path / "a.out")
+    assert main(["map", "-f", "sam", "-r", "1", "-a", "-o", out,
+                 index_prefix,
+                 os.path.join(data_dir, "reads_se.fq.gz")]) == 0
+    got = _read_lines(out)
+    want = _read_lines(os.path.join(data_dir, "golden_se_r1_a.out.gz"))
+    assert len(got) == len(want) == 22000
+    assert got == want
+
+
+def test_negative_seed_bit_identical(index_prefix, data_dir, tmp_path):
+    """-r -1: reads with multiple best mappings report as unmapped (no
+    drand48 selection; rmap.c RSLTFLG_SELECT clear)."""
+    out = str(tmp_path / "rm1.sam")
+    assert main(["map", "-f", "sam", "-r", "-1", "-o", out, index_prefix,
+                 os.path.join(data_dir, "reads_se.fq.gz")]) == 0
+    got = _read_lines(out)
+    want = _read_lines(os.path.join(data_dir, "golden_se_rm1.sam.gz"))
+    assert len(got) == len(want) == 2000
+    assert got == want
+
+
+@pytest.mark.parametrize("fmt", ["cigar", "ssaha"])
+def test_pe_text_formats_bit_identical(index_prefix, data_dir, tmp_path,
+                                       fmt):
+    """Paired cigar/ssaha lines (qnames keep /1 /2, per-record CONTIG
+    labels) against reference-minted goldens."""
+    out = str(tmp_path / f"pe.{fmt}")
+    assert main(["map", "-f", fmt, "-r", "1", "-o", out, index_prefix,
+                 os.path.join(data_dir, "reads_pe_1.fq"),
+                 os.path.join(data_dir, "reads_pe_2.fq")]) == 0
+    got = _read_lines(out)
+    want = _read_lines(os.path.join(data_dir,
+                                    f"golden_pe_r1_{fmt}.out.gz"))
+    assert len(got) == len(want) == 240
+    assert got == want
