@@ -70,10 +70,18 @@ def _usage():
 
 def cmd_index(argv: List[str]) -> int:
     ap = argparse.ArgumentParser(prog="smalt_tpu index")
-    ap.add_argument("-k", type=int, default=13, dest="wordlen")
-    ap.add_argument("-s", type=int, default=None, dest="skipstep")
+    ap.add_argument("-k", type=int, default=13, dest="wordlen",
+                    help="k-mer word length (3..20, default 13)")
+    ap.add_argument("-s", type=int, default=None, dest="skipstep",
+                    help="sampling step: index every s-th k-mer word "
+                         "along the reference (default: wordlen)")
+    ap.add_argument("-H", action="store_true", dest="printhelp",
+                    help="print these instructions")
     ap.add_argument("index_name")
     ap.add_argument("reference")
+    if "-H" in argv:              # reference: -H prints help, exits 0
+        ap.print_help(sys.stderr)
+        return 0
     a = ap.parse_args(argv)
     nskip = a.skipstep if a.skipstep is not None else a.wordlen  # menu.c:1175
     print("# Reading sequences ...", file=sys.stderr)
@@ -90,31 +98,75 @@ def cmd_index(argv: List[str]) -> int:
 
 def _map_argparser(prog):
     ap = argparse.ArgumentParser(prog=prog)
-    ap.add_argument("-a", action="store_true", dest="aliout")
-    ap.add_argument("-c", type=float, default=None, dest="mincover")
-    ap.add_argument("-d", type=int, default=None, dest="scorediff")
-    ap.add_argument("-f", default="sam", dest="oformat")
+    ap.add_argument("-a", action="store_true", dest="aliout",
+                    help="output explicit alignments along with the "
+                         "mapping coordinates")
+    ap.add_argument("-c", type=float, default=None, dest="mincover",
+                    help="minimum k-mer seed coverage of the read: "
+                         "bases if > 1.0, else fraction of read length "
+                         "(requires -x)")
+    ap.add_argument("-d", type=int, default=None, dest="scorediff",
+                    help="report all alignments within this score of "
+                         "the maximum (< 0: all above -m; paired reads "
+                         "support only -d 0)")
+    ap.add_argument("-f", default="sam", dest="oformat",
+                    help="output format: sam (default), cigar, ssaha, "
+                         "gff, or bam; modifiers e.g. sam:nohead,x,clip")
     ap.add_argument("-F", default=None, dest="informat",
-                    choices=["fastq", "sam", "bam"])
-    ap.add_argument("-g", default=None, dest="insfil")
-    ap.add_argument("-H", action="store_true", dest="printhash",
-                    help="print index statistics to stderr (menu.c -H)")
-    ap.add_argument("-i", type=int, default=500, dest="insertmax")
-    ap.add_argument("-j", type=int, default=0, dest="insertmin")
+                    choices=["fastq", "sam", "bam"],
+                    help="input format (default fastq; sam/bam built "
+                         "in — the reference needs bambamc)")
+    ap.add_argument("-g", default=None, dest="insfil",
+                    help="insert-size distribution file produced by "
+                         "'smalt_tpu sample'")
+    ap.add_argument("-H", action="store_true", dest="printhelp",
+                    help="print these instructions")
+    ap.add_argument("-i", type=int, default=500, dest="insertmax",
+                    help="maximum insert size in paired-end mode "
+                         "(default 500)")
+    ap.add_argument("-j", type=int, default=0, dest="insertmin",
+                    help="minimum insert size in paired-end mode "
+                         "(default 0)")
     ap.add_argument("-l", default=None, dest="pairtyp",
-                    choices=["pe", "mp", "pp"])
-    ap.add_argument("-m", type=int, default=None, dest="minscor")
-    ap.add_argument("-n", type=int, default=1, dest="nthreads")
-    ap.add_argument("-o", default=None, dest="oufilnam")
-    ap.add_argument("-O", action="store_true", dest="inorder")
-    ap.add_argument("-p", action="store_true", dest="splitread")
-    ap.add_argument("-q", type=int, default=0, dest="minbasq")
-    ap.add_argument("-r", type=int, default=None, dest="randseed")
-    ap.add_argument("-S", default=None, dest="scorspec")
-    ap.add_argument("-T", default=None, dest="tmpdir")
-    ap.add_argument("-w", action="store_true", dest="complexw")
-    ap.add_argument("-x", action="store_true", dest="exhaustive")
-    ap.add_argument("-y", type=float, default=None, dest="minid")
+                    choices=["pe", "mp", "pp"],
+                    help="read-pair library type: pe |--> <--| "
+                         "(default), mp <--| |-->, pp |--> |-->")
+    ap.add_argument("-m", type=int, default=None, dest="minscor",
+                    help="absolute Smith-Waterman score threshold "
+                         "(default wordlen + stepsiz - 1)")
+    ap.add_argument("-n", type=int, default=1, dest="nthreads",
+                    help="number of worker processes (output stays in "
+                         "input order and deterministic for any -n — "
+                         "stronger than the reference, which needs -O)")
+    ap.add_argument("-o", default=None, dest="oufilnam",
+                    help="write mapping output to this file instead of "
+                         "standard output")
+    ap.add_argument("-O", action="store_true", dest="inorder",
+                    help="accepted for reference compatibility: output "
+                         "is always in input order here")
+    ap.add_argument("-p", action="store_true", dest="splitread",
+                    help="report partial alignments if they are "
+                         "complementary on the read (split reads)")
+    ap.add_argument("-q", type=int, default=0, dest="minbasq",
+                    help="base-quality threshold for k-mer lookups "
+                         "(0..10, default 0)")
+    ap.add_argument("-r", type=int, default=None, dest="randseed",
+                    help=">= 0: pick one of multiple best mappings at "
+                         "random (0 seeds from the clock); < 0: report "
+                         "multi-best reads as not mapped")
+    ap.add_argument("-S", default=None, dest="scorspec",
+                    help="alignment penalties, e.g. "
+                         "'match=1,subst=-2,gapopen=-4,gapext=-3'")
+    ap.add_argument("-T", default=None, dest="tmpdir",
+                    help="write temporary files to this directory")
+    ap.add_argument("-w", action="store_true", dest="complexw",
+                    help="complexity-weighted Smith-Waterman scores")
+    ap.add_argument("-x", action="store_true", dest="exhaustive",
+                    help="more exhaustive search: in paired mode each "
+                         "mate maps independently")
+    ap.add_argument("-y", type=float, default=None, dest="minid",
+                    help="identity threshold: exactly matching bases "
+                         "as a count or fraction of read length")
     ap.add_argument("--profile", default=None, dest="profdir",
                     help="write a jax profiler trace of the device "
                          "mapping loop to this directory (--fast only)")
@@ -243,12 +295,13 @@ def _writer(a, refset, argv, out):
 def cmd_map(argv: List[str]) -> int:
     import time
     t_start = time.time()
+    if "-H" in argv:              # reference: -H prints help, exits 0
+        _map_argparser("smalt_tpu map").print_help(sys.stderr)
+        return 0
     a = _map_argparser("smalt_tpu map").parse_args(argv)
     if a.fastmode:
         return _cmd_map_fast(a, argv)
     engine, refset, idx = _build_engine(a, argv)
-    if a.printhash:
-        idx.print_stats(sys.stderr)
     t_setup = time.time()
     bam_writer = None
     resume_log = None
@@ -475,7 +528,11 @@ def cmd_sample(argv: List[str]) -> int:
     output (headerless), followed by ASCII histograms and the text
     histogram that `map -g` reads back."""
     ap = _map_argparser("smalt_tpu sample")
-    ap.add_argument("-u", type=int, default=100, dest="readskip")
+    ap.add_argument("-u", type=int, default=100, dest="readskip",
+                    help="sample every u-th read pair (default 100)")
+    if "-H" in argv:              # reference: -H prints help, exits 0
+        ap.print_help(sys.stderr)
+        return 0
     a = ap.parse_args(argv)
     if not a.mates:
         print("sample requires paired reads", file=sys.stderr)
@@ -534,8 +591,13 @@ def _infer_insert(rsr, rsm) -> Optional[int]:
 def cmd_check(argv: List[str]) -> int:
     """smalt check (smalt.c:1432): validate read files, count reads."""
     ap = argparse.ArgumentParser(prog="smalt_tpu check")
+    ap.add_argument("-H", action="store_true", dest="printhelp",
+                    help="print these instructions")
     ap.add_argument("reads")
     ap.add_argument("mates", nargs="?", default=None)
+    if "-H" in argv:              # reference: -H prints help, exits 0
+        ap.print_help(sys.stderr)
+        return 0
     a = ap.parse_args(argv)
     n = 0
     if a.mates:
