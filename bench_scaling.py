@@ -72,6 +72,18 @@ def main():
 
     interpret = jax.default_backend() == "cpu"
     ndev = jax.device_count()
+
+    def time_step(step, batch, label, reps=3):
+        """Mean steady-state step time after one compile call."""
+        jax.block_until_ready(step(batch))     # compile
+        t0 = time.time()
+        for _ in range(reps):
+            jax.block_until_ready(step(batch))
+        dt = (time.time() - t0) / reps
+        print(f"# {label}: {dt*1e3:.1f} ms for {len(batch)} reads",
+              file=sys.stderr)
+        return dt
+
     sizes = [n for n in (1, 2, 4, 8) if n <= ndev]
     times = {}
     for n in sizes:
@@ -79,15 +91,8 @@ def main():
         mesh = Mesh(devs, ("dp", "ip"))
         step = make_sharded_step(di, mesh, m, -go, -ge,
                                  interpret=interpret)
-        batch = jnp.asarray(reads_for(n * B))
-        jax.block_until_ready(step(batch))     # compile
-        reps = 3
-        t0 = time.time()
-        for _ in range(reps):
-            jax.block_until_ready(step(batch))
-        times[n] = (time.time() - t0) / reps
-        print(f"# dp={n}: {times[n]*1e3:.1f} ms for {n*B} reads",
-              file=sys.stderr)
+        times[n] = time_step(step, jnp.asarray(reads_for(n * B)),
+                             f"dp={n}")
 
     base = times[sizes[0]]
     effs = {n: base * n / times[n] for n in sizes}
@@ -108,14 +113,7 @@ def main():
         sdi = ShardedDeviceIndex.build(refset, idx, n_shards=n)
         run = make_index_sharded_step(sdi, mesh, m, -go, -ge,
                                       interpret=interpret)
-        jax.block_until_ready(run(batch))      # compile
-        reps = 3
-        t0 = time.time()
-        for _ in range(reps):
-            jax.block_until_ready(run(batch))
-        ip_times[n] = (time.time() - t0) / reps
-        print(f"# ip={n}: {ip_times[n]*1e3:.1f} ms for {B} reads",
-              file=sys.stderr)
+        ip_times[n] = time_step(run, batch, f"ip={n}")
     ip_base = ip_times[ip_sizes[0]]
     ip_effs = {n: ip_base / ip_times[n] for n in ip_sizes}
 

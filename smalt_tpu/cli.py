@@ -35,16 +35,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         _usage()
         return 1
     sub = argv[0]
-    if sub == "index":
-        return cmd_index(argv[1:])
-    if sub == "map":
-        return cmd_map(argv[1:])
-    if sub == "sample":
-        return cmd_sample(argv[1:])
-    if sub == "check":
-        return cmd_check(argv[1:])
-    if sub == "merge-shards":
-        return cmd_merge_shards(argv[1:])
+    if sub in ("index", "map", "sample", "check", "merge-shards"):
+        fn = {"index": cmd_index, "map": cmd_map, "sample": cmd_sample,
+              "check": cmd_check, "merge-shards": cmd_merge_shards}[sub]
+        try:
+            return fn(argv[1:])
+        except SystemExit as e:     # argparse --help / -H exit
+            return int(e.code or 0)
     if sub == "version":
         print(f"smalt_tpu {__version__} (behavioural parity with SMALT {SMALT_VERSION})")
         return 0
@@ -68,6 +65,19 @@ def _usage():
     print(__doc__, file=sys.stderr)
 
 
+class _HelpAction(argparse.Action):
+    """Reference `-H`: print the task instructions and exit 0 —
+    honored wherever getopt would see it, including clustered short
+    flags like `-wH` (menu.c -H)."""
+
+    def __init__(self, option_strings, dest, **kw):
+        super().__init__(option_strings, dest, nargs=0, **kw)
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        parser.print_help(sys.stderr)
+        parser.exit(0)
+
+
 def cmd_index(argv: List[str]) -> int:
     ap = argparse.ArgumentParser(prog="smalt_tpu index")
     ap.add_argument("-k", type=int, default=13, dest="wordlen",
@@ -75,13 +85,10 @@ def cmd_index(argv: List[str]) -> int:
     ap.add_argument("-s", type=int, default=None, dest="skipstep",
                     help="sampling step: index every s-th k-mer word "
                          "along the reference (default: wordlen)")
-    ap.add_argument("-H", action="store_true", dest="printhelp",
+    ap.add_argument("-H", action=_HelpAction, dest="printhelp",
                     help="print these instructions")
     ap.add_argument("index_name")
     ap.add_argument("reference")
-    if "-H" in argv:              # reference: -H prints help, exits 0
-        ap.print_help(sys.stderr)
-        return 0
     a = ap.parse_args(argv)
     nskip = a.skipstep if a.skipstep is not None else a.wordlen  # menu.c:1175
     print("# Reading sequences ...", file=sys.stderr)
@@ -119,7 +126,7 @@ def _map_argparser(prog):
     ap.add_argument("-g", default=None, dest="insfil",
                     help="insert-size distribution file produced by "
                          "'smalt_tpu sample'")
-    ap.add_argument("-H", action="store_true", dest="printhelp",
+    ap.add_argument("-H", action=_HelpAction, dest="printhelp",
                     help="print these instructions")
     ap.add_argument("-i", type=int, default=500, dest="insertmax",
                     help="maximum insert size in paired-end mode "
@@ -295,9 +302,6 @@ def _writer(a, refset, argv, out):
 def cmd_map(argv: List[str]) -> int:
     import time
     t_start = time.time()
-    if "-H" in argv:              # reference: -H prints help, exits 0
-        _map_argparser("smalt_tpu map").print_help(sys.stderr)
-        return 0
     a = _map_argparser("smalt_tpu map").parse_args(argv)
     if a.fastmode:
         return _cmd_map_fast(a, argv)
@@ -363,6 +367,13 @@ def cmd_map(argv: List[str]) -> int:
                                run_pipeline_raw_pairs)
     fmt = a.oformat.split(":")[0]
     mods = a.oformat.split(":")[1].split(",") if ":" in a.oformat else []
+    if a.device_pass1 and not (
+            a.mates is None and a.nthreads <= 1 and
+            a.informat not in ("sam", "bam") and
+            not a.reads.endswith((".sam", ".sam.gz", ".bam"))):
+        print("# --device-pass1 applies to serial single-end FASTQ "
+              "runs; ignored (output is identical either way)",
+              file=sys.stderr)
     ran_raw = False
     if (a.nthreads <= 1 and
             a.informat not in ("sam", "bam") and
@@ -501,6 +512,8 @@ def cmd_merge_shards(argv: List[str]) -> int:
     global batch order (byte-identical to a single-host run)."""
     import argparse
     ap = argparse.ArgumentParser("smalt_tpu merge-shards")
+    ap.add_argument("-H", action=_HelpAction, dest="printhelp",
+                    help="print these instructions")
     ap.add_argument("output")
     ap.add_argument("shards", nargs="+")
     a = ap.parse_args(argv)
@@ -530,9 +543,6 @@ def cmd_sample(argv: List[str]) -> int:
     ap = _map_argparser("smalt_tpu sample")
     ap.add_argument("-u", type=int, default=100, dest="readskip",
                     help="sample every u-th read pair (default 100)")
-    if "-H" in argv:              # reference: -H prints help, exits 0
-        ap.print_help(sys.stderr)
-        return 0
     a = ap.parse_args(argv)
     if not a.mates:
         print("sample requires paired reads", file=sys.stderr)
@@ -591,13 +601,10 @@ def _infer_insert(rsr, rsm) -> Optional[int]:
 def cmd_check(argv: List[str]) -> int:
     """smalt check (smalt.c:1432): validate read files, count reads."""
     ap = argparse.ArgumentParser(prog="smalt_tpu check")
-    ap.add_argument("-H", action="store_true", dest="printhelp",
+    ap.add_argument("-H", action=_HelpAction, dest="printhelp",
                     help="print these instructions")
     ap.add_argument("reads")
     ap.add_argument("mates", nargs="?", default=None)
-    if "-H" in argv:              # reference: -H prints help, exits 0
-        ap.print_help(sys.stderr)
-        return 0
     a = ap.parse_args(argv)
     n = 0
     if a.mates:
