@@ -239,10 +239,10 @@ def main():
     pe_rate = pe_ref = 0.0
     long_rate = long_bases = long_ref = 0.0
     chr_rate = 0.0
-    exact_split = None
+    exact_split = fast_split = None
     try:
-        e2e_rate, e2e_rate_n2, exact_rate, dp1_rate, exact_split = \
-            _bench_end_to_end(fa_path, genome, rng)
+        (e2e_rate, e2e_rate_n2, exact_rate, dp1_rate, exact_split,
+         fast_split) = _bench_end_to_end(fa_path, genome, rng)
         pe_rate, pe_ref = _bench_exact_pe(fa_path, genome, rng)
         long_rate, long_bases, long_ref = \
             _bench_longreads(fa_path, genome, rng)
@@ -274,6 +274,13 @@ def main():
         "longread_vs_ref": round(long_rate / long_ref, 3) if long_ref
         else 0.0,
     }
+    if fast_split:
+        # Where a fast-mode read's 1/rate goes: host stages
+        # (parse+encode+tail) vs the serialized device dispatch+fetch.
+        # On this tunnel-attached rig the fetch leg, not the host,
+        # bounds e2e; host_only_ceiling is the projected rate with the
+        # chip directly attached (transfer hidden by prefetch overlap).
+        result["fast_stage_split"] = fast_split
     if exact_split:
         # The north-star record: where the byte-identical lane's time
         # goes on ONE host core (percent of in-C time).  This rig's
@@ -310,6 +317,72 @@ def main():
           "host-bound stage (parse, tail, exact lanes) scales with the "
           "pool (tests/test_fastmode.py worker-pool determinism).",
           file=sys.stderr)
+
+
+def _fast_stage_split(refset, idx, fq, batch, interpret):
+    """Per-stage host/device split of the FAST pipeline, measured on
+    the warm state the main timed run leaves behind (cached device
+    index upload + compiled step on `idx`).  Stages: parse (C FASTQ
+    scan), encode (C 3-bit packer), device step + packed fetch run
+    SERIALLY (the un-overlapped upper bound of the dispatch/transfer
+    cost — the pipeline itself hides most of it behind PREFETCH and
+    copy_to_host_async), tail (C render).  parse+encode+tail is the
+    pipeline's host-only ceiling: what one host core sustains when the
+    chip is directly attached and the transfer vanishes into overlap."""
+    import time
+    import jax.numpy as jnp
+    from smalt_tpu.map import fastmode as fm
+    from smalt_tpu.parallel.mesh import OUT_KEYS, window_len, window_pad
+
+    t0 = time.time()
+    batches = list(fm.iter_fastq_hybrid(fq, batch))
+    t_parse = time.time() - t0
+    if not all(isinstance(b, fm.RawBatch) for b in batches):
+        return None
+    n = sum(b.n for b in batches)
+    step = getattr(idx, "_fast_step_cache", {}).get(
+        (1, 1, (1, -2, -4, -3), interpret))
+    if not n or step is None:
+        return None
+    Qs = [max(32, -(-int(b.seq_len.max()) // 16) * 16) for b in batches]
+    t0 = time.time()
+    encs = [b.encode(Q) for b, Q in zip(batches, Qs)]
+    t_enc = time.time() - t0
+    t_dev = 0.0
+    outs_all = []
+    for b, enc in zip(batches, encs):
+        arr = enc
+        if arr.shape[0] != batch:   # same one-shape rule as the pipeline
+            arr = np.pad(arr, ((0, batch - arr.shape[0]), (0, 0)),
+                         constant_values=7)
+        t0 = time.time()
+        o = np.asarray(step(jnp.asarray(arr)))
+        t_dev += time.time() - t0
+        outs_all.append({k: o[i, : b.n] for i, k in enumerate(OUT_KEYS)})
+    fm._tail_init(refset, (1, -2, -4, -3), 18, (True, False), (0, 500),
+                  None, 1, None, None)
+    args = []
+    base = 0
+    for b, outs, Q in zip(batches, outs_all, Qs):
+        args.append((False, b, outs, window_len(Q), window_pad(Q), Q,
+                     base))
+        base += b.n
+    for a in args:                 # warm lane scratch buffers
+        fm._tail_render(a)
+    t0 = time.time()
+    for a in args:                 # deterministic: per-read RNG reseeds
+        fm._tail_render(a)
+    t_tail = time.time() - t0
+    host = t_parse + t_enc + t_tail
+
+    def us(t):
+        return round(t / n * 1e6, 2)
+
+    return {"parse_us_per_read": us(t_parse),
+            "encode_us_per_read": us(t_enc),
+            "device_step_fetch_serial_us_per_read": us(t_dev),
+            "tail_us_per_read": us(t_tail),
+            "host_only_ceiling_reads_per_s": round(n / host, 1)}
 
 
 def _bench_end_to_end(fa_path, genome, rng):
@@ -353,6 +426,17 @@ def _bench_end_to_end(fa_path, genome, rng):
     nrec = sum(1 for l in sink.getvalue().splitlines()
                if l and not l.startswith("@"))
     assert nrec == N_FAST, nrec
+
+    # stage split on the warm state (device-serial leg only on real
+    # hardware: one extra interpret pass would dominate the cpu
+    # fallback's wall clock for a number nobody reads off a cpu)
+    fast_split = None
+    if on_tpu:
+        try:
+            fast_split = _fast_stage_split(refset, idx, fq, 8192,
+                                           kw["interpret"])
+        except Exception as e:   # noqa: BLE001 - diagnostic, not vital
+            print(f"# fast stage split failed: {e!r}", file=sys.stderr)
 
     # nthreads sweep point (VERDICT r2 #2): the forked tail pool on
     # this 1-vCPU rig — records the knee (expected ~flat here)
@@ -429,7 +513,7 @@ def _bench_end_to_end(fa_path, genome, rng):
                 "--device-pass1 output diverged from the host lane"
     for p in (fq, fq_small, fqx):
         os.unlink(p)
-    return e2e, e2e_n2, exact, dp1, split
+    return e2e, e2e_n2, exact, dp1, split, fast_split
 
 
 def _bench_exact_pe(fa_path, genome, rng):

@@ -1289,6 +1289,16 @@ def run_fast_pipeline(refset: RefSet, idx: KmerIndex, reads_path: str,
                 arr = np.pad(arr, ((0, want - arr.shape[0]), (0, 0)),
                              constant_values=7)
             o = step(jnp.asarray(arr))          # async dispatch
+            try:
+                # start the device->host copy NOW (it queues behind the
+                # computation): by the time force() pops this batch off
+                # the prefetch queue, np.asarray finds the bytes already
+                # on the host instead of paying a serialized fetch —
+                # on tunnel-attached chips that fetch, not the tail,
+                # bounds the pipeline (stage split in BENCH artifacts)
+                o.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
             pending.append((bno, item, o,
                             window_len(Q), window_pad(Q), Q, base))
             base += nreads(item)
