@@ -461,7 +461,7 @@ def _bench_end_to_end(fa_path, genome, rng):
         so read its cached last report; fall back to a direct fetch."""
         import smalt_tpu.native as native
         lib = get_lib()
-        acc = _np.zeros(8)
+        acc = _np.zeros(16)   # FL_PROF_N doubles (fastlane.c)
         if lib is not None and hasattr(lib, "fl_prof_fetch"):
             lib.fl_prof_fetch(acc.ctypes.data_as(ctypes.c_void_p), 1)
         if reset_only:

@@ -258,9 +258,13 @@ def run_pipeline_raw_fastq(engine, path: str, out, refset,
         if prof:
             sc_hits = prof.pop("_shortcut_hits", 0.0)
             dp_runs = prof.pop("_dp_runs", 0.0)
+            sub = prof.pop("_sub", {})
             tot = sum(prof.values()) or 1.0
             split = "  ".join(f"{k} {v:.2f}s ({100 * v / tot:.0f}%)"
                               for k, v in prof.items())
+            if any(sub.values()):
+                split += "  | sub: " + "  ".join(
+                    f"{k} {v:.2f}s" for k, v in sub.items())
             print(f"# SMALT_FL_TIMING exact lane ({reads_done} reads): "
                   f"{split}  [gapless shortcut {sc_hits:.0f} / "
                   f"DP {dp_runs:.0f}]", file=sys.stderr)
@@ -348,9 +352,13 @@ def run_pipeline_raw_pairs(engine, reads_path: str, mates_path: str,
         if prof:
             sc_hits = prof.pop("_shortcut_hits", 0.0)
             dp_runs = prof.pop("_dp_runs", 0.0)
+            sub = prof.pop("_sub", {})
             tot = sum(prof.values()) or 1.0
             split = "  ".join(f"{k} {v:.2f}s ({100 * v / tot:.0f}%)"
                               for k, v in prof.items())
+            if any(sub.values()):
+                split += "  | sub: " + "  ".join(
+                    f"{k} {v:.2f}s" for k, v in sub.items())
             print(f"# SMALT_FL_TIMING exact pair lane ({pairs_done} "
                   f"pairs): {split}  [gapless shortcut {sc_hits:.0f} / "
                   f"DP {dp_runs:.0f}]", file=sys.stderr)

@@ -30,8 +30,21 @@ _loaded = False
 
 def _build():
     cc = os.environ.get("CC", "cc")
-    cmd = [cc, "-O3", "-shared", "-fPIC", "-o", _SO] + _SRCS
-    subprocess.run(cmd, check=True, capture_output=True)
+    # -march=native unlocks the AVX2/AVX-512 kernel variants in swdp.c
+    # (the .so is built per-host on first import, so native is safe);
+    # -ffp-contract=off keeps the double-precision mapq/probability
+    # formulas bit-stable — FMA contraction would round differently
+    # than the baseline build and break golden byte-parity.
+    base = [cc, "-O3", "-shared", "-fPIC", "-o", _SO] + _SRCS
+    for extra in (["-march=native", "-ffp-contract=off"], []):
+        try:
+            subprocess.run(base[:2] + extra + base[2:], check=True,
+                           capture_output=True)
+            return
+        except subprocess.CalledProcessError:
+            continue
+    # surface the plain build's error if both failed
+    subprocess.run(base, check=True, capture_output=True)
 
 
 def _declare(lib):
@@ -279,6 +292,11 @@ def ptr(a: np.ndarray, ct=None):
 
 FL_PROF_STAGES = ("seed/collate", "pass1-score", "pass2-align",
                   "report/SAM")
+# sub-splits WITHIN the stages above (not additive with them):
+# 8/9/10 split stage 0, 11 is the profile-build share of stage 1,
+# 12/13 split stage 2 (DP+traceback vs sort/mapq/filter)
+FL_PROF_SUB = ("hitinfo", "collect", "candstats", "profiles",
+               "pass2-dp", "pass2-post")
 
 
 def fl_prof_report(reset: bool = True):
@@ -290,7 +308,7 @@ def fl_prof_report(reset: bool = True):
     lib = _load()
     if lib is None or not hasattr(lib, "fl_prof_fetch"):
         return {}
-    buf = (ctypes.c_double * 8)()
+    buf = (ctypes.c_double * 16)()   # FL_PROF_N doubles (fastlane.c)
     if lib.fl_prof_fetch(buf, 1 if reset else 0) < 8:
         return {}
     vals = list(buf)[: len(FL_PROF_STAGES)]
@@ -300,6 +318,8 @@ def fl_prof_report(reset: bool = True):
     # slots 6/7: pass-2 gapless-shortcut fire / full-DP counters
     out["_shortcut_hits"] = buf[6]
     out["_dp_runs"] = buf[7]
+    # slots 8..13: sub-splits (seconds) within the stages
+    out["_sub"] = dict(zip(FL_PROF_SUB, list(buf)[8:8 + len(FL_PROF_SUB)]))
     global fl_prof_lastreport
     fl_prof_lastreport = dict(out)   # survives the reset (bench.py)
     return out

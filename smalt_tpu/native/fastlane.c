@@ -37,8 +37,12 @@
  * fl_prof_fetch.  Stages: 0 seed/collate, 1 pass-1 candidate scoring,
  * 2 pass-2 align+mapq+filter, 3 report+SAM render, 4/5 reused by the
  * pair block (timing) and the fast tail (retry counters), 6 pass-2
- * gapless-shortcut fires, 7 pass-2 full-DP runs. */
-#define FL_PROF_N 8
+ * gapless-shortcut fires, 7 pass-2 full-DP runs.  8..13 are
+ * sub-splits WITHIN stages 0-2 (not additive with them): 8 hit-info
+ * scan, 9 hit collection/collation, 10 candidate stats+deficits,
+ * 11 striped-profile build, 12 pass-2 DP+traceback only, 13 pass-2
+ * sort/mapq/filter tail. */
+#define FL_PROF_N 16
 static int fl_prof_on = -1;
 static double fl_prof_acc[FL_PROF_N];
 
@@ -1928,6 +1932,8 @@ static int fl_read_stage1(const FLParams *P, FLScratch *s,
     int strand;
     int rc;
     double t;
+    int prof = fl_prof();
+    double tp = prof ? fl_prof_now() : 0.0;
 
     memset(o, 0, sizeof(*o));
     if (qlen < P->wordlen) {            /* ShortSeq -> empty result set */
@@ -1991,6 +1997,7 @@ static int fl_read_stage1(const FLParams *P, FLScratch *s,
     nF = hout[0]; rankF = hout[1]; nR = hout[2]; rankR = hout[3];
     o->nF = nF;
     o->nR = nR;
+    if (prof) { double t1 = fl_prof_now(); fl_prof_acc[8] += t1 - tp; tp = t1; }
 
     /* _covermin (engine.py:562-568) */
     if (P->min_cover_frac < 1.01) {
@@ -2055,6 +2062,7 @@ static int fl_read_stage1(const FLParams *P, FLScratch *s,
         if (n < 0) return FL_ERR_CAP;
         ncand += n;
     }
+    if (prof) { double t1 = fl_prof_now(); fl_prof_acc[9] += t1 - tp; tp = t1; }
 
     /* cover deficits (engine.py:483) */
     o->deficit_f = mc_cover_deficit(s->qoffsF, s->sidxF, nF, has_rankF,
@@ -2093,6 +2101,7 @@ static int fl_read_stage1(const FLParams *P, FLScratch *s,
         o->hits_used = nrankF + nrankR;
         o->hits_tot = totF + totR;
     }
+    if (prof) fl_prof_acc[10] += fl_prof_now() - tp;
     return 0;
 }
 
@@ -2138,6 +2147,8 @@ static int fl_read_finish(const FLParams *P, FLScratch *s,
     /* pass 2: alignRMAPCANDFull (engine.py:416-443) */
     {
         int64_t c;
+        int prof = fl_prof();
+        double tp = prof ? fl_prof_now() : 0.0;
         for (c = 0; c < n_out; c++) {
             const int64_t *o = s->score_out + c * 10;
             int64_t cqs = o[0], cqe = o[1], crs = o[2], cre = o[3];
@@ -2294,8 +2305,12 @@ static int fl_read_finish(const FLParams *P, FLScratch *s,
             rc = rs_add_from_ali(rs, s->ares, nali, crs, qlen, sqidx, is_rev);
             if (rc != 0) return rc;
         }
+        if (prof) fl_prof_acc[12] += fl_prof_now() - tp;
     }
 
+    {
+    int prof = fl_prof();
+    double tp = prof ? fl_prof_now() : 0.0;
     /* sort_and_assign (engine.py:527-529 -> result.py:210-229); in
      * whole-genome mode the sequence indices resolve here first */
     if (!(P->rmapflg & RMAPFLG_SEQBYSEQ)) {
@@ -2321,6 +2336,8 @@ static int fl_read_finish(const FLParams *P, FLScratch *s,
     if (do_filter)
         rs_filter(rs, qlen, P->filter_minscor, P->filter_belowmax,
                   P->filter_minid);
+    if (prof) fl_prof_acc[13] += fl_prof_now() - tp;
+    }
     return 0;
 }
 
@@ -2357,6 +2374,7 @@ static int fl_map_pass(const FLParams *P, FLScratch *s,
     if (do_profiles) {
         fl_profiles(P, codes, qlen, s->Wf, s->Wr);
         fl_perfect_prep(P, s, codes, qlen);
+        if (prof) { double t1 = fl_prof_now(); fl_prof_acc[11] += t1 - t0; }
     }
 
     /* pass 1 (engine.py:500-501 -> mc_score_cands) */

@@ -105,7 +105,34 @@ int64_t mc_hitinfo_collect(
             else
                 w = ((w << 2) | b2) & mask2k;
         }
+        /* lookahead rolling word PFD positions ahead of t: its only
+         * job is issuing a speculative prefetch of the direct-address
+         * table line the main walk will load ~PFD iterations later
+         * (the table is 4^k ints — every lookup is a cold DRAM line
+         * otherwise).  No bad-base tracking: a wasted prefetch on a
+         * window the main walk skips is harmless. */
+#define HITINFO_PFD 16
+        {
+            uint64_t wA = 0;
+            int64_t tA = t0 + HITINFO_PFD;
+            if (table && tA <= t1) {
+                for (j = tA; j < tA + k - 1 && j <= seq_end; j++) {
+                    uint64_t b2 = codes[j] & 3;
+                    if (is_reverse)
+                        wA = (wA >> 2) | ((b2 ^ 3ull) << (2 * (k - 1)));
+                    else
+                        wA = ((wA << 2) | b2) & mask2k;
+                }
+            }
         for (t = t0; t <= t1; t++) {
+            if (table && t + HITINFO_PFD <= t1) {
+                uint64_t b2 = codes[t + HITINFO_PFD + k - 1] & 3;
+                if (is_reverse)
+                    wA = (wA >> 2) | ((b2 ^ 3ull) << (2 * (k - 1)));
+                else
+                    wA = ((wA << 2) | b2) & mask2k;
+                __builtin_prefetch(&table[wA], 0, 1);
+            }
             uint8_t c = codes[t + k - 1];
             int bad = (c & 4) != 0 || (qual && qual[t + k - 1] < minq);
             uint64_t b2 = c & 3;
@@ -146,6 +173,7 @@ int64_t mc_hitinfo_collect(
                 n_seeds++;
             }
         }
+        }   /* lookahead-word scope */
     }
     return n_seeds;
 }

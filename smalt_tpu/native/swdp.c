@@ -402,6 +402,119 @@ static int sw_full_sse2_8(const int32_t *W, int qlen,
     }
 }
 
+#if defined(__AVX512BW__)
+#include <immintrin.h>
+
+/* 512-bit whole-register byte shift left by one (the 64-lane analog of
+ * _mm_slli_si128(v, 1)): 128-bit lanes shift with a carry byte from
+ * the previous lane, lane 0 shifts in zero. */
+static inline __m512i sw8_shl1(__m512i v)
+{
+    __m512i t = _mm512_maskz_shuffle_i32x4((__mmask16)0xFFF0, v, v,
+                                           _MM_SHUFFLE(2, 1, 0, 0));
+    return _mm512_alignr_epi8(v, t, 15);
+}
+
+/* The 8-bit striped kernel at 64 uint8 lanes (AVX-512BW build of the
+ * same Farrar recurrence as sw_full_sse2_8 — identical maxima,
+ * identical -1 refusal conditions, 4x the lanes). */
+static int sw_full_avx512_8(const int32_t *W, int qlen,
+                            const uint8_t *subj, int slen,
+                            int gap_init, int gap_ext)
+{
+    const int seglen = (qlen + 63) / 64;
+    const int nvec = seglen * 64;
+    int i, j, a, lane, bias = 0, best;
+    uint8_t *mem;
+    if (gap_ext > gap_init || gap_init > 127)
+        return -1;
+    for (j = 0; j < 8 * qlen; j++) {
+        if (W[j] > 100 || W[j] < -100) return -1;
+        if (-W[j] > bias) bias = -W[j];
+    }
+    mem = (uint8_t *)malloc((size_t)8 * nvec + 3 * nvec + 128);
+    if (!mem) return -1;
+    {
+    uint8_t *base = (uint8_t *)(((uintptr_t)mem + 63) & ~(uintptr_t)63);
+    uint8_t *prof = base;
+    __m512i *vprof = (__m512i *)prof;
+    __m512i *vHStore = (__m512i *)(prof + 8 * nvec);
+    __m512i *vHLoad = vHStore + seglen;
+    __m512i *vE = vHLoad + seglen;
+    __m512i vzero = _mm512_setzero_si512();
+    __m512i vBias = _mm512_set1_epi8((char)(uint8_t)bias);
+    __m512i vGapI = _mm512_set1_epi8((char)(uint8_t)gap_init);
+    __m512i vGapE = _mm512_set1_epi8((char)(uint8_t)gap_ext);
+    __m512i vMax = vzero;
+
+    for (a = 0; a < 8; a++) {
+        const int32_t *rs = W + a * qlen;
+        uint8_t *pp = prof + (size_t)a * nvec;
+        for (j = 0; j < seglen; j++)
+            for (lane = 0; lane < 64; lane++) {
+                int q = j + lane * seglen;
+                pp[j * 64 + lane] =
+                    (q < qlen) ? (uint8_t)(rs[q] + bias) : 0;
+            }
+    }
+    for (j = 0; j < seglen; j++) {
+        vHStore[j] = vzero;
+        vHLoad[j] = vzero;
+        vE[j] = vzero;
+    }
+    for (i = 0; i < slen; i++) {
+        const __m512i *vP = vprof + (size_t)(subj[i] & 7) * seglen;
+        __m512i vF = vzero;
+        __m512i vH = sw8_shl1(vHStore[seglen - 1]);
+        __m512i *tmp = vHLoad; vHLoad = vHStore; vHStore = tmp;
+        for (j = 0; j < seglen; j++) {
+            __m512i e = vE[j];
+            vH = _mm512_subs_epu8(_mm512_adds_epu8(vH, vP[j]), vBias);
+            vMax = _mm512_max_epu8(vMax, vH);  /* diagonal-extended max */
+            vH = _mm512_max_epu8(vH, e);
+            vH = _mm512_max_epu8(vH, vF);
+            vHStore[j] = vH;
+            {
+                __m512i hg = _mm512_subs_epu8(vH, vGapI);
+                vE[j] = _mm512_max_epu8(_mm512_subs_epu8(e, vGapE), hg);
+                vF = _mm512_max_epu8(_mm512_subs_epu8(vF, vGapE), hg);
+            }
+            vH = vHLoad[j];
+        }
+        /* lazy-F, same dominance argument as the SSE2 kernel */
+        vF = sw8_shl1(vF);
+        j = 0;
+        for (;;) {
+            __m512i h = vHStore[j];
+            __m512i hg = _mm512_subs_epu8(h, vGapI);
+            __m512i excess = _mm512_subs_epu8(vF, hg);
+            if (_mm512_cmpneq_epu8_mask(excess, vzero) == 0)
+                break;
+            h = _mm512_max_epu8(h, vF);
+            vHStore[j] = h;
+            vE[j] = _mm512_max_epu8(vE[j], _mm512_subs_epu8(h, vGapI));
+            vF = _mm512_subs_epu8(vF, vGapE);
+            if (++j >= seglen) {
+                j = 0;
+                vF = sw8_shl1(vF);
+            }
+        }
+    }
+    best = 0;
+    {
+        uint8_t out[64];
+        _mm512_storeu_si512((__m512i *)out, vMax);
+        for (lane = 0; lane < 64; lane++)
+            if (out[lane] > best) best = out[lane];
+    }
+    free(mem);
+    if (best >= 255 - bias)
+        return -1;                  /* possible saturation: retry wider */
+    return best;
+    }
+}
+#endif /* __AVX512BW__ */
+
 static int sw_full_sse2(const int32_t *W, int qlen,
                         const uint8_t *subj, int slen,
                         int gap_init, int gap_ext)
@@ -524,7 +637,12 @@ int sw_full(const int32_t *W, int qlen,
 {
 #ifdef __SSE2__
     if (qlen >= 16) {
-        int r = sw_full_sse2_8(W, qlen, subj, slen, gap_init, gap_ext);
+        int r;
+#ifdef __AVX512BW__
+        r = sw_full_avx512_8(W, qlen, subj, slen, gap_init, gap_ext);
+#else
+        r = sw_full_sse2_8(W, qlen, subj, slen, gap_init, gap_ext);
+#endif
         if (r >= 0) return r;
         r = sw_full_sse2(W, qlen, subj, slen, gap_init, gap_ext);
         if (r >= 0) return r;
