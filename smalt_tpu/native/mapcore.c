@@ -1001,6 +1001,15 @@ int sw_band_fast(const int32_t *W, int qlen_prof, const uint8_t *subj,
                  int32_t *Hbuf, int32_t *Ebuf);
 int sw_full(const int32_t *W, int qlen, const uint8_t *subj, int slen,
             int gap_init, int gap_ext, int32_t *Hbuf, int32_t *Ebuf);
+/* prepared per-read striped profile (swdp.c): build once per
+ * read/strand, score every candidate window against it; identical
+ * scores and refusal conditions to sw_full's 8-bit first try */
+int sw_prof8_set(int slot, const int32_t *W, int qlen,
+                 int gap_init, int gap_ext);
+int sw_prof8_score(int slot, const uint8_t *subj, int slen);
+int sw_full_wide(const int32_t *W, int qlen, const uint8_t *subj,
+                 int slen, int gap_init, int gap_ext,
+                 int32_t *Hbuf, int32_t *Ebuf);
 
 #define EDGE_BAND_FACTOR 4     /* segment.c:137 */
 #define MAX_BANDEDGE_2POW 4    /* segment.c:142 */
@@ -1110,6 +1119,8 @@ int64_t mc_score_cands(
     int64_t mmscordiff = match_avg - mismatch_avg;
     int64_t max1 = 0, max2 = 0, min_cover = 0, max_cover = 0;
     int64_t i, n_out = 0;
+    int prof_state[2] = {-2, -2};   /* per strand: -2 unbuilt,
+                                     * -1 unsuitable, 0 ready */
     for (i = 0; i < n_sort; i++) {
         const int64_t *row = rows + (int64_t)sort_idx[i] * 11;
         int64_t qs, qe, rs, re, bl, br;
@@ -1126,8 +1137,15 @@ int64_t mc_score_cands(
         slen = re - rs + 1;
         if (qlen >= MINLEN_QUERY_STRIPED &&
             (br - bl) * BWSCAL_QLEN > qlen && qs == 0 && qe >= qlen - 1) {
-            swscor = sw_full(W, (int)qlen, subj, (int)slen,
-                             gap_init, gap_ext, Hbuf, Ebuf);
+            int sl = is_rev ? 1 : 0, r8 = -1;
+            if (prof_state[sl] == -2)
+                prof_state[sl] = sw_prof8_set(sl, W, (int)qlen,
+                                              gap_init, gap_ext);
+            if (prof_state[sl] == 0)
+                r8 = sw_prof8_score(sl, subj, (int)slen);
+            swscor = (r8 >= 0) ? r8
+                     : sw_full_wide(W, (int)qlen, subj, (int)slen,
+                                    gap_init, gap_ext, Hbuf, Ebuf);
         } else {
             int64_t abl, abr, asl, aslen, aql, aqlen, abw;
             if (mc_ali_band_make(bl, br, qs, qe, qlen, 0, slen - 1, slen,

@@ -651,6 +651,373 @@ int sw_full(const int32_t *W, int qlen,
     return sw_full_scalar(W, qlen, subj, slen, gap_init, gap_ext, Hbuf, Ebuf);
 }
 
+/* sw_full minus the 8-bit first try: the fallback for a prepared-
+ * profile caller whose 8-bit run refused (saturation) or whose
+ * profile was unsuitable.  Exactly the 16-bit -> scalar tail of
+ * sw_full, so routing through here cannot change any score. */
+int sw_full_wide(const int32_t *W, int qlen,
+                 const uint8_t *subj, int slen,
+                 int gap_init, int gap_ext,
+                 int32_t *Hbuf, int32_t *Ebuf)
+{
+#ifdef __SSE2__
+    if (qlen >= 16) {
+        int r = sw_full_sse2(W, qlen, subj, slen, gap_init, gap_ext);
+        if (r >= 0) return r;
+    }
+#endif
+    return sw_full_scalar(W, qlen, subj, slen, gap_init, gap_ext, Hbuf, Ebuf);
+}
+
+/* ---- prepared per-read 8-bit striped profile --------------------
+ *
+ * mc_score_cands scores ~2-10 candidate windows per read with the
+ * SAME query profile; the one-shot kernels above rebuild the striped
+ * byte profile (plus a malloc and an 8*qlen range scan) on every
+ * call, which dominates at short-read sizes where the DP itself is a
+ * few hundred vector steps.  These entries split build from run so
+ * the build happens once per read/strand.  Scores and refusal
+ * conditions are IDENTICAL to sw_full's 8-bit first try.
+ *
+ * Two thread-local slots (forward/reverse profile of the read in
+ * flight).  Worker parallelism forks processes, so thread-locals are
+ * effectively per-worker; __thread keeps it correct regardless. */
+#ifdef __SSE2__
+
+#ifdef __AVX512BW__
+#define SW8_LANES 64
+#else
+#define SW8_LANES 16
+#endif
+
+typedef struct {
+    uint8_t *mem;
+    size_t cap;
+    int qlen, seglen, nvec, bias;
+    int gap_init, gap_ext;
+} SW8Prof;
+
+static __thread SW8Prof sw8_slot[2];
+
+/* Build the striped profile for slot `slot` (0 fwd / 1 rev).
+ * Returns 0, or -1 when the 8-bit kernel would refuse this profile
+ * (score range, gap shape) — same conditions as the one-shot entry. */
+int sw_prof8_set(int slot, const int32_t *W, int qlen,
+                 int gap_init, int gap_ext)
+{
+    SW8Prof *p = &sw8_slot[slot & 1];
+    const int seglen = (qlen + SW8_LANES - 1) / SW8_LANES;
+    const int nvec = seglen * SW8_LANES;
+    int j, a, lane, bias = 0;
+    size_t need;
+    if (gap_ext > gap_init || gap_init > 127)
+        return -1;
+    for (j = 0; j < 8 * qlen; j++) {
+        if (W[j] > 100 || W[j] < -100) return -1;
+        if (-W[j] > bias) bias = -W[j];
+    }
+    need = (size_t)8 * nvec + 3 * nvec + 2 * SW8_LANES;
+    if (p->cap < need) {
+        free(p->mem);
+        p->mem = (uint8_t *)malloc(need);
+        if (!p->mem) { p->cap = 0; return -1; }
+        p->cap = need;
+    }
+    {
+        uint8_t *prof = (uint8_t *)(((uintptr_t)p->mem + SW8_LANES - 1)
+                                    & ~(uintptr_t)(SW8_LANES - 1));
+        for (a = 0; a < 8; a++) {
+            const int32_t *rs = W + a * qlen;
+            uint8_t *pp = prof + (size_t)a * nvec;
+            for (j = 0; j < seglen; j++)
+                for (lane = 0; lane < SW8_LANES; lane++) {
+                    int q = j + lane * seglen;
+                    pp[j * SW8_LANES + lane] =
+                        (q < qlen) ? (uint8_t)(rs[q] + bias) : 0;
+                }
+        }
+    }
+    p->qlen = qlen;
+    p->seglen = seglen;
+    p->nvec = nvec;
+    p->bias = bias;
+    p->gap_init = gap_init;
+    p->gap_ext = gap_ext;
+    return 0;
+}
+
+/* Score one subject window against the prepared profile.  Returns the
+ * exact local-alignment maximum, or -1 on possible 8-bit saturation
+ * (caller falls back to sw_full_wide). */
+#ifdef __AVX512BW__
+/* seglen<=2 fast paths: the whole recurrence state (H, E, F, max)
+ * lives in registers — no per-row array traffic, no pointer swap.
+ * Identical arithmetic to the general loop below. */
+static int sw_prof8_score_seg1(const uint8_t *prof, int bias,
+                               int gap_init, int gap_ext,
+                               const uint8_t *subj, int slen)
+{
+    const __m512i *vprof = (const __m512i *)prof;
+    __m512i vzero = _mm512_setzero_si512();
+    __m512i vBias = _mm512_set1_epi8((char)(uint8_t)bias);
+    __m512i vGapI = _mm512_set1_epi8((char)(uint8_t)gap_init);
+    __m512i vGapE = _mm512_set1_epi8((char)(uint8_t)gap_ext);
+    __m512i vMax = vzero, H0 = vzero, E0 = vzero;
+    int i, lane, best;
+    for (i = 0; i < slen; i++) {
+        __m512i vH = sw8_shl1(H0);
+        __m512i e = E0, hg, vF;
+        vH = _mm512_subs_epu8(_mm512_adds_epu8(vH, vprof[subj[i] & 7]),
+                              vBias);
+        vMax = _mm512_max_epu8(vMax, vH);
+        vH = _mm512_max_epu8(vH, e);          /* F is 0 at row start */
+        hg = _mm512_subs_epu8(vH, vGapI);
+        E0 = _mm512_max_epu8(_mm512_subs_epu8(e, vGapE), hg);
+        vF = _mm512_max_epu8(_mm512_subs_epu8(vzero, vGapE), hg);
+        H0 = vH;
+        vF = sw8_shl1(vF);
+        for (;;) {
+            __m512i excess = _mm512_subs_epu8(
+                vF, _mm512_subs_epu8(H0, vGapI));
+            if (_mm512_cmpneq_epu8_mask(excess, vzero) == 0)
+                break;
+            H0 = _mm512_max_epu8(H0, vF);
+            E0 = _mm512_max_epu8(E0, _mm512_subs_epu8(H0, vGapI));
+            vF = sw8_shl1(_mm512_subs_epu8(vF, vGapE));
+        }
+    }
+    best = 0;
+    {
+        uint8_t out[64];
+        _mm512_storeu_si512((__m512i *)out, vMax);
+        for (lane = 0; lane < 64; lane++)
+            if (out[lane] > best) best = out[lane];
+    }
+    if (best >= 255 - bias)
+        return -1;
+    return best;
+}
+
+static int sw_prof8_score_seg2(const uint8_t *prof, int bias,
+                               int gap_init, int gap_ext,
+                               const uint8_t *subj, int slen)
+{
+    const __m512i *vprof = (const __m512i *)prof;
+    __m512i vzero = _mm512_setzero_si512();
+    __m512i vBias = _mm512_set1_epi8((char)(uint8_t)bias);
+    __m512i vGapI = _mm512_set1_epi8((char)(uint8_t)gap_init);
+    __m512i vGapE = _mm512_set1_epi8((char)(uint8_t)gap_ext);
+    __m512i vMax = vzero;
+    __m512i H0 = vzero, H1 = vzero, E0 = vzero, E1 = vzero;
+    int i, lane, best;
+    for (i = 0; i < slen; i++) {
+        const __m512i *vP = vprof + (size_t)(subj[i] & 7) * 2;
+        __m512i vH = sw8_shl1(H1);
+        __m512i Hp0 = H0;
+        __m512i vF, e, hg;
+        /* j = 0 */
+        e = E0;
+        vH = _mm512_subs_epu8(_mm512_adds_epu8(vH, vP[0]), vBias);
+        vMax = _mm512_max_epu8(vMax, vH);
+        vH = _mm512_max_epu8(vH, e);          /* F is 0 at row start */
+        H0 = vH;
+        hg = _mm512_subs_epu8(vH, vGapI);
+        E0 = _mm512_max_epu8(_mm512_subs_epu8(e, vGapE), hg);
+        vF = _mm512_max_epu8(_mm512_subs_epu8(vzero, vGapE), hg);
+        /* j = 1 */
+        e = E1;
+        vH = _mm512_subs_epu8(_mm512_adds_epu8(Hp0, vP[1]), vBias);
+        vMax = _mm512_max_epu8(vMax, vH);
+        vH = _mm512_max_epu8(vH, e);
+        vH = _mm512_max_epu8(vH, vF);
+        H1 = vH;
+        hg = _mm512_subs_epu8(vH, vGapI);
+        E1 = _mm512_max_epu8(_mm512_subs_epu8(e, vGapE), hg);
+        vF = _mm512_max_epu8(_mm512_subs_epu8(vF, vGapE), hg);
+        vF = sw8_shl1(vF);
+        for (;;) {
+            __m512i excess = _mm512_subs_epu8(
+                vF, _mm512_subs_epu8(H0, vGapI));
+            if (_mm512_cmpneq_epu8_mask(excess, vzero) == 0)
+                break;
+            H0 = _mm512_max_epu8(H0, vF);
+            E0 = _mm512_max_epu8(E0, _mm512_subs_epu8(H0, vGapI));
+            vF = _mm512_subs_epu8(vF, vGapE);
+            excess = _mm512_subs_epu8(vF, _mm512_subs_epu8(H1, vGapI));
+            if (_mm512_cmpneq_epu8_mask(excess, vzero) == 0)
+                break;
+            H1 = _mm512_max_epu8(H1, vF);
+            E1 = _mm512_max_epu8(E1, _mm512_subs_epu8(H1, vGapI));
+            vF = sw8_shl1(_mm512_subs_epu8(vF, vGapE));
+        }
+    }
+    best = 0;
+    {
+        uint8_t out[64];
+        _mm512_storeu_si512((__m512i *)out, vMax);
+        for (lane = 0; lane < 64; lane++)
+            if (out[lane] > best) best = out[lane];
+    }
+    if (best >= 255 - bias)
+        return -1;
+    return best;
+}
+#endif /* __AVX512BW__ */
+
+int sw_prof8_score(int slot, const uint8_t *subj, int slen)
+{
+    SW8Prof *p = &sw8_slot[slot & 1];
+    const int seglen = p->seglen, nvec = p->nvec, bias = p->bias;
+    uint8_t *prof = (uint8_t *)(((uintptr_t)p->mem + SW8_LANES - 1)
+                                & ~(uintptr_t)(SW8_LANES - 1));
+    int i, j, lane, best;
+#ifdef __AVX512BW__
+    if (seglen == 1)
+        return sw_prof8_score_seg1(prof, bias, p->gap_init, p->gap_ext,
+                                   subj, slen);
+    if (seglen == 2)
+        return sw_prof8_score_seg2(prof, bias, p->gap_init, p->gap_ext,
+                                   subj, slen);
+    __m512i *vprof = (__m512i *)prof;
+    __m512i *vHStore = (__m512i *)(prof + 8 * nvec);
+    __m512i *vHLoad = vHStore + seglen;
+    __m512i *vE = vHLoad + seglen;
+    __m512i vzero = _mm512_setzero_si512();
+    __m512i vBias = _mm512_set1_epi8((char)(uint8_t)bias);
+    __m512i vGapI = _mm512_set1_epi8((char)(uint8_t)p->gap_init);
+    __m512i vGapE = _mm512_set1_epi8((char)(uint8_t)p->gap_ext);
+    __m512i vMax = vzero;
+    for (j = 0; j < seglen; j++) {
+        vHStore[j] = vzero;
+        vHLoad[j] = vzero;
+        vE[j] = vzero;
+    }
+    for (i = 0; i < slen; i++) {
+        const __m512i *vP = vprof + (size_t)(subj[i] & 7) * seglen;
+        __m512i vF = vzero;
+        __m512i vH = sw8_shl1(vHStore[seglen - 1]);
+        __m512i *tmp = vHLoad; vHLoad = vHStore; vHStore = tmp;
+        for (j = 0; j < seglen; j++) {
+            __m512i e = vE[j];
+            vH = _mm512_subs_epu8(_mm512_adds_epu8(vH, vP[j]), vBias);
+            vMax = _mm512_max_epu8(vMax, vH);
+            vH = _mm512_max_epu8(vH, e);
+            vH = _mm512_max_epu8(vH, vF);
+            vHStore[j] = vH;
+            {
+                __m512i hg = _mm512_subs_epu8(vH, vGapI);
+                vE[j] = _mm512_max_epu8(_mm512_subs_epu8(e, vGapE), hg);
+                vF = _mm512_max_epu8(_mm512_subs_epu8(vF, vGapE), hg);
+            }
+            vH = vHLoad[j];
+        }
+        vF = sw8_shl1(vF);
+        j = 0;
+        for (;;) {
+            __m512i h = vHStore[j];
+            __m512i hg = _mm512_subs_epu8(h, vGapI);
+            __m512i excess = _mm512_subs_epu8(vF, hg);
+            if (_mm512_cmpneq_epu8_mask(excess, vzero) == 0)
+                break;
+            h = _mm512_max_epu8(h, vF);
+            vHStore[j] = h;
+            vE[j] = _mm512_max_epu8(vE[j], _mm512_subs_epu8(h, vGapI));
+            vF = _mm512_subs_epu8(vF, vGapE);
+            if (++j >= seglen) {
+                j = 0;
+                vF = sw8_shl1(vF);
+            }
+        }
+    }
+    best = 0;
+    {
+        uint8_t out[64];
+        _mm512_storeu_si512((__m512i *)out, vMax);
+        for (lane = 0; lane < 64; lane++)
+            if (out[lane] > best) best = out[lane];
+    }
+#else /* SSE2 */
+    __m128i *vprof = (__m128i *)prof;
+    __m128i *vHStore = (__m128i *)(prof + 8 * nvec);
+    __m128i *vHLoad = vHStore + seglen;
+    __m128i *vE = vHLoad + seglen;
+    __m128i vzero = _mm_setzero_si128();
+    __m128i vBias = _mm_set1_epi8((char)(uint8_t)bias);
+    __m128i vGapI = _mm_set1_epi8((char)(uint8_t)p->gap_init);
+    __m128i vGapE = _mm_set1_epi8((char)(uint8_t)p->gap_ext);
+    __m128i vMax = vzero;
+    for (j = 0; j < seglen; j++) {
+        vHStore[j] = vzero;
+        vHLoad[j] = vzero;
+        vE[j] = vzero;
+    }
+    for (i = 0; i < slen; i++) {
+        const __m128i *vP = vprof + (size_t)(subj[i] & 7) * seglen;
+        __m128i vF = vzero;
+        __m128i vH = _mm_slli_si128(vHStore[seglen - 1], 1);
+        __m128i *tmp = vHLoad; vHLoad = vHStore; vHStore = tmp;
+        for (j = 0; j < seglen; j++) {
+            __m128i e = vE[j];
+            vH = _mm_subs_epu8(_mm_adds_epu8(vH, vP[j]), vBias);
+            vMax = _mm_max_epu8(vMax, vH);
+            vH = _mm_max_epu8(vH, e);
+            vH = _mm_max_epu8(vH, vF);
+            vHStore[j] = vH;
+            {
+                __m128i hg = _mm_subs_epu8(vH, vGapI);
+                vE[j] = _mm_max_epu8(_mm_subs_epu8(e, vGapE), hg);
+                vF = _mm_max_epu8(_mm_subs_epu8(vF, vGapE), hg);
+            }
+            vH = vHLoad[j];
+        }
+        vF = _mm_slli_si128(vF, 1);
+        j = 0;
+        for (;;) {
+            __m128i h = vHStore[j];
+            __m128i hg = _mm_subs_epu8(h, vGapI);
+            __m128i excess = _mm_subs_epu8(vF, hg);
+            if (_mm_movemask_epi8(_mm_cmpeq_epi8(excess, vzero)) == 0xFFFF)
+                break;
+            h = _mm_max_epu8(h, vF);
+            vHStore[j] = h;
+            vE[j] = _mm_max_epu8(vE[j], _mm_subs_epu8(h, vGapI));
+            vF = _mm_subs_epu8(vF, vGapE);
+            if (++j >= seglen) {
+                j = 0;
+                vF = _mm_slli_si128(vF, 1);
+            }
+        }
+    }
+    best = 0;
+    {
+        uint8_t out[16];
+        _mm_storeu_si128((__m128i *)out, vMax);
+        for (lane = 0; lane < 16; lane++)
+            if (out[lane] > best) best = out[lane];
+    }
+#endif
+    if (best >= 255 - bias)
+        return -1;                  /* possible saturation: go wider */
+    return best;
+}
+
+#else /* !__SSE2__ */
+
+int sw_prof8_set(int slot, const int32_t *W, int qlen,
+                 int gap_init, int gap_ext)
+{
+    (void)slot; (void)W; (void)qlen; (void)gap_init; (void)gap_ext;
+    return -1;
+}
+
+int sw_prof8_score(int slot, const uint8_t *subj, int slen)
+{
+    (void)slot; (void)subj; (void)slen;
+    return -1;
+}
+
+#endif /* __SSE2__ */
+
 /* ---------- quicksort with the Numerical Recipes permutation ----------
  *
  * PROVENANCE NOTE.  This is the classic index-stack quicksort of
