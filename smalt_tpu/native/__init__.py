@@ -58,6 +58,12 @@ def _declare(lib):
     lib.sw_band_fast.argtypes = [vp, ci, vp] + [ci] * 8 + [vp, vp]
     lib.sw_band_track.restype = ci
     lib.sw_band_track.argtypes = [vp, ci, vp] + [ci] * 9 + [vp, vp, vp, vp, vp]
+    lib.sw_prof8_set.restype = ci
+    lib.sw_prof8_set.argtypes = [ci, vp, ci, ci, ci]
+    lib.sw_prof8_score.restype = ci
+    lib.sw_prof8_score.argtypes = [ci, vp, ci]
+    lib.sw_full_wide.restype = ci
+    lib.sw_full_wide.argtypes = [vp, ci, vp, ci, ci, ci, vp, vp]
     lib.sw_full.restype = ci
     lib.sw_full.argtypes = [vp, ci, vp, ci, ci, ci, vp, vp]
     lib.nr_sort2.restype = ci
