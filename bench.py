@@ -231,7 +231,15 @@ def main():
     near = np.abs(st - truth) <= 2 * READLEN
     on_target_frac = float((near | tie)[sc >= 50].mean())
 
-    baseline, live_ref = measure_reference(fa_path, reads[:2000])
+    # Always time the reference on a 2000-read file: `reads` holds only
+    # BATCH entries, and on the cpu-fallback path BATCH is 256 — small
+    # enough that fork+startup dominated the trial and halved the
+    # reference's apparent rate (inflating every vs_ref ratio).  Reads
+    # repeat when BATCH < 2000; repeats can only flatter the reference
+    # (warmer caches), so the ratios stay conservative.
+    ref_reads = (reads * (2000 // len(reads) + 1))[:2000] \
+        if len(reads) < 2000 else reads[:2000]
+    baseline, live_ref = measure_reference(fa_path, ref_reads)
 
     # --- end-to-end map --fast: FASTQ on disk -> SAM on disk, one
     # process, C batched tail + single packed fetch per batch ---

@@ -278,11 +278,57 @@ static inline uint64_t pack_hit(uint64_t p, int64_t q, int nskip, int is_rev)
     return (((p | OFFBIT) - qo) << HALFBIT) + (uint64_t)q;
 }
 
-static int cmp_u64(const void *a, const void *b)
+/* Ascending in-place u64 sort (median-of-3 quicksort + insertion tail)
+ * without libc qsort's per-comparison indirect call.  Keys here are
+ * unique packed hits, and even on duplicates an ascending u64 sort has
+ * exactly one result — output is bit-identical to qsort+cmp_u64. */
+static void sort_u64(uint64_t *a, int64_t n)
 {
-    uint64_t x = *(const uint64_t *)a, y = *(const uint64_t *)b;
-    return (x < y) ? -1 : (x > y);
+    int64_t stack[128][2];
+    int sp = 0;
+    stack[sp][0] = 0; stack[sp][1] = n - 1; sp++;
+    while (sp > 0) {
+        int64_t lo, hi;
+        sp--;
+        lo = stack[sp][0]; hi = stack[sp][1];
+        while (hi - lo > 24) {
+            int64_t mid = lo + ((hi - lo) >> 1), i = lo, j = hi;
+            uint64_t p, t;
+            /* median of three to the middle */
+            if (a[mid] < a[lo]) { t = a[mid]; a[mid] = a[lo]; a[lo] = t; }
+            if (a[hi] < a[lo]) { t = a[hi]; a[hi] = a[lo]; a[lo] = t; }
+            if (a[hi] < a[mid]) { t = a[hi]; a[hi] = a[mid]; a[mid] = t; }
+            p = a[mid];
+            i = lo; j = hi;
+            for (;;) {
+                while (a[i] < p) i++;
+                while (a[j] > p) j--;
+                if (i >= j) break;
+                t = a[i]; a[i] = a[j]; a[j] = t;
+                i++; j--;
+            }
+            /* recurse into the smaller side, loop on the larger */
+            if (j - lo < hi - (j + 1)) {
+                /* smaller side pushed: depth <= log2(n), far under 128 */
+                stack[sp][0] = j + 1; stack[sp][1] = hi; sp++;
+                hi = j;
+            } else {
+                stack[sp][0] = lo; stack[sp][1] = j; sp++;
+                lo = j + 1;
+            }
+        }
+        {
+            int64_t i, j;
+            for (i = lo + 1; i <= hi; i++) {
+                uint64_t v = a[i];
+                for (j = i; j > lo && a[j - 1] > v; j--)
+                    a[j] = a[j - 1];
+                a[j] = v;
+            }
+        }
+    }
 }
+
 
 /* hashCollectHitsUsingCutoff (hashhit.c:1593).  Fills sqdat (cap budget)
  * and qm u8[qlen].  Returns total hit count. */
@@ -319,7 +365,7 @@ int64_t mc_collect_cutoff(
         if (!(reached_ceiling && max_nhit_per_tup > MINHIT_PER_TUPLE))
             break;
     }
-    qsort(sqdat, (size_t)total, sizeof(uint64_t), cmp_u64);
+    sort_u64(sqdat, total);
     return total;
 }
 
@@ -378,7 +424,7 @@ int64_t mc_collect_segment(
         nhit_max /= 2;
         if (!(alloc_boundary && nhit_max > MINHIT_PER_TUPLE)) break;
     }
-    qsort(sqdat, (size_t)total, sizeof(uint64_t), cmp_u64);
+    sort_u64(sqdat, total);
     return total;
 }
 
