@@ -22,6 +22,10 @@ from smalt_tpu.seq.refset import RefSet
 
 IUPAC = "RYSWKMBDHVN"
 
+# extended fuzzing: SMALT_FUZZ_SEEDS=N loops the differentials over N
+# independent read-set seeds (default 1 keeps the CI cost unchanged)
+_N_SEEDS = int(os.environ.get("SMALT_FUZZ_SEEDS", "1"))
+
 
 @pytest.fixture(scope="module")
 def fuzz_ref(tmp_path_factory):
@@ -113,11 +117,13 @@ def _diff_run(engine_factory, reads_iter_factory, refset, fmt="sam",
     return outs
 
 
+@pytest.mark.parametrize("sbase",
+                         [4242 + 1000 * k for k in range(_N_SEEDS)])
 @pytest.mark.parametrize("fmt", ["sam", "cigar"])
-def test_fuzz_single_end(fuzz_ref, fmt):
+def test_fuzz_single_end(fuzz_ref, fmt, sbase):
     import smalt_tpu.map.fastlane as FL
     refset, idx, genome, _ = fuzz_ref
-    rng = np.random.default_rng(4242)
+    rng = np.random.default_rng(sbase)
     reads = _fuzz_reads(rng, genome, 300)
     rendered = {"n": 0}
     orig = FL.FastLane.render_block
@@ -150,10 +156,12 @@ def test_fuzz_single_end_minbasq(fuzz_ref):
     assert c_text == py_text
 
 
-def test_fuzz_paired(fuzz_ref):
+@pytest.mark.parametrize("sbase",
+                         [31337 + 1000 * k for k in range(_N_SEEDS)])
+def test_fuzz_paired(fuzz_ref, sbase):
     import smalt_tpu.map.fastlane as FL
     refset, idx, genome, _ = fuzz_ref
-    rng = np.random.default_rng(31337)
+    rng = np.random.default_rng(sbase)
     a = _fuzz_reads(rng, genome, 200)
     b = _fuzz_reads(rng, genome, 200)
     pairs = list(zip(a, b))
