@@ -870,15 +870,39 @@ class MapEngine:
             return rsr, rsm, rpairs, pairflg
         mincov_read = self._covermin(read)
         mincov_mate = self._covermin(mate)
-        if err_read:
-            self.map_single_read(rsm, hfm, hrm, prof_mf, prof_mr, mate,
-                                 mincov_mate, p.min_swatscor,
-                                 MINSCOR_BELOW_MAX_BEST, rmapflg)
-            return rsr, rsm, rpairs, pairflg
-        if err_mate:
-            self.map_single_read(rsr, hfr, hrr, prof_rf, prof_rr, read,
-                                 mincov_read, p.min_swatscor,
-                                 MINSCOR_BELOW_MAX_BEST, rmapflg)
+        if err_read or err_mate:
+            # The reference does NOT return after the one-sided-ShortSeq
+            # single mapping (rmap.c:1836-2110): the good mate's results
+            # flow through the remaining pair logic — a restricted pass
+            # over the errored mate's (empty) intervals, a blank +
+            # unrestricted remap (output-equivalent to this one
+            # unrestricted map; drand48 is only consumed at report-time
+            # selection), the split-mode secondary pass, findPairs, and
+            # crucially resultSetFilterResults.  The early return this
+            # replaces skipped the OUTPUT FILTER, whose default
+            # threshold is the raw menu constant 18 while the engine
+            # maps down to ktup+nskip-1 (smalt.c:490 sets the filter
+            # before smalt.c:608 lowers the engine default), so
+            # sub-threshold mappings leaked into the report as mapped
+            # records the reference suppresses
+            # (tests/test_golden_sam.py::test_golden_shortmate_pairs).
+            if err_read:
+                self.map_single_read(rsm, hfm, hrm, prof_mf, prof_mr,
+                                     mate, mincov_mate, p.min_swatscor,
+                                     MINSCOR_BELOW_MAX_BEST, rmapflg)
+            else:
+                self.map_single_read(rsr, hfr, hrr, prof_rf, prof_rr,
+                                     read, mincov_read, p.min_swatscor,
+                                     MINSCOR_BELOW_MAX_BEST, rmapflg)
+            if rmapflg & RMAPFLG_SPLIT:
+                self._map_secondary(rsr, read, prof_rf, prof_rr,
+                                    mincov_read)
+                self._map_secondary(rsm, mate, prof_mf, prof_mr,
+                                    mincov_mate)
+            rpairs.find_pairs(pairflg, p.pairtyp, p.insert_min,
+                              p.insert_max, rsr, rsm)
+            rsr.filter_results(self.filter, len(read.seq))
+            rsm.filter_results(self.filter, len(mate.seq))
             return rsr, rsm, rpairs, pairflg
 
         nhit_read = (hi_mod.total_hits(hfr, p.ktuple_maxhit) +

@@ -372,3 +372,44 @@ def test_pe_text_formats_bit_identical(index_prefix, data_dir, tmp_path,
                                     f"golden_pe_r1_{fmt}.out.gz"))
     assert len(got) == len(want) == 240
     assert got == want
+
+
+def test_golden_shortmate_pairs(data_dir, tmp_path):
+    """Pairs with very short mates (below the k-mer word, between the
+    word and the engine threshold ktup+nskip-1, and between that and
+    the OUTPUT filter's raw menu default of 18) against the reference
+    binary's output.  Pins the reference quirk that the output filter
+    keeps the menu constant 18 while the engine maps down to
+    ktup+nskip-1 (smalt.c:490 vs 608), and that one-sided-ShortSeq
+    pairs still run the whole pair flow including the filters
+    (rmap.c:1836-2110).  Fixture minted from reference SMALT 0.7.6:
+    `smalt index -k 11 -s 2; smalt map -f sam -r 1`."""
+    pref = str(tmp_path / "idx")
+    assert main(["index", "-k", "11", "-s", "2", pref,
+                 os.path.join(data_dir, "shortmate_genome.fa")]) == 0
+    out = str(tmp_path / "sm.sam")
+    assert main(["map", "-f", "sam", "-r", "1", "-o", out, pref,
+                 os.path.join(data_dir, "shortmate_1.fq"),
+                 os.path.join(data_dir, "shortmate_2.fq")]) == 0
+    got = _read_lines(out)
+    want = _read_lines(os.path.join(data_dir, "golden_shortmate_pe.sam"))
+    assert len(got) == len(want) == 20
+    assert got == want
+
+
+def test_golden_shortmate_pairs_python_oracle(data_dir, tmp_path,
+                                              monkeypatch):
+    """The same corpus through the pure-Python engine (the lane
+    fallback oracle) — the one-sided-ShortSeq branch must apply the
+    output filters exactly like the reference."""
+    monkeypatch.setenv("SMALT_TPU_NO_FASTLANE", "1")
+    pref = str(tmp_path / "idx")
+    assert main(["index", "-k", "11", "-s", "2", pref,
+                 os.path.join(data_dir, "shortmate_genome.fa")]) == 0
+    out = str(tmp_path / "sm.sam")
+    assert main(["map", "-f", "sam", "-r", "1", "-o", out, pref,
+                 os.path.join(data_dir, "shortmate_1.fq"),
+                 os.path.join(data_dir, "shortmate_2.fq")]) == 0
+    got = _read_lines(out)
+    want = _read_lines(os.path.join(data_dir, "golden_shortmate_pe.sam"))
+    assert got == want
