@@ -130,3 +130,67 @@ def test_ref_differential_pe(corpus, tmp_path):
     want = _run_ref(base + [rp, fq1, fq2])
     got = _run_ours(base + [op, fq1, fq2], str(tmp_path / "pe.sam"))
     assert got == want
+
+
+@pytest.mark.parametrize("fmt", ["cigar", "ssaha"])
+def test_ref_differential_se_formats(corpus, tmp_path, fmt):
+    d, rp, op, fq, _, _ = corpus
+    base = ["-f", fmt, "-r", "1"]
+    want = _run_ref(base + [rp, fq])
+    got = _run_ours(base + [op, fq], str(tmp_path / "se.out"))
+    assert got == want
+
+
+def test_ref_differential_se_split(corpus, tmp_path):
+    d, rp, op, fq, _, _ = corpus
+    base = ["-f", "sam", "-r", "1", "-p"]
+    want = _run_ref(base + [rp, fq])
+    got = _run_ours(base + [op, fq], str(tmp_path / "sp.sam"))
+    assert got == want
+
+
+def test_ref_differential_pe_split(corpus, tmp_path):
+    d, rp, op, _, fq1, fq2 = corpus
+    base = ["-f", "sam", "-r", "1", "-p"]
+    want = _run_ref(base + [rp, fq1, fq2])
+    got = _run_ours(base + [op, fq1, fq2], str(tmp_path / "psp.sam"))
+    assert got == want
+
+
+@pytest.mark.parametrize("ptyp", ["mp", "pp"])
+def test_ref_differential_pe_pairtypes(corpus, tmp_path, ptyp):
+    d, rp, op, _, fq1, fq2 = corpus
+    base = ["-f", "sam", "-r", "1", "-l", ptyp]
+    want = _run_ref(base + [rp, fq1, fq2])
+    got = _run_ours(base + [op, fq1, fq2], str(tmp_path / "pt.sam"))
+    assert got == want
+
+
+def test_ref_differential_longreads(corpus, tmp_path):
+    """Kilobase noisy reads (substitutions + indels) through the exact
+    engine vs the reference — exercises the wide-band recursive path."""
+    d, rp, op, _, _, _ = corpus
+    rng = np.random.default_rng(777)
+    fa_lines = open(str(d / "g.fa")).read().splitlines()
+    genome = "".join(l for l in fa_lines if not l.startswith(">"))
+    fq = str(tmp_path / "long.fq")
+    with open(fq, "w") as f:
+        for i in range(8):
+            ln = int(rng.integers(800, 2000))
+            st = int(rng.integers(0, len(genome) - ln - 10))
+            out = []
+            for ch in genome[st:st + ln]:
+                r = rng.random()
+                if r < 0.02:
+                    continue                     # deletion
+                if r < 0.04:
+                    out.append("ACGT"[int(rng.integers(0, 4))])  # ins
+                if rng.random() < 0.05:
+                    ch = "ACGT"[int(rng.integers(0, 4))]         # subst
+                out.append(ch)
+            s = "".join(out)
+            f.write(f"@lr{i}\n{s}\n+\n{'I' * len(s)}\n")
+    base = ["-f", "sam", "-r", "1"]
+    want = _run_ref(base + [rp, fq])
+    got = _run_ours(base + [op, fq], str(tmp_path / "lr.sam"))
+    assert got == want
