@@ -230,12 +230,10 @@ class PairLane:
         # anything without BEST keeps the Python oracle
         if not (engine.params.rsltouflg & pairs_mod.RESULTFLG_BEST):
             return None
-        # paired split-read mode (-p): the C pair flow has no
-        # mapSecondary pass or paired-PARTIAL report section yet —
-        # the Python oracle carries it (reference-diffed in
-        # tests/test_ref_differential.py::test_ref_differential_pe_split)
-        if engine.params.rmapflg & eng_mod.RMAPFLG_SPLIT:
-            return None
+        # paired split-read mode (-p): fl_map_pair runs the
+        # mapSecondary pass on both mates and the report adds the
+        # per-segment PARTIAL chain (flrep_add_2ndary), reference-
+        # diffed in tests/test_ref_differential.py (pe -p)
         if not hasattr(lane.lib, "fl_map_pair_block"):
             return None
         p = engine.params

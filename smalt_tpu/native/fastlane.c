@@ -2394,6 +2394,35 @@ static int fl_map_pass(const FLParams *P, FLScratch *s,
     return rc;
 }
 
+/* mapSecondary (engine.py:571-599, rmap.c:1435-1505): re-map the
+ * query segment the top result does NOT cover, appending onto s->rs.
+ * Requires the read's profiles already built in s (the pass runs
+ * do_profiles=0); a result-less set is a no-op. */
+static int fl_secondary_pass(const FLParams *P, FLScratch *s,
+                             const uint8_t *codes, const uint8_t *qual,
+                             int64_t qlen)
+{
+    FLResultSet *rs = s->rs;
+    int64_t qs, qe;
+    if (!(rs->n_sortr && rs->qsegno >= 1))
+        return 0;
+    {
+        const FLRes *top = &rs->res[rs->segsrtr[0]];
+        qs = top->q_start;
+        qe = top->q_end;
+    }
+    if (qs + qe > qlen) {
+        qe = qs > 1 ? qs - 2 : 0;
+        qs = 0;
+    } else {
+        qs = qe;
+        qe = qlen - 1;
+    }
+    if (qs + P->wordlen + P->nskip <= qe + 1)
+        return fl_map_pass(P, s, codes, qual, qlen, qs, qe, 1, 0);
+    return 0;
+}
+
 static int fl_map_read(const FLParams *P, FLScratch *s,
                        const uint8_t *codes, const uint8_t *qual,
                        int64_t qlen)
@@ -2407,22 +2436,9 @@ static int fl_map_read(const FLParams *P, FLScratch *s,
     rc = fl_map_pass(P, s, codes, qual, qlen, -1, -1, split, 1);
     if (rc != 0) return rc;
 
-    if (split && rs->n_sortr && rs->qsegno >= 1) {
-        /* mapSecondary (engine.py:571-599, rmap.c:1435-1505): re-map
-         * the query segment the top result does NOT cover */
-        const FLRes *top = &rs->res[rs->segsrtr[0]];
-        int64_t qs = top->q_start, qe = top->q_end;
-        if (qs + qe > qlen) {
-            qe = qs > 1 ? qs - 2 : 0;
-            qs = 0;
-        } else {
-            qs = qe;
-            qe = qlen - 1;
-        }
-        if (qs + P->wordlen + P->nskip <= qe + 1) {
-            rc = fl_map_pass(P, s, codes, qual, qlen, qs, qe, split, 0);
-            if (rc != 0) return rc;
-        }
+    if (split) {
+        rc = fl_secondary_pass(P, s, codes, qual, qlen);
+        if (rc != 0) return rc;
     }
 
     /* filter_results once, after any secondary pass (engine.py:558) */
@@ -3850,8 +3866,36 @@ static int flrep_add_pair_results(FLReport *rep, int mapflg, int repmateflg,
                             rsB, bpx);
 }
 
-/* resultSetAddPairToReport (resultpairs.c:1222-1311); split-mode
- * secondaries excluded by the lane gate */
+/* resultSetAdd2ndaryResultsToReport (resultpairs.c:1293-1310 via
+ * results.c:2249-2280; pairs.py _add_2ndary_to_report): per query
+ * segment, the best-score chain not yet reported, as unlinked
+ * PARTIAL records (pairid -1: mate fields stay unset). */
+static int flrep_add_2ndary(FLReport *rep, int mateflg, int rsltouflg,
+                            FLResultSet *rs)
+{
+    int qsegx, rc;
+    for (qsegx = 0; qsegx < rs->qsegno; qsegx++) {
+        int64_t swscor = 0;
+        int k;
+        for (k = rs->segnor[qsegx]; k < rs->segnor[qsegx + 1]; k++) {
+            FLRes *r = &rs->res[rs->segsrtr[k]];
+            if (r->status & RSLTFLAG_NOOUTPUT) continue;
+            if ((r->status & RSLTFLAG_REPORTED) ||
+                (r->swatscor < swscor &&
+                 ((rsltouflg & RESULTFLG_BEST) ||
+                  (r->status & RSLTFLAG_BELOWRELSW))))
+                break;
+            rc = flrep_add_result(rep, -1, 0, mateflg, 0, 0, rs,
+                                  rs->segsrtr[k]);
+            if (rc != 0) return rc;
+            r->status |= RSLTFLAG_REPORTED;
+            swscor = r->swatscor;
+        }
+    }
+    return 0;
+}
+
+/* resultSetAddPairToReport (resultpairs.c:1222-1311) */
 static int flrep_add_pair_to_report(FLReport *rep, FLPairs *fp,
                                     int pairflg, int rsltouflg,
                                     FLResultSet *rsA, FLResultSet *rsB,
@@ -3891,6 +3935,15 @@ static int flrep_add_pair_to_report(FLReport *rep, FLPairs *fp,
                 if (rc != 0) return rc;
             }
         }
+    }
+    if ((rsltouflg & RESULTFLG_BEST) && (rsltouflg & RESULTFLG_SPLIT)) {
+        rc = flrep_add_2ndary(rep, REPFLG_PAIRED | REPFLG_PARTIAL,
+                              rsltouflg, rsA);
+        if (rc != 0) return rc;
+        rc = flrep_add_2ndary(rep, REPFLG_PAIRED | REPFLG_PARTIAL |
+                                   REPFLG_MATE2,
+                              rsltouflg, rsB);
+        if (rc != 0) return rc;
     }
     return 0;
 }
@@ -4292,7 +4345,8 @@ static int fl_pair_map_single(const FLParams *Pbase, FLScratch *s,
     if (prof) { double t1 = fl_prof_now(); fl_prof_acc[1] += t1 - t0; t0 = t1; }
     if (rc != 0) return FL_ERR_ASSERT;
     rc = fl_read_finish(&P, s, qual, qlen, out_max[2],
-                        out_max[0], out_max[1], 0, 1);
+                        out_max[0], out_max[1],
+                        (P.rmapflg & RMAPFLG_SPLIT) != 0, 1);
     if (prof) fl_prof_acc[2] += fl_prof_now() - t0;
     if (rc != 0) return rc;
     for (q = 0; q < s->rs->qsegno; q++)
@@ -4315,6 +4369,41 @@ static int64_t fl_pair_probe(const FLParams *P, FLScratch *s,
     int prof = fl_prof();
     double t0 = prof ? fl_prof_now() : 0.0;
     if (qlen < P->wordlen) return -1;
+    if (P->rmapflg & RMAPFLG_NOSHRTINFO) {
+        /* -p collects the FULL hit-info variant for the pair flow too
+         * (engine.py:863 `short = not NOSHRTINFO` -> collect_hit_info
+         * maxhit 0, no seed ranking); the short2 probe under-collects
+         * and every pass downstream reuses this hout as pre_hout. */
+        int64_t nFu, nRu, w;
+        nFu = mc_hitinfo_collect(P->words, P->starts, P->nwords,
+                                 P->table, P->wordlen, P->nskip,
+                                 codes, qual, qlen, 0, 0, P->min_basq,
+                                 0, 0,
+                                 s->qmaskF, s->qoffsF, s->nhitsF,
+                                 s->slotF);
+        nRu = mc_hitinfo_collect(P->words, P->starts, P->nwords,
+                                 P->table, P->wordlen, P->nskip,
+                                 codes, qual, qlen, 1, 0, P->min_basq,
+                                 0, 0,
+                                 s->qmaskR, s->qoffsR, s->nhitsR,
+                                 s->slotR);
+        if (nFu < 0 || nRu < 0) return -1;
+        for (w = 0; w < nFu; w++) s->sidxF[w] = (uint32_t)w;
+        for (w = 0; w < nRu; w++) s->sidxR[w] = (uint32_t)w;
+        hout[0] = nFu; hout[1] = 0;
+        hout[2] = nRu; hout[3] = 0;
+        hout[4] = hout[5] = 0;          /* rank 0: all seeds in rank */
+        nF = nFu;
+        nR = nRu;
+        for (j = 0; j < nF; j++)
+            if (P->ktuple_maxhit < 1 || s->nhitsF[j] <= P->ktuple_maxhit)
+                n += s->nhitsF[j];
+        for (j = 0; j < nR; j++)
+            if (P->ktuple_maxhit < 1 || s->nhitsR[j] <= P->ktuple_maxhit)
+                n += s->nhitsR[j];
+        if (prof) fl_prof_acc[4] += fl_prof_now() - t0;
+        return n;
+    }
     rc = (int)mc_hitinfo_short2(P->words, P->starts, P->nwords, P->table,
                                 P->wordlen, P->nskip, codes, qual, qlen,
                                 P->ktuple_maxhit, P->maxhit_total,
@@ -4617,6 +4706,20 @@ int64_t fl_map_pair_block(
             /* mrc == 1 (ShortSeq): the Python flow passes with an
              * empty result set (engine.py: `except ShortSeq: pass`) */
             if (mrc == 1) rs_blank(st_->rs);
+            if (mrc == 0 && (P.rmapflg & RMAPFLG_SPLIT)) {
+                /* the good mate still gets the mapSecondary pass +
+                 * re-propagation + filter of the appended results
+                 * (the reference falls through its whole pair flow,
+                 * rmap.c:2099) */
+                int q;
+                mrc = fl_secondary_pass(&P, st_, cc, qq, qq_l);
+                if (mrc != 0) { rng = rng_save; *done_io = i;
+                                goto finish; }
+                for (q = 0; q < st_->rs->qsegno; q++)
+                    rs_propagate_prob(st_->rs, q);
+                rs_filter(st_->rs, qq_l, P.filter_minscor,
+                          P.filter_belowmax, P.filter_minid);
+            }
             goto report;
         }
         {
@@ -4752,6 +4855,24 @@ int64_t fl_map_pair_block(
             } else {
                 pairflg |= rare_is_mate ? PAIRFLG_RESTRICT_1st
                                         : PAIRFLG_RESTRICT_2nd;
+            }
+            if (P.rmapflg & RMAPFLG_SPLIT) {
+                /* mapSecondary on both mates (rmap.c:2099-2110);
+                 * each scratch holds its own mate's profiles from the
+                 * pair passes above.  The merged sets re-sorted, the
+                 * marginal probabilities the pair scoring reads must
+                 * be re-propagated (sort_and_assign does both in the
+                 * Python flow, result.py:223-227). */
+                int q;
+                mrc = fl_secondary_pass(&P, &sA, cA, qA, qlA);
+                if (mrc == 0)
+                    mrc = fl_secondary_pass(&P, &sB, cB, qB, qlB);
+                if (mrc != 0) { rng = rng_save; *done_io = i;
+                                goto finish; }
+                for (q = 0; q < sA.rs->qsegno; q++)
+                    rs_propagate_prob(sA.rs, q);
+                for (q = 0; q < sB.rs->qsegno; q++)
+                    rs_propagate_prob(sB.rs, q);
             }
             flp_find_pairs(&fp, pairflg, pairtyp, insert_min, insert_max,
                            sA.rs, sB.rs);

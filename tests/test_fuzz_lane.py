@@ -12,6 +12,7 @@ import numpy as np
 import pytest
 
 from smalt_tpu import rand
+from smalt_tpu.results import pairs as pairs_mod
 from smalt_tpu.index.table import build_index
 from smalt_tpu.map.engine import MapEngine, MapParams
 from smalt_tpu.map.pipeline import (run_pipeline, run_pipeline_raw_fastq,
@@ -183,6 +184,44 @@ def test_fuzz_paired(fuzz_ref, sbase):
         FL.PairLane._call = orig
     assert c_text == py_text
     assert done["n"] >= 150              # the C pair lane carried the fuzz
+
+
+def test_fuzz_paired_split(fuzz_ref):
+    """Paired -p (split-read) through the C pair lane: the full
+    hit-info probe, the mapSecondary passes on both mates, and the
+    per-segment PARTIAL report chain, vs the Python oracle."""
+    from smalt_tpu.map.engine import (RMAPFLG_BEST, RMAPFLG_SPLIT,
+                                      RMAPFLG_NOSHRTINFO,
+                                      RMAPFLG_SENSITIVE)
+    import smalt_tpu.map.fastlane as FL
+    refset, idx, genome, _ = fuzz_ref
+    rng = np.random.default_rng(97531)
+    a = _fuzz_reads(rng, genome, 150)
+    b = _fuzz_reads(rng, genome, 150)
+    pairs = list(zip(a, b))
+    done = {"n": 0}
+    orig = FL.PairLane._call
+
+    def call(self, A, B):
+        r = orig(self, A, B)
+        if r is not None:
+            done["n"] += r[1]
+        return r
+
+    FL.PairLane._call = call
+    params = MapParams(
+        rmapflg=(RMAPFLG_BEST | RMAPFLG_SPLIT | RMAPFLG_NOSHRTINFO |
+                 RMAPFLG_SENSITIVE),
+        rsltouflg=(pairs_mod.RESULTFLG_BEST | pairs_mod.RESULTFLG_SINGLE |
+                   pairs_mod.RESULTFLG_RANDSEL | pairs_mod.RESULTFLG_SPLIT))
+    try:
+        c_text, py_text = _diff_run(
+            lambda: MapEngine(refset, idx, params),
+            lambda: iter(pairs), refset)
+    finally:
+        FL.PairLane._call = orig
+    assert c_text == py_text
+    assert done["n"] >= 110              # the C pair lane carried the fuzz
 
 
 def test_fuzz_raw_fastq(fuzz_ref):

@@ -97,6 +97,20 @@ def test_split_read_mode(index_prefix, data_dir, tmp_path):
     assert got == want
 
 
+def test_split_read_mode_paired(index_prefix, data_dir, tmp_path):
+    """Paired -p: the pair flow's mapSecondary passes + per-segment
+    PARTIAL report chain (rmap.c:2099-2110, resultpairs.c:1293-1310),
+    golden minted with the reference binary."""
+    out = str(tmp_path / "psplit.sam")
+    assert main(["map", "-p", "-f", "sam", "-r", "1", "-o", out,
+                 index_prefix,
+                 os.path.join(data_dir, "reads_pe_1.fq"),
+                 os.path.join(data_dir, "reads_pe_2.fq")]) == 0
+    got = _read_lines(out)
+    want = _read_lines(os.path.join(data_dir, "golden_pe_r1_split.sam.gz"))
+    assert got == want
+
+
 def test_sample_histogram(index_prefix, data_dir, tmp_path):
     """smalt sample: exhaustive-mode pair mapping + Gaussian-smoothed
     insert histogram, byte-identical file (sample_test.py analogue)."""
