@@ -198,6 +198,27 @@ for i in range(48):
 qs = [b'5' * 100] * 48
 res = pl._call_raw(nmA, sqA, qs, nmA, sqB, qs)
 assert res is not None and res[1] > 0, res
+# paired split mode (-p): the full hit-info probe, mapSecondary on
+# both mates, and the PARTIAL report chain inside fl_map_pair_block —
+# chimeric mates make the secondary pass actually append results
+psr = MapParams()
+psr.rmapflg |= RMAPFLG_SPLIT | RMAPFLG_NOSHRTINFO | RMAPFLG_SENSITIVE
+psr.rsltouflg |= RESULTFLG_SPLIT
+engsp = MapEngine(refr, idxr, psr)
+plsp = PairLane.make(engsp, 'sam', True, False, False, False, None)
+assert plsp is not None
+cA, cB = [], []
+for i in range(32):
+    sa = int(rng.integers(0, len(gtxt) - 300))
+    sb = int(rng.integers(0, len(gtxt) - 300))
+    chim = (gtxt[sa:sa + 60] + gtxt[sb:sb + 60]).encode()
+    mate = gtxt[sb:sb + 100].encode().translate(comp)[::-1]
+    cA.append(Read(name=f'cs{i}', seq=codec.encode(chim),
+                   qual=b'5' * len(chim)))
+    cB.append(Read(name=f'cs{i}', seq=codec.encode(mate),
+                   qual=b'5' * len(mate)))
+res = plsp._call(cA, cB)
+assert res is not None and res[1] > 0, res
 os.unlink(gpath)
 print('ASAN RUN CLEAN')
 """
