@@ -1554,7 +1554,11 @@ static int tx_align_display(FLText *t,
             q++;
         }
     }
-    if (fill > 0) ALI_FLUSH();
+    /* the reference's loop (report.c:319-385) spends one extra column
+     * slot on the diff-string terminator: with the real columns an
+     * exact multiple of the row width, it lands on a fresh row and
+     * prints an EMPTY block */
+    if (fill > 0 || ncols > 0) ALI_FLUSH();
 #undef ALI_COL
 #undef ALI_FLUSH
 #undef ALI_QCH

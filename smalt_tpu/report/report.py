@@ -573,8 +573,15 @@ def print_alignment(fp, refset, rp: RepAli, read: Read, linwidth: int = 60):
             cols.append((q_str[q], "-", "-", 1, 0))
             q += 1
 
+    # the reference's line loop (report.c:319-385) consumes one extra
+    # column slot for the diff-string terminator; when the real columns
+    # exactly fill the 60-wide rows that slot lands on a fresh row and
+    # prints an EMPTY block (q/s ranges of zero length)
+    offs = list(range(0, len(cols), linwidth))
+    if cols and len(cols) % linwidth == 0:
+        offs.append(len(cols))
     q0 = s0 = 0
-    for off in range(0, len(cols), linwidth):
+    for off in offs:
         chunk = cols[off : off + linwidth]
         qline = "".join(c[0] for c in chunk)
         dline = "".join(c[1] for c in chunk).rstrip() or ""

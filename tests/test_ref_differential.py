@@ -115,7 +115,11 @@ def _run_ours(args, out):
         return _body(f.read())
 
 
-@pytest.mark.parametrize("extra", [[], ["-m", "0"], ["-d", "5"]])
+@pytest.mark.parametrize("extra", [
+    [], ["-m", "0"], ["-d", "5"], ["-x"], ["-y", "0.5"], ["-w"],
+    ["-q", "5"], ["-S", "match=2,subst=-3,gapopen=-5,gapext=-4"],
+    ["-c", "0.8", "-x"], ["-a"],
+])
 def test_ref_differential_se(corpus, tmp_path, extra):
     d, rp, op, fq, _, _ = corpus
     base = ["-f", "sam", "-r", "1"] + extra
@@ -124,11 +128,25 @@ def test_ref_differential_se(corpus, tmp_path, extra):
     assert got == want
 
 
-def test_ref_differential_pe(corpus, tmp_path):
+@pytest.mark.parametrize("extra", [
+    [], ["-x"], ["-d", "0"], ["-j", "100", "-i", "300"], ["-w"],
+    ["-p", "-l", "mp"], ["-p", "-x"], ["-x", "-d", "0"],
+    ["-p", "-d", "0"], ["-a"], ["-a", "-p"],
+])
+def test_ref_differential_pe(corpus, tmp_path, extra):
     d, rp, op, _, fq1, fq2 = corpus
-    base = ["-f", "sam", "-r", "1"]
+    base = ["-f", "sam", "-r", "1"] + extra
     want = _run_ref(base + [rp, fq1, fq2])
     got = _run_ours(base + [op, fq1, fq2], str(tmp_path / "pe.sam"))
+    assert got == want
+
+
+@pytest.mark.parametrize("fmt", ["cigar", "ssaha"])
+def test_ref_differential_pe_split_formats(corpus, tmp_path, fmt):
+    d, rp, op, _, fq1, fq2 = corpus
+    base = ["-f", fmt, "-r", "1", "-p"]
+    want = _run_ref(base + [rp, fq1, fq2])
+    got = _run_ours(base + [op, fq1, fq2], str(tmp_path / "pf.out"))
     assert got == want
 
 
