@@ -88,7 +88,10 @@ def _trace(read, phase: str, msg: str) -> None:
 class MapParams:
     ktuple_maxhit: int = 10000          # -c ncut (menu.c:603)
     min_cover_frac: float = 0.0         # -y/-c style min cover (tupcovmin)
-    min_swatscor: int = 0               # set from index: ktup+nskip-1
+    min_swatscor: Optional[int] = None  # None: derive ktup+nskip-1 from
+                                        # the index; an explicit -m value
+                                        # (even 0) is used verbatim
+                                        # (smalt.c:608 MENUFLAG_MINSCOR)
     filter_minscor: int = 18            # output filter keeps the raw menu
                                         # default MENU_DEFAULTS_MINSCOR=18
                                         # (smalt.c:484 passes the menu value
@@ -136,7 +139,7 @@ class MapEngine:
         self.lam = ali_mod.matrix_lambda(self.matrix)
         if refset.nseq < SMALT_MAX_REFSEQ_NUM:
             params.rmapflg |= RMAPFLG_SEQBYSEQ
-        if params.min_swatscor == 0:
+        if params.min_swatscor is None:
             params.min_swatscor = index.wordlen + index.nskip - 1
         self.filter = ResultFilter(params.filter_minscor,
                                    params.min_swatscor_below_max, 0.0)

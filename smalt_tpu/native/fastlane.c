@@ -306,11 +306,33 @@ static int rs_add_from_ali(FLResultSet *rs, const int64_t *ali, int64_t nali,
                            int64_t soffs, int64_t qlen, int64_t seqidx,
                            int is_reverse)
 {
-    int64_t a;
+    /* Replicates resultSetAddFromAli's slot/ARRLEN dance VERBATIM
+     * (results.c:1852-1942), including its observable bugs: after a
+     * duplicate drop (--ARRLEN) the next result reuses the slot without
+     * being re-counted, so a new result right after a duplicate at the
+     * END of the batch is silently lost (but still bumps the swatscor
+     * maxima, which pass-2 min-score dynamics read); the duplicate
+     * compare is against the PHYSICAL previous slot (possibly an
+     * uncounted zombie after consecutive drops) and is skipped while
+     * fewer than two slots are counted. */
+    int64_t a, arrlen, rp;
+    int is_new;
+    if (nali < 1) return 0;
+    arrlen = rs->n_res;
+    rp = arrlen;                        /* preloop ARRNEXTP */
+    if (rp >= RES_MAX) return FL_ERR_CAP;
+    arrlen++;
+    is_new = 0;
     for (a = 0; a < nali; a++) {
         const int64_t *r = ali + a * 7;
         int64_t q_start, q_end, s_start, s_end;
         FLRes *prev, *nr;
+        if (is_new) {
+            rp = arrlen;
+            if (rp >= RES_MAX) return FL_ERR_CAP;
+            arrlen++;
+            is_new = 0;
+        }
         if (is_reverse) {
             q_start = qlen - r[2];
             q_end = qlen - r[1];
@@ -320,13 +342,7 @@ static int rs_add_from_ali(FLResultSet *rs, const int64_t *ali, int64_t nali,
         }
         s_start = soffs + r[3] + 1;
         s_end = soffs + r[4] + 1;
-        prev = rs->n_res ? &rs->res[rs->n_res - 1] : NULL;
-        if (prev && prev->s_start == s_start && prev->s_end == s_end &&
-            prev->q_start == q_start && prev->q_end == q_end &&
-            prev->swatscor == r[0] && prev->sidx == seqidx)
-            continue;
-        if (rs->n_res >= RES_MAX) return FL_ERR_CAP;
-        nr = &rs->res[rs->n_res++];
+        nr = &rs->res[rp];
         nr->q_start = q_start;
         nr->q_end = q_end;
         nr->s_start = s_start;
@@ -335,16 +351,27 @@ static int rs_add_from_ali(FLResultSet *rs, const int64_t *ali, int64_t nali,
         nr->swatscor = r[0];
         nr->mapscor = 0;
         nr->prob = 0.0;
-        nr->status = RSLTFLAG_SELECT | (is_reverse ? RSLTFLAG_REVERSE : 0)
-                     | (seqidx < 0 ? RSLTFLAG_NOSEQID : 0);
-        nr->diff_off = (int32_t)r[5];
-        nr->diff_len = (int32_t)r[6];
+        nr->status = (seqidx < 0 ? RSLTFLAG_NOSEQID : 0);
         nr->swrank = 0;
         nr->qsegx = -1;
         nr->tmpord = 0;
         nr->rsltx = -1;
-        rs_update_swatmax(rs, r[0]);
+        prev = (rp >= 1) ? &rs->res[rp - 1] : NULL;
+        is_new = (arrlen < 2) ||
+                 !(prev->s_start == s_start && prev->s_end == s_end &&
+                   prev->q_start == q_start && prev->q_end == q_end &&
+                   prev->swatscor == r[0] && prev->sidx == seqidx);
+        if (is_new) {
+            nr->status |= RSLTFLAG_SELECT
+                          | (is_reverse ? RSLTFLAG_REVERSE : 0);
+            nr->diff_off = (int32_t)r[5];
+            nr->diff_len = (int32_t)r[6];
+            rs_update_swatmax(rs, r[0]);
+        } else {
+            arrlen--;
+        }
     }
+    rs->n_res = (int)arrlen;
     return 0;
 }
 

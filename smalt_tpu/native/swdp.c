@@ -1,13 +1,22 @@
 /* Host-side Smith-Waterman kernels.
  *
  * Semantics (NOT code) follow the reference engine: the exact lane's
- * golden byte-parity depends on two OBSERVABLE quirks of its banded
+ * golden byte-parity depends on three OBSERVABLE quirks of its banded
  * affine recurrence (alignment.c:788-1240):
  *   (1) the gap states E (gap in the subject column) and F (gap along
  *       the row) are re-seeded from H only on STRICT diagonal wins
  *       with H > gap_init, and decay by gap_ext each step while
  *       positive;
- *   (2) the running maximum is recorded only at such diagonal wins.
+ *   (2) the running maximum is recorded only at such diagonal wins;
+ *   (3) the score-only pass-1 walk (alignSmiWatBandFast,
+ *       alignment.c:1219) never advances the LEFT band edge when the
+ *       band enters left of the query segment (q_left > l_edge): its
+ *       delta_band_start is tested but never decremented — unlike the
+ *       tracked pass-2 walk (alignment.c:1006, `dirp += --delta...`) —
+ *       so the computed region is a left-pinned triangle, not a
+ *       sliding band, and pass-1 can score alignments far off the
+ *       nominal diagonals.  Load-bearing for max1/max2 dynamics and
+ *       for -m thresholds below the default.
  * Within those constraints the cell update here is our own flat
  * max-then-refresh formulation (sw_cell below), not the reference's
  * nested branch tree; equivalence is enforced by the differential
@@ -68,20 +77,21 @@ int sw_band_fast(const int32_t *W, int qlen_prof,
                  int gap_init, int gap_ext,
                  int32_t *Hbuf, int32_t *Ebuf)
 {
-    /* The band is a parallelogram over (subject row i, query column j):
-     * the column window [band_lo, band_hi) slides right one column per
-     * subject row once `lead_rows` rows (band entered mid-query) are
-     * consumed. */
-    int lead_rows, band_lo, band_hi;
+    /* Quirk (3) above: when the band enters left of the query segment
+     * (q_left > l_edge) the left edge NEVER advances — the reference's
+     * score-only walk tests its lead-row counter but does not consume
+     * it, so [band_lo, band_hi) only grows on the right.  Only when
+     * the band starts at or right of q_left does the window slide. */
+    int lead_pinned, band_lo, band_hi;
     int i, j, best = 0;
     int32_t diag_carry;
     int32_t *Hrow = Hbuf, *Erow = Ebuf;
 
     if (q_left > l_edge) {
-        lead_rows = q_left - l_edge;
+        lead_pinned = 1;
         band_lo = q_left;
     } else {
-        lead_rows = 0;
+        lead_pinned = 0;
         band_lo = l_edge;
     }
     band_hi = r_edge + 1;
@@ -100,7 +110,7 @@ int sw_band_fast(const int32_t *W, int qlen_prof,
             if (won && diag > gap_init && diag > best)
                 best = diag;
         }
-        if (lead_rows > 0) { diag_carry = 0; lead_rows--; }
+        if (lead_pinned) { diag_carry = 0; }
         else { diag_carry = Hrow[band_lo]; band_lo++; }
         if (band_hi < q_len) band_hi++;
     }
@@ -117,8 +127,11 @@ int sw_band_track(const int32_t *W, int qlen_prof,
                   int *max_i_out, int *max_j_out,
                   int32_t *Hbuf, int32_t *Ebuf)
 {
-    /* Same band walk as sw_band_fast plus a direction matrix laid out
-     * band_width-wide per subject row; trail_cols grows once the right
+    /* Sliding band walk plus a direction matrix laid out
+     * band_width-wide per subject row; UNLIKE sw_band_fast, the lead
+     * rows are consumed so the left edge starts sliding once the band
+     * reaches q_left (the reference's tracked walk decrements its
+     * counter, alignment.c:1006); trail_cols grows once the right
      * band edge hits the query end (the parallelogram's trailing
      * wedge), mirroring the row-stride walk of the write pointer. */
     int lead_rows, trail_cols = 0, band_lo, band_hi;

@@ -168,8 +168,33 @@ class ResultSet:
 
     def add_from_ali(self, ali_results, soffs: int, qoffs: int, qlen: int,
                      seqidx: int, is_reverse: bool):
-        """resultSetAddFromAli (results.c:1852-1942)."""
+        """resultSetAddFromAli (results.c:1852-1942).
+
+        Replicates the reference's slot/ARRLEN dance VERBATIM, including
+        its observable bugs: after a duplicate is dropped (--ARRLEN) the
+        next result is written into the REUSED slot without re-counting
+        it, so it only becomes a real result if a further result follows
+        in the same batch — a new result that immediately follows a
+        duplicate at the END of a batch is silently lost (it still bumps
+        swatscor_max/2ndmax, which pass-2 min-score dynamics read).  The
+        duplicate compare is against the PHYSICAL previous slot, which
+        after consecutive drops can itself be an uncounted zombie, and is
+        skipped entirely while fewer than two slots are counted."""
+        if not ali_results:
+            return
+        phys = self.results          # physical slots; ARRLEN = arrlen
+        arrlen = len(phys)
+        rp = arrlen                  # preloop ARRNEXTP
+        phys.append(None)
+        arrlen += 1
+        is_new = False
         for a in ali_results:
+            if is_new:
+                rp = arrlen
+                if len(phys) <= rp:
+                    phys.append(None)
+                arrlen += 1
+                is_new = False
             r = Result()
             if is_reverse:
                 r.q_start = qoffs + qlen - a.qe
@@ -183,19 +208,24 @@ class ResultSet:
             r.swatscor = a.score
             if seqidx < 0:
                 r.status |= RSLTFLAG_NOSEQID
-            prev = self.results[-1] if self.results else None
-            is_dup = (prev is not None and
-                      prev.s_start == r.s_start and prev.s_end == r.s_end and
-                      prev.q_start == r.q_start and prev.q_end == r.q_end and
-                      prev.swatscor == r.swatscor and prev.sidx == r.sidx)
-            if is_dup:
-                continue
-            r.diff = list(a.diff)
-            self._update_swatmax(r.swatscor)
-            r.status |= RSLTFLAG_SELECT
-            if is_reverse:
-                r.status |= RSLTFLAG_REVERSE
-            self.results.append(r)
+            phys[rp] = r
+            prev = phys[rp - 1] if rp >= 1 else None
+            is_new = (arrlen < 2 or
+                      not (prev.s_start == r.s_start and
+                           prev.s_end == r.s_end and
+                           prev.q_start == r.q_start and
+                           prev.q_end == r.q_end and
+                           prev.swatscor == r.swatscor and
+                           prev.sidx == r.sidx))
+            if is_new:
+                r.diff = list(a.diff)
+                self._update_swatmax(r.swatscor)
+                r.status |= RSLTFLAG_SELECT
+                if is_reverse:
+                    r.status |= RSLTFLAG_REVERSE
+            else:
+                arrlen -= 1
+        del phys[arrlen:]            # orphan slots die with the batch
 
     def set_alignment_stats(self, n_ali_done, n_ali_tot, max_depth,
                             n_hits_used, n_hits_tot):

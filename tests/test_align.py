@@ -132,3 +132,62 @@ def test_recursive_cplx_native_matches_python(matrix):
                 for r in got] == \
                [(r.score, r.qs, r.qe, r.rs, r.re, list(r.diff))
                 for r in want]
+
+
+def test_band_fast_pinned_left_edge(matrix):
+    """Quirk (3) of the reference's score-only banded walk
+    (alignSmiWatBandFast, alignment.c:1219): when the band enters left
+    of the query segment (q_left > l_edge), the LEFT edge never
+    advances — delta_band_start is tested but never decremented, unlike
+    the tracked pass-2 walk — so pass-1 can score alignments far off
+    the nominal diagonals.  Case minted from a live-reference
+    differential (parity soak seed 2000006): the true 7-base match sits
+    at diagonal -8, outside the nominal band [-4, 0]; a sliding band
+    scores 5, the reference scores 7."""
+    subj = codec.encode(b"CCTTAATCAGATCAGCAG")
+    p = _prof(b"AGATCAGTCTACAG", matrix)       # read RC, as a rev cand
+    got = ali.align_band_fast(p, subj, -4, 0, 0, 13, 0, len(subj) - 1)
+    assert got == 7
+    # the tracked pass-2 walk DOES slide: its optimum within the band
+    # is the in-band 5-base match
+    band = ali.AliBand.make(-4, 0, 0, 13, p.qlen, 0, len(subj) - 1,
+                            len(subj))
+    sc, _, _, _ = ali._align_band_track(
+        p, np.ascontiguousarray(codec.alpha(subj), np.uint8), band)
+    assert sc == 5
+
+
+def test_add_from_ali_slot_dance():
+    """resultSetAddFromAli's verbatim slot/ARRLEN bugs
+    (results.c:1884-1940): a new result immediately after a dropped
+    duplicate is written to the uncounted slot and silently lost —
+    ARRNEXTP (array.h:71) hands the SAME slot to whatever comes next —
+    though it still bumps the swatscor maxima.  Minted from a
+    live-reference differential (parity soak seed 2000009, read
+    pr0100)."""
+    from smalt_tpu.results.result import ResultSet
+
+    def ar(score, qs, qe, rs, re):
+        return ali.AliResult(score=score, qs=qs, qe=qe, rs=rs, re=re,
+                             diff=[score + 1])
+
+    # batch 1: one result
+    rs = ResultSet()
+    rs.add_from_ali([ar(6, 40, 45, 25, 30)], 27601, 0, 52, 0, True)
+    assert len(rs.results) == 1
+    # batch 2: [duplicate-of-last, new] -> the new one is ORPHANED
+    rs.add_from_ali([ar(6, 40, 45, 12, 17), ar(7, 8, 13, 72, 77)],
+                    27614, 0, 52, 0, True)
+    assert len(rs.results) == 1
+    # ...but its score still reached the maxima
+    assert rs.swatscor_max == 7
+    # batch 3: a following result does NOT resurrect the post-dup
+    # orphan — ARRNEXTP reuses its slot, so the 7 is overwritten by
+    # the 5 and only the 5 is counted
+    rs2 = ResultSet()
+    rs2.add_from_ali([ar(6, 40, 45, 25, 30)], 27601, 0, 52, 0, True)
+    rs2.add_from_ali([ar(6, 40, 45, 12, 17), ar(7, 8, 13, 72, 77),
+                      ar(5, 20, 25, 40, 45)],
+                     27614, 0, 52, 0, True)
+    assert [r.swatscor for r in rs2.results] == [6, 5]
+    assert rs2.swatscor_max == 7
