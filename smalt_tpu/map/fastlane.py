@@ -547,11 +547,15 @@ class DevicePass1:
         On TPU the scorer is the Pallas kernel (ops/sw.py); elsewhere
         the jitted pure-jnp reference of the same recurrence (Pallas
         interpret mode is orders of magnitude slower than XLA:CPU).
-        Both produce scores identical to the host sw_full kernel."""
-        import functools
+        Both produce scores identical to the host sw_full kernel.
+
+        The jit is cached at module level keyed by (matrix, penalties,
+        backend): separate DevicePass1 instances (every CLI run builds
+        one) share the trace and the compiled executable instead of
+        re-tracing per instance (the r3 bench paid a full re-trace +
+        compile on the measured run because the warm run used its own
+        instance)."""
         import jax
-        import jax.numpy as jnp
-        from ..ops.sw import sw_score_batch, sw_score_ref
 
         fn = getattr(self, "_dev_jit", None)
         if fn is not None:
@@ -561,69 +565,38 @@ class DevicePass1:
                   self.interpret is not True)
         matrix = np.asarray(eng.matrix, np.int32)
         go, ge = -eng.gapopen, -eng.gapext
-
-        @functools.partial(jax.jit, static_argnames=("S",))
-        def step(ref_alpha, reads, qlens, starts, slens, ridx, is_rev, S):
-            reads = reads.astype(jnp.int32)           # [n, Q] alpha codes
-            n, Q = reads.shape
-            # reverse complement with per-read length (padding code 7)
-            j = jnp.arange(Q, dtype=jnp.int32)[None, :]
-            src = qlens[:, None] - 1 - j
-            valid = src >= 0
-            g = jnp.take_along_axis(reads, jnp.maximum(src, 0), axis=1)
-            std = (g & 4) == 0
-            rcq = jnp.where(valid, jnp.where(std, g ^ 3, g), 7)
-            qcs = jnp.where((is_rev == 1)[:, None], rcq[ridx], reads[ridx])
-            # on-device window gather from the resident reference
-            offs = jnp.arange(S, dtype=jnp.int32)[None, :]
-            gidx = jnp.clip(starts[:, None] + offs, 0,
-                            ref_alpha.shape[0] - 1)
-            wins = jnp.where(offs >= slens[:, None], 7,
-                             ref_alpha[gidx].astype(jnp.int32))
-            if on_tpu:
-                return sw_score_batch(qcs, wins, slens, matrix, go, ge,
-                                      interpret=False)
-            return sw_score_ref(qcs, wins, slens, matrix, go, ge)
-
-        self._dev_jit = step
-        return step
+        self._dev_jit = _dp1_step_fn(matrix.tobytes(), matrix.shape,
+                                     go, ge, on_tpu)
+        return self._dev_jit
 
     def _score_windows(self, win_desc, fwd, qlens):
-        """Dispatch one batch of windows; returns a jax array (async)."""
+        """Dispatch one batch of windows; returns (jax array, nw) with
+        the D2H fetch started (async) — the caller slices [:nw] after
+        np.asarray so no extra device op rides the tunnel."""
         import jax
         lane = self.lane
         if self._ref_alpha is None:
             # resident device copy of the reference (alpha codes, uint8)
             self._ref_alpha = jax.device_put(
                 (lane._refcodes & 7).astype(np.uint8))
-        starts = win_desc[:, 0].astype(np.int32)
-        slens = win_desc[:, 1].astype(np.int32)
-        ridx = win_desc[:, 2].astype(np.int32)
-        is_rev = win_desc[:, 3].astype(np.int32)
+        nw = len(win_desc)
         # pad S to a 128 multiple and the window count to the sticky cap
         # (padded windows have slens 0: every row masked, score 0) —
         # with the fixed read batch this keeps the run to ONE compile
-        S = int(slens.max()) if len(slens) else 128
+        S = int(win_desc[:, 1].max()) if nw else 128
         while self._scap < S:
             self._scap *= 2
         S = self._scap
-        nw = len(slens)
         while self._wcap < nw:
             self._wcap *= 2
-        nwp = self._wcap
-        if nwp > nw:
-            starts = np.pad(starts, (0, nwp - nw))
-            slens = np.pad(slens, (0, nwp - nw))
-            ridx = np.pad(ridx, (0, nwp - nw))
-            is_rev = np.pad(is_rev, (0, nwp - nw))
-        out = self._device_fn()(self._ref_alpha, fwd, qlens, starts,
-                                slens, ridx, is_rev, S)
-        out = out[:nw]
+        wd = np.zeros((self._wcap, 4), dtype=np.int32)
+        wd[:nw] = win_desc
+        out = self._device_fn()(self._ref_alpha, fwd, qlens, wd, S)
         try:
             out.copy_to_host_async()   # overlap D2H with the host tail
         except AttributeError:
             pass
-        return out
+        return out, nw
 
     # ---------------- phase B ----------------
 
@@ -677,14 +650,39 @@ class DevicePass1:
     # ---------------- driver ----------------
 
     def run_raw_fastq(self, path: str, out, fallback) -> None:
-        """Map a FASTQ file: bulk parse -> phase A -> device -> phase B,
-        one batch in flight so device time hides behind the host tail.
-        `fallback(names, seqs, quals)` renders a batch through the host
-        lane when any native stage errors (no RNG consumed by then)."""
+        """Map a FASTQ file: bulk parse -> phase A -> device -> phase B.
+        The whole device leg (pad + H2D + dispatch + D2H) runs on a
+        worker thread so tunnel latency and device compute hide behind
+        the host C work of the neighbouring batches (the r3 0.40x came
+        from serializing ~0.5 s of tunnel traffic per batch with the
+        host idle).  `fallback(names, seqs, quals)` renders a batch
+        through the host lane when any native stage errors (no RNG
+        consumed by then)."""
         from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
         from .fastmode import iter_fastq_batches
 
+        import os
+        import sys
+        import time
+        timing = bool(os.environ.get("SMALT_DP1_TIMING"))
         pending = deque()
+        pool = ThreadPoolExecutor(max_workers=1)
+
+        def device_leg(win_desc, fwd, qlens):
+            if timing:
+                t0 = time.time()
+                scores, nw = self._score_windows(win_desc, fwd, qlens)
+                t1 = time.time()
+                scores.block_until_ready()
+                t2 = time.time()
+                sc = np.asarray(scores)[:nw]
+                print(f"# dp1-dev nw={nw} call={t1-t0:.3f} "
+                      f"wait={t2-t1:.3f} fetch={time.time()-t2:.3f}",
+                      file=sys.stderr, flush=True)
+                return sc
+            scores, nw = self._score_windows(win_desc, fwd, qlens)
+            return np.asarray(scores)[:nw]
 
         def prepare(names, seqs, quals):
             n = len(names)
@@ -713,36 +711,98 @@ class DevicePass1:
                 fwd, qlens = self._padded_reads(
                     np.frombuffer(codec_encode_bulk(codes), np.uint8),
                     read_offs, n, qmax)
-                scores = self._score_windows(win_desc, fwd, qlens)
+                scores = pool.submit(device_leg, win_desc, fwd, qlens)
             else:
-                scores = np.zeros(0, np.int32)
+                scores = None
             return (n, qmax, codes, read_offs, qarr, has_qual, narr,
                     name_offs, state, state_offs, scores)
 
         def finish(item, raw):
             (n, qmax, codes, read_offs, qarr, has_qual, narr, name_offs,
              state, state_offs, scores) = item
+            try:
+                if timing:
+                    t0 = time.time()
+                    sc = (scores.result() if scores is not None
+                          else np.zeros(0, np.int32))
+                    print(f"# dp1-main stall={time.time()-t0:.3f}",
+                          file=sys.stderr, flush=True)
+                else:
+                    sc = (scores.result() if scores is not None
+                          else np.zeros(0, np.int32))
+            except Exception:      # device-leg failure: host fallback
+                return fallback(*raw)
             text = self._pass2(n, qmax, codes, read_offs, qarr, has_qual,
                                narr, name_offs, state, state_offs,
-                               np.asarray(scores), ascii_codes=True,
-                               names_raw=True)
+                               sc, ascii_codes=True, names_raw=True)
             if text is None:
                 text = fallback(*raw)
             return text
 
-        for raw in iter_fastq_batches(path, self.batch):
-            item = prepare(*raw)
-            if item is None:
-                out.write(fallback(*raw))
-                continue
-            pending.append((item, raw))
-            while len(pending) > 1:
+        try:
+            for raw in iter_fastq_batches(path, self.batch):
+                item = prepare(*raw)
+                if item is None:
+                    out.write(fallback(*raw))
+                    continue
+                pending.append((item, raw))
+                while len(pending) > 2:
+                    out.write(finish(*pending.popleft()))
+            while pending:
                 out.write(finish(*pending.popleft()))
-        while pending:
-            out.write(finish(*pending.popleft()))
+        finally:
+            pool.shutdown(wait=True)
 
 
 def codec_encode_bulk(ascii_codes: np.ndarray) -> bytes:
     """ASCII read letters -> mangled codes (vectorized CODTAB gather)."""
     from ..seq import codec
     return codec.CODTAB[ascii_codes].tobytes()
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _dp1_step_fn(matrix_bytes: bytes, matrix_shape, go: int, ge: int,
+                 on_tpu: bool):
+    """Module-level cached jit of the DevicePass1 device stage (shared
+    trace + executable across instances; the persistent XLA cache in
+    devcache.py reuses it across processes too)."""
+    import jax
+    import jax.numpy as jnp
+    from ..devcache import ensure_compile_cache
+    from ..ops.sw import sw_score_batch, sw_score_ref
+
+    ensure_compile_cache()
+    matrix = np.frombuffer(matrix_bytes, np.int32).reshape(matrix_shape)
+
+    @functools.partial(jax.jit, static_argnames=("S",))
+    def step(ref_alpha, reads, qlens, wd, S):
+        # wd: [W, 4] int32 {start, slen, read_idx, is_rev} — ONE
+        # combined descriptor array so the tunnel pays a single
+        # H2D transfer instead of four
+        starts, slens, ridx, is_rev = (wd[:, 0], wd[:, 1], wd[:, 2],
+                                       wd[:, 3])
+        reads = reads.astype(jnp.int32)           # [n, Q] alpha codes
+        n, Q = reads.shape
+        # reverse complement with per-read length (padding code 7)
+        j = jnp.arange(Q, dtype=jnp.int32)[None, :]
+        src = qlens[:, None] - 1 - j
+        valid = src >= 0
+        g = jnp.take_along_axis(reads, jnp.maximum(src, 0), axis=1)
+        std = (g & 4) == 0
+        rcq = jnp.where(valid, jnp.where(std, g ^ 3, g), 7)
+        qcs = jnp.where((is_rev == 1)[:, None], rcq[ridx], reads[ridx])
+        # on-device window gather from the resident reference
+        offs = jnp.arange(S, dtype=jnp.int32)[None, :]
+        gidx = jnp.clip(starts[:, None] + offs, 0,
+                        ref_alpha.shape[0] - 1)
+        wins = jnp.where(offs >= slens[:, None], 7,
+                         ref_alpha[gidx].astype(jnp.int32))
+        if on_tpu:
+            return sw_score_batch(qcs, wins, slens, matrix, go, ge,
+                                  interpret=False)
+        return sw_score_ref(qcs, wins, slens, matrix, go, ge)
+
+    return step
