@@ -1,0 +1,205 @@
+"""Differential tests: device-exact collation (parallel/exact_collate)
+vs the host C oracle (native/mapcore.c mc_collect_all + mc_score_cands).
+
+The device pipeline re-derives hit info from the resident index, expands
+and sorts the packed hits, forms seeds/segments/regions/candidates in
+one scan, and scores SIMD-eligible windows — all of which must equal the
+C lane's view bit for bit for `--device-exact` to stay byte-identical.
+Runs on the CPU backend (conftest forces it)."""
+import os
+
+import numpy as np
+import pytest
+
+from smalt_tpu.seq.refset import RefSet
+from smalt_tpu.seq import codec
+from smalt_tpu.seq.codec import revcomp_codes
+from smalt_tpu.seq.io import Read
+from smalt_tpu.index.table import build_index
+from smalt_tpu.map.engine import MapEngine, MapParams
+from smalt_tpu.align.core import ScoreProfile
+from smalt_tpu.parallel.mesh import DeviceIndex
+from smalt_tpu.parallel.exact_collate import CollateCfg, build_exact_collate
+from smalt_tpu.native import get_lib
+
+QLEN = 100
+
+
+def _corpus(tmp_path, seed, k, nskip, nreads, glen=36000):
+    rng = np.random.default_rng(seed)
+    bases = "ACGT"
+    seqs = []
+    fa = tmp_path / "g.fa"
+    with open(fa, "w") as f:
+        for s in range(3):
+            L = glen // 3
+            g = "".join(rng.choice(list(bases), L))
+            unit = "".join(rng.choice(list(bases), 300))
+            for _ in range(5):       # planted repeats: multi-cand paths
+                at = int(rng.integers(0, L - 300))
+                g = g[:at] + unit + g[at + 300:]
+            seqs.append(g)
+            f.write(f">s{s}\n{g}\n")
+    refset = RefSet.from_fasta(str(fa))
+    idx = build_index(refset, k, nskip)
+    _ = idx.addrs
+    reads = []
+    for _ in range(nreads):
+        s = int(rng.integers(0, 3))
+        pos = int(rng.integers(0, len(seqs[s]) - QLEN))
+        r = list(seqs[s][pos:pos + QLEN])
+        for j in np.flatnonzero(rng.random(QLEN) < 0.02):
+            r[j] = bases[int(rng.integers(0, 4))]
+        if rng.random() < 0.25:      # Ns exercise the bad-base windows
+            r[int(rng.integers(0, QLEN))] = "N"
+        r = "".join(r)
+        if rng.random() < 0.5:
+            r = r.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+        q = rng.integers(35, 74, QLEN).astype(np.uint8)
+        reads.append((r, q.tobytes()))
+    return refset, idx, reads
+
+
+def _host_oracle(eng, idx, lib, reads):
+    """Per read: mc_collect_all rows + the rank-selected seed mask."""
+    rows, sels, mincovs = [], [], []
+    for rseq, rq in reads:
+        rd = Read("x", codec.encode(rseq.encode()), rq)
+        hf, hr = eng._hitinfo(rd, idx, True)
+        min_cover = eng._covermin(rd)
+        ktup, nskip = idx.wordlen, idx.nskip
+        if min_cover >= ktup + nskip:
+            min_ktup = (min_cover - ktup) // nskip
+        else:
+            min_ktup = 1
+        min_cover = (min_ktup - 1) * nskip + ktup
+        sac = eng._collect_native(lib, hf, hr, idx, min_ktup, min_cover,
+                                  None)
+        rows.append(np.asarray(sac.rows_arr))
+        sel = np.zeros((2, QLEN), np.uint8)
+        for s_i, hi_ in ((0, hf), (1, hr)):
+            nsel = hi_.seed_rank if hi_.seed_rank > 0 else hi_.n_seeds
+            sel[s_i, hi_.qoffs[hi_.sidx[:nsel]]] = 1
+        sels.append(sel)
+        mincovs.append(min_cover)
+    return rows, sels, mincovs
+
+
+def _device_run(eng, refset, idx, reads, sels, mincovs, H=512, C=16):
+    B = len(reads)
+    cfg = CollateCfg(wordlen=idx.wordlen, nskip=idx.nskip, maxhit=10000,
+                     B=B, Q=128, H=H, C=C, V=refset.nseq)
+    di = DeviceIndex.build(refset, idx)
+    step = build_exact_collate(di, eng._seq_ivals, np.asarray(eng.matrix),
+                               -eng.gapopen, -eng.gapext, cfg,
+                               on_tpu=False)
+    codes = np.zeros((B, 128), np.uint8)
+    qbad = np.zeros((B, 128), bool)
+    qlens = np.full(B, QLEN, np.int32)
+    selm = np.zeros((B, 2, 128), np.uint8)
+    minq = eng.params.min_basq + 0x21
+    for i, (rseq, rq) in enumerate(reads):
+        codes[i, :QLEN] = codec.encode(rseq.encode())
+        qbad[i, :QLEN] = np.frombuffer(rq, np.uint8) < minq
+        selm[i, :, :QLEN] = sels[i]
+    mc = np.asarray(mincovs, np.int32)
+    return [np.asarray(x) for x in step(codes, qbad, selm, qlens, mc)]
+
+
+def _unpack(row):
+    w0, rs, re, dsh, s2mm, w5 = (int(x) for x in row)
+    return (w0 & 0xFF, (w0 >> 8) & 0xFF, rs, re, dsh, s2mm,
+            w5 & 0x3FFFFF, (w0 >> 16) & 0xFF, ((w5 >> 31) & 1) * 2,
+            (w0 >> 24) & 0xFF, (w5 >> 22) & 0x1FF)
+
+
+@pytest.mark.parametrize("seed,k,nskip", [(1, 11, 2), (2, 13, 4),
+                                          (3, 12, 1)])
+def test_rows_and_scores_match_host(tmp_path, seed, k, nskip):
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native lib required")
+    refset, idx, reads = _corpus(tmp_path, seed, k, nskip, nreads=32)
+    eng = MapEngine(refset, idx, MapParams())
+    host_rows, sels, mincovs = _host_oracle(eng, idx, lib, reads)
+    pool, counts, scores, cksum, fallback = _device_run(
+        eng, refset, idx, reads, sels, mincovs)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    n_compared = 0
+    for i, hr_ in enumerate(host_rows):
+        if fallback[i]:
+            continue
+        got = pool[offs[i]:offs[i + 1]]
+        assert len(got) == len(hr_), f"read {i} candidate count"
+        for r in range(len(got)):
+            qs, qe, rs, re, dsh, s2, srg, cov, mmali, nseg, sq = \
+                _unpack(got[r])
+            h = [int(x) for x in hr_[r]]
+            dev = (qs, qe, rs, re, dsh, s2, srg, cov,
+                   (h[8] & 1) | mmali, nseg, sq)
+            assert dev == tuple(h), f"read {i} row {r}: {dev} != {h}"
+            n_compared += 1
+    # the planted-repeat corpus must exercise real multi-cand reads
+    assert n_compared > len(reads)
+    assert fallback.sum() <= len(reads) // 4
+
+    # pass-1 scores: device kernel vs host mc_score_cands (best=0
+    # scores every row in row order; the SIMD gate must agree and the
+    # full-matrix scores must be equal)
+    n_scored = 0
+    for i, hr_ in enumerate(host_rows):
+        if fallback[i] or not len(hr_):
+            continue
+        rseq, rq = reads[i]
+        qc = codec.encode(rseq.encode())
+        pf = ScoreProfile.from_read(qc, eng.matrix, eng.gapopen,
+                                    eng.gapext, eng.lam)
+        pr = ScoreProfile.from_read(revcomp_codes(qc), eng.matrix,
+                                    eng.gapopen, eng.gapext, eng.lam)
+        n = len(hr_)
+        out = np.zeros(n * 10, np.int64)
+        Hb = np.zeros(QLEN + 8, np.int32)
+        Eb = np.zeros(QLEN + 8, np.int32)
+        mx = np.zeros(3, np.int64)
+        sidx = np.arange(n, dtype=np.uint32)
+        rows64 = np.ascontiguousarray(hr_, np.int64)
+        rc = lib.mc_score_cands(
+            rows64.ctypes.data, sidx.ctypes.data, n, idx.wordlen,
+            idx.nskip, refset.codes.ctypes.data,
+            refset.offsets.ctypes.data, refset.nseq, QLEN,
+            pf.W_addr, pr.W_addr, pf.gap_init_pos, pf.gap_ext_pos,
+            pf.match_avg, pf.mismatch_avg, 0, 0, 0,
+            Hb.ctypes.data, Eb.ctypes.data, out.ctypes.data,
+            mx.ctypes.data)
+        assert rc == 0
+        out = out.reshape(n, 10)
+        for r in range(n):
+            host_simd = (QLEN >= 32 and
+                         (int(out[r][5]) - int(out[r][4])) * 48 > QLEN and
+                         int(out[r][0]) == 0 and int(out[r][1]) >= QLEN - 1)
+            dsc = int(scores[offs[i] + r])
+            assert host_simd == (dsc >= 0), f"read {i} row {r} simd gate"
+            if host_simd:
+                assert dsc == int(out[r][8]), f"read {i} row {r} score"
+                n_scored += 1
+    assert n_scored > 0
+
+
+def test_checksum_matches_host_hitinfo(tmp_path):
+    """The device's hit-info checksum equals the host's view (the
+    runtime divergence guard the driver relies on)."""
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native lib required")
+    refset, idx, reads = _corpus(tmp_path, 5, 11, 2, nreads=16)
+    eng = MapEngine(refset, idx, MapParams())
+    host_rows, sels, mincovs = _host_oracle(eng, idx, lib, reads)
+    _, _, _, cksum, _ = _device_run(eng, refset, idx, reads, sels,
+                                    mincovs)
+    for i, (rseq, rq) in enumerate(reads):
+        rd = Read("x", codec.encode(rseq.encode()), rq)
+        hf, hr = eng._hitinfo(rd, idx, True)
+        for s_i, hi_ in ((0, hf), (1, hr)):
+            assert int(cksum[i, s_i, 0]) == hi_.n_seeds
+            want = int(np.sum((hi_.qoffs + 1) * hi_.nhits)) & 0x7FFFFFFF
+            assert int(cksum[i, s_i, 1]) == want
