@@ -184,6 +184,15 @@ def _map_argparser(prog):
                          "runs seeding and the exact pass-2; output "
                          "stays bit-identical (extension over the "
                          "reference CLI)")
+    ap.add_argument("--device-exact", action="store_true",
+                    dest="device_exact",
+                    help="run the exact engine's full front half "
+                         "(seeding, hit collection, collation AND "
+                         "pass-1 scoring) on the TPU in one dispatch "
+                         "per block; host keeps rank selection, depth "
+                         "sort, pass-2 and rendering; output stays "
+                         "bit-identical (extension over the reference "
+                         "CLI)")
     ap.add_argument("--fast", action="store_true", dest="fastmode",
                     help="TPU device pass-1 + host traceback tail "
                          "(SAM; single or paired with mate rescue; "
@@ -367,13 +376,13 @@ def cmd_map(argv: List[str]) -> int:
                                run_pipeline_raw_pairs)
     fmt = a.oformat.split(":")[0]
     mods = a.oformat.split(":")[1].split(",") if ":" in a.oformat else []
-    if a.device_pass1 and not (
+    if (a.device_pass1 or a.device_exact) and not (
             a.mates is None and a.nthreads <= 1 and
             a.informat not in ("sam", "bam") and
             not a.reads.endswith((".sam", ".sam.gz", ".bam"))):
-        print("# --device-pass1 applies to serial single-end FASTQ "
-              "runs; ignored (output is identical either way)",
-              file=sys.stderr)
+        print("# --device-pass1/--device-exact apply to serial "
+              "single-end FASTQ runs; ignored (output is identical "
+              "either way)", file=sys.stderr)
     ran_raw = False
     if (a.nthreads <= 1 and
             a.informat not in ("sam", "bam") and
@@ -404,7 +413,10 @@ def cmd_map(argv: List[str]) -> int:
                 seed=(a.randseed if a.randseed is not None else 0),
                 ihist=ihist, fix_primary=fix_primary, ali_out=a.aliout,
                 device_pass1=a.device_pass1,
-                resume_log=(resume_log if not a.device_pass1 else None))
+                device_exact=a.device_exact,
+                resume_log=(resume_log
+                            if not (a.device_pass1 or a.device_exact)
+                            else None))
         elif raw_ok:
             ran_raw = run_pipeline_raw_pairs(
                 engine, a.reads, a.mates, raw_out, refset, fmt=raw_fmt,

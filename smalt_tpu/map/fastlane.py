@@ -754,6 +754,253 @@ class DevicePass1:
             pool.shutdown(wait=True)
 
 
+class DeviceExact(DevicePass1):
+    """Device-exact mapping: the chip carries the exact engine's FRONT
+    HALF — seeding, hit collection, shift-sort, segment/candidate
+    collation AND pass-1 window scoring — in one dispatch per block
+    (parallel/exact_collate.py), while the host keeps only hit-info
+    rank selection, the NR depth sort, pass 2 and rendering.  Output
+    stays byte-identical to the pure-C lane: any read the device
+    cannot serve exactly (capacity overflow, checksum or geometry
+    mismatch) is re-staged fully on host by fl_pass2_block.
+
+    This is the round-4 answer to the Amdahl cap on --device-pass1:
+    pass-1 SW alone is ~28% of exact-lane time; seed+collate+pass-1
+    together are ~51% (SMALT_FL_TIMING split), so the ceiling moves
+    from ~1.4x to ~2x per host core with the chip absorbing the front
+    half behind the host tail."""
+
+    QMAX = 255          # packed row fields gate (cover/qs/qe <= 255)
+
+    def __init__(self, lane: FastLane, batch: int = 0,
+                 interpret: Optional[bool] = None):
+        import os
+        super().__init__(lane, batch=batch or
+                         int(os.environ.get("SMALT_DX_BATCH", 4096)),
+                         interpret=interpret)
+        self._collate = None
+        self._di = None
+        self._qcap = 128
+
+    @classmethod
+    def make(cls, engine, fmt, soft_clip, x_mismatch, ali_out,
+             fix_primary, batch: int = 0,
+             interpret: Optional[bool] = None) -> Optional["DeviceExact"]:
+        base = DevicePass1.make(engine, fmt, soft_clip, x_mismatch,
+                                ali_out, fix_primary, batch=batch,
+                                interpret=interpret)
+        if base is None:
+            return None
+        lane = base.lane
+        lib = lane.lib
+        if not hasattr(lib, "fl_exact_pre_block"):
+            return None
+        idx = engine.index
+        if 2 * idx.wordlen > 28:        # direct-address table required
+            return None
+        if engine.refset.total_len >= (1 << 31):
+            return None                 # int32 serial/base coords gate
+        if engine.refset.nseq > 8:
+            return None                 # V static-loop gate
+        return cls(lane, batch=batch, interpret=interpret)
+
+    # ---------------- device function ----------------
+
+    def _collate_fn(self):
+        if self._collate is not None:
+            return self._collate
+        from ..parallel.exact_collate import CollateCfg, \
+            build_exact_collate
+        from ..parallel.mesh import DeviceIndex
+        eng = self.lane.engine
+        if self._di is None:
+            self._di = DeviceIndex.build(eng.refset, eng.index)
+        p = eng.params
+        cfg = CollateCfg(wordlen=eng.index.wordlen,
+                         nskip=eng.index.nskip,
+                         maxhit=p.ktuple_maxhit,
+                         B=self.batch, Q=self._qcap,
+                         V=eng.refset.nseq)
+        on_tpu = None if self.interpret is None else not self.interpret
+        self._collate = build_exact_collate(
+            self._di, eng._seq_ivals, np.asarray(eng.matrix),
+            -eng.gapopen, -eng.gapext, cfg, on_tpu=on_tpu)
+        self._cfg = cfg
+        return self._collate
+
+    # ---------------- host halves ----------------
+
+    def _pre(self, n, codes, read_offs, quals, has_qual, Qcap):
+        lane = self.lane
+        p = lane.engine.params
+        wa, sa, nwords, ta, pa = lane._idx_addrs
+        idx = lane.engine.index
+        pre = np.zeros((n, 12), np.int64)
+        selmask = np.zeros((n, 2, Qcap), np.uint8)
+        rc = lane.lib.fl_exact_pre_block(
+            wa, sa, nwords, ta, idx.wordlen, idx.nskip,
+            p.ktuple_maxhit, eng_mod.HASH_MAXNHITS, p.min_basq,
+            p.min_cover_frac, 1,
+            n, codes.ctypes.data, read_offs.ctypes.data,
+            quals.ctypes.data, has_qual.ctypes.data,
+            Qcap, pre.ctypes.data, selmask.ctypes.data)
+        if rc != 0:
+            return None
+        return pre, selmask
+
+    def _post(self, n, read_offs, pre, pool, counts2, scores, cksum,
+              fallback):
+        lane = self.lane
+        eng = lane.engine
+        p = eng.params
+        cfg = self._cfg
+        state_cap = n * 8 + int(counts2.sum()) * 12 + 64
+        pool_c = np.ascontiguousarray(pool, np.int32)
+        counts2_c = np.ascontiguousarray(counts2, np.int32)
+        scores_c = np.ascontiguousarray(scores, np.int32)
+        cksum_c = np.ascontiguousarray(cksum, np.int32)
+        fb_c = np.ascontiguousarray(fallback, np.uint8)
+        nrest = np.zeros(1, np.int64)
+        state = np.empty(state_cap, np.int64)
+        state_offs = np.empty(n + 1, np.int64)
+        rc = lane.lib.fl_exact_post_block(
+            eng.index.wordlen, eng.index.nskip,
+            lane._offsets.ctypes.data, eng.refset.nseq,
+            p.min_swatscor_below_max,
+            lane._avgs[0], lane._avgs[1],
+            p.target_depth, p.max_depth,
+            p.rmapflg & ~eng_mod.RMAPFLG_ALLPAIR,
+            n, read_offs.ctypes.data, pre.ctypes.data,
+            pool_c.ctypes.data, counts2_c.ctypes.data,
+            scores_c.ctypes.data, len(scores_c),
+            fb_c.ctypes.data, cksum_c.ctypes.data,
+            state.ctypes.data, state_cap, state_offs.ctypes.data,
+            nrest.ctypes.data)
+        if rc != 0:
+            return None
+        return state, state_offs, int(nrest[0])
+
+    # ---------------- driver ----------------
+
+    def run_raw_fastq(self, path: str, out, fallback) -> None:
+        """Map a FASTQ file: host pre (hit info + rank masks) -> ONE
+        device dispatch (collation + pass-1 scores) on a worker thread
+        -> host post (depth sort + state) -> fl_pass2_block.  Blocks
+        the device cannot serve fall back per read (host re-stage) or,
+        on hard errors, per batch (no RNG consumed until pass 2)."""
+        import os
+        import sys
+        import time
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+        from .fastmode import iter_fastq_batches
+
+        timing = bool(os.environ.get("SMALT_DP1_TIMING"))
+        minq = self.lane.engine.params.min_basq + 0x21
+        pending = deque()
+        pool_exec = ThreadPoolExecutor(max_workers=1)
+        self.n_restaged = 0
+
+        def device_leg(codes_pad, qbad, selm_pad, qlens, mincov):
+            t0 = time.time()
+            res = self._collate_fn()(codes_pad, qbad, selm_pad, qlens,
+                                     mincov)
+            outs = [np.asarray(x) for x in res]
+            if timing:
+                print(f"# dx-dev {time.time() - t0:.3f}s",
+                      file=sys.stderr, flush=True)
+            return outs
+
+        def prepare(names, seqs, quals):
+            n = len(names)
+            read_offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum([len(s) for s in seqs], out=read_offs[1:])
+            name_offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum([len(x) for x in names], out=name_offs[1:])
+            qlens_n = (read_offs[1:] - read_offs[:-1]).astype(np.int32)
+            qmax = int(qlens_n.max()) if n else 1
+            if qmax > self.QMAX or n > self.batch:
+                return None
+            while self._qcap < qmax:
+                self._qcap *= 2
+                self._collate = None        # new shape: rebuild the jit
+            Qcap = self._qcap
+            has_qual = np.empty(n, dtype=np.uint8)
+            qp = []
+            for i, q in enumerate(quals):
+                if q is not None and len(q) == len(seqs[i]):
+                    has_qual[i] = 1
+                    qp.append(q)
+                else:
+                    return None
+            codes = np.frombuffer(b"".join(seqs) or b"\0", np.uint8)
+            qarr = np.frombuffer(b"".join(qp) or b"\0", np.uint8)
+            narr = np.frombuffer(b"".join(names) or b"\0", np.uint8)
+            st = self._pre(n, codes, read_offs, qarr, has_qual, Qcap)
+            if st is None:
+                return None
+            pre, selmask = st
+            # fixed-shape device inputs (pad reads to the block size)
+            B = self.batch
+            codes_pad = np.zeros((B, Qcap), np.uint8)
+            qbad = np.zeros((B, Qcap), bool)
+            enc = np.frombuffer(codec_encode_bulk(codes), np.uint8)
+            for i in range(n):
+                o, e = int(read_offs[i]), int(read_offs[i + 1])
+                codes_pad[i, : e - o] = enc[o:e]
+                if has_qual[i]:
+                    qbad[i, : e - o] = qarr[o:e] < minq
+            selm_pad = np.zeros((B, 2, Qcap), np.uint8)
+            selm_pad[:n] = selmask
+            qlens = np.zeros(B, np.int32)
+            qlens[:n] = qlens_n
+            mincov = np.zeros(B, np.int32)
+            mincov[:n] = pre[:, 5].astype(np.int32)
+            fut = pool_exec.submit(device_leg, codes_pad, qbad,
+                                   selm_pad, qlens, mincov)
+            return (n, qmax, codes, read_offs, qarr, has_qual, narr,
+                    name_offs, pre, fut)
+
+        def finish(item, raw):
+            (n, qmax, codes, read_offs, qarr, has_qual, narr, name_offs,
+             pre, fut) = item
+            try:
+                pool, counts2, scores, cksum, fb = fut.result()
+            except Exception:
+                return fallback(*raw)
+            st = self._post(n, read_offs, pre, pool, counts2[:n],
+                            scores, cksum[:n], fb[:n])
+            if st is None:
+                return fallback(*raw)
+            state, state_offs, nrest = st
+            self.n_restaged += nrest
+            text = self._pass2(n, qmax, codes, read_offs, qarr,
+                               has_qual, narr, name_offs, state,
+                               state_offs, scores.astype(np.int64),
+                               ascii_codes=True, names_raw=True)
+            if text is None:
+                text = fallback(*raw)
+            if timing:
+                import sys as _s
+                print(f"# dx-batch n={n} restaged={nrest}",
+                      file=_s.stderr, flush=True)
+            return text
+
+        try:
+            for raw in iter_fastq_batches(path, self.batch):
+                item = prepare(*raw)
+                if item is None:
+                    out.write(fallback(*raw))
+                    continue
+                pending.append((item, raw))
+                while len(pending) > 2:
+                    out.write(finish(*pending.popleft()))
+            while pending:
+                out.write(finish(*pending.popleft()))
+        finally:
+            pool_exec.shutdown(wait=True)
+
+
 def codec_encode_bulk(ascii_codes: np.ndarray) -> bytes:
     """ASCII read letters -> mangled codes (vectorized CODTAB gather)."""
     from ..seq import codec

@@ -186,6 +186,7 @@ def run_pipeline_raw_fastq(engine, path: str, out, refset,
                            ihist=None, fix_primary: bool = False,
                            ali_out: bool = False,
                            device_pass1: bool = False,
+                           device_exact: bool = False,
                            resume_log=None) -> bool:
     """Serial single-end bulk path: C-speed FASTQ parsing feeding the C
     fast-lane with raw bytes (encode + name handling also native).
@@ -227,7 +228,15 @@ def run_pipeline_raw_fastq(engine, path: str, out, refset,
             buf.append(_render_block(args))
         return "".join(buf)
 
-    if device_pass1:
+    if device_exact:
+        from .fastlane import DeviceExact
+        dev = DeviceExact.make(engine, fmt, soft_clip, x_mismatch,
+                               ali_out, fix_primary)
+        if dev is not None:
+            dev.run_raw_fastq(path, out, fallback_batch)
+            return True
+        # unsupported config (index/ref shape): device-pass1 or host
+    if device_pass1 or device_exact:
         from .fastlane import DevicePass1
         dev = DevicePass1.make(engine, fmt, soft_clip, x_mismatch,
                                ali_out, fix_primary)

@@ -262,6 +262,23 @@ def _declare_fastlane(lib):
         vp, vp,                             # state
         vp, i64,                            # scores
         vp, vp, i64, dbl]                   # rng + output + lam
+    if hasattr(lib, "fl_exact_pre_block"):
+        lib.fl_exact_pre_block.restype = i64
+        lib.fl_exact_pre_block.argtypes = [
+            vp, vp, i64, vp, ci, ci,        # index
+            i64, i64, ci, dbl,              # cutoffs + basq + coverfrac
+            ci,                             # codes_are_ascii
+            i64, vp, vp, vp, vp,            # reads
+            i64, vp, vp]                    # Qpad, pre, selmask
+        lib.fl_exact_post_block.restype = i64
+        lib.fl_exact_post_block.argtypes = [
+            ci, ci, vp, i64,                # wordlen/nskip/offsets/nseq
+            i64, i64, i64,                  # belowmax, match/mismatch avg
+            i64, i64, ci,                   # depth + rmapflg
+            i64, vp, vp,                    # n_reads, read_offs, pre
+            vp, vp, vp, i64,                # pool, counts2, scores, n_pool
+            vp, vp,                         # dev_fallback, dev_cksum
+            vp, i64, vp, vp]                # state, cap, offs, n_restage
 
 
 def _load():

@@ -2962,7 +2962,13 @@ int64_t fl_pass2_block(
                                     : fl_sam_name_len(name, name_len);
 
         rs_blank(s.rs);
-        if (!hdr[0]) {                   /* not shortseq */
+        if (hdr[7] == 1) {
+            /* device-exact fallback: full host re-stage of this read
+             * (capacity overflow / checksum / geometry mismatch) —
+             * identical to the one-phase lane's per-read body */
+            rc = fl_map_pass(&P, &s, codes, qual, qlen, -1, -1, 0, 1);
+            if (rc != 0) goto done;
+        } else if (!hdr[0]) {            /* not shortseq */
             int64_t n_sort = hdr[1];
             int64_t deficit_f = hdr[3], deficit_r = hdr[4];
             int64_t mmscordiff = match_avg - mismatch_avg;
@@ -3086,6 +3092,311 @@ done:
     if (rc != 0) return rc;
     *rng_io = rng;
     return t.p - out_text;
+}
+
+/* ---------------- device-exact pre/post blocks ---------------- */
+
+/* Host half of the device-exact front end (parallel/exact_collate.py).
+ * Per read: hit-info + NR rank selection (mc_hitinfo_short2), cover
+ * deficits, hit-number stats, min_cover, and the rank-selected seed
+ * mask the device intersects with.  pre rows of 12 int64:
+ *   [0] shortseq [1] deficit_f [2] deficit_r [3] hits_used
+ *   [4] hits_tot [5] min_cover [6] ckF_n [7] ckF_sum
+ *   [8] ckR_n    [9] ckR_sum   [10][11] reserved
+ * selmask: u8 [n_reads, 2, Qpad].  Returns 0 or FL_ERR_*. */
+int64_t fl_exact_pre_block(
+    const uint64_t *words, const int64_t *starts, int64_t nwords,
+    const int32_t *table, int wordlen, int nskip,
+    int64_t ktuple_maxhit, int64_t maxhit_total, int min_basq,
+    double min_cover_frac,
+    int codes_are_ascii,
+    int64_t n_reads, const uint8_t *codes_concat, const int64_t *read_offs,
+    const uint8_t *quals_concat, const uint8_t *has_qual,
+    int64_t Qpad,
+    int64_t *pre, uint8_t *selmask)
+{
+    FLScratch s;
+    int64_t i, qmax = 1;
+    int rc = 0;
+
+    for (i = 0; i < n_reads; i++) {
+        int64_t ql = read_offs[i + 1] - read_offs[i];
+        if (ql > qmax) qmax = ql;
+    }
+    if (qmax > Qpad) return FL_ERR_CAP;
+    if (fl_scratch_init(&s, qmax) != 0) {
+        fl_scratch_free(&s);
+        return FL_ERR_CAP;
+    }
+    fl_codtab_init();
+    memset(selmask, 0, (size_t)(n_reads * 2 * Qpad));
+
+    for (i = 0; i < n_reads; i++) {
+        const uint8_t *codes = codes_concat + read_offs[i];
+        const uint8_t *qual = has_qual[i] ? quals_concat + read_offs[i]
+                                          : NULL;
+        int64_t qlen = read_offs[i + 1] - read_offs[i];
+        int64_t *p = pre + i * 12;
+        int64_t hout[4], nF, rankF, nR, rankR, min_cover;
+        int strand;
+        memset(p, 0, 12 * 8);
+        if (codes_are_ascii) {
+            int64_t j;
+            for (j = 0; j < qlen; j++)
+                s.enc[j] = fl_codtab[codes[j]];
+            codes = s.enc;
+        }
+        if (qlen < wordlen) {
+            p[0] = 1;
+            continue;
+        }
+        rc = (int)mc_hitinfo_short2(words, starts, nwords, table,
+                                    wordlen, nskip, codes, qual, qlen,
+                                    ktuple_maxhit, maxhit_total,
+                                    min_basq,
+                                    s.qmaskF, s.qoffsF, s.nhitsF,
+                                    s.slotF, s.sidxF,
+                                    s.qmaskR, s.qoffsR, s.nhitsR,
+                                    s.slotR, s.sidxR,
+                                    s.qbuf, s.keybuf, hout);
+        if (rc != 0) {
+            p[0] = 1;
+            rc = 0;
+            continue;
+        }
+        nF = hout[0]; rankF = hout[1]; nR = hout[2]; rankR = hout[3];
+        p[1] = mc_cover_deficit(s.qoffsF, s.sidxF, nF, nF > 1, rankF,
+                                s.qmaskF, qlen, wordlen, nskip, s.qbuf);
+        p[2] = mc_cover_deficit(s.qoffsR, s.sidxR, nR, nR > 1, rankR,
+                                s.qmaskR, qlen, wordlen, nskip, s.qbuf);
+        {
+            int64_t totF = 0, totR = 0, nrankF = 0, nrankR = 0, w;
+            for (w = 0; w < nF; w++) totF += s.nhitsF[w];
+            for (w = 0; w < nR; w++) totR += s.nhitsR[w];
+            if (rankF > 0)
+                for (w = 0; w < rankF; w++)
+                    nrankF += s.nhitsF[s.sidxF[w]];
+            else
+                nrankF = totF;
+            if (rankR > 0)
+                for (w = 0; w < rankR; w++)
+                    nrankR += s.nhitsR[s.sidxR[w]];
+            else
+                nrankR = totR;
+            p[3] = nrankF + nrankR;
+            p[4] = totF + totR;
+        }
+        /* _covermin + calcMinKtup (fl_read_stage1) */
+        if (min_cover_frac < 1.01) {
+            int64_t c = (int64_t)(min_cover_frac * (double)qlen);
+            min_cover = c < qlen ? c : qlen;
+        } else {
+            min_cover = (int64_t)min_cover_frac;
+        }
+        {
+            int64_t min_ktup;
+            if (min_cover >= wordlen + nskip)
+                min_ktup = (min_cover - wordlen) / nskip;
+            else
+                min_ktup = 1;
+            p[5] = (min_ktup - 1) * nskip + wordlen;
+        }
+        /* checksums of the host's hit-info view (order-free) */
+        {
+            int64_t ck = 0, w;
+            for (w = 0; w < nF; w++)
+                ck += (s.qoffsF[w] + 1) * s.nhitsF[w];
+            p[6] = nF;
+            p[7] = ck & 0x7FFFFFFF;
+            ck = 0;
+            for (w = 0; w < nR; w++)
+                ck += (s.qoffsR[w] + 1) * s.nhitsR[w];
+            p[8] = nR;
+            p[9] = ck & 0x7FFFFFFF;
+        }
+        /* rank-selected seed masks */
+        for (strand = 0; strand < 2; strand++) {
+            const int64_t *qo = strand ? s.qoffsR : s.qoffsF;
+            const uint32_t *sx = strand ? s.sidxR : s.sidxF;
+            int64_t n = strand ? nR : nF;
+            int64_t rank = strand ? rankR : rankF;
+            int64_t nsel = rank > 0 ? rank : n, r;
+            uint8_t *m = selmask + (i * 2 + strand) * Qpad;
+            for (r = 0; r < nsel; r++)
+                m[qo[sx[r]]] = 1;
+        }
+    }
+    fl_scratch_free(&s);
+    return rc;
+}
+
+/* Host back half: turn the device pool rows + scores into the pass-2
+ * state fl_pass2_block consumes.  Per read: verify the checksums, run
+ * the NR depth sort (fl_cands_stats), compute geometry, map each
+ * SIMD-eligible selected row to its device score slot.  Reads the
+ * device could not serve byte-exactly get hdr[7] = 1 (fl_pass2_block
+ * re-stages them fully on host).  Returns 0 or FL_ERR_CAP. */
+int64_t fl_exact_post_block(
+    int wordlen, int nskip,
+    const int64_t *offsets, int64_t nseq,
+    int64_t min_swatscor_below_max,
+    int64_t match_avg, int64_t mismatch_avg,
+    int64_t target_depth, int64_t max_depth, int rmapflg,
+    int64_t n_reads, const int64_t *read_offs,
+    const int64_t *pre,
+    const int32_t *pool, const int32_t *counts2,
+    const int32_t *scores, int64_t n_pool,
+    const uint8_t *dev_fallback, const int32_t *dev_cksum,
+    int64_t *state, int64_t state_cap, int64_t *state_offs,
+    int64_t *n_restage_out)
+{
+    int64_t i, state_used = 0, pool_base = 0, n_restage = 0;
+    int64_t mismatchdiff = match_avg - mismatch_avg;
+    int64_t cap_cand = 0;
+    uint32_t *keys = NULL, *idxs = NULL;
+    int64_t *rows11 = NULL;
+
+    for (i = 0; i < n_reads; i++) {
+        int64_t c = counts2[i * 2] + counts2[i * 2 + 1];
+        if (c > cap_cand) cap_cand = c;
+    }
+    if (cap_cand < 1) cap_cand = 1;
+    keys = fl_alloc(cap_cand * 4);
+    idxs = fl_alloc(cap_cand * 4);
+    rows11 = fl_alloc(cap_cand * 11 * 8);
+    if (!keys || !idxs || !rows11) {
+        free(keys); free(idxs); free(rows11);
+        return FL_ERR_CAP;
+    }
+
+    for (i = 0; i < n_reads; i++) {
+        const int64_t *p = pre + i * 12;
+        int64_t qlen = read_offs[i + 1] - read_offs[i];
+        int64_t ncand = counts2[i * 2] + counts2[i * 2 + 1];
+        int64_t *hdr, *rows;
+        int64_t maxcov1 = 0, maxcov2 = 0, mincov_below_max;
+        int64_t n_sort, n_mincover = 0, r;
+        int restage = 0;
+
+        state_offs[i] = state_used;
+        if (state_used + FL_HDR_FIELDS > state_cap) goto cap;
+        hdr = state + state_used;
+        memset(hdr, 0, FL_HDR_FIELDS * 8);
+        if (p[0]) {                       /* shortseq */
+            hdr[0] = 1;
+            state_used += FL_HDR_FIELDS;
+            pool_base += ncand;
+            continue;
+        }
+        /* divergence guards: device fallback flag + hit-info checksum */
+        if (dev_fallback[i] ||
+            dev_cksum[i * 4 + 0] != p[6] || dev_cksum[i * 4 + 1] != p[7] ||
+            dev_cksum[i * 4 + 2] != p[8] || dev_cksum[i * 4 + 3] != p[9])
+            restage = 1;
+
+        if (!restage) {
+            /* unpack pool rows to out11 form; maxcov = top-2 distinct */
+            for (r = 0; r < ncand; r++) {
+                const int32_t *w = pool + (pool_base + r) * 6;
+                int64_t *o = rows11 + r * 11;
+                int64_t cover = (w[0] >> 16) & 0xFF;
+                int is_rev = r >= counts2[i * 2];
+                o[0] = w[0] & 0xFF;
+                o[1] = (w[0] >> 8) & 0xFF;
+                o[2] = w[1];
+                o[3] = w[2];
+                o[4] = w[3];
+                o[5] = w[4];
+                o[6] = w[5] & 0x3FFFFF;
+                o[7] = cover;
+                o[8] = (is_rev ? CANDFLAG_REVERSE : 0) |
+                       (((uint32_t)w[5] >> 31) ? 2 : 0);
+                o[9] = (w[0] >> 24) & 0xFF;
+                o[10] = ((uint32_t)w[5] >> 22) & 0x1FF;
+                if (cover > maxcov2) {
+                    if (cover > maxcov1) {
+                        maxcov2 = maxcov1;
+                        maxcov1 = cover;
+                    } else if (cover != maxcov1) {
+                        maxcov2 = cover;
+                    }
+                }
+            }
+            /* mincov_below_max (fl_read_stage1) */
+            if (min_swatscor_below_max < 0) {
+                mincov_below_max = qlen - 1;
+            } else {
+                mincov_below_max = (min_swatscor_below_max / mismatchdiff)
+                                   * nskip;
+                if (mincov_below_max < wordlen ||
+                    (rmapflg & RMAPFLG_BEST))
+                    mincov_below_max = wordlen + 2 * (nskip - 1);
+            }
+            n_sort = fl_cands_stats(rows11, ncand, maxcov1, maxcov2,
+                                    nskip, mincov_below_max,
+                                    p[1], p[2],
+                                    target_depth, max_depth,
+                                    (rmapflg & RMAPFLG_SENSITIVE) != 0,
+                                    keys, idxs, &n_mincover);
+            if (n_sort < 0) restage = 1;
+            else {
+                if (state_used + FL_HDR_FIELDS +
+                    n_sort * FL_GEOM_FIELDS > state_cap) goto cap;
+                hdr[1] = n_sort;
+                hdr[2] = n_mincover;
+                hdr[3] = p[1];
+                hdr[4] = p[2];
+                hdr[5] = p[3];
+                hdr[6] = p[4];
+                rows = hdr + FL_HDR_FIELDS;
+                for (r = 0; r < n_sort; r++) {
+                    const int64_t *row = rows11 + (int64_t)idxs[r] * 11;
+                    int64_t qs, qe, rs_, re_, bl, br;
+                    int64_t *g = rows + r * FL_GEOM_FIELDS;
+                    int is_simd;
+                    int64_t pidx = pool_base + idxs[r];
+                    if (mc_calc_seg_offsets(row, wordlen, nskip, offsets,
+                                            nseq, qlen, &qs, &qe, &rs_,
+                                            &re_, &bl, &br) != 0) {
+                        restage = 1;
+                        break;
+                    }
+                    is_simd = (qlen >= 32 && (br - bl) * 48 > qlen &&
+                               qs == 0 && qe >= qlen - 1);
+                    /* geometry/simd cross-check vs the device */
+                    if (pidx >= n_pool ||
+                        (is_simd != (scores[pidx] >= 0))) {
+                        restage = 1;
+                        break;
+                    }
+                    g[0] = qs; g[1] = qe; g[2] = rs_; g[3] = re_;
+                    g[4] = bl; g[5] = br; g[6] = row[10];
+                    g[7] = (row[8] & CANDFLAG_REVERSE) ? 1 : 0;
+                    g[8] = row[7];
+                    g[9] = is_simd;
+                    g[10] = is_simd ? pidx : -1;
+                    g[11] = 0;
+                }
+            }
+        }
+        if (restage) {
+            hdr[0] = 0;
+            hdr[1] = 0;
+            hdr[7] = 1;
+            n_restage++;
+            state_used += FL_HDR_FIELDS;
+        } else {
+            state_used += FL_HDR_FIELDS + hdr[1] * FL_GEOM_FIELDS;
+        }
+        pool_base += ncand;
+    }
+    state_offs[n_reads] = state_used;
+    free(keys); free(idxs); free(rows11);
+    if (n_restage_out) *n_restage_out = n_restage;
+    return 0;
+cap:
+    free(keys); free(idxs); free(rows11);
+    return FL_ERR_CAP;
 }
 
 /* ---------------- fast-mode batched tail ---------------- */

@@ -417,7 +417,7 @@ def build_exact_collate(di, ivals_np, matrix_np, go, ge, cfg: CollateCfg,
        qlens [B] i32, min_cover [B] i32) ->
       pool      [P, 6] i32  packed candidate rows, per-read contiguous
                             in (strand, interval, emission) order
-      counts    [B] i32     rows per read
+      counts2   [B, 2] i32  rows per read per strand (F, R)
       scores    [P] i32     pass-1 window score, -1 = not SIMD-eligible
       cksum     [B, 2, 2]   device hit-info checksum per strand
       fallback  [B] bool    device-side per-read fallback flags
@@ -514,7 +514,8 @@ def build_exact_collate(di, ivals_np, matrix_np, go, ge, cfg: CollateCfg,
             (B, 2, V, C)).reshape(B, S2)
         slot_ok = (jnp.arange(C, dtype=i32)[None, None, None, :] <
                    cnts_bs[:, :, :, None]).reshape(B, S2)
-        read_counts = jnp.sum(cnts_bs.reshape(B, 2 * V), axis=1)
+        counts2 = jnp.sum(cnts_bs, axis=2)           # [B, 2] F/R split
+        read_counts = jnp.sum(counts2, axis=1)
         cum_read = jnp.cumsum(read_counts)           # inclusive
         npool = cum_read[-1]
         g_iota = jnp.arange(P, dtype=i32)
@@ -613,6 +614,6 @@ def build_exact_collate(di, ivals_np, matrix_np, go, ge, cfg: CollateCfg,
         else:
             sc = sw_score_ref(qcs, wins, slen_sc, matrix, go, ge)
         scores = jnp.where(do_sc, sc, -1)
-        return pool, read_counts, scores, cksum, fallback
+        return pool, counts2, scores, cksum, fallback
 
     return step

@@ -122,9 +122,9 @@ def test_rows_and_scores_match_host(tmp_path, seed, k, nskip):
     refset, idx, reads = _corpus(tmp_path, seed, k, nskip, nreads=32)
     eng = MapEngine(refset, idx, MapParams())
     host_rows, sels, mincovs = _host_oracle(eng, idx, lib, reads)
-    pool, counts, scores, cksum, fallback = _device_run(
+    pool, counts2, scores, cksum, fallback = _device_run(
         eng, refset, idx, reads, sels, mincovs)
-    offs = np.concatenate([[0], np.cumsum(counts)])
+    offs = np.concatenate([[0], np.cumsum(counts2.sum(axis=1))])
     n_compared = 0
     for i, hr_ in enumerate(host_rows):
         if fallback[i]:
@@ -183,6 +183,70 @@ def test_rows_and_scores_match_host(tmp_path, seed, k, nskip):
                 assert dsc == int(out[r][8]), f"read {i} row {r} score"
                 n_scored += 1
     assert n_scored > 0
+
+
+def test_end_to_end_byte_identical(tmp_path):
+    """DeviceExact.run_raw_fastq output == the pure host C lane, byte
+    for byte, including reads the device re-stages (a heavy-repeat
+    read overflows the device hit cap on purpose)."""
+    import io
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native lib required")
+    from smalt_tpu import rand
+    from smalt_tpu.map.pipeline import run_pipeline_raw_fastq
+    from smalt_tpu.map.fastlane import DeviceExact
+
+    rng = np.random.default_rng(11)
+    bases = "ACGT"
+    unit = "".join(rng.choice(list(bases), 400))
+    fa = tmp_path / "g.fa"
+    seqs = []
+    with open(fa, "w") as f:
+        for s in range(2):
+            L = 15000
+            g = "".join(rng.choice(list(bases), L))
+            for _ in range(25):          # heavy repeat: hit-cap overflow
+                at = int(rng.integers(0, L - 400))
+                g = g[:at] + unit + g[at + 400:]
+            seqs.append(g)
+            f.write(f">s{s}\n{g}\n")
+    refset = RefSet.from_fasta(str(fa))
+    idx = build_index(refset, 11, 2)
+    _ = idx.addrs
+    fq = tmp_path / "r.fq"
+    with open(fq, "w") as f:
+        for i in range(200):
+            s = int(rng.integers(0, 2))
+            pos = int(rng.integers(0, len(seqs[s]) - QLEN))
+            r = seqs[s][pos:pos + QLEN]
+            if rng.random() < 0.5:
+                r = r.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+            f.write(f"@r{i}\n{r}\n+\n{'5' * QLEN}\n")
+        # reads from the repeat unit itself: guaranteed device restage
+        for i in range(4):
+            f.write(f"@rep{i}\n{unit[:QLEN]}\n+\n{'5' * QLEN}\n")
+
+    rand.ranseed(1)
+    eng = MapEngine(refset, idx, MapParams())
+    host = io.StringIO()
+    assert run_pipeline_raw_fastq(eng, str(fq), host, refset)
+
+    rand.ranseed(1)
+    eng2 = MapEngine(refset, idx, MapParams())
+    from smalt_tpu.map.fastlane import FastLane
+    lane = FastLane.make(eng2, "sam", True, False, False, False)
+    dev = DeviceExact.make(eng2, "sam", True, False, False, False,
+                           batch=64, interpret=True)
+    assert dev is not None
+    sink = io.StringIO()
+
+    def fb(names, seqs_, quals):
+        return lane.render_raw_block(names, seqs_, quals)
+
+    dev.run_raw_fastq(str(fq), sink, fb)
+    assert sink.getvalue() == host.getvalue()
+    assert dev.n_restaged > 0      # the repeat reads exercised restage
 
 
 def test_checksum_matches_host_hitinfo(tmp_path):
