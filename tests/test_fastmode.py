@@ -187,14 +187,31 @@ def test_fast_concordance_with_exact(simulated, indexed):
             f = ln.split("\t")
             if int(f[1]) & 0x100:
                 continue
-            out[f[0]] = (int(f[1]) & 16, f[2], int(f[3]))
+            out[f[0]] = (int(f[1]) & 16, f[2], int(f[3]), int(f[4]), f[5])
         return out
 
     fp, ep = parse(buf_fast.getvalue()), parse(buf_exact.getvalue())
-    same = sum(1 for k in ep
-               if k in fp and fp[k][0] == ep[k][0] and fp[k][1] == ep[k][1]
-               and abs(fp[k][2] - ep[k][2]) <= 2)
-    assert same >= 0.98 * len(ep), f"{same}/{len(ep)} concordant"
+    conc = [(fp[k], e) for k, e in ep.items()
+            if k in fp and fp[k][0] == e[0] and fp[k][1] == e[1]
+            and abs(fp[k][2] - e[2]) <= 2]
+    assert len(conc) >= 0.98 * len(ep), f"{len(conc)}/{len(ep)} concordant"
+    # the measurable fidelity contract beyond placement (VERDICT r3 #3):
+    # CIGARs must match at equal positions; mapq must track the exact
+    # engine within the search-completeness cap term (the systematic
+    # divergence: exact reduces the 60 cap by -10*log10 of counter
+    # ratios fast seeding does not produce, results.c:1193-1197)
+    cg_base = [(f, e) for f, e in conc if f[2] == e[2]]
+    cg = sum(1 for f, e in cg_base if f[4] == e[4])
+    assert cg >= 0.99 * max(len(cg_base), 1), \
+        f"{cg}/{len(cg_base)} CIGAR-concordant"
+    # mapq: the absolute values differ by the cap term (corpus-sized
+    # counters), but the downstream FILTER decision must agree — bin
+    # into the standard tiers a caller keys on
+    def tier(q):
+        return 0 if q <= 3 else (1 if q < 30 else 2)
+
+    mqt = sum(1 for f, e in conc if tier(f[3]) == tier(e[3]))
+    assert mqt >= 0.9 * len(conc), f"{mqt}/{len(conc)} mapq-tier agree"
 
 
 def test_fast_mode_contig_boundary_clamp(tmp_path_factory):
