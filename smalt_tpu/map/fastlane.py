@@ -806,9 +806,22 @@ class DeviceExact(DevicePass1):
 
     # ---------------- device function ----------------
 
+    @property
+    def _host_hits(self):
+        """True when hit expansion runs on host (fl_exact_pre_block
+        writes padded key arrays; the device's random pos[] gathers
+        were the measured TPU bottleneck).  Needs the single
+        whole-range interval regime."""
+        eng = self.lane.engine
+        iv = eng._seq_ivals
+        return (len(iv) == 1 and int(iv[0, 0]) == 0 and
+                int(iv[0, 1]) >= eng.refset.total_len and
+                eng.index.nskip <= eng.index.wordlen)
+
     def _collate_fn(self):
         if self._collate is not None:
             return self._collate
+        import os
         from ..parallel.exact_collate import CollateCfg, \
             build_exact_collate
         from ..parallel.mesh import DeviceIndex
@@ -816,11 +829,14 @@ class DeviceExact(DevicePass1):
         if self._di is None:
             self._di = DeviceIndex.build(eng.refset, eng.index)
         p = eng.params
+        host_hits = self._host_hits
+        H = (int(os.environ.get("SMALT_DX_H", 128)) if host_hits
+             else 512)
         cfg = CollateCfg(wordlen=eng.index.wordlen,
                          nskip=eng.index.nskip,
                          maxhit=p.ktuple_maxhit,
-                         B=self.batch, Q=self._qcap,
-                         V=eng.refset.nseq)
+                         B=self.batch, Q=self._qcap, H=H,
+                         V=eng.refset.nseq, host_hits=host_hits)
         on_tpu = None if self.interpret is None else not self.interpret
         self._collate = build_exact_collate(
             self._di, eng._seq_ivals, np.asarray(eng.matrix),
@@ -830,23 +846,35 @@ class DeviceExact(DevicePass1):
 
     # ---------------- host halves ----------------
 
-    def _pre(self, n, codes, read_offs, quals, has_qual, Qcap):
+    def _pre(self, n, codes, read_offs, quals, has_qual, Qcap,
+             hits_B=0, hits_H=0):
+        """hits_B > 0: also host-expand the packed hit keys into
+        B-padded [B, 2, H] arrays (host_hits mode)."""
         lane = self.lane
         p = lane.engine.params
         wa, sa, nwords, ta, pa = lane._idx_addrs
         idx = lane.engine.index
         pre = np.zeros((n, 12), np.int64)
         selmask = np.zeros((n, 2, Qcap), np.uint8)
+        if hits_B:
+            k1 = np.zeros((hits_B, 2, hits_H), np.int32)
+            k2 = np.zeros((hits_B, 2, hits_H), np.uint8)
+            tot = np.zeros((hits_B, 2), np.int32)
+            args = (pa, hits_H, k1.ctypes.data, k2.ctypes.data,
+                    tot.ctypes.data)
+        else:
+            k1 = k2 = tot = None
+            args = (None, 0, None, None, None)
         rc = lane.lib.fl_exact_pre_block(
             wa, sa, nwords, ta, idx.wordlen, idx.nskip,
             p.ktuple_maxhit, eng_mod.HASH_MAXNHITS, p.min_basq,
             p.min_cover_frac, 1,
             n, codes.ctypes.data, read_offs.ctypes.data,
             quals.ctypes.data, has_qual.ctypes.data,
-            Qcap, pre.ctypes.data, selmask.ctypes.data)
+            Qcap, pre.ctypes.data, selmask.ctypes.data, *args)
         if rc != 0:
             return None
-        return pre, selmask
+        return pre, selmask, k1, k2, tot
 
     def _post(self, n, read_offs, pre, pool, counts2, scores, cksum,
               fallback):
@@ -901,10 +929,9 @@ class DeviceExact(DevicePass1):
         pool_exec = ThreadPoolExecutor(max_workers=1)
         self.n_restaged = 0
 
-        def device_leg(codes_pad, qbad, selm_pad, qlens, mincov):
+        def device_leg(*args):
             t0 = time.time()
-            res = self._collate_fn()(codes_pad, qbad, selm_pad, qlens,
-                                     mincov)
+            res = self._collate_fn()(*args)
             outs = [np.asarray(x) for x in res]
             if timing:
                 print(f"# dx-dev {time.time() - t0:.3f}s",
@@ -936,38 +963,68 @@ class DeviceExact(DevicePass1):
             codes = np.frombuffer(b"".join(seqs) or b"\0", np.uint8)
             qarr = np.frombuffer(b"".join(qp) or b"\0", np.uint8)
             narr = np.frombuffer(b"".join(names) or b"\0", np.uint8)
-            st = self._pre(n, codes, read_offs, qarr, has_qual, Qcap)
+            B = self.batch
+            host_hits = self._host_hits
+            if host_hits:
+                # the collate cfg's H (build it first so cfg exists)
+                self._collate_fn()
+                st = self._pre(n, codes, read_offs, qarr, has_qual,
+                               Qcap, hits_B=B, hits_H=self._cfg.H)
+            else:
+                st = self._pre(n, codes, read_offs, qarr, has_qual,
+                               Qcap)
             if st is None:
                 return None
-            pre, selmask = st
+            pre, selmask, k1, k2, tot = st
             # fixed-shape device inputs (pad reads to the block size)
-            B = self.batch
             codes_pad = np.zeros((B, Qcap), np.uint8)
-            qbad = np.zeros((B, Qcap), bool)
             enc = np.frombuffer(codec_encode_bulk(codes), np.uint8)
             for i in range(n):
                 o, e = int(read_offs[i]), int(read_offs[i + 1])
                 codes_pad[i, : e - o] = enc[o:e]
-                if has_qual[i]:
-                    qbad[i, : e - o] = qarr[o:e] < minq
-            selm_pad = np.zeros((B, 2, Qcap), np.uint8)
-            selm_pad[:n] = selmask
             qlens = np.zeros(B, np.int32)
             qlens[:n] = qlens_n
             mincov = np.zeros(B, np.int32)
             mincov[:n] = pre[:, 5].astype(np.int32)
-            fut = pool_exec.submit(device_leg, codes_pad, qbad,
-                                   selm_pad, qlens, mincov)
+            if host_hits:
+                # lanes the expansion could not fit re-stage on host
+                host_fb = (tot[:n] < 0).any(axis=1)
+                np.maximum(tot, 0, out=tot)
+                R = 2 * B
+                fut = pool_exec.submit(
+                    device_leg, k1.reshape(R, self._cfg.H),
+                    k2.reshape(R, self._cfg.H),
+                    tot.reshape(R), codes_pad, qlens, mincov)
+            else:
+                host_fb = None
+                qbad = np.zeros((B, Qcap), bool)
+                for i in range(n):
+                    if has_qual[i]:
+                        o, e = int(read_offs[i]), int(read_offs[i + 1])
+                        qbad[i, : e - o] = qarr[o:e] < minq
+                selm_pad = np.zeros((B, 2, Qcap), np.uint8)
+                selm_pad[:n] = selmask
+                fut = pool_exec.submit(device_leg, codes_pad, qbad,
+                                       selm_pad, qlens, mincov)
             return (n, qmax, codes, read_offs, qarr, has_qual, narr,
-                    name_offs, pre, fut)
+                    name_offs, pre, host_fb, fut)
 
         def finish(item, raw):
             (n, qmax, codes, read_offs, qarr, has_qual, narr, name_offs,
-             pre, fut) = item
+             pre, host_fb, fut) = item
             try:
-                pool, counts2, scores, cksum, fb = fut.result()
+                outs = fut.result()
             except Exception:
                 return fallback(*raw)
+            if len(outs) == 5:
+                pool, counts2, scores, cksum, fb = outs
+            else:          # host_hits step has no device checksum
+                pool, counts2, scores, fb = outs
+                cksum = np.ascontiguousarray(
+                    pre[:, 6:10].reshape(n, 2, 2), np.int32)
+            fb = fb.copy()
+            if host_fb is not None:
+                fb[:n] |= host_fb
             st = self._post(n, read_offs, pre, pool, counts2[:n],
                             scores, cksum[:n], fb[:n])
             if st is None:

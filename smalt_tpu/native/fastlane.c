@@ -3113,7 +3113,16 @@ int64_t fl_exact_pre_block(
     int64_t n_reads, const uint8_t *codes_concat, const int64_t *read_offs,
     const uint8_t *quals_concat, const uint8_t *has_qual,
     int64_t Qpad,
-    int64_t *pre, uint8_t *selmask)
+    int64_t *pre, uint8_t *selmask,
+    /* optional host-side hit expansion (device gathers from pos[] are
+     * the TPU bottleneck — sequential host writes are ~free): packed
+     * sort keys per (read, strand) lane, k1 = p -/+ q/nskip (int32),
+     * k2 = q (uint8), valid prefix length in tot_out; tot_out = -1
+     * when a lane exceeds Hcap (read falls back).  NULL = skip.
+     * Requires the single-interval whole-range regime (the caller
+     * gates on it): in-range slice = the seed's full position run. */
+    const uint32_t *pos, int64_t Hcap,
+    int32_t *k1_out, uint8_t *k2_out, int32_t *tot_out)
 {
     FLScratch s;
     int64_t i, qmax = 1;
@@ -3214,9 +3223,11 @@ int64_t fl_exact_pre_block(
             p[8] = nR;
             p[9] = ck & 0x7FFFFFFF;
         }
-        /* rank-selected seed masks */
+        /* rank-selected seed masks (+ optional hit expansion) */
         for (strand = 0; strand < 2; strand++) {
             const int64_t *qo = strand ? s.qoffsR : s.qoffsF;
+            const int64_t *nh = strand ? s.nhitsR : s.nhitsF;
+            const int64_t *sl = strand ? s.slotR : s.slotF;
             const uint32_t *sx = strand ? s.sidxR : s.sidxF;
             int64_t n = strand ? nR : nF;
             int64_t rank = strand ? rankR : rankF;
@@ -3224,6 +3235,27 @@ int64_t fl_exact_pre_block(
             uint8_t *m = selmask + (i * 2 + strand) * Qpad;
             for (r = 0; r < nsel; r++)
                 m[qo[sx[r]]] = 1;
+            if (k1_out != NULL) {
+                int32_t *k1 = k1_out + (i * 2 + strand) * Hcap;
+                uint8_t *k2 = k2_out + (i * 2 + strand) * Hcap;
+                int64_t tot = 0;
+                for (r = 0; r < nsel; r++) {
+                    int64_t ix = sx[r], q = qo[ix], c = nh[ix], l;
+                    int32_t qd = (int32_t)(q / nskip);
+                    const uint32_t *pp = pos + sl[ix];
+                    if (tot + c > Hcap) { tot = -1; break; }
+                    if (strand) {
+                        for (l = 0; l < c; l++)
+                            k1[tot + l] = (int32_t)pp[l] + qd;
+                    } else {
+                        for (l = 0; l < c; l++)
+                            k1[tot + l] = (int32_t)pp[l] - qd;
+                    }
+                    memset(k2 + tot, (int)q, (size_t)c);
+                    tot += c;
+                }
+                tot_out[i * 2 + strand] = (int32_t)tot;
+            }
         }
     }
     fl_scratch_free(&s);

@@ -84,12 +84,14 @@ class CollateCfg:
     Q: int                 # padded read length (<= 255)
     H: int = 512           # hits cap per (read, strand, interval)
     C: int = 16            # candidate cap per (read, strand, interval)
-    P: int = 0             # pool cap (default 4*B)
+    P: int = 0             # pool cap (default 8*B)
     V: int = 1             # reference intervals (seq-by-seq sequences)
+    host_hits: bool = False  # host ships padded (k1, k2) hit keys
+    SPAD: int = 128        # pass-1 window pad (oversize -> restage)
 
     @property
     def pool(self):
-        return self.P or 4 * self.B
+        return self.P or 8 * self.B
 
 
 def _hitinfo_device(jnp, cfg, codes, qbad, qlens, table):
@@ -438,10 +440,14 @@ def build_exact_collate(di, ivals_np, matrix_np, go, ge, cfg: CollateCfg,
     assert V == len(ivals_np)
     P = cfg.pool
     R = 2 * B
-    table_pairs = di.table            # [4^k, 2] i32
-    pos = di.pos                      # [npos] i32
-    ref_alpha = di.ref_alpha.astype(np.int32) if isinstance(
-        di.ref_alpha, np.ndarray) else di.ref_alpha
+    # the big index arrays are passed as ARGUMENTS, not closure
+    # captures: captured jnp arrays bake into the HLO as constants,
+    # and a 4^k-pair table is hundreds of MB — the remote-compile
+    # tunnel rejects the program (HTTP 413) and every dispatch would
+    # re-ship it.  As arguments they stay device-resident.
+    table_res = di.table              # [4^k, 2] i32
+    pos_res = di.pos                  # [npos] i32
+    ref_res = di.ref_alpha            # [L] i32
     matrix = jnp.asarray(matrix_np.astype(np.int32))
     iv_lo = [int(x) for x in ivals_np[:, 0]]
     iv_hi = [int(x) for x in ivals_np[:, 1]]
@@ -454,54 +460,19 @@ def build_exact_collate(di, ivals_np, matrix_np, go, ge, cfg: CollateCfg,
         offs_np[int(sq_) + 1] = hi_
     offs_seq = jnp.asarray(offs_np.astype(np.int32))
     sq_arr = jnp.asarray(np.asarray(iv_sq, np.int32))
-    # window pad: widest pass-1 window (qlen + band + edge extensions)
-    SPAD = ((Q + 320) + 127) // 128 * 128
+    ref_len_s = int(di.ref_len)
+    # pass-1 window pad: windows wider than this re-stage on host
+    # (the bench corpus' windows all fit 128 — the dp1 lane's sticky
+    # scap never grew past it)
+    SPAD = ((cfg.SPAD) + 127) // 128 * 128
     bsteps = int(np.ceil(np.log2(max(B, 2)))) + 1
 
-    @jax.jit
-    def step(codes, qbad, selmask, qlens, min_cover):
+    def _pool_geom_score(ref_alpha, rows_v, counts_v, fallback, codes,
+                         qlens):
+        """Shared tail: global pool compaction in per-read (strand,
+        interval, emission) order, geometry (mc_calc_seg_offsets) +
+        is_simd, and fused pass-1 window scoring."""
         i32 = jnp.int32
-        is_seed, cnt, base = _hitinfo_device(jnp, cfg, codes, qbad,
-                                             qlens, table_pairs)
-        # checksum of the device's hit-info view, verified host-side:
-        # {n_seeds, sum cnt*(t+1) mod 2^31}
-        t1 = (jnp.arange(Q, dtype=i32) + 1)[None, None, :]
-        cksum = jnp.stack(
-            [jnp.sum(is_seed.astype(i32), axis=2),
-             jnp.sum(jnp.where(is_seed, cnt * t1, 0), axis=2)
-             & 0x7FFFFFFF], axis=2)                     # [B, 2, 2]
-
-        sel = is_seed & (selmask > 0)
-        selR = sel.reshape(R, Q)
-        cntR = jnp.where(selR, cnt.reshape(R, Q), 0)
-        baseR = base.reshape(R, Q)
-        strand_is_rev = (jnp.arange(R, dtype=i32) % 2) == 1
-        qlenR = jnp.repeat(qlens, 2)
-        mincovR = jnp.repeat(min_cover, 2)
-        mdsh = jnp.minimum(np.int32(k * SEG_DIFFSHIFT // nskip),
-                           (qlenR - k) // nskip + 1)
-
-        fallback = jnp.zeros((B,), bool)
-        rows_v, counts_v = [], []
-        for v in range(V):
-            a = _lower_bound(jnp, pos, baseR, baseR + cntR,
-                             np.int32(iv_lo[v] // nskip), 31)
-            b = _lower_bound(jnp, pos, baseR, baseR + cntR,
-                             np.int32(iv_hi[v] // nskip), 31)
-            nh = jnp.where(selR, b - a, 0)
-            k1, k2, valid, total = _expand_hits(jnp, cfg, pos, a, nh,
-                                                strand_is_rev)
-            k1s, k2s = jax.lax.sort([k1, k2], num_keys=2)
-            validS = jnp.arange(H, dtype=i32)[None, :] < total[:, None]
-            ef, er, badscan = _segcand_scan(jax, jnp, cfg, k1s, k2s,
-                                            validS, mdsh, mincovR,
-                                            strand_is_rev)
-            rows, counts, overC = _compact_rows(jax, jnp, cfg, ef, er)
-            lane_bad = (total > H) | badscan | overC
-            fallback = fallback | lane_bad.reshape(B, 2).any(axis=1)
-            rows_v.append(rows.reshape(B, 2, C, 6))
-            counts_v.append(counts.reshape(B, 2))
-
         # ---- global pool compaction, (strand, interval, slot) order --
         rows_bs = jnp.stack(rows_v, axis=2)          # [B, 2, V, C, 6]
         cnts_bs = jnp.stack(counts_v, axis=2)        # [B, 2, V]
@@ -540,7 +511,10 @@ def build_exact_collate(di, ivals_np, matrix_np, go, ge, cfg: CollateCfg,
         pool_sq = jnp.where(pool_ok, sq_slot[rd, fs], 0)
         pool_read = jnp.where(pool_ok, rd, 0)
         pool = pool.at[:, 5].set(pool[:, 5] | (pool_sq << 22))
-        fallback = fallback | (npool > P)
+        # reads whose rows spill past the pool cap fall back
+        # individually (their pool slots are zero-padded; the host
+        # skips flagged reads)
+        fallback = fallback | (cum_read > P)
 
         # ---- geometry (mc_calc_seg_offsets) + is_simd + windows ----
         w0 = pool[:, 0]
@@ -614,6 +588,105 @@ def build_exact_collate(di, ivals_np, matrix_np, go, ge, cfg: CollateCfg,
         else:
             sc = sw_score_ref(qcs, wins, slen_sc, matrix, go, ge)
         scores = jnp.where(do_sc, sc, -1)
+        return pool, counts2, scores, fallback
+
+    @jax.jit
+    def _step(table_pairs, pos, ref_alpha, codes, qbad, selmask, qlens,
+              min_cover):
+        i32 = jnp.int32
+        is_seed, cnt, base = _hitinfo_device(jnp, cfg, codes, qbad,
+                                             qlens, table_pairs)
+        # checksum of the device's hit-info view, verified host-side:
+        # {n_seeds, sum cnt*(t+1) mod 2^31}
+        t1 = (jnp.arange(Q, dtype=i32) + 1)[None, None, :]
+        cksum = jnp.stack(
+            [jnp.sum(is_seed.astype(i32), axis=2),
+             jnp.sum(jnp.where(is_seed, cnt * t1, 0), axis=2)
+             & 0x7FFFFFFF], axis=2)                     # [B, 2, 2]
+
+        sel = is_seed & (selmask > 0)
+        selR = sel.reshape(R, Q)
+        cntR = jnp.where(selR, cnt.reshape(R, Q), 0)
+        baseR = base.reshape(R, Q)
+        strand_is_rev = (jnp.arange(R, dtype=i32) % 2) == 1
+        qlenR = jnp.repeat(qlens, 2)
+        mincovR = jnp.repeat(min_cover, 2)
+        mdsh = jnp.minimum(np.int32(k * SEG_DIFFSHIFT // nskip),
+                           (qlenR - k) // nskip + 1)
+
+        fallback = jnp.zeros((B,), bool)
+        rows_v, counts_v = [], []
+        for v in range(V):
+            if V == 1 and iv_lo[v] == 0 and iv_hi[v] >= ref_len_s \
+                    and nskip <= k:
+                # the single interval spans every indexed position
+                # (max tuple serial = (ref_len-k)//nskip < hi//nskip
+                # when nskip <= wordlen): pos_range is the identity
+                # slice, skipping 62 rounds of random pos gathers
+                a, b = baseR, baseR + cntR
+            else:
+                a = _lower_bound(jnp, pos, baseR, baseR + cntR,
+                                 np.int32(iv_lo[v] // nskip), 31)
+                b = _lower_bound(jnp, pos, baseR, baseR + cntR,
+                                 np.int32(iv_hi[v] // nskip), 31)
+            nh = jnp.where(selR, b - a, 0)
+            k1, k2, valid, total = _expand_hits(jnp, cfg, pos, a, nh,
+                                                strand_is_rev)
+            k1s, k2s = jax.lax.sort([k1, k2], num_keys=2)
+            validS = jnp.arange(H, dtype=i32)[None, :] < total[:, None]
+            ef, er, badscan = _segcand_scan(jax, jnp, cfg, k1s, k2s,
+                                            validS, mdsh, mincovR,
+                                            strand_is_rev)
+            rows, counts, overC = _compact_rows(jax, jnp, cfg, ef, er)
+            lane_bad = (total > H) | badscan | overC
+            fallback = fallback | lane_bad.reshape(B, 2).any(axis=1)
+            rows_v.append(rows.reshape(B, 2, C, 6))
+            counts_v.append(counts.reshape(B, 2))
+
+        pool, counts2, scores, fallback = _pool_geom_score(
+            ref_alpha, rows_v, counts_v, fallback, codes, qlens)
         return pool, counts2, scores, cksum, fallback
+
+    @jax.jit
+    def _step_hh(ref_alpha, k1, k2u8, tot, codes, qlens, min_cover):
+        # host-expanded hits (fl_exact_pre_block): k1 [R,H] i32 packed
+        # shift keys, k2u8 [R,H] u8 query offsets, tot [R] valid prefix
+        # lengths.  Sequential C writes replace the device's random
+        # pos[] gathers — the measured TPU bottleneck (~540 ms/batch).
+        i32 = jnp.int32
+        strand_is_rev = (jnp.arange(R, dtype=i32) % 2) == 1
+        qlenR = jnp.repeat(qlens, 2)
+        mincovR = jnp.repeat(min_cover, 2)
+        mdsh = jnp.minimum(np.int32(k * SEG_DIFFSHIFT // nskip),
+                           (qlenR - k) // nskip + 1)
+        h_iota = jnp.arange(H, dtype=i32)[None, :]
+        valid = h_iota < tot[:, None]
+        k1v = jnp.where(valid, k1, BIG)
+        k2v = jnp.where(valid, k2u8.astype(i32), BIG)
+        k1s, k2s = jax.lax.sort([k1v, k2v], num_keys=2)
+        ef, er, badscan = _segcand_scan(jax, jnp, cfg, k1s, k2s, valid,
+                                        mdsh, mincovR, strand_is_rev)
+        rows, counts, overC = _compact_rows(jax, jnp, cfg, ef, er)
+        fallback = (badscan | overC).reshape(B, 2).any(axis=1)
+        pool, counts2, scores, fallback = _pool_geom_score(
+            ref_alpha, [rows.reshape(B, 2, C, 6)],
+            [counts.reshape(B, 2)], fallback, codes, qlens)
+        return pool, counts2, scores, fallback
+
+    if cfg.host_hits:
+        if not (V == 1 and iv_lo[0] == 0 and iv_hi[0] >= ref_len_s
+                and nskip <= k):
+            raise ValueError("host_hits needs the single whole-range "
+                             "interval regime")
+
+        def step(k1, k2u8, tot, codes, qlens, min_cover):
+            return _step_hh(ref_res, k1, k2u8, tot, codes, qlens,
+                            min_cover)
+
+        return step
+
+    def step(codes, qbad, selmask, qlens, min_cover):
+        return _step(table_res, pos_res, ref_res, codes, qbad, selmask,
+                     qlens, min_cover)
 
     return step

@@ -249,6 +249,62 @@ def test_end_to_end_byte_identical(tmp_path):
     assert dev.n_restaged > 0      # the repeat reads exercised restage
 
 
+def test_end_to_end_host_hits_byte_identical(tmp_path):
+    """The host-hits regime (single whole-range interval: the host C
+    expands the packed hit keys, the device sorts/collates/scores)
+    must also be byte-identical, including hit-cap restages."""
+    import io
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native lib required")
+    from smalt_tpu import rand
+    from smalt_tpu.map.pipeline import run_pipeline_raw_fastq
+    from smalt_tpu.map.fastlane import DeviceExact, FastLane
+
+    rng = np.random.default_rng(23)
+    bases = "ACGT"
+    unit = "".join(rng.choice(list(bases), 400))
+    L = 30000
+    g = "".join(rng.choice(list(bases), L))
+    for _ in range(20):
+        at = int(rng.integers(0, L - 400))
+        g = g[:at] + unit + g[at + 400:]
+    fa = tmp_path / "g.fa"
+    with open(fa, "w") as f:
+        f.write(f">s0\n{g}\n")
+    refset = RefSet.from_fasta(str(fa))
+    assert refset.nseq == 1
+    idx = build_index(refset, 11, 2)
+    _ = idx.addrs
+    fq = tmp_path / "r.fq"
+    with open(fq, "w") as f:
+        for i in range(200):
+            pos = int(rng.integers(0, L - QLEN))
+            r = g[pos:pos + QLEN]
+            if rng.random() < 0.5:
+                r = r.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+            f.write(f"@r{i}\n{r}\n+\n{'5' * QLEN}\n")
+        for i in range(4):          # repeat reads: hit-cap restage
+            f.write(f"@rep{i}\n{unit[:QLEN]}\n+\n{'5' * QLEN}\n")
+
+    rand.ranseed(1)
+    eng = MapEngine(refset, idx, MapParams())
+    host = io.StringIO()
+    assert run_pipeline_raw_fastq(eng, str(fq), host, refset)
+
+    rand.ranseed(1)
+    eng2 = MapEngine(refset, idx, MapParams())
+    lane = FastLane.make(eng2, "sam", True, False, False, False)
+    dev = DeviceExact.make(eng2, "sam", True, False, False, False,
+                           batch=64, interpret=True)
+    assert dev is not None and dev._host_hits
+    sink = io.StringIO()
+    dev.run_raw_fastq(str(fq), sink,
+                      lambda a, b, c: lane.render_raw_block(a, b, c))
+    assert sink.getvalue() == host.getvalue()
+    assert dev.n_restaged > 0
+
+
 def test_checksum_matches_host_hitinfo(tmp_path):
     """The device's hit-info checksum equals the host's view (the
     runtime divergence guard the driver relies on)."""
