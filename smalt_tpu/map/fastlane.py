@@ -685,6 +685,7 @@ class DevicePass1:
             return np.asarray(scores)[:nw]
 
         def prepare(names, seqs, quals):
+            t0 = time.time() if timing else 0
             n = len(names)
             read_offs = np.zeros(n + 1, dtype=np.int64)
             np.cumsum([len(s) for s in seqs], out=read_offs[1:])
@@ -939,6 +940,7 @@ class DeviceExact(DevicePass1):
             return outs
 
         def prepare(names, seqs, quals):
+            t0 = time.time() if timing else 0
             n = len(names)
             read_offs = np.zeros(n + 1, dtype=np.int64)
             np.cumsum([len(s) for s in seqs], out=read_offs[1:])
@@ -1006,6 +1008,9 @@ class DeviceExact(DevicePass1):
                 selm_pad[:n] = selmask
                 fut = pool_exec.submit(device_leg, codes_pad, qbad,
                                        selm_pad, qlens, mincov)
+            if timing:
+                print(f"# dx-prep {time.time() - t0:.3f}s",
+                      file=sys.stderr, flush=True)
             return (n, qmax, codes, read_offs, qarr, has_qual, narr,
                     name_offs, pre, host_fb, fut)
 
@@ -1025,16 +1030,22 @@ class DeviceExact(DevicePass1):
             fb = fb.copy()
             if host_fb is not None:
                 fb[:n] |= host_fb
+            t0 = time.time() if timing else 0
             st = self._post(n, read_offs, pre, pool, counts2[:n],
                             scores, cksum[:n], fb[:n])
             if st is None:
                 return fallback(*raw)
             state, state_offs, nrest = st
             self.n_restaged += nrest
+            t1 = time.time() if timing else 0
             text = self._pass2(n, qmax, codes, read_offs, qarr,
                                has_qual, narr, name_offs, state,
                                state_offs, scores.astype(np.int64),
                                ascii_codes=True, names_raw=True)
+            if timing:
+                print(f"# dx-post {t1 - t0:.3f}s pass2 "
+                      f"{time.time() - t1:.3f}s", file=sys.stderr,
+                      flush=True)
             if text is None:
                 text = fallback(*raw)
             if timing:
