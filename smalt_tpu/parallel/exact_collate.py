@@ -91,7 +91,7 @@ class CollateCfg:
 
     @property
     def pool(self):
-        return self.P or 8 * self.B
+        return self.P or 6 * self.B
 
 
 def _hitinfo_device(jnp, cfg, codes, qbad, qlens, table):
