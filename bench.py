@@ -259,8 +259,10 @@ def main():
     except Exception as e:        # noqa: BLE001 - report, don't fail bench
         print(f"# end_to_end bench failed: {e!r}", file=sys.stderr)
     os.unlink(fa_path)
+    config4 = {}
     try:
-        chr_rate = _bench_chr_scale()
+        config4 = _bench_chr_scale()
+        chr_rate = config4.get("config4_reads_per_s", 0.0)
     except Exception as e:        # noqa: BLE001
         print(f"# chr_scale bench failed: {e!r}", file=sys.stderr)
     e2e_base = live_ref if live_ref else baseline
@@ -285,6 +287,7 @@ def main():
         "longread_vs_ref": round(long_rate / long_ref, 3) if long_ref
         else 0.0,
     }
+    result.update(config4)
     if fidelity:
         result["fast_fidelity"] = fidelity
     if fast_split:
@@ -679,7 +682,7 @@ def _bench_longreads(fa_path, genome, rng):
     from smalt_tpu.map.fastmode import run_fast_pipeline
 
     on_tpu = jax.default_backend() == "tpu"
-    N = 1024 if on_tpu else 64
+    N = 2048 if on_tpu else 64
     RL = 1500
     comp = str.maketrans("ACGT", "TGCA")
     fq = fa_path + ".long.fq"
@@ -709,7 +712,11 @@ def _bench_longreads(fa_path, genome, rng):
             f.write(f"@L{i}\n{s}\n+\n{'5' * len(s)}\n")
     refset = RefSet.from_fasta(fa_path)
     idx = build_index(refset, KMER, NSKIP)
-    kw = dict(nthreads=1, batch=256, interpret=None if on_tpu else True)
+    # batch 1024: the tunnel-attached chip costs ~100 ms of latency
+    # per dispatch whatever the batch (TPU_VALIDATE_r04 banded probe),
+    # so long-read throughput is dispatch-amortization-bound
+    kw = dict(nthreads=1, batch=1024 if on_tpu else 64,
+              interpret=None if on_tpu else True)
     run_fast_pipeline(refset, idx, fq, io.StringIO(), **kw)  # warm/compile
     sink = io.StringIO()
     t0 = time.time()
@@ -761,7 +768,10 @@ def _bench_chr_scale():
 
     on_tpu = jax.default_backend() == "tpu"
     GLEN = 64_000_000 if on_tpu else 2_000_000
-    NPAIR = 50_000 if on_tpu else 500
+    # BASELINE config 4 spec: >= 60 Mb reference, >= 1M pairs
+    # (VERDICT r3 #6); SMALT_CONFIG4_PAIRS overrides
+    NPAIR = int(os.environ.get("SMALT_CONFIG4_PAIRS",
+                               1_000_000 if on_tpu else 500))
     RL = 150
     rng = np.random.default_rng(77)
     bases = np.array(list(b"ACGT"), np.uint8)
@@ -812,7 +822,62 @@ def _bench_chr_scale():
         nrec = sum(1 for l in sink.getvalue().splitlines()
                    if l and not l.startswith("@"))
         assert nrec == 2 * NPAIR, nrec
-        return 2 * NPAIR / dt
+        res = {"config4_genome_mb": GLEN // 1_000_000,
+               "config4_pairs": NPAIR,
+               "config4_reads_per_s": round(2 * NPAIR / dt, 1)}
+        # config4 mesh leg: the SAME 64 Mb genome through the CLI fast
+        # pipeline on the virtual 4x2 mesh (dp x range-sharded ip), in
+        # a CPU subprocess (the live process owns the TPU backend).
+        # Single-device vs mesh on one shared vCPU measures partition
+        # overhead, not speedup — bench_scaling.py carries the per-axis
+        # efficiencies; this records the e2e CLI-path run at 64 Mb.
+        if on_tpu and os.environ.get("SMALT_BENCH_MESH", "1") != "0":
+            import subprocess as sp
+            nsub = 6144
+            sfq = os.path.join(d, "sub.fq")
+            with open(fq1) as srcf, open(sfq, "w") as dstf:
+                for _ in range(4 * nsub):
+                    dstf.write(srcf.readline())
+            script = (
+                "import sys, io, time, json\n"
+                "sys.path.insert(0, %r)\n"
+                "from smalt_tpu.seq.refset import RefSet\n"
+                "from smalt_tpu.index.table import build_index\n"
+                "from smalt_tpu.map.fastmode import run_fast_pipeline\n"
+                "refset = RefSet.from_fasta(%r)\n"
+                "idx = build_index(refset, %d, %d)\n"
+                "o1, o2 = io.StringIO(), io.StringIO()\n"
+                "t0 = time.time()\n"
+                "run_fast_pipeline(refset, idx, %r, o1, nthreads=1,"
+                " batch=1024, interpret=True)\n"
+                "t1 = time.time()\n"
+                "run_fast_pipeline(refset, idx, %r, o2, nthreads=1,"
+                " batch=1024, interpret=True, mesh_spec='4,2')\n"
+                "t2 = time.time()\n"
+                "print(json.dumps({'single_s': round(t1-t0, 2),"
+                " 'mesh_s': round(t2-t1, 2),"
+                " 'identical': o1.getvalue() == o2.getvalue()}))\n"
+                % (os.path.dirname(os.path.abspath(__file__)),
+                   fa, KMER, NSKIP, sfq, sfq))
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count"
+                                "=8 " + env.get("XLA_FLAGS", ""))
+            env.pop("PYTHONSTARTUP", None)
+            try:
+                r = sp.run([sys.executable, "-c", script], env=env,
+                           capture_output=True, text=True, timeout=1800)
+                info = json.loads(r.stdout.strip().splitlines()[-1])
+                res["config4_mesh_reads_per_s"] = round(
+                    nsub / info["mesh_s"], 1)
+                res["config4_mesh_vs_single_cpu"] = round(
+                    info["single_s"] / info["mesh_s"], 3)
+                res["config4_mesh_identical_to_single"] = \
+                    info["identical"]
+            except Exception as e:    # noqa: BLE001 - diagnostic leg
+                print(f"# config4 mesh leg failed: {e!r}",
+                      file=sys.stderr)
+        return res
 
 
 if __name__ == "__main__":
