@@ -534,6 +534,9 @@ def _bench_end_to_end(fa_path, genome, rng):
     # Byte-identity with the host lane is asserted.
     dx = 0.0
     if on_tpu:
+        # batch 8192: the device leg's fixed costs (dispatch floor,
+        # D2H latency) need the larger block to amortize (DEVEXACT_r04)
+        os.environ.setdefault("SMALT_DX_BATCH", "8192")
         rand.ranseed(1)
         eng_w2 = MapEngine(refset, idx, MapParams())
         run_pipeline_raw_fastq(eng_w2, fq_small, io.StringIO(), refset,
@@ -841,6 +844,8 @@ def _bench_chr_scale():
             script = (
                 "import sys, io, time, json\n"
                 "sys.path.insert(0, %r)\n"
+                "import jax\n"
+                "jax.config.update('jax_platforms', 'cpu')\n"
                 "from smalt_tpu.seq.refset import RefSet\n"
                 "from smalt_tpu.index.table import build_index\n"
                 "from smalt_tpu.map.fastmode import run_fast_pipeline\n"
@@ -867,6 +872,9 @@ def _bench_chr_scale():
             try:
                 r = sp.run([sys.executable, "-c", script], env=env,
                            capture_output=True, text=True, timeout=1800)
+                if not r.stdout.strip():
+                    raise RuntimeError(
+                        "mesh subprocess: " + r.stderr[-400:])
                 info = json.loads(r.stdout.strip().splitlines()[-1])
                 res["config4_mesh_reads_per_s"] = round(
                     nsub / info["mesh_s"], 1)
