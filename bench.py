@@ -278,6 +278,10 @@ def main():
         "exact_lane_vs_ref_same_genome": round(exact_rate / e2e_base, 3),
         "exact_dp1_reads_per_s": round(dp1_rate, 1),
         "exact_devx_reads_per_s": round(dx_rate, 1),
+        "exact_adjacent_reads_per_s": globals().get("_dx_vs_adj",
+                                                    (0.0, 0.0))[0],
+        "exact_devx_vs_adjacent_exact": globals().get("_dx_vs_adj",
+                                                      (0.0, 0.0))[1],
         "reference_same_genome_reads_per_s": round(live_ref or 0.0, 1),
         "exact_pe_reads_per_s": round(pe_rate, 1),
         "exact_pe_vs_ref": round(pe_rate / pe_ref, 3) if pe_ref else 0.0,
@@ -551,6 +555,17 @@ def _bench_end_to_end(fa_path, genome, rng):
             dx = N_EXACT / (time.time() - t0)
             assert sink4.getvalue() == sink2.getvalue(), \
                 "--device-exact output diverged from the host lane"
+        # adjacent pure-C re-run: the exact lane above ran minutes
+        # earlier on this drifting shared host — the A/B ratio must
+        # come from back-to-back runs (DEVEXACT_r04 methodology)
+        rand.ranseed(1)
+        eng4 = MapEngine(refset, idx, MapParams())
+        t0 = time.time()
+        run_pipeline_raw_fastq(eng4, fqx, io.StringIO(), refset)
+        exact_adj = N_EXACT / (time.time() - t0)
+        globals()["_dx_vs_adj"] = (round(exact_adj, 1),
+                                   round(dx / exact_adj, 3)
+                                   if exact_adj else 0.0)
 
     # fast-mode fidelity contract vs the exact engine (VERDICT r3 #3):
     # the fast and exact runs above mapped the same first N_EXACT reads
@@ -866,8 +881,11 @@ def _bench_chr_scale():
                    fa, KMER, NSKIP, sfq, sfq))
             env = dict(os.environ)
             env["JAX_PLATFORMS"] = "cpu"
-            env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count"
-                                "=8 " + env.get("XLA_FLAGS", ""))
+            # fresh CPU-only XLA flags; drop the axon sitecustomize
+            # shim (PYTHONPATH) — a second tunnel client crashes the
+            # CPU subprocess while the parent owns the device
+            env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+            env["PYTHONPATH"] = ""
             env.pop("PYTHONSTARTUP", None)
             try:
                 r = sp.run([sys.executable, "-c", script], env=env,

@@ -899,7 +899,6 @@ class DeviceExact(DevicePass1):
         lane = self.lane
         eng = lane.engine
         p = eng.params
-        cfg = self._cfg
         state_cap = n * 8 + int(counts2.sum()) * 12 + 64
         pool_c = np.ascontiguousarray(pool, np.int32)
         counts2_c = np.ascontiguousarray(counts2, np.int32)

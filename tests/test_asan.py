@@ -219,6 +219,74 @@ for i in range(32):
                    qual=b'5' * len(mate)))
 res = plsp._call(cA, cB)
 assert res is not None and res[1] > 0, res
+
+# device-exact C halves (fl_exact_pre_block with the host hit
+# expansion, fl_exact_post_block, the hdr[7] restage arm of
+# fl_pass2_block) — the device leg is faked: rows come from the host
+# C collation packed into the pool format, scores all -1, which fails
+# the is_simd cross-check and exercises the per-read restage path
+from smalt_tpu.map.fastlane import DeviceExact
+engx = MapEngine(refr, idxr, MapParams())
+dx = DeviceExact.make(engx, 'sam', True, False, False, False, batch=64)
+assert dx is not None and dx._host_hits
+dn, ds, dq = [], [], []
+for i in range(64):
+    st = int(rng.integers(0, len(gtxt) - 100))
+    dn.append(f'dx{i}'.encode())
+    ds.append(gtxt[st:st + 100].encode())
+    dq.append(b'5' * 100)
+ro = np.zeros(65, np.int64); np.cumsum([100] * 64, out=ro[1:])
+cods = np.frombuffer(b''.join(ds), np.uint8)
+qarr = np.frombuffer(b''.join(dq), np.uint8)
+hq = np.ones(64, np.uint8)
+# both pre arms: selmask-only and host-hit-expansion (tiny Hcap forces
+# the overflow arm on repeat reads)
+st0 = dx._pre(64, cods, ro, qarr, hq, 128)
+assert st0 is not None
+for hcap in (8, 256):
+    st1 = dx._pre(64, cods, ro, qarr, hq, 128, hits_B=64, hits_H=hcap)
+    assert st1 is not None
+pre, selm, k1, k2, tot = st1
+# fake device outputs: rows from the host oracle, packed; scores -1
+from smalt_tpu.seed import hitinfo as hi_mod
+pool_rows = []
+counts2 = np.zeros((64, 2), np.int32)
+for i in range(64):
+    rd = Read(name=f'dx{i}', seq=codec.encode(ds[i]), qual=dq[i])
+    hf, hr = engx._hitinfo(rd, idxr, True)
+    mc = engx._covermin(rd)
+    ktup, nskip = idxr.wordlen, idxr.nskip
+    mk = (mc - ktup) // nskip if mc >= ktup + nskip else 1
+    sac = engx._collect_native(lib if hasattr(lib, 'mc_collect_all')
+                               else None, hf, hr, idxr, mk,
+                               (mk - 1) * nskip + ktup, None)
+    rows = np.asarray(sac.rows_arr)
+    for r in rows:
+        w0 = (int(r[0]) | (int(r[1]) << 8) | (int(r[7]) << 16) |
+              (min(int(r[9]), 255) << 24))
+        w5 = (int(r[6]) & 0x3FFFFF) | ((int(r[10]) & 0x1FF) << 22) | \
+             ((0x80000000 if (int(r[8]) & 2) else 0))
+        pool_rows.append([w0, int(r[2]), int(r[3]), int(r[4]),
+                          int(r[5]), np.int32(np.uint32(w5))])
+    nf = int(np.sum((rows[:, 8] & 1) == 0)) if len(rows) else 0
+    counts2[i] = (nf, len(rows) - nf)
+pool = np.zeros((max(len(pool_rows), 1), 6), np.int32)
+if pool_rows:
+    pool[:len(pool_rows)] = np.asarray(pool_rows, np.int64).astype(np.int32)
+scores = np.full(len(pool), -1, np.int32)
+cks = np.ascontiguousarray(pre[:, 6:10].reshape(64, 2, 2), np.int32)
+fb = np.zeros(64, np.uint8)
+stp = dx._post(64, ro, pre, pool, counts2, scores, cks, fb)
+assert stp is not None
+state, state_offs, nrest = stp
+txt = dx._pass2(64, 100, cods, ro, qarr, hq,
+                np.frombuffer(b''.join(dn), np.uint8),
+                np.concatenate([[0], np.cumsum([len(x) for x in dn])]
+                               ).astype(np.int64),
+                state, state_offs, scores.astype(np.int64),
+                ascii_codes=True, names_raw=True)
+assert txt is not None and txt.count(chr(10)) == 64
+
 os.unlink(gpath)
 print('ASAN RUN CLEAN')
 """
