@@ -539,8 +539,16 @@ def _bench_end_to_end(fa_path, genome, rng):
     dx = 0.0
     if on_tpu:
         # batch 8192: the device leg's fixed costs (dispatch floor,
-        # D2H latency) need the larger block to amortize (DEVEXACT_r04)
+        # D2H latency) need the larger block to amortize, and the
+        # 2-deep pipeline's drain needs >= ~6 batches to wash out —
+        # measure over its own longer corpus with an ADJACENT pure-C
+        # run for the drift-free ratio (DEVEXACT_r04 methodology)
         os.environ.setdefault("SMALT_DX_BATCH", "8192")
+        N_DX = 49152
+        fqdx = fa_path + ".dx.fq"
+        with open(fqdx, "w") as f:
+            for i, s in enumerate(reads[:N_DX]):
+                f.write(f"@x{i}\n{s}\n+\n{'5' * len(s)}\n")
         rand.ranseed(1)
         eng_w2 = MapEngine(refset, idx, MapParams())
         run_pipeline_raw_fastq(eng_w2, fq_small, io.StringIO(), refset,
@@ -549,23 +557,23 @@ def _bench_end_to_end(fa_path, genome, rng):
         eng3 = MapEngine(refset, idx, MapParams())
         sink4 = io.StringIO()
         t0 = time.time()
-        ok3 = run_pipeline_raw_fastq(eng3, fqx, sink4, refset,
+        ok3 = run_pipeline_raw_fastq(eng3, fqdx, sink4, refset,
                                      device_exact=True)
         if ok3:
-            dx = N_EXACT / (time.time() - t0)
-            assert sink4.getvalue() == sink2.getvalue(), \
-                "--device-exact output diverged from the host lane"
-        # adjacent pure-C re-run: the exact lane above ran minutes
-        # earlier on this drifting shared host — the A/B ratio must
-        # come from back-to-back runs (DEVEXACT_r04 methodology)
+            dx = N_DX / (time.time() - t0)
         rand.ranseed(1)
         eng4 = MapEngine(refset, idx, MapParams())
+        sink5 = io.StringIO()
         t0 = time.time()
-        run_pipeline_raw_fastq(eng4, fqx, io.StringIO(), refset)
-        exact_adj = N_EXACT / (time.time() - t0)
+        run_pipeline_raw_fastq(eng4, fqdx, sink5, refset)
+        exact_adj = N_DX / (time.time() - t0)
+        if ok3:
+            assert sink4.getvalue() == sink5.getvalue(), \
+                "--device-exact output diverged from the host lane"
         globals()["_dx_vs_adj"] = (round(exact_adj, 1),
                                    round(dx / exact_adj, 3)
                                    if exact_adj else 0.0)
+        os.unlink(fqdx)
 
     # fast-mode fidelity contract vs the exact engine (VERDICT r3 #3):
     # the fast and exact runs above mapped the same first N_EXACT reads
@@ -851,7 +859,7 @@ def _bench_chr_scale():
         # efficiencies; this records the e2e CLI-path run at 64 Mb.
         if on_tpu and os.environ.get("SMALT_BENCH_MESH", "1") != "0":
             import subprocess as sp
-            nsub = 6144
+            nsub = 2048
             sfq = os.path.join(d, "sub.fq")
             with open(fq1) as srcf, open(sfq, "w") as dstf:
                 for _ in range(4 * nsub):
@@ -874,9 +882,21 @@ def _bench_chr_scale():
                 "run_fast_pipeline(refset, idx, %r, o2, nthreads=1,"
                 " batch=1024, interpret=True, mesh_spec='4,2')\n"
                 "t2 = time.time()\n"
+                "def fl(t):\n"
+                "    out = {}\n"
+                "    for ln in t.splitlines():\n"
+                "        if not ln or ln.startswith('@'): continue\n"
+                "        f = ln.split(chr(9))\n"
+                "        out[f[0]] = (f[1], f[2], f[3], int(f[4]), f[5])\n"
+                "    return out\n"
+                "sf, mf = fl(o1.getvalue()), fl(o2.getvalue())\n"
+                "conf = [k for k, v in sf.items() if v[3] > 6]\n"
+                "agree = sum(1 for k in conf if sf[k][:3] + (sf[k][4],)"
+                " == mf[k][:3] + (mf[k][4],))\n"
                 "print(json.dumps({'single_s': round(t1-t0, 2),"
                 " 'mesh_s': round(t2-t1, 2),"
-                " 'identical': o1.getvalue() == o2.getvalue()}))\n"
+                " 'identical': o1.getvalue() == o2.getvalue(),"
+                " 'conf_agree': agree, 'conf_n': len(conf)}))\n"
                 % (os.path.dirname(os.path.abspath(__file__)),
                    fa, KMER, NSKIP, sfq, sfq))
             env = dict(os.environ)
@@ -892,7 +912,7 @@ def _bench_chr_scale():
                            capture_output=True, text=True, timeout=1800)
                 if not r.stdout.strip():
                     raise RuntimeError(
-                        "mesh subprocess: " + r.stderr[-400:])
+                        "mesh subprocess: " + r.stderr[-2500:])
                 info = json.loads(r.stdout.strip().splitlines()[-1])
                 res["config4_mesh_reads_per_s"] = round(
                     nsub / info["mesh_s"], 1)
@@ -900,6 +920,8 @@ def _bench_chr_scale():
                     info["single_s"] / info["mesh_s"], 3)
                 res["config4_mesh_identical_to_single"] = \
                     info["identical"]
+                res["config4_mesh_confident_agreement"] = (
+                    f"{info['conf_agree']}/{info['conf_n']}")
             except Exception as e:    # noqa: BLE001 - diagnostic leg
                 print(f"# config4 mesh leg failed: {e!r}",
                       file=sys.stderr)
