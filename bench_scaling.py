@@ -60,7 +60,7 @@ def main():
     m, go, ge = ali.make_score_matrix()
     os.unlink(fa)
 
-    READLEN, B = 100, 64
+    READLEN, B = 100, 2048
     alpha = codec.alpha(refset.codes).astype(np.int32)
 
     def reads_for(n):

@@ -861,10 +861,16 @@ def make_index_sharded_step(sdi: ShardedDeviceIndex, mesh: Mesh, matrix,
             owner = owner + (starts3 >= base_all[i]).astype(jnp.int32)
         mine = (owner == my) & has3
 
-        # compact my windows (cap = fair share x2; overflow windows
-        # stay unscored — fast mode's 3-window budget is heuristic)
+        # compact my windows.  Cap = fair share rounded to the
+        # kernel's 128-row tile PLUS one tile of slack: the Pallas
+        # kernel pads to 128 rows, so any looser cap quantizes into
+        # ip x extra tiles and the sharded SW work stops scaling
+        # (the r4 per_ip regression at small B).  Ownership skew
+        # beyond the slack tile (~4 sigma at production batches)
+        # leaves a window unscored — the same class of miss as the
+        # 3-window budget itself; the corpus oracle bounds the effect.
         N3 = 3 * B
-        CAPW = min(N3, max(128, (N3 // ip) * 2))
+        CAPW = min(N3, -(-(N3 // ip) // 128) * 128 + 128)
         flat = jnp.where(mine.reshape(N3),
                          jnp.arange(N3, dtype=jnp.int32), np.int32(1 << 30))
         sortidx = jnp.sort(flat)[:CAPW]
