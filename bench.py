@@ -738,10 +738,11 @@ def _bench_longreads(fa_path, genome, rng):
             f.write(f"@L{i}\n{s}\n+\n{'5' * len(s)}\n")
     refset = RefSet.from_fasta(fa_path)
     idx = build_index(refset, KMER, NSKIP)
-    # batch 1024: the tunnel-attached chip costs ~100 ms of latency
-    # per dispatch whatever the batch (TPU_VALIDATE_r04 banded probe),
-    # so long-read throughput is dispatch-amortization-bound
-    kw = dict(nthreads=1, batch=1024 if on_tpu else 64,
+    # batch 128: the measured long-read sweet spot on the tunnel rig
+    # (swept 64/128/256/512/1024 -> 1294/1433/1334/1149/911 reads/s:
+    # big batches lose more to device-memory pressure than they gain
+    # amortizing the ~100 ms dispatch floor)
+    kw = dict(nthreads=1, batch=128 if on_tpu else 64,
               interpret=None if on_tpu else True)
     run_fast_pipeline(refset, idx, fq, io.StringIO(), **kw)  # warm/compile
     sink = io.StringIO()
