@@ -145,6 +145,10 @@ def _declare(lib):
         vp, vp, vp, i64, vp, i64,            # H, E, dirm/cap, back/cap
         vp, i64, vp, i64,                    # diffpool/cap, res/cap
         ctypes.c_int, ctypes.c_double]       # use_cplx, lam
+    lib.mc_align_recursive_dev.restype = i64
+    lib.mc_align_recursive_dev.argtypes = (
+        lib.mc_align_recursive.argtypes +
+        [i64, i64, i64, vp, i64, vp])        # dev best/mi/mj/rec/nrows/used
 
 
 def _declare_fastlane(lib):

@@ -1038,6 +1038,203 @@ int64_t mc_align_recursive(
     return n_res;
 }
 
+/* ---------------- device pass-2 record decode ---------------- */
+
+/* Decode the device walk records (parallel/exact_pass2.py) into the
+ * reversed back codes, replaying mc_traceback's emission against the
+ * host profile/subject and verifying the telescoped checksum.  One
+ * int16 per subject row i in [final_i, max_i]: (nins << 2) | typ with
+ * typ 3 DIA, 1 COL, 2 clean stop, 0 suspect (host dpos-alias hazard:
+ * refuse).  Returns 0 ok, -3 on any doubt (caller re-runs the host
+ * DP), -1 on back_cap. */
+static int64_t dev_walk_decode(
+    const int32_t *W, int64_t qlen, const uint8_t *subj,
+    int64_t s_left, int64_t q_left,
+    int64_t max_i, int64_t max_j, int64_t max_scor,
+    const int16_t *rec, int64_t nrows,
+    int gap_init, int gap_ext, int do_counts,
+    uint8_t *back, int64_t back_cap, int64_t *out6, int64_t *counts)
+{
+    int64_t i = max_i, j = max_j;
+    int64_t checksum = 0, nmatch = 0, nback = 0;
+    int is_gap_open = 0;
+    if (max_i < 0 || max_i >= nrows || max_j < 0 || max_j >= qlen)
+        return -3;
+    if (do_counts) memset(counts, 0, 8 * sizeof(int64_t));
+    while (i >= s_left && j >= q_left) {
+        int64_t v = rec[i], typ = v & 3, nins = v >> 2, t;
+        if (j - nins < q_left - 1) return -3;
+        for (t = 0; t < nins; t++) {
+            if (nback + 2 > back_cap) return -1;
+            checksum -= is_gap_open ? gap_ext : gap_init;
+            is_gap_open = 1;
+            back[nback++] = (uint8_t)((DIFFCOD_I << 6) | nmatch);
+            nmatch = 0;
+            j--;
+        }
+        if (typ == 0) return -3;             /* suspect stop */
+        if (typ == 2) break;                 /* clean stop */
+        if (nback + 2 > back_cap) return -1;
+        if (typ == 3) {
+            int32_t s = W[(int64_t)(subj[i] & 7) * qlen + j];
+            if (s > 0) {
+                if (nmatch > MAXMISMATCH) {
+                    back[nback++] = (uint8_t)((DIFFCOD_M << 6) |
+                                              MAXMISMATCH);
+                    nmatch -= MAXMISMATCH;
+                } else {
+                    nmatch++;
+                }
+            } else {
+                back[nback++] = (uint8_t)((DIFFCOD_S << 6) | nmatch);
+                nmatch = 0;
+            }
+            checksum += s;
+            if (do_counts) counts[subj[i] & 7]++;
+            is_gap_open = 0;
+            i--;
+            j--;
+        } else {                             /* typ == 1: COL */
+            checksum -= is_gap_open ? gap_ext : gap_init;
+            is_gap_open = 1;
+            back[nback++] = (uint8_t)((DIFFCOD_D << 6) | nmatch);
+            nmatch = 0;
+            i--;
+        }
+    }
+    if (nback + 2 > back_cap) return -1;
+    back[nback++] = (uint8_t)((DIFFCOD_S << 6) | nmatch);
+    back[nback++] = (uint8_t)(DIFFCOD_M << 6);
+    if (checksum != max_scor) return -3;
+    out6[0] = nback;
+    out6[1] = j + 1;
+    out6[2] = max_j;
+    out6[3] = i + 1;
+    out6[4] = max_i;
+    out6[5] = checksum;
+    return 0;
+}
+
+/* mc_align_recursive with the FIRST interval's fill + walk supplied by
+ * the device (best score, argmax cell, walk records); the recursion's
+ * sub-intervals run the normal host DP.  On any decode doubt sets
+ * *o_used = 0 and returns 0 WITHOUT touching the outputs — the caller
+ * must then run the plain host mc_align_recursive.  Otherwise
+ * *o_used = 1 and the result contract matches mc_align_recursive. */
+int64_t mc_align_recursive_dev(
+    const int32_t *W, int64_t qlen, const uint8_t *subj, int64_t slen,
+    int64_t l_edge, int64_t r_edge,
+    int64_t q_left, int64_t q_right,
+    int64_t s_left0, int64_t s_right0,
+    int64_t minscore, int64_t minscorlen,
+    int gap_init, int gap_ext,
+    int32_t *Hbuf, int32_t *Ebuf,
+    uint8_t *dirm, int64_t dirm_cap,
+    uint8_t *back, int64_t back_cap,
+    uint8_t *diffpool, int64_t diff_cap,
+    int64_t *res, int64_t res_cap,
+    int use_cplx, double lam,
+    int64_t dev_best, int64_t dev_mi, int64_t dev_mj,
+    const int16_t *dev_rec, int64_t dev_nrows,
+    int64_t *o_used)
+{
+    int64_t stack[REC_STACK][2];
+    int sp = 0, first = 1;
+    int64_t n_res = 0, diff_used = 0;
+
+    *o_used = 1;
+    if (minscorlen < 2) return -2;
+    stack[sp][0] = s_left0;
+    stack[sp][1] = s_right0;
+    sp++;
+    while (sp > 0) {
+        int64_t sl, sr, bl, br, bsl, bslen, bql, bqlen, bw;
+        int64_t max_i_, max_j_;
+        int64_t sc, rc, out6[6];
+        int is_first;
+        sp--;
+        sl = stack[sp][0];
+        sr = stack[sp][1];
+        is_first = first;
+        first = 0;
+        if (mc_ali_band_make(l_edge, r_edge, q_left, q_right, qlen,
+                          sl, sr, slen,
+                          &bl, &br, &bsl, &bslen, &bql, &bqlen, &bw) != 0)
+            continue;
+        if (is_first) {
+            sc = dev_best;
+            if (sc < minscore) continue;
+            {
+                int64_t cnt8[8];
+                rc = dev_walk_decode(W, qlen, subj, bsl, bql,
+                                     dev_mi, dev_mj, sc,
+                                     dev_rec, dev_nrows,
+                                     gap_init, gap_ext, use_cplx,
+                                     back, back_cap, out6, cnt8);
+                if (rc == -3) { *o_used = 0; return 0; }
+                if (rc != 0) return rc;
+                if (use_cplx)
+                    sc = mc_cplx_scale(cnt8, sc, lam);
+            }
+        } else {
+            int mi, mj;
+            int64_t nrows = bslen - bsl;
+            int64_t ndir = bw * nrows;
+            if (ndir < 1) ndir = 1;
+            if (ndir > dirm_cap) return -1;
+            memset(dirm, 0, (size_t)ndir);
+            sc = sw_band_track(W, (int)qlen, subj,
+                               (int)bl, (int)br, (int)bql, (int)bqlen,
+                               (int)bsl, (int)bslen,
+                               gap_init, gap_ext, (int)bw,
+                               dirm, &mi, &mj, Hbuf, Ebuf);
+            if (sc < minscore) continue;
+            {
+                int64_t cnt8[8];
+                rc = mc_traceback(W, qlen, subj, bsl, bql, bl, bw,
+                                  mi, mj, sc, dirm,
+                                  gap_init, gap_ext, use_cplx,
+                                  back, back_cap, out6, cnt8);
+                if (rc != 0) return -2;
+                if (use_cplx)
+                    sc = mc_cplx_scale(cnt8, sc, lam);
+            }
+        }
+        {
+            int64_t ps = out6[1], pe = out6[2], ss = out6[3], se = out6[4];
+            if (ps + minscorlen > pe + 1) continue;
+            if (sc >= minscore) {
+                int64_t dn = diff_reverse(back, out6[0],
+                                          diffpool + diff_used,
+                                          diff_cap - diff_used);
+                if (dn < 0) return -1;
+                if (n_res >= res_cap) return -1;
+                res[n_res * 7 + 0] = sc;
+                res[n_res * 7 + 1] = ps;
+                res[n_res * 7 + 2] = pe;
+                res[n_res * 7 + 3] = ss;
+                res[n_res * 7 + 4] = se;
+                res[n_res * 7 + 5] = diff_used;
+                res[n_res * 7 + 6] = dn;
+                diff_used += dn;
+                n_res++;
+            }
+            if (sp + 2 > REC_STACK) return -1;
+            if (sr > se + minscorlen) {
+                stack[sp][0] = se + 1;
+                stack[sp][1] = sr;
+                sp++;
+            }
+            if (sl + minscorlen < ss) {
+                stack[sp][0] = sl;
+                stack[sp][1] = ss - 1;
+                sp++;
+            }
+        }
+    }
+    return n_res;
+}
+
 /* ---------------- pass-1 candidate scoring ---------------- */
 
 /* from swdp.c */
