@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import os
+
 import numpy as np
 
 from .. import rand
@@ -602,7 +604,11 @@ class DevicePass1:
 
     def _pass2(self, n, qmax, codes, read_offs, quals, has_qual,
                names, name_offs, state, state_offs, scores,
-               ascii_codes: bool, names_raw: bool) -> Optional[str]:
+               ascii_codes: bool, names_raw: bool,
+               dev=None) -> Optional[str]:
+        """dev: (pres, phdr, best, mi, mj, rec16, valid, sp, nwin)
+        from the device pass-2 dispatch (exact_pass2.py), or None for
+        the host pass-2."""
         lane = self.lane
         p = lane.engine.params
         filt = lane.engine.filter
@@ -611,6 +617,22 @@ class DevicePass1:
         scores64 = np.ascontiguousarray(scores, dtype=np.int64)
         cap = int(name_offs[-1]) + n * (2 * qmax + 192)
         lane._rng_io[0] = rand._global._x
+        if dev is not None:
+            pres, phdr, dbest, dmi, dmj, drec, dvalid, dsp, dnwin = dev
+            self._dev_stats = np.zeros(3, np.int64)
+            if os.environ.get("SMALT_DX_P2") == "prep":
+                # bisect mode: prep-replay consume only, host decode
+                dev_args = (pres.ctypes.data, phdr.ctypes.data,
+                            None, None, None, None, None, 0, 0,
+                            self._dev_stats.ctypes.data)
+            else:
+                dev_args = (pres.ctypes.data, phdr.ctypes.data,
+                            dbest.ctypes.data, dmi.ctypes.data,
+                            dmj.ctypes.data, drec.ctypes.data,
+                            dvalid.ctypes.data, int(dsp), int(dnwin),
+                            self._dev_stats.ctypes.data)
+        else:
+            dev_args = (None,) * 2 + (None,) * 5 + (0, 0, None)
         for _ in range(3):
             out = np.empty(cap, dtype=np.uint8)
             rc = lane.lib.fl_pass2_block(
@@ -637,7 +659,11 @@ class DevicePass1:
                 state.ctypes.data, state_offs.ctypes.data,
                 scores64.ctypes.data, len(scores64),
                 lane._rng_io.ctypes.data, out.ctypes.data, cap,
-                float(lane.engine.lam))
+                float(lane.engine.lam), *dev_args)
+            if os.environ.get("SMALT_DX_DEBUG"):
+                import sys as _s
+                print(f"# fl_pass2_block rc={rc} n={n} dev={dev is not None}",
+                      file=_s.stderr, flush=True)
             if rc == -3:
                 cap *= 4
                 continue
@@ -782,6 +808,15 @@ class DeviceExact(DevicePass1):
         self._collate = None
         self._di = None
         self._qcap = 128
+        # device pass-2 (exact_pass2.py): sticky caps so the whole run
+        # compiles once; SMALT_DX_P2=0 keeps pass 2 on host
+        self._p2_on = os.environ.get("SMALT_DX_P2", "1") != "0"
+        self._p2_wcap = 512
+        self._p2_sp = 2 * self._qcap
+        self._p2_fn = None
+        self.p2_used = 0
+        self.p2_fb = 0
+        self.p2_hit = 0
 
     @classmethod
     def make(cls, engine, fmt, soft_clip, x_mismatch, ali_out,
@@ -925,14 +960,112 @@ class DeviceExact(DevicePass1):
             return None
         return state, state_offs, int(nrest[0])
 
+    # ---------------- device pass 2 ----------------
+
+    def _pass2_step(self):
+        if self._p2_fn is not None:
+            return self._p2_fn
+        import jax
+        from ..parallel.exact_pass2 import build_pass2_step
+        eng = self.lane.engine
+        on_tpu = (jax.default_backend() == "tpu" and
+                  self.interpret is not True)
+        matrix = np.asarray(eng.matrix, np.int32)
+        self._p2_fn = build_pass2_step(matrix.tobytes(), matrix.shape,
+                                       -eng.gapopen, -eng.gapext, on_tpu)
+        return self._p2_fn
+
+    def _prep_windows(self, n, codes, read_offs, state, state_offs,
+                      scores64):
+        """fl_pass2_prep_block: replayed per-candidate scores + the
+        pass-2 window descriptors.  Returns (pres, phdr, win[nw,12])
+        or None (legacy host pass 2)."""
+        lane = self.lane
+        eng = lane.engine
+        p = eng.params
+        idx = eng.index
+        n_rows = int((int(state_offs[n]) - 8 * n) // 12)
+        pres = np.zeros(max(n_rows, 1), np.int64)
+        phdr = np.zeros(max(n * 4, 4), np.int64)
+        win_cap = max(n_rows, 64)
+        for _ in range(3):
+            win = np.empty(win_cap * 12, np.int64)
+            rc = lane.lib.fl_pass2_prep_block(
+                lane._matrix.ctypes.data, -eng.gapopen, -eng.gapext,
+                lane._avgs[0], lane._avgs[1],
+                lane._refcodes.ctypes.data, lane._offsets.ctypes.data,
+                eng.refset.nseq, idx.wordlen, idx.nskip,
+                p.min_swatscor, p.min_swatscor_below_max,
+                p.rmapflg & ~eng_mod.RMAPFLG_ALLPAIR, 1,
+                n, codes.ctypes.data, read_offs.ctypes.data,
+                state.ctypes.data, state_offs.ctypes.data,
+                scores64.ctypes.data, len(scores64),
+                pres.ctypes.data, phdr.ctypes.data,
+                win.ctypes.data, win_cap)
+            if rc == -1:              # window capacity: grow and retry
+                win_cap *= 4
+                continue
+            if rc < 0:
+                return None
+            return pres, phdr, win[: int(rc) * 12].reshape(-1, 12)
+        return None
+
+    def _dispatch_pass2(self, win, codes_pad, qlens):
+        """One device dispatch over the prep windows; returns
+        (best64, mi64, mj64, rec16, valid, sp, nwin) with sticky
+        shapes (one compile per run)."""
+        import jax
+        nw = len(win)
+        Sp = self._p2_sp
+        valid = ((win[:, 10] == 1) & (win[:, 2] <= Sp) &
+                 (win[:, 9] <= Sp)).astype(np.uint8)
+        while self._p2_wcap < nw:
+            self._p2_wcap *= 2
+        wd = np.zeros((self._p2_wcap, 12), np.int32)
+        if nw:
+            wd[:nw, 0] = win[:, 1]            # gstart
+            wd[:nw, 1] = win[:, 2]            # b_s_len
+            wd[:nw, 2] = win[:, 0]            # read idx
+            wd[:nw, 3] = win[:, 7]            # is_rev
+            wd[:nw, 4] = win[:, 3]            # l_edge
+            wd[:nw, 5] = win[:, 4]            # r_edge
+            wd[:nw, 6] = win[:, 5]            # q_left
+            wd[:nw, 7] = win[:, 6]            # q_len
+            wd[:nw, 8] = win[:, 8]            # b_s_left
+            wd[:nw, 9] = np.where(valid[:nw] != 0, win[:, 9], 0)
+        if self._ref_alpha is None:
+            self._ref_alpha = jax.device_put(
+                (self.lane._refcodes & 7).astype(np.uint8))
+        best, mi, mj, rec = self._pass2_step()(
+            self._ref_alpha, codes_pad, qlens, wd, Sp)
+        try:
+            rec.copy_to_host_async()
+        except AttributeError:
+            pass
+        best64 = np.ascontiguousarray(np.asarray(best)[:nw], np.int64)
+        mi64 = np.ascontiguousarray(np.asarray(mi)[:nw], np.int64)
+        mj64 = np.ascontiguousarray(np.asarray(mj)[:nw], np.int64)
+        rec16 = np.ascontiguousarray(np.asarray(rec)[:nw], np.int16)
+        if os.environ.get("SMALT_DX_DEBUG"):
+            import sys as _s
+            v = valid[:nw] != 0
+            print(f"# p2-dispatch nw={nw} valid={int(v.sum())} "
+                  f"best>0={int((best64[v] > 0).sum())} "
+                  f"best_mean={float(best64[v].mean()) if v.any() else 0:.1f}",
+                  file=_s.stderr, flush=True)
+        return best64, mi64, mj64, rec16, valid, Sp, nw
+
     # ---------------- driver ----------------
 
     def run_raw_fastq(self, path: str, out, fallback) -> None:
         """Map a FASTQ file: host pre (hit info + rank masks) -> ONE
         device dispatch (collation + pass-1 scores) on a worker thread
-        -> host post (depth sort + state) -> fl_pass2_block.  Blocks
-        the device cannot serve fall back per read (host re-stage) or,
-        on hard errors, per batch (no RNG consumed until pass 2)."""
+        -> host post (depth sort + state) -> device pass-2 dispatch
+        (banded track fill + walk, exact_pass2.py) -> fl_pass2_block
+        consuming the walk records.  Blocks the device cannot serve
+        fall back per read (host re-stage) or per candidate (decode
+        doubt -> host DP) or, on hard errors, per batch (no RNG
+        consumed until pass 2)."""
         import os
         import sys
         import time
@@ -1028,14 +1161,19 @@ class DeviceExact(DevicePass1):
                 print(f"# dx-prep {time.time() - t0:.3f}s",
                       file=sys.stderr, flush=True)
             return (n, qmax, codes, read_offs, qarr, has_qual, narr,
-                    name_offs, pre, host_fb, fut)
+                    name_offs, pre, host_fb, fut, codes_pad, qlens)
 
-        def finish(item, raw):
+        def mid(item, raw):
+            """Front-half results -> host post -> window prep ->
+            device pass-2 dispatch.  Returns a fin() item, or SAM text
+            (fallback) when any stage errors."""
             (n, qmax, codes, read_offs, qarr, has_qual, narr, name_offs,
-             pre, host_fb, fut) = item
+             pre, host_fb, fut, codes_pad, qlens) = item
             try:
                 outs = fut.result()
             except Exception:
+                if os.environ.get("SMALT_DX_DEBUG"):
+                    import traceback; traceback.print_exc()
                 return fallback(*raw)
             if len(outs) == 5:
                 pool, counts2, scores, cksum, fb = outs
@@ -1053,34 +1191,74 @@ class DeviceExact(DevicePass1):
                 return fallback(*raw)
             state, state_offs, nrest = st
             self.n_restaged += nrest
+            scores64 = np.ascontiguousarray(scores, np.int64)
+            fut2 = prep = None
+            if self._p2_on:
+                prep = self._prep_windows(n, codes, read_offs, state,
+                                          state_offs, scores64)
+                if prep is not None and len(prep[2]):
+                    fut2 = pool_exec.submit(self._dispatch_pass2,
+                                            prep[2], codes_pad, qlens)
+            if timing:
+                print(f"# dx-post {time.time() - t0:.3f}s "
+                      f"restaged={nrest}", file=sys.stderr, flush=True)
+            return (n, qmax, codes, read_offs, qarr, has_qual, narr,
+                    name_offs, state, state_offs, scores64, prep, fut2)
+
+        def fin(item, raw):
+            if isinstance(item, str):          # mid() fell back
+                return item
+            (n, qmax, codes, read_offs, qarr, has_qual, narr, name_offs,
+             state, state_offs, scores64, prep, fut2) = item
+            dev = None
+            if fut2 is not None:
+                try:
+                    best64, mi64, mj64, rec16, valid, sp, nw = \
+                        fut2.result()
+                    dev = (prep[0], prep[1], best64, mi64, mj64,
+                           rec16, valid, sp, nw)
+                except Exception:
+                    if os.environ.get("SMALT_DX_DEBUG"):
+                        import traceback; traceback.print_exc()
+                    dev = None
             t1 = time.time() if timing else 0
             text = self._pass2(n, qmax, codes, read_offs, qarr,
                                has_qual, narr, name_offs, state,
-                               state_offs, scores.astype(np.int64),
-                               ascii_codes=True, names_raw=True)
+                               state_offs, scores64,
+                               ascii_codes=True, names_raw=True,
+                               dev=dev)
+            if dev is not None:
+                self.p2_used += int(self._dev_stats[0])
+                self.p2_fb += int(self._dev_stats[1])
+                self.p2_hit += int(self._dev_stats[2])
             if timing:
-                print(f"# dx-post {t1 - t0:.3f}s pass2 "
-                      f"{time.time() - t1:.3f}s", file=sys.stderr,
-                      flush=True)
+                print(f"# dx-pass2 {time.time() - t1:.3f}s n={n} "
+                      f"p2_used={self.p2_used} p2_fb={self.p2_fb} "
+                      f"p2_hit={self.p2_hit}",
+                      file=sys.stderr, flush=True)
             if text is None:
                 text = fallback(*raw)
-            if timing:
-                import sys as _s
-                print(f"# dx-batch n={n} restaged={nrest}",
-                      file=_s.stderr, flush=True)
             return text
 
+        midq = deque()
+        finq = deque()
         try:
             for raw in iter_fastq_batches(path, self.batch):
                 item = prepare(*raw)
                 if item is None:
                     out.write(fallback(*raw))
                     continue
-                pending.append((item, raw))
-                while len(pending) > 2:
-                    out.write(finish(*pending.popleft()))
-            while pending:
-                out.write(finish(*pending.popleft()))
+                midq.append((item, raw))
+                while len(midq) > 1:
+                    it, rw = midq.popleft()
+                    finq.append((mid(it, rw), rw))
+                while len(finq) > 1:
+                    out.write(fin(*finq.popleft()))
+            while midq:
+                it, rw = midq.popleft()
+                finq.append((mid(it, rw), rw))
+            while finq:
+                out.write(fin(*finq.popleft()))
         finally:
             pool_exec.shutdown(wait=True)
 

@@ -265,7 +265,21 @@ def _declare_fastlane(lib):
         i64, vp, vp, vp, vp, vp, vp,        # reads
         vp, vp,                             # state
         vp, i64,                            # scores
-        vp, vp, i64, dbl]                   # rng + output + lam
+        vp, vp, i64, dbl,                   # rng + output + lam
+        vp, vp,                             # pres, phdr (prep replay)
+        vp, vp, vp, vp, vp, i64, i64,       # dev pass-2 arrays
+        vp]                                 # dev_stats
+    lib.fl_pass2_prep_block.restype = i64
+    lib.fl_pass2_prep_block.argtypes = [
+        vp, ci, ci, i64, i64,               # matrix + penalties + avgs
+        vp, vp, i64, ci, ci,                # reference, wordlen, nskip
+        i64, i64, ci,                       # minscor, belowmax, rmapflg
+        ci,                                 # codes_are_ascii
+        i64, vp, vp,                        # reads
+        vp, vp,                             # state
+        vp, i64,                            # scores
+        vp, vp,                             # pres, phdr
+        vp, i64]                            # win, win_cap
     if hasattr(lib, "fl_exact_pre_block"):
         lib.fl_exact_pre_block.restype = i64
         lib.fl_exact_pre_block.argtypes = [

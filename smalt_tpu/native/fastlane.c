@@ -123,6 +123,22 @@ int64_t mc_align_recursive(
     uint8_t *diffpool, int64_t diff_cap,
     int64_t *res, int64_t res_cap,
     int use_cplx, double lam);
+int64_t mc_align_recursive_dev(
+    const int32_t *W, int64_t qlen, const uint8_t *subj, int64_t slen,
+    int64_t l_edge, int64_t r_edge,
+    int64_t q_left, int64_t q_right,
+    int64_t s_left0, int64_t s_right0,
+    int64_t minscore, int64_t minscorlen,
+    int gap_init, int gap_ext,
+    int32_t *Hbuf, int32_t *Ebuf,
+    uint8_t *dirm, int64_t dirm_cap,
+    uint8_t *back, int64_t back_cap,
+    uint8_t *diffpool, int64_t diff_cap,
+    int64_t *res, int64_t res_cap,
+    int use_cplx, double lam,
+    int64_t dev_best, int64_t dev_mi, int64_t dev_mj,
+    const int16_t *dev_rec, int64_t dev_nrows,
+    int64_t *o_used);
 int64_t mc_fast_align(
     const uint8_t *qcodes, int64_t qlen, int do_revcomp,
     const int32_t *matrix,
@@ -2136,31 +2152,39 @@ static int fl_read_stage1(const FLParams *P, FLScratch *s,
     return 0;
 }
 
-/* Pass 2 onward: min-score dynamics, full alignment of survivors,
- * result sorting/mapq/filter (engine.py:416-443, 505-529).  Consumes
- * the pass-1 rows in s->score_out. */
-/* search_split: run rs_find_split_reads after the per-segment mapq
- * pass (sort_and_assign's search_split arg).  do_filter: run the final
- * rs_filter — rmapSingle filters ONCE after the (optional) secondary
- * mapping pass, so split mode defers it to the caller. */
-static int fl_read_finish(const FLParams *P, FLScratch *s,
-                          const uint8_t *qual, int64_t qlen,
-                          int64_t n_out, int64_t max1, int64_t max2,
-                          int search_split, int do_filter)
+/* Device pass-2 results for one block (parallel/exact_pass2.py):
+ * every candidate with pass-1 swscor >= the read's pre-loop
+ * min_swatscor has one window, in (read, candidate) order; cursor
+ * advances under exactly that predicate so producer (prep) and
+ * consumer (fl_read_finish) pair deterministically. */
+typedef struct {
+    const int64_t *best;
+    const int64_t *mi;
+    const int64_t *mj;
+    const int16_t *rec;        /* [nwin, sp] walk records */
+    const uint8_t *valid;      /* geometry ok + fits the device caps */
+    int64_t sp;
+    int64_t nwin;
+    int64_t cursor;
+    int64_t preloop_min;       /* set per read by fl_read_finish */
+    int64_t n_used, n_fb, n_hit;
+} FLDevP2;
+
+/* The pre-pass-2 min-score dynamics (engine.py:509-523), factored so
+ * fl_pass2_prep_block computes the IDENTICAL window predicate and
+ * band widening as fl_read_finish. */
+static void fl_min_dyn(const FLParams *P, int64_t qlen,
+                       int64_t max1, int64_t max2,
+                       int64_t *o_min, int64_t *o_scorlen_min,
+                       int64_t *o_bandwidth_min)
 {
-    FLResultSet *rs = s->rs;
     int64_t min_swatscor = P->min_swatscor;
     int64_t min_swatscor_below_max = P->min_swatscor_below_max;
     int64_t scorlen_min = P->wordlen + P->nskip;
     int64_t matchscor = P->match_avg;
     int64_t maxscor_perfect = qlen * matchscor;
-    int64_t bandwidth_min;
-    int rc;
 
-    if (max1 < 1) return 0;
-    bandwidth_min = (maxscor_perfect - max1) / P->gap_ext;
-
-    /* min-score dynamics (engine.py:509-523) */
+    *o_bandwidth_min = (maxscor_perfect - max1) / P->gap_ext;
     if (min_swatscor_below_max >= max1) min_swatscor_below_max = max1;
     if (min_swatscor > max2 && max2 > 0) min_swatscor = max2;
     if (min_swatscor_below_max >= 0) {
@@ -2174,6 +2198,32 @@ static int fl_read_finish(const FLParams *P, FLScratch *s,
     }
     if (min_swatscor > scorlen_min * matchscor && matchscor > 0)
         scorlen_min = min_swatscor / matchscor;
+    *o_min = min_swatscor;
+    *o_scorlen_min = scorlen_min;
+}
+
+/* Pass 2 onward: min-score dynamics, full alignment of survivors,
+ * result sorting/mapq/filter (engine.py:416-443, 505-529).  Consumes
+ * the pass-1 rows in s->score_out. */
+/* search_split: run rs_find_split_reads after the per-segment mapq
+ * pass (sort_and_assign's search_split arg).  do_filter: run the final
+ * rs_filter — rmapSingle filters ONCE after the (optional) secondary
+ * mapping pass, so split mode defers it to the caller. */
+static int fl_read_finish(const FLParams *P, FLScratch *s,
+                          const uint8_t *qual, int64_t qlen,
+                          int64_t n_out, int64_t max1, int64_t max2,
+                          int search_split, int do_filter,
+                          FLDevP2 *dev)
+{
+    FLResultSet *rs = s->rs;
+    int64_t min_swatscor, scorlen_min, bandwidth_min;
+    int64_t matchscor = P->match_avg;
+    int rc;
+
+    if (max1 < 1) return 0;
+    fl_min_dyn(P, qlen, max1, max2, &min_swatscor, &scorlen_min,
+               &bandwidth_min);
+    if (dev) dev->preloop_min = min_swatscor;
 
     /* pass 2: alignRMAPCANDFull (engine.py:416-443) */
     {
@@ -2189,6 +2239,9 @@ static int fl_read_finish(const FLParams *P, FLScratch *s,
             const uint8_t *subj;
             int64_t slen, bw, band_l, band_r, minscorlen, nali;
             int64_t ndir_need, back_need, res_need;
+            int64_t devw = -1;
+            if (dev && swscor >= dev->preloop_min)
+                devw = (dev->cursor < dev->nwin) ? dev->cursor++ : -1;
             if (swscor < min_swatscor)   /* scored==1 always on this path */
                 continue;
             if (sqidx >= P->nseq) return FL_ERR_ASSERT;
@@ -2307,6 +2360,31 @@ static int fl_read_finish(const FLParams *P, FLScratch *s,
             if (fl_grow((void **)&s->ares, &s->ares_cap, res_need, 7 * 8) != 0)
                 return FL_ERR_CAP;
 
+            if (devw >= 0 && dev->valid[devw]) {
+                /* device-filled first interval; decode doubt falls
+                 * through to the host DP for THIS candidate only */
+                int64_t used = 0;
+                nali = mc_align_recursive_dev(
+                    is_rev ? s->Wr : s->Wf, qlen, subj, slen,
+                    band_l, band_r, cqs, cqe, 0, slen - 1,
+                    min_swatscor, minscorlen,
+                    P->gap_init, P->gap_ext,
+                    s->Hbuf, s->Ebuf,
+                    s->dirm, s->dirm_cap,
+                    s->back, s->back_cap,
+                    rs->diffpool + rs->diff_used,
+                    DIFFPOOL_CAP - rs->diff_used,
+                    s->ares, res_need,
+                    P->use_cplx, P->lam,
+                    dev->best[devw], dev->mi[devw], dev->mj[devw],
+                    dev->rec + devw * dev->sp, dev->sp, &used);
+                if (nali < 0) return (int)nali;
+                if (used) {
+                    dev->n_used++;
+                    if (nali > 0) dev->n_hit++;
+                } else { dev->n_fb++; nali = -1; }
+            }
+            if (nali < 0)
             nali = mc_align_recursive(
                 is_rev ? s->Wr : s->Wf, qlen, subj, slen,
                 band_l, band_r, cqs, cqe, 0, slen - 1,
@@ -2420,7 +2498,7 @@ static int fl_map_pass(const FLParams *P, FLScratch *s,
     if (prof) { double t1 = fl_prof_now(); fl_prof_acc[1] += t1 - t0; t0 = t1; }
     if (rc != 0) return FL_ERR_ASSERT;
     rc = fl_read_finish(P, s, qual, qlen, out_max[2],
-                        out_max[0], out_max[1], search_split, 0);
+                        out_max[0], out_max[1], search_split, 0, NULL);
     if (prof) fl_prof_acc[2] += fl_prof_now() - t0;
     return rc;
 }
@@ -2862,6 +2940,82 @@ done:
     return rc != 0 ? rc : n_win;
 }
 
+/* The fl_pass2_block pass-1 replay (scoreRMAPCAND with device scores
+ * for the SIMD windows, host banded-fast for the rest) factored so
+ * fl_pass2_prep_block runs the IDENTICAL loop.  Fills s->score_out.
+ * Returns 0 or FL_ERR_*. */
+static int fl_pass1_replay(const FLParams *P, FLScratch *s,
+                           const int64_t *hdr, const int64_t *rows,
+                           const int64_t *scores, int64_t n_scores,
+                           int64_t qlen,
+                           int64_t *o_nout, int64_t *o_max1,
+                           int64_t *o_max2)
+{
+    int64_t n_sort = hdr[1];
+    int64_t deficit_f = hdr[3], deficit_r = hdr[4];
+    int64_t mmscordiff = P->match_avg - P->mismatch_avg;
+    int64_t max1 = 0, max2 = 0, min_cover = 0, max_cover = 0;
+    int64_t n_out = 0, c;
+
+    for (c = 0; c < n_sort; c++) {
+        const int64_t *g = rows + c * FL_GEOM_FIELDS;
+        int64_t cover = g[8], cdf, swscor;
+        int is_rev = (int)g[7];
+        const int32_t *W = is_rev ? s->Wr : s->Wf;
+        if (g[9]) {              /* device-scored window */
+            int64_t w = g[10];
+            if (w < 0 || w >= n_scores)
+                return FL_ERR_ASSERT;
+            swscor = scores[w];
+        } else {
+            int64_t slen = g[3] - g[2] + 1;
+            const uint8_t *subj = P->refcodes + P->offsets[g[6]] + g[2];
+            int64_t abl, abr, asl, aslen, aql, aqlen, abw;
+            if (mc_ali_band_make(g[4], g[5], g[0], g[1], qlen,
+                                 0, slen - 1, slen,
+                                 &abl, &abr, &asl, &aslen,
+                                 &aql, &aqlen, &abw) != 0)
+                swscor = 0;
+            else
+                swscor = sw_band_fast(W, (int)qlen, subj,
+                                      (int)abl, (int)abr, (int)aql,
+                                      (int)aqlen, (int)asl,
+                                      (int)aslen, P->gap_init, P->gap_ext,
+                                      s->Hbuf, s->Ebuf);
+        }
+        cdf = is_rev ? deficit_r : deficit_f;
+        if ((P->rmapflg & RMAPFLG_BEST) && cover + cdf < min_cover)
+            break;               /* truncate at the break index */
+        {
+            int64_t *o = s->score_out + n_out * 10;
+            o[0] = g[0]; o[1] = g[1]; o[2] = g[2]; o[3] = g[3];
+            o[4] = g[4]; o[5] = g[5]; o[6] = g[6];
+            o[7] = is_rev; o[8] = swscor; o[9] = 1;
+            n_out++;
+        }
+        if (swscor > max2) {
+            if (swscor > max1) {
+                max2 = max1;
+                max1 = swscor;
+                if (cover + cdf > max_cover)
+                    max_cover = (cover > cdf) ? cover - cdf : 0;
+            } else {
+                max2 = swscor;
+            }
+            {
+                int64_t dcov = ((max1 - max2) / mmscordiff + 1)
+                               * P->nskip;
+                if (dcov + cdf + min_cover < max_cover)
+                    min_cover = max_cover - dcov;
+            }
+        }
+    }
+    *o_nout = n_out;
+    *o_max1 = max1;
+    *o_max2 = max2;
+    return 0;
+}
+
 /* Phase B: replay pass 1 consuming the device scores for the SIMD
  * windows (host banded-fast for the rest), then pass 2 / results /
  * report / SAM exactly as fl_map_block.  scores: int64[n_windows].
@@ -2888,16 +3042,35 @@ int64_t fl_pass2_block(
     const int64_t *state, const int64_t *state_offs,
     const int64_t *scores, int64_t n_scores,
     uint64_t *rng_io, char *out_text, int64_t out_cap,
-    double lam)
+    double lam,
+    const int64_t *pres, const int64_t *phdr,
+    const int64_t *dev_best, const int64_t *dev_mi,
+    const int64_t *dev_mj, const int16_t *dev_rec,
+    const uint8_t *dev_valid, int64_t dev_sp, int64_t dev_nwin,
+    int64_t *dev_stats)
 {
     FLParams P;
     FLScratch s;
     FLText t;
+    FLDevP2 devs;
+    FLDevP2 *devp = NULL;
     uint64_t rng = *rng_io;
     int64_t i, qmax = 1;
     int rc = 0;
     const char **seq_name_ptr = NULL;
     int64_t *seq_name_len = NULL;
+
+    if (dev_best != NULL && pres != NULL) {
+        memset(&devs, 0, sizeof(devs));
+        devs.best = dev_best;
+        devs.mi = dev_mi;
+        devs.mj = dev_mj;
+        devs.rec = dev_rec;
+        devs.valid = dev_valid;
+        devs.sp = dev_sp;
+        devs.nwin = dev_nwin;
+        devp = &devs;
+    }
 
     P.words = words; P.starts = starts; P.nwords = nwords;
     P.table = table; P.pos = pos; P.wordlen = wordlen; P.nskip = nskip;
@@ -2970,9 +3143,7 @@ int64_t fl_pass2_block(
             if (rc != 0) goto done;
         } else if (!hdr[0]) {            /* not shortseq */
             int64_t n_sort = hdr[1];
-            int64_t deficit_f = hdr[3], deficit_r = hdr[4];
-            int64_t mmscordiff = match_avg - mismatch_avg;
-            int64_t max1 = 0, max2 = 0, min_cover = 0, max_cover = 0;
+            int64_t max1 = 0, max2 = 0;
             int64_t n_out = 0, c;
             s.rs->n_ali_done = n_sort;
             s.rs->n_ali_tot = hdr[2];
@@ -2982,65 +3153,26 @@ int64_t fl_pass2_block(
             fl_profiles(&P, codes, qlen, s.Wf, s.Wr);
             fl_perfect_prep(&P, &s, codes, qlen);
 
-            /* scoreRMAPCAND replay (mapcore.c mc_score_cands with the
-             * full-matrix kernel's scores precomputed on the device) */
-            for (c = 0; c < n_sort; c++) {
-                const int64_t *g = rows + c * FL_GEOM_FIELDS;
-                int64_t cover = g[8], cdf, swscor;
-                int is_rev = (int)g[7];
-                const int32_t *W = is_rev ? s.Wr : s.Wf;
-                if (g[9]) {              /* device-scored window */
-                    int64_t w = g[10];
-                    if (w < 0 || w >= n_scores) {
-                        rc = FL_ERR_ASSERT;
-                        goto done;
-                    }
-                    swscor = scores[w];
-                } else {
-                    int64_t slen = g[3] - g[2] + 1;
-                    const uint8_t *subj = refcodes + offsets[g[6]] + g[2];
-                    int64_t abl, abr, asl, aslen, aql, aqlen, abw;
-                    if (mc_ali_band_make(g[4], g[5], g[0], g[1], qlen,
-                                         0, slen - 1, slen,
-                                         &abl, &abr, &asl, &aslen,
-                                         &aql, &aqlen, &abw) != 0)
-                        swscor = 0;
-                    else
-                        swscor = sw_band_fast(W, (int)qlen, subj,
-                                              (int)abl, (int)abr, (int)aql,
-                                              (int)aqlen, (int)asl,
-                                              (int)aslen, gap_init, gap_ext,
-                                              s.Hbuf, s.Ebuf);
-                }
-                cdf = is_rev ? deficit_r : deficit_f;
-                if ((rmapflg & RMAPFLG_BEST) && cover + cdf < min_cover)
-                    break;               /* truncate at the break index */
-                {
-                    int64_t *o = s.score_out + n_out * 10;
+            if (pres != NULL) {
+                /* prep already replayed pass 1: consume its scores */
+                int64_t poff = phdr[i * 4 + 3];
+                n_out = phdr[i * 4 + 0];
+                max1 = phdr[i * 4 + 1];
+                max2 = phdr[i * 4 + 2];
+                for (c = 0; c < n_out; c++) {
+                    const int64_t *g = rows + c * FL_GEOM_FIELDS;
+                    int64_t *o = s.score_out + c * 10;
                     o[0] = g[0]; o[1] = g[1]; o[2] = g[2]; o[3] = g[3];
                     o[4] = g[4]; o[5] = g[5]; o[6] = g[6];
-                    o[7] = is_rev; o[8] = swscor; o[9] = 1;
-                    n_out++;
+                    o[7] = g[7] & 1; o[8] = pres[poff + c]; o[9] = 1;
                 }
-                if (swscor > max2) {
-                    if (swscor > max1) {
-                        max2 = max1;
-                        max1 = swscor;
-                        if (cover + cdf > max_cover)
-                            max_cover = (cover > cdf) ? cover - cdf : 0;
-                    } else {
-                        max2 = swscor;
-                    }
-                    {
-                        int64_t dcov = ((max1 - max2) / mmscordiff + 1)
-                                       * nskip;
-                        if (dcov + cdf + min_cover < max_cover)
-                            min_cover = max_cover - dcov;
-                    }
-                }
+            } else {
+                rc = fl_pass1_replay(&P, &s, hdr, rows, scores, n_scores,
+                                     qlen, &n_out, &max1, &max2);
+                if (rc != 0) goto done;
             }
             rc = fl_read_finish(&P, &s, qual, qlen, n_out, max1, max2,
-                                0, 1);
+                                0, 1, devp);
             if (rc != 0) goto done;
         }
         rc = fl_add_single_to_report(s.rs, rsltouflg, &rng, s.rep, &n_rep);
@@ -3089,9 +3221,150 @@ done:
     free((void *)seq_name_ptr);
     free(seq_name_len);
     fl_scratch_free(&s);
+    if (dev_stats != NULL) {
+        dev_stats[0] = devp ? devs.n_used : 0;
+        dev_stats[1] = devp ? devs.n_fb : 0;
+        dev_stats[2] = devp ? devs.n_hit : 0;
+    }
     if (rc != 0) return rc;
     *rng_io = rng;
     return t.p - out_text;
+}
+
+/* Prep for the device pass-2: replay pass 1 (same loop as
+ * fl_pass2_block via fl_pass1_replay), compute the pre-loop min-score
+ * dynamics (fl_min_dyn), and emit ONE window descriptor per candidate
+ * with swscor >= that read's pre-loop min_swatscor — the exact
+ * predicate fl_read_finish's cursor pops under.  Also emits the
+ * replayed per-candidate scores (pres) + per-read {n_out, max1, max2,
+ * pres_off} (phdr) so fl_pass2_block skips its own replay (no double
+ * host DP for non-SIMD candidates).
+ *
+ * win rows of 12 int64: {read_idx, gstart, b_s_len, l_edge, r_edge,
+ * q_left, q_len, is_rev, b_s_left, win_len, valid, 0} — the
+ * POST-initALIBAND geometry of the main interval (rmap.c:790-928
+ * band widening included).  Returns n_win or FL_ERR_*. */
+int64_t fl_pass2_prep_block(
+    const int32_t *matrix, int gap_init, int gap_ext,
+    int64_t match_avg, int64_t mismatch_avg,
+    const uint8_t *refcodes, const int64_t *offsets, int64_t nseq,
+    int wordlen, int nskip,
+    int64_t min_swatscor, int64_t min_swatscor_below_max,
+    int rmapflg,
+    int codes_are_ascii,
+    int64_t n_reads, const uint8_t *codes_concat, const int64_t *read_offs,
+    const int64_t *state, const int64_t *state_offs,
+    const int64_t *scores, int64_t n_scores,
+    int64_t *pres, int64_t *phdr,
+    int64_t *win, int64_t win_cap)
+{
+    FLParams P;
+    FLScratch s;
+    int64_t i, qmax = 1, n_win = 0, pres_off = 0;
+    int rc = 0;
+
+    memset(&P, 0, sizeof(P));
+    P.matrix = matrix; P.gap_init = gap_init; P.gap_ext = gap_ext;
+    P.match_avg = match_avg; P.mismatch_avg = mismatch_avg;
+    P.refcodes = refcodes; P.offsets = offsets; P.nseq = nseq;
+    P.wordlen = wordlen; P.nskip = nskip;
+    P.min_swatscor = min_swatscor;
+    P.min_swatscor_below_max = min_swatscor_below_max;
+    P.rmapflg = rmapflg;
+
+    for (i = 0; i < n_reads; i++) {
+        int64_t ql = read_offs[i + 1] - read_offs[i];
+        if (ql > qmax) qmax = ql;
+    }
+    if (fl_scratch_init(&s, qmax) != 0) {
+        fl_scratch_free(&s);
+        return FL_ERR_CAP;
+    }
+    fl_codtab_init();
+
+    for (i = 0; i < n_reads; i++) {
+        const uint8_t *codes = codes_concat + read_offs[i];
+        int64_t qlen = read_offs[i + 1] - read_offs[i];
+        const int64_t *hdr = state + state_offs[i];
+        const int64_t *rows = hdr + FL_HDR_FIELDS;
+        int64_t n_out = 0, max1 = 0, max2 = 0, c;
+        int64_t preloop_min, scorlen_min, bandwidth_min;
+
+        phdr[i * 4 + 0] = 0;
+        phdr[i * 4 + 1] = 0;
+        phdr[i * 4 + 2] = 0;
+        phdr[i * 4 + 3] = pres_off;
+        if (hdr[7] == 1 || hdr[0])
+            continue;                /* restage / shortseq: no windows */
+        if (codes_are_ascii) {
+            int64_t j;
+            for (j = 0; j < qlen; j++)
+                s.enc[j] = fl_codtab[codes[j]];
+            codes = s.enc;
+        }
+        fl_profiles(&P, codes, qlen, s.Wf, s.Wr);
+        rc = fl_pass1_replay(&P, &s, hdr, rows, scores, n_scores,
+                             qlen, &n_out, &max1, &max2);
+        if (rc != 0) goto done;
+        phdr[i * 4 + 0] = n_out;
+        phdr[i * 4 + 1] = max1;
+        phdr[i * 4 + 2] = max2;
+        for (c = 0; c < n_out; c++)
+            pres[pres_off + c] = s.score_out[c * 10 + 8];
+        pres_off += n_out;
+        if (max1 < 1)
+            continue;                /* fl_read_finish returns early */
+        fl_min_dyn(&P, qlen, max1, max2, &preloop_min, &scorlen_min,
+                   &bandwidth_min);
+        for (c = 0; c < n_out; c++) {
+            const int64_t *o = s.score_out + c * 10;
+            int64_t cqs = o[0], cqe = o[1], crs = o[2], cre = o[3];
+            int64_t bl = o[4], br = o[5], sqidx = o[6];
+            int64_t swscor = o[8];
+            int64_t slen, bw, band_l, band_r, gstart;
+            int64_t bl2, br2, bsl2, bslen2, bql2, bqlen2, bw2;
+            int64_t *w;
+            int valid;
+            if (swscor < preloop_min)
+                continue;
+            if (n_win >= win_cap) {
+                rc = FL_ERR_CAP;
+                goto done;
+            }
+            slen = cre - crs + 1;
+            gstart = (sqidx >= 0 && sqidx < nseq)
+                     ? offsets[sqidx] + crs : crs;
+            bw = br - bl;
+            if (bw < bandwidth_min) {
+                int64_t ext = (bandwidth_min - bw + 1) / 2;
+                band_l = bl - ext;
+                band_r = br + ext;
+            } else {
+                band_l = bl;
+                band_r = br;
+            }
+            valid = (sqidx < nseq) &&
+                    mc_ali_band_make(band_l, band_r, cqs, cqe, qlen,
+                                     0, slen - 1, slen,
+                                     &bl2, &br2, &bsl2, &bslen2,
+                                     &bql2, &bqlen2, &bw2) == 0;
+            w = win + n_win * 12;
+            if (valid) {
+                w[0] = i; w[1] = gstart; w[2] = bslen2;
+                w[3] = bl2; w[4] = br2; w[5] = bql2; w[6] = bqlen2;
+                w[7] = o[7]; w[8] = bsl2; w[9] = slen;
+                w[10] = 1; w[11] = 0;
+            } else {
+                memset(w, 0, 12 * sizeof(int64_t));
+                w[0] = i;
+            }
+            n_win++;
+        }
+    }
+
+done:
+    fl_scratch_free(&s);
+    return rc != 0 ? rc : n_win;
 }
 
 /* ---------------- device-exact pre/post blocks ---------------- */
@@ -4720,7 +4993,7 @@ static int fl_pair_map_single(const FLParams *Pbase, FLScratch *s,
     if (rc != 0) return FL_ERR_ASSERT;
     rc = fl_read_finish(&P, s, qual, qlen, out_max[2],
                         out_max[0], out_max[1],
-                        (P.rmapflg & RMAPFLG_SPLIT) != 0, 1);
+                        (P.rmapflg & RMAPFLG_SPLIT) != 0, 1, NULL);
     if (prof) fl_prof_acc[2] += fl_prof_now() - t0;
     if (rc != 0) return rc;
     for (q = 0; q < s->rs->qsegno; q++)
@@ -5847,7 +6120,7 @@ int64_t fl_single_rs(
                                      s.Hbuf, s.Ebuf, s.score_out, out_max);
             if (rc != 0) { if (own) fl_scratch_free(&local); return FL_ERR_ASSERT; }
             rc = fl_read_finish(&P, &s, qual, qlen, out_max[2],
-                                out_max[0], out_max[1], 0, 1);
+                                out_max[0], out_max[1], 0, 1, NULL);
             if (rc != 0) { if (own) fl_scratch_free(&local); return rc; }
         }
         stats_out[10] = st.shortseq;

@@ -176,17 +176,20 @@ def swq_fill_walk_ref(qalpha, subj, par, matrix, go, ge):
 # Pallas TPU kernel
 # ---------------------------------------------------------------------
 
-def _make_swq_kernel(Sp: int, slots: int, unroll: int = 4):
-    """One grid step = CB windows.  Fill carries the 2-bit dirm as
-    2*slots int32 bitplanes of [CB, Qp] (bit r of slot k = row 32k+r),
-    then the reverse walk reads them back — no dynamic VMEM indexing
-    anywhere, everything is vector selects + scalar-shift extracts."""
+def _make_swq_kernel(Sp: int, unroll: int = 4, mode: int = 0):
+    """One grid step = CB windows.  The 2-bit direction codes live in a
+    (Sp, CB, Qp) int8 VMEM scratch — dynamic indexing on the untiled
+    leading (row) dim is the supported Mosaic pattern, and (CB, Qp) =
+    (32, 128) is the native int8 tile.  A first bitplane-carry design
+    moved ~256 KB of loop-carried planes per row and measured 6000x
+    slower than the score kernels; this one carries only H/E/acc like
+    ops/sw.py."""
     import jax
     import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(qalpha_ref, subj_ref, par_ref, matrix_ref, sm_ref,
-               out_ref, rec_ref):
+               out_ref, rec_ref, dirm_ref):
         go = sm_ref[0, 0]
         ge = sm_ref[0, 1]
         CB = qalpha_ref.shape[0]
@@ -212,18 +215,21 @@ def _make_swq_kernel(Sp: int, slots: int, unroll: int = 4):
                 d *= 2
             return x
 
+        # profile planes prof[a][c, j] = matrix[a, qc[c, j]], hoisted
+        # OUT of the row loop (the per-row 8x8 scalar chain was the
+        # measured fill bottleneck; ops/sw.py's full-matrix kernel
+        # hoists exactly like this)
+        prof = []
+        for a in range(8):
+            row = jnp.full(qc.shape, mat[a, 0], jnp.int32)
+            for v in range(1, 8):
+                row = jnp.where(qc == v, mat[a, v], row)
+            prof.append(row)
+
         def one_row(H, E, acc, scol, i):
-            # profile row from the subject code: [CB,1] chain over the
-            # matrix rows, then a [CB,Qp] chain over the query codes
-            mrow = []
-            for q in range(8):
-                v = jnp.full(scol.shape, mat[0, q], jnp.int32)
-                for sa in range(1, 8):
-                    v = jnp.where(scol == sa, mat[sa, q], v)
-                mrow.append(v)
-            Wrow = jnp.broadcast_to(mrow[0], qc.shape)
-            for q in range(1, 8):
-                Wrow = jnp.where(qc == q, mrow[q], Wrow)
+            Wrow = prof[0]
+            for a in range(1, 8):
+                Wrow = jnp.where(scol == a, prof[a], Wrow)
             band_lo = start_lo + jnp.maximum(0, i - sl - lead)
             band_hi = jnp.minimum(qn, re_ + 1 + i - sl)
             in_band = ((lane >= band_lo) & (lane < band_hi) &
@@ -259,42 +265,23 @@ def _make_swq_kernel(Sp: int, slots: int, unroll: int = 4):
             return Hn, En, (best, bi, bj), code
 
         def fill_body(t, carry):
-            H, E, acc, sstate, accp, planes = carry
-            acc_lo, acc_hi = accp
+            H, E, acc, sstate = carry
             for r in range(unroll):
                 i = unroll * t + r
                 H, E, acc, code = one_row(H, E, acc,
                                           sstate[:, r : r + 1], i)
-                # i is traced: bit position via scalar shift
-                bit = jnp.int32(1) << (i & 31)
-                acc_lo = acc_lo | jnp.where((code & 1) != 0, bit, 0)
-                acc_hi = acc_hi | jnp.where((code & 2) != 0, bit, 0)
-            # flush every 32 rows: after rows [32k, 32k+32)
-            last_i = unroll * t + unroll - 1
-            slot = last_i // 32
-            do_flush = (last_i & 31) == 31
-            new_planes = []
-            for k in range(slots):
-                lo_k, hi_k = planes[2 * k], planes[2 * k + 1]
-                sel = do_flush & (slot == k)
-                new_planes.append(jnp.where(sel, acc_lo, lo_k))
-                new_planes.append(jnp.where(sel, acc_hi, hi_k))
-            acc_lo = jnp.where(do_flush, 0, acc_lo)
-            acc_hi = jnp.where(do_flush, 0, acc_hi)
-            return (H, E, acc,
-                    pltpu.roll(sstate, S - unroll, 1),
-                    (acc_lo, acc_hi), tuple(new_planes))
+                if mode != 1:               # 1: fill-only perf probe
+                    dirm_ref[i] = code.astype(jnp.int8)
+            return (H, E, acc, pltpu.roll(sstate, S - unroll, 1))
 
         H0 = jnp.zeros((CB, Qp), jnp.int32)
         E0 = jnp.zeros((CB, Qp), jnp.int32)
         acc0 = (jnp.zeros((CB, 1), jnp.int32),
                 jnp.zeros((CB, 1), jnp.int32),
                 jnp.zeros((CB, 1), jnp.int32))
-        z = jnp.zeros((CB, Qp), jnp.int32)
-        planes0 = tuple(z for _ in range(2 * slots))
-        H, E, acc, _, _, planes = jax.lax.fori_loop(
+        _, _, acc, _ = jax.lax.fori_loop(
             0, Sp // unroll, fill_body,
-            (H0, E0, acc0, subj_ref[:, :], (z, z), planes0))
+            (H0, E0, acc0, subj_ref[:, :]))
         best, bi, bj = acc
         best = jnp.maximum(best, 0)
 
@@ -304,14 +291,7 @@ def _make_swq_kernel(Sp: int, slots: int, unroll: int = 4):
         def walk_body(t, carry):
             j, done, rec = carry                 # done: int32 0/1
             i = Sp - 1 - t
-            slot = i // 32
-            lo = jnp.zeros((CB, Qp), jnp.int32)
-            hi_p = jnp.zeros((CB, Qp), jnp.int32)
-            for k in range(slots):
-                lo = jnp.where(slot == k, planes[2 * k], lo)
-                hi_p = jnp.where(slot == k, planes[2 * k + 1], hi_p)
-            sh = i & 31
-            code = ((lo >> sh) & 1) | (((hi_p >> sh) & 1) << 1)
+            code = dirm_ref[i].astype(jnp.int32)
             active = (done == 0) & (i <= bi) & (i >= sl)
             band_lo = start_lo + jnp.maximum(0, i - sl - lead)
             band_hi = jnp.minimum(qn, re_ + 1 + i - sl)
@@ -341,7 +321,11 @@ def _make_swq_kernel(Sp: int, slots: int, unroll: int = 4):
         j0 = bj
         done0 = jnp.zeros((CB, 1), jnp.int32)
         rec0 = jnp.zeros((CB, Sp), jnp.int32)
-        _, _, rec = jax.lax.fori_loop(0, Sp, walk_body, (j0, done0, rec0))
+        if mode == 0:
+            _, _, rec = jax.lax.fori_loop(0, Sp, walk_body,
+                                          (j0, done0, rec0))
+        else:                               # perf probes: skip the walk
+            rec = rec0
 
         lo = jax.lax.broadcasted_iota(jnp.int32, (CB, 128), 1)
         out_ref[:, :] = jnp.where(
@@ -352,8 +336,10 @@ def _make_swq_kernel(Sp: int, slots: int, unroll: int = 4):
     return kernel
 
 
-def _swq_call(qalpha, subj, par_v, matrix, sm, Sp, interpret=False):
-    """Pallas dispatch (call under jit; Sp static)."""
+def _swq_call(qalpha, subj, par_v, matrix, sm, Sp, interpret=False,
+              mode=0):
+    """Pallas dispatch (call under jit; Sp static).  mode: 0 full,
+    1 fill-only, 2 fill+dirm store (perf probes)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -362,8 +348,7 @@ def _swq_call(qalpha, subj, par_v, matrix, sm, Sp, interpret=False):
     W, Qp = qalpha.shape
     CB = 32 if Qp <= 128 else 16
     assert W % CB == 0 and Sp % 32 == 0
-    slots = Sp // 32
-    kernel = _make_swq_kernel(Sp, slots)
+    kernel = _make_swq_kernel(Sp, mode=mode)
     grid = (W // CB,)
     out, rec = pl.pallas_call(
         kernel,
@@ -384,6 +369,7 @@ def _swq_call(qalpha, subj, par_v, matrix, sm, Sp, interpret=False):
             jax.ShapeDtypeStruct((W, 128), jnp.int32),
             jax.ShapeDtypeStruct((W, Sp), jnp.int32),
         ],
+        scratch_shapes=[pltpu.VMEM((Sp, CB, Qp), jnp.int8)],
         interpret=interpret,
     )(qalpha, subj, par_v, matrix, sm)
     return out[:, 0], out[:, 1], out[:, 2], rec
@@ -420,7 +406,10 @@ def build_pass2_step(matrix_bytes: bytes, matrix_shape, go: int, ge: int,
         valid = src >= 0
         g = jnp.take_along_axis(reads, jnp.maximum(src, 0), axis=1)
         std = (g & 4) == 0
-        rcq = jnp.where(valid, jnp.where(std, g ^ 3, g), 7)
+        # codec bytes carry flag bits above the 3-bit alpha code: the
+        # complement trick then &7, exactly as exact_collate.py:582
+        rcq = jnp.where(valid, jnp.where(std, g ^ 3, g) & 7, 7)
+        reads = jnp.where(j < qlens[:, None], reads & 7, 7)
         gstart, slen, ridx, is_rev = (wd[:, 0], wd[:, 1], wd[:, 2],
                                       wd[:, 3])
         qalpha = jnp.where((is_rev == 1)[:, None], rcq[ridx], reads[ridx])

@@ -220,6 +220,14 @@ def test_end_to_end_byte_identical(tmp_path):
             s = int(rng.integers(0, 2))
             pos = int(rng.integers(0, len(seqs[s]) - QLEN))
             r = seqs[s][pos:pos + QLEN]
+            if i % 2:
+                # mutations so the gapless perfect-match shortcut does
+                # NOT fire and pass 2 must run the real decode path
+                r = list(r)
+                for _ in range(3):
+                    at = int(rng.integers(0, QLEN))
+                    r[at] = "ACGT"[int(rng.integers(0, 4))]
+                r = "".join(r)
             if rng.random() < 0.5:
                 r = r.translate(str.maketrans("ACGT", "TGCA"))[::-1]
             f.write(f"@r{i}\n{r}\n+\n{'5' * QLEN}\n")
@@ -247,6 +255,12 @@ def test_end_to_end_byte_identical(tmp_path):
     dev.run_raw_fastq(str(fq), sink, fb)
     assert sink.getvalue() == host.getvalue()
     assert dev.n_restaged > 0      # the repeat reads exercised restage
+    # the device pass-2 decode must actually carry alignments (a wrong
+    # device best of 0 silently drops candidates as "used": p2_hit
+    # counts decodes that emitted results — the regression guard for
+    # the alpha-code masking bug)
+    assert dev.p2_used >= 10, (dev.p2_used, dev.p2_fb, dev.p2_hit)
+    assert dev.p2_hit >= 5, (dev.p2_used, dev.p2_fb, dev.p2_hit)
 
 
 def test_end_to_end_host_hits_byte_identical(tmp_path):
