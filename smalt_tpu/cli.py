@@ -414,9 +414,7 @@ def cmd_map(argv: List[str]) -> int:
                 ihist=ihist, fix_primary=fix_primary, ali_out=a.aliout,
                 device_pass1=a.device_pass1,
                 device_exact=a.device_exact,
-                resume_log=(resume_log
-                            if not (a.device_pass1 or a.device_exact)
-                            else None))
+                resume_log=resume_log)
         elif raw_ok:
             ran_raw = run_pipeline_raw_pairs(
                 engine, a.reads, a.mates, raw_out, refset, fmt=raw_fmt,

@@ -1038,10 +1038,14 @@ class DeviceExact(DevicePass1):
                 (self.lane._refcodes & 7).astype(np.uint8))
         best, mi, mj, rec = self._pass2_step()(
             self._ref_alpha, codes_pad, qlens, wd, Sp)
-        try:
-            rec.copy_to_host_async()
-        except AttributeError:
-            pass
+        for a in (best, mi, mj, rec):
+            # overlap all four device->host transfers (sequential
+            # np.asarray fetches cost one tunnel round trip EACH —
+            # measured 4x the kernel time on the remote-TPU rig)
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
         best64 = np.ascontiguousarray(np.asarray(best)[:nw], np.int64)
         mi64 = np.ascontiguousarray(np.asarray(mi)[:nw], np.int64)
         mj64 = np.ascontiguousarray(np.asarray(mj)[:nw], np.int64)
@@ -1057,7 +1061,8 @@ class DeviceExact(DevicePass1):
 
     # ---------------- driver ----------------
 
-    def run_raw_fastq(self, path: str, out, fallback) -> None:
+    def run_raw_fastq(self, path: str, out, fallback,
+                      resume_log=None) -> None:
         """Map a FASTQ file: host pre (hit info + rank masks) -> ONE
         device dispatch (collation + pass-1 scores) on a worker thread
         -> host post (depth sort + state) -> device pass-2 dispatch
@@ -1065,7 +1070,13 @@ class DeviceExact(DevicePass1):
         consuming the walk records.  Blocks the device cannot serve
         fall back per read (host re-stage) or per candidate (decode
         doubt -> host DP) or, on hard errors, per batch (no RNG
-        consumed until pass 2)."""
+        consumed until pass 2).
+
+        resume_log: ResumeLog sidecar — checkpoints {reads written,
+        output bytes, drand48 state} after each in-order batch write
+        (no RNG is consumed before pass 2, so batch skipping on resume
+        replays the identical stream, like the host loop in
+        pipeline.py)."""
         import os
         import sys
         import time
@@ -1240,27 +1251,52 @@ class DeviceExact(DevicePass1):
                 text = fallback(*raw)
             return text
 
+        skip = 0
+        if resume_log is not None:
+            st = resume_log.load()
+            if st:
+                skip = st["reads_done"]
+                rand._global._x = st["rng"]
+        reads_seen = 0
+        written = [0]
+
+        def write_out(text, nreads):
+            out.write(text)
+            written[0] += nreads
+            if resume_log is not None:
+                out.flush()
+                resume_log.tick(written[0], out.tell(),
+                                rand._global._x)
+
         midq = deque()
         finq = deque()
         try:
             for raw in iter_fastq_batches(path, self.batch):
+                reads_seen += len(raw[0])
+                if reads_seen <= skip:
+                    written[0] = reads_seen   # checkpointed: skip
+                    continue
                 item = prepare(*raw)
                 if item is None:
-                    out.write(fallback(*raw))
+                    write_out(fallback(*raw), len(raw[0]))
                     continue
                 midq.append((item, raw))
                 while len(midq) > 1:
                     it, rw = midq.popleft()
                     finq.append((mid(it, rw), rw))
                 while len(finq) > 1:
-                    out.write(fin(*finq.popleft()))
+                    it, rw = finq.popleft()
+                    write_out(fin(it, rw), len(rw[0]))
             while midq:
                 it, rw = midq.popleft()
                 finq.append((mid(it, rw), rw))
             while finq:
-                out.write(fin(*finq.popleft()))
+                it, rw = finq.popleft()
+                write_out(fin(it, rw), len(rw[0]))
         finally:
             pool_exec.shutdown(wait=True)
+        if resume_log is not None:
+            resume_log.done()
 
 
 def codec_encode_bulk(ascii_codes: np.ndarray) -> bytes:

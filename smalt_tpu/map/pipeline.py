@@ -233,10 +233,14 @@ def run_pipeline_raw_fastq(engine, path: str, out, refset,
         dev = DeviceExact.make(engine, fmt, soft_clip, x_mismatch,
                                ali_out, fix_primary)
         if dev is not None:
-            dev.run_raw_fastq(path, out, fallback_batch)
+            dev.run_raw_fastq(path, out, fallback_batch,
+                              resume_log=resume_log)
             return True
         # unsupported config (index/ref shape): device-pass1 or host
-    if device_pass1 or device_exact:
+    if (device_pass1 or device_exact) and resume_log is None:
+        # DevicePass1 has no checkpoint hook: when --resume is asked
+        # for, prefer the host loop below (which has) over the device
+        # leg — correctness of resume beats the accel
         from .fastlane import DevicePass1
         dev = DevicePass1.make(engine, fmt, soft_clip, x_mismatch,
                                ali_out, fix_primary)

@@ -179,11 +179,14 @@ def swq_fill_walk_ref(qalpha, subj, par, matrix, go, ge):
 def _make_swq_kernel(Sp: int, unroll: int = 4, mode: int = 0):
     """One grid step = CB windows.  The 2-bit direction codes live in a
     (Sp, CB, Qp) int8 VMEM scratch — dynamic indexing on the untiled
-    leading (row) dim is the supported Mosaic pattern, and (CB, Qp) =
-    (32, 128) is the native int8 tile.  A first bitplane-carry design
-    moved ~256 KB of loop-carried planes per row and measured 6000x
-    slower than the score kernels; this one carries only H/E/acc like
-    ops/sw.py."""
+    leading (row) dim is the supported Mosaic pattern.  A first
+    bitplane-carry design moved ~256 KB of loop-carried planes per row
+    and measured 6000x slower than the score kernels; this one carries
+    only H/E/acc like ops/sw.py.  CB = 128 (the v5e 128x128 sweet spot
+    ops/sw.py measured): the CB=32 first cut ran 6x slower on the same
+    work because per-row fixed overhead dominates.  The walk emits one
+    rec COLUMN per row into a transposed (Sp, CB) output — the
+    (CB, Sp) whole-plane select per walk row was ~100 vector ops."""
     import jax
     import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
@@ -230,10 +233,12 @@ def _make_swq_kernel(Sp: int, unroll: int = 4, mode: int = 0):
             Wrow = prof[0]
             for a in range(1, 8):
                 Wrow = jnp.where(scol == a, prof[a], Wrow)
-            band_lo = start_lo + jnp.maximum(0, i - sl - lead)
+            row_ok = (i >= sl) & (i < sn)                # [CB, 1]
+            band_lo = jnp.where(row_ok,
+                                start_lo + jnp.maximum(0, i - sl - lead),
+                                Qp)
             band_hi = jnp.minimum(qn, re_ + 1 + i - sl)
-            in_band = ((lane >= band_lo) & (lane < band_hi) &
-                       (i >= sl) & (i < sn))
+            in_band = (lane >= band_lo) & (lane < band_hi)
             diag = jnp.where(lane < 1, 0, pltpu.roll(H, 1, 1)) + Wrow
             E_used = E
             pre = in_band & (diag > 0) & (diag > E_used)
@@ -286,20 +291,22 @@ def _make_swq_kernel(Sp: int, unroll: int = 4, mode: int = 0):
         best = jnp.maximum(best, 0)
 
         # ---------------- reverse walk ----------------
-        lane_s = jax.lax.broadcasted_iota(jnp.int32, (CB, Sp), 1)
+        # rec_ref is TRANSPOSED (Sp, CB): one dynamic row store per
+        # walk row instead of a (CB, Sp) whole-plane select.
+        # hi_at_j (the rightmost non-insertion lane <= j) is a masked
+        # max — the cummax + select-sum of the first cut was ~25
+        # vector ops per row for the same value.
 
         def walk_body(t, carry):
-            j, done, rec = carry                 # done: int32 0/1
+            j, done = carry                      # done: int32 0/1
             i = Sp - 1 - t
             code = dirm_ref[i].astype(jnp.int32)
             active = (done == 0) & (i <= bi) & (i >= sl)
             band_lo = start_lo + jnp.maximum(0, i - sl - lead)
             band_hi = jnp.minimum(qn, re_ + 1 + i - sl)
             mask2 = (code == 2) & (lane >= ql)
-            stop_idx = jnp.where(mask2, -1, lane)
-            hiv = cummax(stop_idx)
-            is_j = lane == j
-            hi_at_j = jnp.sum(jnp.where(is_j, hiv, 0), axis=1,
+            sel = (~mask2) & (lane <= j)
+            hi_at_j = jnp.max(jnp.where(sel, lane, -1), axis=1,
                               keepdims=True)
             hi_at_j = jnp.maximum(hi_at_j, ql - 1)
             nins = jnp.maximum(j - hi_at_j, 0)
@@ -311,27 +318,23 @@ def _make_swq_kernel(Sp: int, unroll: int = 4, mode: int = 0):
                                            (j2 < band_lo))
             typ = jnp.where(suspect, 0, jnp.where(stop, 2, code2))
             rec_i = jnp.where(active, (nins << 2) | typ, 0)
-            rec = jnp.where((lane_s == i) & active,
-                            jnp.broadcast_to(rec_i, (CB, Sp)), rec)
+            rec_ref[i] = rec_i.astype(jnp.int16).T
             j = jnp.where(active & ~stop,
                           jnp.where(code2 == 3, j2 - 1, j2), j)
             done = jnp.where(active & stop, 1, done)
-            return j, done, rec
+            return j, done
 
         j0 = bj
         done0 = jnp.zeros((CB, 1), jnp.int32)
-        rec0 = jnp.zeros((CB, Sp), jnp.int32)
         if mode == 0:
-            _, _, rec = jax.lax.fori_loop(0, Sp, walk_body,
-                                          (j0, done0, rec0))
+            jax.lax.fori_loop(0, Sp, walk_body, (j0, done0))
         else:                               # perf probes: skip the walk
-            rec = rec0
+            rec_ref[:, :, :] = jnp.zeros((Sp, 1, CB), jnp.int16)
 
         lo = jax.lax.broadcasted_iota(jnp.int32, (CB, 128), 1)
         out_ref[:, :] = jnp.where(
             lo == 0, best, jnp.where(lo == 1, bi, jnp.where(lo == 2, bj,
                                                             0)))
-        rec_ref[:, :] = rec
 
     return kernel
 
@@ -346,11 +349,16 @@ def _swq_call(qalpha, subj, par_v, matrix, sm, Sp, interpret=False,
     from jax.experimental.pallas import tpu as pltpu
 
     W, Qp = qalpha.shape
-    CB = 32 if Qp <= 128 else 16
+    # CB: as wide as the (Sp, CB, Qp) int8 dirm scratch allows inside
+    # an 8 MB VMEM budget; 128 is the v5e sweet spot (ops/sw.py)
+    CB = 128
+    while CB > 32 and Sp * CB * Qp > (8 << 20):
+        CB //= 2
+    CB = min(CB, W)
     assert W % CB == 0 and Sp % 32 == 0
     kernel = _make_swq_kernel(Sp, mode=mode)
     grid = (W // CB,)
-    out, rec = pl.pallas_call(
+    out, rec_t = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -363,16 +371,19 @@ def _swq_call(qalpha, subj, par_v, matrix, sm, Sp, interpret=False,
         ],
         out_specs=[
             pl.BlockSpec((CB, 128), lambda b: (b, 0)),
-            pl.BlockSpec((CB, Sp), lambda b: (b, 0)),
+            # rec rides a 3D block: the dynamic per-row store needs an
+            # UNTILED leading dim (a 2D (Sp, CB) ref would demand the
+            # row index be sublane-aligned, which the walk's i is not)
+            pl.BlockSpec((Sp, 1, CB), lambda b: (0, 0, b)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((W, 128), jnp.int32),
-            jax.ShapeDtypeStruct((W, Sp), jnp.int32),
+            jax.ShapeDtypeStruct((Sp, 1, W), jnp.int16),
         ],
         scratch_shapes=[pltpu.VMEM((Sp, CB, Qp), jnp.int8)],
         interpret=interpret,
     )(qalpha, subj, par_v, matrix, sm)
-    return out[:, 0], out[:, 1], out[:, 2], rec
+    return out[:, 0], out[:, 1], out[:, 2], rec_t[:, 0, :].T
 
 
 # ---------------------------------------------------------------------

@@ -105,6 +105,29 @@ def test_fast_resume_byte_identical(world, tmp_path, monkeypatch):
     assert _body(out) == _body(ref_out)
 
 
+def test_device_exact_resume_byte_identical(world, tmp_path, monkeypatch):
+    """--device-exact + --resume compose: kill mid-run, resume, output
+    byte-identical to the uninterrupted device-exact run (which itself
+    is byte-identical to the host lane)."""
+    idx, fq, d = world
+    monkeypatch.setenv("SMALT_DX_BATCH", "512")
+    ref_out = os.path.join(tmp_path, "dxfull.sam")
+    assert cli.cmd_map(["-r", "1", "-o", ref_out, idx, fq]) == 0
+
+    out = os.path.join(tmp_path, "dxresumed.sam")
+    killed = _interrupted_run(["-r", "1", "-o", out, "--resume",
+                               "--device-exact", idx, fq], out, 2,
+                              monkeypatch)
+    assert killed, "run was expected to die mid-way"
+    assert os.path.exists(out + ".resume")
+    from smalt_tpu import resume as rz
+    monkeypatch.setattr(rz, "CHECKPOINT_BATCHES", 1)
+    assert cli.cmd_map(["-r", "1", "-o", out, "--resume",
+                        "--device-exact", idx, fq]) == 0
+    assert not os.path.exists(out + ".resume")
+    assert _body(out) == _body(ref_out)
+
+
 def test_resume_refuses_changed_args(world, tmp_path):
     idx, fq, d = world
     out = os.path.join(tmp_path, "x.sam")
