@@ -809,8 +809,12 @@ class DeviceExact(DevicePass1):
         self._di = None
         self._qcap = 128
         # device pass-2 (exact_pass2.py): sticky caps so the whole run
-        # compiles once; SMALT_DX_P2=0 keeps pass 2 on host
-        self._p2_on = os.environ.get("SMALT_DX_P2", "1") != "0"
+        # compiles once.  OFF by default: the banded fill kernel is
+        # byte-exact but measured 8x slower end-to-end than the host
+        # pass 2 on the tunnel rig (16k-read A/B: 1.4k vs 11.1k
+        # reads/s) — SMALT_DX_P2=1 opts in until the kernel closes
+        # that gap
+        self._p2_on = os.environ.get("SMALT_DX_P2", "0") == "1"
         self._p2_wcap = 512
         self._p2_sp = 2 * self._qcap
         self._p2_fn = None
@@ -832,27 +836,46 @@ class DeviceExact(DevicePass1):
         if not hasattr(lib, "fl_exact_pre_block"):
             return None
         idx = engine.index
-        if 2 * idx.wordlen > 28:        # direct-address table required
-            return None
         if engine.refset.total_len >= (1 << 31):
             return None                 # int32 serial/base coords gate
-        if engine.refset.nseq > 8:
-            return None                 # V static-loop gate
+        if not cls._host_hits_ok(engine):
+            # device-side hit expansion: direct-address table + the
+            # static interval loop (the pre-host_hits regime)
+            if 2 * idx.wordlen > 28:
+                return None
+            if engine.refset.nseq > 8:
+                return None
         return cls(lane, batch=batch, interpret=interpret)
 
     # ---------------- device function ----------------
 
+    @staticmethod
+    def _host_hits_ok(eng):
+        """True when hit expansion can run on host (fl_exact_pre_block
+        writes padded key arrays; the device's random pos[] gathers
+        were the measured TPU bottleneck).  Needs the seq-by-seq
+        full-cover interval regime (contiguous intervals spanning the
+        whole concatenated reference, one per sequence — the engine's
+        SEQBYSEQ mode, nseq < 512): the union of in-range slices is
+        then the seed's full position run, and the per-hit sequence
+        ids the C pre-block ships let the device scan per interval.
+        This regime has no k <= 14 gate (the device never touches the
+        k-mer table) and no nseq <= 8 gate (no static V loop)."""
+        if not (eng.params.rmapflg & eng_mod.RMAPFLG_SEQBYSEQ):
+            return False                # whole-genome cutoff regime
+        if eng.refset.nseq > 511:       # 9-bit seqidx field in w5
+            return False
+        idx = eng.index
+        if idx.nskip > idx.wordlen:
+            return False
+        iv = eng._seq_ivals
+        return (int(iv[0, 0]) == 0 and
+                int(iv[-1, 1]) >= eng.refset.total_len and
+                bool((iv[1:, 0] == iv[:-1, 1]).all()))
+
     @property
     def _host_hits(self):
-        """True when hit expansion runs on host (fl_exact_pre_block
-        writes padded key arrays; the device's random pos[] gathers
-        were the measured TPU bottleneck).  Needs the single
-        whole-range interval regime."""
-        eng = self.lane.engine
-        iv = eng._seq_ivals
-        return (len(iv) == 1 and int(iv[0, 0]) == 0 and
-                int(iv[0, 1]) >= eng.refset.total_len and
-                eng.index.nskip <= eng.index.wordlen)
+        return self._host_hits_ok(self.lane.engine)
 
     def _collate_fn(self):
         if self._collate is not None:
@@ -863,24 +886,32 @@ class DeviceExact(DevicePass1):
         from ..parallel.mesh import DeviceIndex
         eng = self.lane.engine
         idx = eng.index
+        host_hits = self._host_hits
         # cache the device residency AND the built jit on the index
         # object: every run builds a fresh engine/DeviceExact, and
         # re-shipping ~300 MB of residency plus a re-trace cost the
-        # first batch of every run ~13 s on the tunnel rig
+        # first batch of every run ~13 s on the tunnel rig.
+        # host_hits only ever reads ref_alpha — skip the table/pos
+        # residency entirely (also what lifts the k <= 14 gate there).
         if self._di is None:
             self._di = getattr(idx, "_dx_di", None)
-            if self._di is None:
-                self._di = DeviceIndex.build(eng.refset, idx)
+            if self._di is None or (not host_hits and
+                                    self._di.table is None and
+                                    self._di.hi_table is None):
+                self._di = (DeviceIndex.build_ref_only(eng.refset, idx)
+                            if host_hits
+                            else DeviceIndex.build(eng.refset, idx))
                 idx._dx_di = self._di
         p = eng.params
-        host_hits = self._host_hits
         H = (int(os.environ.get("SMALT_DX_H", 128)) if host_hits
              else 512)
         cfg = CollateCfg(wordlen=idx.wordlen,
                          nskip=idx.nskip,
                          maxhit=p.ktuple_maxhit,
                          B=self.batch, Q=self._qcap, H=H,
-                         V=eng.refset.nseq, host_hits=host_hits)
+                         V=1 if host_hits else eng.refset.nseq,
+                         host_hits=host_hits,
+                         NS=eng.refset.nseq if host_hits else 1)
         on_tpu = None if self.interpret is None else not self.interpret
         matrix = np.asarray(eng.matrix)
         key = (cfg, matrix.tobytes(), eng.gapopen, eng.gapext, on_tpu)
@@ -909,15 +940,20 @@ class DeviceExact(DevicePass1):
         idx = lane.engine.index
         pre = np.zeros((n, 12), np.int64)
         selmask = np.zeros((n, 2, Qcap), np.uint8)
+        nseq = lane.engine.refset.nseq
+        ks = None
         if hits_B:
             k1 = np.zeros((hits_B, 2, hits_H), np.int32)
             k2 = np.zeros((hits_B, 2, hits_H), np.uint8)
             tot = np.zeros((hits_B, 2), np.int32)
+            if nseq > 1:        # per-hit sequence index (interval id)
+                ks = np.zeros((hits_B, 2, hits_H), np.int32)
             args = (pa, hits_H, k1.ctypes.data, k2.ctypes.data,
-                    tot.ctypes.data)
+                    tot.ctypes.data, lane._offsets.ctypes.data, nseq,
+                    ks.ctypes.data if ks is not None else None)
         else:
             k1 = k2 = tot = None
-            args = (None, 0, None, None, None)
+            args = (None, 0, None, None, None, None, 0, None)
         rc = lane.lib.fl_exact_pre_block(
             wa, sa, nwords, ta, idx.wordlen, idx.nskip,
             p.ktuple_maxhit, eng_mod.HASH_MAXNHITS, p.min_basq,
@@ -927,7 +963,7 @@ class DeviceExact(DevicePass1):
             Qcap, pre.ctypes.data, selmask.ctypes.data, *args)
         if rc != 0:
             return None
-        return pre, selmask, k1, k2, tot
+        return pre, selmask, k1, k2, tot, ks
 
     def _post(self, n, read_offs, pre, pool, counts2, scores, cksum,
               fallback):
@@ -1137,7 +1173,7 @@ class DeviceExact(DevicePass1):
                                Qcap)
             if st is None:
                 return None
-            pre, selmask, k1, k2, tot = st
+            pre, selmask, k1, k2, tot, ks = st
             # fixed-shape device inputs (pad reads to the block size)
             codes_pad = np.zeros((B, Qcap), np.uint8)
             enc = np.frombuffer(codec_encode_bulk(codes), np.uint8)
@@ -1153,10 +1189,12 @@ class DeviceExact(DevicePass1):
                 host_fb = (tot[:n] < 0).any(axis=1)
                 np.maximum(tot, 0, out=tot)
                 R = 2 * B
-                fut = pool_exec.submit(
-                    device_leg, k1.reshape(R, self._cfg.H),
-                    k2.reshape(R, self._cfg.H),
-                    tot.reshape(R), codes_pad, qlens, mincov)
+                hargs = (k1.reshape(R, self._cfg.H),
+                         k2.reshape(R, self._cfg.H), tot.reshape(R),
+                         codes_pad, qlens, mincov)
+                if ks is not None:
+                    hargs = (ks.reshape(R, self._cfg.H),) + hargs
+                fut = pool_exec.submit(device_leg, *hargs)
             else:
                 host_fb = None
                 qbad = np.zeros((B, Qcap), bool)

@@ -288,7 +288,8 @@ def _declare_fastlane(lib):
             ci,                             # codes_are_ascii
             i64, vp, vp, vp, vp,            # reads
             i64, vp, vp,                    # Qpad, pre, selmask
-            vp, i64, vp, vp, vp]            # pos, Hcap, k1, k2, tot
+            vp, i64, vp, vp, vp,            # pos, Hcap, k1, k2, tot
+            vp, i64, vp]                    # seq_offsets, nseq, ks
         lib.fl_exact_post_block.restype = i64
         lib.fl_exact_post_block.argtypes = [
             ci, ci, vp, i64,                # wordlen/nskip/offsets/nseq

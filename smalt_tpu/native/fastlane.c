@@ -3392,10 +3392,15 @@ int64_t fl_exact_pre_block(
      * sort keys per (read, strand) lane, k1 = p -/+ q/nskip (int32),
      * k2 = q (uint8), valid prefix length in tot_out; tot_out = -1
      * when a lane exceeds Hcap (read falls back).  NULL = skip.
-     * Requires the single-interval whole-range regime (the caller
-     * gates on it): in-range slice = the seed's full position run. */
+     * Requires the seq-by-seq full-cover interval regime (the caller
+     * gates on it): the union of in-range slices = the seed's full
+     * position run, and each hit's interval id is its sequence.
+     * ks_out (optional, int32 [n,2,Hcap]): per-hit sequence index so
+     * the device can sort/scan per interval (NULL with nseq == 1:
+     * the device substitutes zeros). */
     const uint32_t *pos, int64_t Hcap,
-    int32_t *k1_out, uint8_t *k2_out, int32_t *tot_out)
+    int32_t *k1_out, uint8_t *k2_out, int32_t *tot_out,
+    const int64_t *seq_offsets, int64_t nseq, int32_t *ks_out)
 {
     FLScratch s;
     int64_t i, qmax = 1;
@@ -3511,6 +3516,8 @@ int64_t fl_exact_pre_block(
             if (k1_out != NULL) {
                 int32_t *k1 = k1_out + (i * 2 + strand) * Hcap;
                 uint8_t *k2 = k2_out + (i * 2 + strand) * Hcap;
+                int32_t *ks = ks_out ? ks_out + (i * 2 + strand) * Hcap
+                                     : NULL;
                 int64_t tot = 0;
                 for (r = 0; r < nsel; r++) {
                     int64_t ix = sx[r], q = qo[ix], c = nh[ix], l;
@@ -3525,6 +3532,30 @@ int64_t fl_exact_pre_block(
                             k1[tot + l] = (int32_t)pp[l] - qd;
                     }
                     memset(k2 + tot, (int)q, (size_t)c);
+                    if (ks != NULL && c > 0) {
+                        /* hit p is in sequence v iff
+                         * offs[v]/nskip <= p < offs[v+1]/nskip (the
+                         * serial ranges partition: hi_v == lo_{v+1});
+                         * runs ascend, so bsearch the first hit then
+                         * advance the boundary pointer */
+                        int64_t lo_ = 0, hi_ = nseq - 1, sq;
+                        while (lo_ < hi_) {
+                            int64_t mid = (lo_ + hi_ + 1) >> 1;
+                            if ((uint32_t)(seq_offsets[mid] / nskip)
+                                    <= pp[0])
+                                lo_ = mid;
+                            else
+                                hi_ = mid - 1;
+                        }
+                        sq = lo_;
+                        for (l = 0; l < c; l++) {
+                            while (sq + 1 < nseq &&
+                                   pp[l] >= (uint32_t)
+                                       (seq_offsets[sq + 1] / nskip))
+                                sq++;
+                            ks[tot + l] = (int32_t)sq;
+                        }
+                    }
                     tot += c;
                 }
                 tot_out[i * 2 + strand] = (int32_t)tot;

@@ -85,8 +85,11 @@ class CollateCfg:
     H: int = 512           # hits cap per (read, strand, interval)
     C: int = 16            # candidate cap per (read, strand, interval)
     P: int = 0             # pool cap (default 8*B)
-    V: int = 1             # reference intervals (seq-by-seq sequences)
+    V: int = 1             # interval SLOTS in the device V loop
     host_hits: bool = False  # host ships padded (k1, k2) hit keys
+    NS: int = 1            # reference sequences; > 1 (host_hits only):
+                           # host also ships per-hit seq ids and the
+                           # scan breaks at interval boundaries
     SPAD: int = 128        # pass-1 window pad (oversize -> restage)
 
     @property
@@ -198,14 +201,23 @@ def _expand_hits(jnp, cfg, pos, a, nh, strand_is_rev):
 
 
 def _segcand_scan(jax, jnp, cfg, k1, k2, valid, mdsh, mincover,
-                  strand_is_rev):
+                  strand_is_rev, ivl=None):
     """The sequential heart: ONE scan over the sorted hits forming
     seeds (segment.c:455), constant-shift segments (segment.c:535),
     regions (segment.c:396, min_ktup == 1 — module docstring) and the
     greedy candidate merge (segment.c:1140 + derriveSEGCAND 929),
     emitting <= 2 packed rows per step (a break-emit plus a
     region-close emit can coincide).  Returns (emit flags [R, 2H+2],
-    rows [R, 2H+2, 6], bad [R])."""
+    rows [R, 2H+2, 7], bad [R]); row field 6 is the candidate's
+    interval id (0 without `ivl`).
+
+    ivl (optional [R, H] i32): interval (sequence) id per sorted hit.
+    The C engine collates each base interval separately (seq-by-seq,
+    rmap.c's SEQBYSEQ regime), so a combined scan must break regions
+    and shift-segments exactly at interval boundaries — hits are
+    sorted with ivl as the LEADING key, one forced region_start per
+    boundary reproduces the per-interval scan, and emission order
+    stays (interval, emission) as the pool contract requires."""
     R, H = k1.shape
     k = cfg.wordlen
     nskip = cfg.nskip
@@ -219,8 +231,13 @@ def _segcand_scan(jax, jnp, cfg, k1, k2, valid, mdsh, mincover,
     e_iota = jnp.arange(H, dtype=i32)[None, :]
     same_region = (d1 < mdsh[:, None]) | \
                   ((d1 == mdsh[:, None]) & (k2 < prev_k2))
-    region_start = (e_iota == 0) | ~same_region
     same_shift = (d1 == 0) & (e_iota > 0)
+    if ivl is not None:
+        prev_ivl = jnp.pad(ivl, ((0, 0), (1, 0)))[:, :H]
+        ivl_change = (ivl != prev_ivl) & (e_iota > 0)
+        same_region = same_region & ~ivl_change
+        same_shift = same_shift & ~ivl_change
+    region_start = (e_iota == 0) | ~same_region
 
     zeros = jnp.zeros((R,), i32)
     fal = jnp.zeros((R,), bool)
@@ -242,8 +259,10 @@ def _segcand_scan(jax, jnp, cfg, k1, k2, valid, mdsh, mincover,
                        sh + st["seed_q0"] // nskip + ext)
         return qs, qe, rs, re
 
-    def pack_row(c):
-        """derriveSEGCAND final fields from candidate accumulators."""
+    def pack_row(c, reg_ivl):
+        """derriveSEGCAND final fields from candidate accumulators.
+        reg_ivl: the interval id of the candidate's region (candidates
+        never span intervals: region_start is forced at boundaries)."""
         qs, qe, rs, re = c["qs"], c["qe"], c["rs"], c["re"]
         sh_start = jnp.where(strand_is_rev,
                              rs + (qe - k + 1) // nskip,
@@ -258,10 +277,11 @@ def _segcand_scan(jax, jnp, cfg, k1, k2, valid, mdsh, mincover,
         bad = ((c["nseg"] > 255) | (srange < 0) |
                (srange >= (1 << 22)) | (c["cover"] > 255) |
                (qs < 0) | (qe > 255))
-        return jnp.stack([w0, rs, re, diff_shift, sh2mm, w5], 1), bad
+        return jnp.stack([w0, rs, re, diff_shift, sh2mm, w5,
+                          reg_ivl], 1), bad
 
     def step(st, xs):
-        k1e, k2e, val, rstart, sshift = xs
+        k1e, k2e, val, rstart, sshift, ivl_e = xs
         force = st["force"]
         open_seed = st["open_seed"]
 
@@ -286,9 +306,9 @@ def _segcand_scan(jax, jnp, cfg, k1, k2, valid, mdsh, mincover,
                (st["c"]["cover"] >= mincover))
         fresh = (close_seg & ~cand_open) | brk
 
-        row_b, bad_b = pack_row(st["c"])
+        row_b, bad_b = pack_row(st["c"], st["reg_ivl"])
         emit0_f = brk                      # break always emits
-        emit0 = jnp.where(brk[:, None], row_b, jnp.zeros((R, 6), i32))
+        emit0 = jnp.where(brk[:, None], row_b, jnp.zeros((R, 7), i32))
         bad = st["bad"] | (brk & bad_b)
 
         upd_max = seg_cover > st["c"]["maxcovseg"]
@@ -321,10 +341,10 @@ def _segcand_scan(jax, jnp, cfg, k1, k2, valid, mdsh, mincover,
                           cmask)
 
         # region close: emit the (possibly just-integrated) candidate
-        row_r, bad_r = pack_row(c)
+        row_r, bad_r = pack_row(c, st["reg_ivl"])
         emit_r = close_cand & cand_open & (c["cover"] >= mincover)
         emit1_f = emit_r
-        emit1 = jnp.where(emit_r[:, None], row_r, jnp.zeros((R, 6), i32))
+        emit1 = jnp.where(emit_r[:, None], row_r, jnp.zeros((R, 7), i32))
         bad = bad | (emit_r & bad_r)
         cand_open = cand_open & ~close_cand
         cmask = jnp.where(close_cand[:, None],
@@ -360,6 +380,7 @@ def _segcand_scan(jax, jnp, cfg, k1, k2, valid, mdsh, mincover,
             cand_open=cand_open,
             c=c,
             bad=bad,
+            reg_ivl=jnp.where(val & rstart, ivl_e, st["reg_ivl"]),
         )
         return ns, (emit0_f, emit0, emit1_f, emit1)
 
@@ -375,33 +396,36 @@ def _segcand_scan(jax, jnp, cfg, k1, k2, valid, mdsh, mincover,
                shiftmin=zeros, maxcovseg=zeros, shift2mm=zeros,
                lastshift=zeros, nseg=zeros),
         bad=fal,
+        reg_ivl=zeros,
     )
-    xs = (k1.T, k2.T, valid.T, region_start.T, same_shift.T)
+    ivl_xs = (jnp.zeros((R, H), i32) if ivl is None else ivl).T
+    xs = (k1.T, k2.T, valid.T, region_start.T, same_shift.T, ivl_xs)
     stF, ys = jax.lax.scan(step, st0, xs)
     # epilogue: close everything still open
     stF = dict(stF)
     stF["force"] = jnp.ones((R,), bool)
-    _, ysE = step(stF, (zeros, zeros, fal, fal, fal))
+    _, ysE = step(stF, (zeros, zeros, fal, fal, fal, zeros))
     e0f, e0, e1f, e1 = ys                    # [H, R] / [H, R, 6]
     xe0f, xe0, xe1f, xe1 = ysE
     ef = jnp.concatenate(
         [jnp.stack([e0f, e1f], 1).reshape(2 * H, R),
          xe0f[None], xe1f[None]], axis=0)                # [2H+2, R]
     er = jnp.concatenate(
-        [jnp.stack([e0, e1], 1).reshape(2 * H, R, 6),
-         xe0[None], xe1[None]], axis=0)                  # [2H+2, R, 6]
+        [jnp.stack([e0, e1], 1).reshape(2 * H, R, 7),
+         xe0[None], xe1[None]], axis=0)                  # [2H+2, R, 7]
     return ef.T, jnp.transpose(er, (1, 0, 2)), stF["bad"]
 
 
 def _compact_rows(jax, jnp, cfg, ef, er):
     """Per-lane compaction of the scan emissions (emission order
-    preserved): [R, E(,6)] -> rows [R, C, 6], counts [R], overflow."""
+    preserved): [R, E(,F)] -> rows [R, C, F], counts [R], overflow."""
     R, E = ef.shape
     C = cfg.C
+    F = er.shape[2]
     key = jnp.where(ef, jnp.arange(E, dtype=jnp.int32)[None, :], BIG)
-    ops = jax.lax.sort([key] + [er[:, :, f] for f in range(6)],
+    ops = jax.lax.sort([key] + [er[:, :, f] for f in range(F)],
                        num_keys=1)
-    rows = jnp.stack([ops[1 + f][:, :C] for f in range(6)], 2)
+    rows = jnp.stack([ops[1 + f][:, :C] for f in range(F)], 2)
     counts = jnp.sum(ef.astype(jnp.int32), axis=1)
     slot_ok = jnp.arange(C, dtype=jnp.int32)[None, :] < counts[:, None]
     return jnp.where(slot_ok[:, :, None], rows, 0), counts, counts > C
@@ -430,14 +454,17 @@ def build_exact_collate(di, ivals_np, matrix_np, go, ge, cfg: CollateCfg,
     from ..ops.sw import sw_score_batch, sw_score_ref
 
     ensure_compile_cache()
-    if di.table is None:
-        raise ValueError("device-exact needs the direct-address table")
+    if not cfg.host_hits and di.table is None:
+        raise ValueError("device-exact hit expansion needs the "
+                         "direct-address table (host_hits does not)")
     if on_tpu is None:
         on_tpu = jax.default_backend() == "tpu"
     k = cfg.wordlen
     nskip = cfg.nskip
     B, Q, H, C, V = cfg.B, cfg.Q, cfg.H, cfg.C, cfg.V
-    assert V == len(ivals_np)
+    # host_hits: V interval SLOTS stay 1 (one combined scan); ivals_np
+    # still carries every sequence for the geometry offsets
+    assert cfg.host_hits or V == len(ivals_np)
     P = cfg.pool
     R = 2 * B
     # the big index arrays are passed as ARGUMENTS, not closure
@@ -468,18 +495,21 @@ def build_exact_collate(di, ivals_np, matrix_np, go, ge, cfg: CollateCfg,
     bsteps = int(np.ceil(np.log2(max(B, 2)))) + 1
 
     def _pool_geom_score(ref_alpha, rows_v, counts_v, fallback, codes,
-                         qlens):
+                         qlens, sq_from_rows=False):
         """Shared tail: global pool compaction in per-read (strand,
         interval, emission) order, geometry (mc_calc_seg_offsets) +
-        is_simd, and fused pass-1 window scoring."""
+        is_simd, and fused pass-1 window scoring.
+
+        sq_from_rows: take each candidate's interval id from row
+        field 6 (the combined-scan host_hits regime, where one slot
+        carries every interval's candidates in interval order)
+        instead of the V-loop slot index."""
         i32 = jnp.int32
         # ---- global pool compaction, (strand, interval, slot) order --
-        rows_bs = jnp.stack(rows_v, axis=2)          # [B, 2, V, C, 6]
+        rows_bs = jnp.stack(rows_v, axis=2)          # [B, 2, V, C, 7]
         cnts_bs = jnp.stack(counts_v, axis=2)        # [B, 2, V]
         S2 = 2 * V * C
-        rows_flat = rows_bs.reshape(B, S2, 6)
-        sq_slot = jnp.broadcast_to(sq_arr[None, None, :, None],
-                                   (B, 2, V, C)).reshape(B, S2)
+        rows_flat = rows_bs.reshape(B, S2, 7)
         rev_slot = jnp.broadcast_to(
             jnp.arange(2, dtype=i32)[None, :, None, None],
             (B, 2, V, C)).reshape(B, S2)
@@ -506,9 +536,15 @@ def build_exact_collate(di, ivals_np, matrix_np, go, ge, cfg: CollateCfg,
         fs = jnp.clip(slot_sorted[rd, jnp.minimum(within, S2 - 1)],
                       0, S2 - 1)
         pool_ok = g_iota < npool
-        pool = jnp.where(pool_ok[:, None], rows_flat[rd, fs], 0)
+        pool7 = jnp.where(pool_ok[:, None], rows_flat[rd, fs], 0)
+        pool = pool7[:, :6]
         pool_rev = jnp.where(pool_ok, rev_slot[rd, fs], 0)
-        pool_sq = jnp.where(pool_ok, sq_slot[rd, fs], 0)
+        if sq_from_rows:
+            pool_sq = pool7[:, 6]
+        else:
+            sq_slot = jnp.broadcast_to(sq_arr[None, None, :, None],
+                                       (B, 2, V, C)).reshape(B, S2)
+            pool_sq = jnp.where(pool_ok, sq_slot[rd, fs], 0)
         pool_read = jnp.where(pool_ok, rd, 0)
         pool = pool.at[:, 5].set(pool[:, 5] | (pool_sq << 22))
         # reads whose rows spill past the pool cap fall back
@@ -640,7 +676,7 @@ def build_exact_collate(di, ivals_np, matrix_np, go, ge, cfg: CollateCfg,
             rows, counts, overC = _compact_rows(jax, jnp, cfg, ef, er)
             lane_bad = (total > H) | badscan | overC
             fallback = fallback | lane_bad.reshape(B, 2).any(axis=1)
-            rows_v.append(rows.reshape(B, 2, C, 6))
+            rows_v.append(rows.reshape(B, 2, C, 7))
             counts_v.append(counts.reshape(B, 2))
 
         pool, counts2, scores, fallback = _pool_geom_score(
@@ -648,11 +684,16 @@ def build_exact_collate(di, ivals_np, matrix_np, go, ge, cfg: CollateCfg,
         return pool, counts2, scores, cksum, fallback
 
     @jax.jit
-    def _step_hh(ref_alpha, k1, k2u8, tot, codes, qlens, min_cover):
+    def _step_hh(ref_alpha, ks, k1, k2u8, tot, codes, qlens, min_cover):
         # host-expanded hits (fl_exact_pre_block): k1 [R,H] i32 packed
         # shift keys, k2u8 [R,H] u8 query offsets, tot [R] valid prefix
-        # lengths.  Sequential C writes replace the device's random
-        # pos[] gathers — the measured TPU bottleneck (~540 ms/batch).
+        # lengths, ks [R,H] i32 per-hit sequence ids (None when NS==1).
+        # Sequential C writes replace the device's random pos[]
+        # gathers — the measured TPU bottleneck (~540 ms/batch).  With
+        # NS > 1 the sort leads with ks, so the combined scan walks the
+        # hits interval by interval exactly as the C engine's
+        # seq-by-seq passes do (rmap.c SEQBYSEQ; mc_collect_segment
+        # per ivals[v]), with forced breaks at the boundaries.
         i32 = jnp.int32
         strand_is_rev = (jnp.arange(R, dtype=i32) % 2) == 1
         qlenR = jnp.repeat(qlens, 2)
@@ -663,25 +704,38 @@ def build_exact_collate(di, ivals_np, matrix_np, go, ge, cfg: CollateCfg,
         valid = h_iota < tot[:, None]
         k1v = jnp.where(valid, k1, BIG)
         k2v = jnp.where(valid, k2u8.astype(i32), BIG)
-        k1s, k2s = jax.lax.sort([k1v, k2v], num_keys=2)
+        if ks is None:
+            k1s, k2s = jax.lax.sort([k1v, k2v], num_keys=2)
+            ivl = None
+        else:
+            ksv = jnp.where(valid, ks, BIG)
+            ivl, k1s, k2s = jax.lax.sort([ksv, k1v, k2v], num_keys=3)
         ef, er, badscan = _segcand_scan(jax, jnp, cfg, k1s, k2s, valid,
-                                        mdsh, mincovR, strand_is_rev)
+                                        mdsh, mincovR, strand_is_rev,
+                                        ivl=ivl)
         rows, counts, overC = _compact_rows(jax, jnp, cfg, ef, er)
         fallback = (badscan | overC).reshape(B, 2).any(axis=1)
         pool, counts2, scores, fallback = _pool_geom_score(
-            ref_alpha, [rows.reshape(B, 2, C, 6)],
-            [counts.reshape(B, 2)], fallback, codes, qlens)
+            ref_alpha, [rows.reshape(B, 2, C, 7)],
+            [counts.reshape(B, 2)], fallback, codes, qlens,
+            sq_from_rows=True)
         return pool, counts2, scores, fallback
 
     if cfg.host_hits:
-        if not (V == 1 and iv_lo[0] == 0 and iv_hi[0] >= ref_len_s
-                and nskip <= k):
-            raise ValueError("host_hits needs the single whole-range "
-                             "interval regime")
-
-        def step(k1, k2u8, tot, codes, qlens, min_cover):
-            return _step_hh(ref_res, k1, k2u8, tot, codes, qlens,
-                            min_cover)
+        if not (V == 1 and nskip <= k and iv_lo[0] == 0
+                and iv_hi[-1] >= ref_len_s
+                and all(iv_lo[v + 1] == iv_hi[v]
+                        for v in range(len(iv_lo) - 1))):
+            raise ValueError("host_hits needs contiguous full-cover "
+                             "intervals (seq-by-seq regime)")
+        if cfg.NS > 1:
+            def step(ks, k1, k2u8, tot, codes, qlens, min_cover):
+                return _step_hh(ref_res, ks, k1, k2u8, tot, codes,
+                                qlens, min_cover)
+        else:
+            def step(k1, k2u8, tot, codes, qlens, min_cover):
+                return _step_hh(ref_res, None, k1, k2u8, tot, codes,
+                                qlens, min_cover)
 
         return step
 

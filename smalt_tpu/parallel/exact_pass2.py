@@ -176,17 +176,21 @@ def swq_fill_walk_ref(qalpha, subj, par, matrix, go, ge):
 # Pallas TPU kernel
 # ---------------------------------------------------------------------
 
-def _make_swq_kernel(Sp: int, unroll: int = 4, mode: int = 0):
-    """One grid step = CB windows.  The 2-bit direction codes live in a
-    (Sp, CB, Qp) int8 VMEM scratch — dynamic indexing on the untiled
-    leading (row) dim is the supported Mosaic pattern.  A first
-    bitplane-carry design moved ~256 KB of loop-carried planes per row
-    and measured 6000x slower than the score kernels; this one carries
-    only H/E/acc like ops/sw.py.  CB = 128 (the v5e 128x128 sweet spot
-    ops/sw.py measured): the CB=32 first cut ran 6x slower on the same
-    work because per-row fixed overhead dominates.  The walk emits one
-    rec COLUMN per row into a transposed (Sp, CB) output — the
-    (CB, Sp) whole-plane select per walk row was ~100 vector ops."""
+def _make_swq_kernel(Sp: int, mode: int = 0):
+    """One grid step = CB windows.  The 2-bit direction codes are packed
+    16 rows per int32 into a (Sp/16, CB, Qp) VMEM scratch: the fill ORs
+    each row's code into a carried plane at a STATIC shift and stores
+    once per 16 rows; the walk loads one plane per 16 rows and unpacks
+    with static shifts.  The first cut stored one int8 (CB, Qp) slab
+    per row — the int32->int8 relayout per store made the fill ~10x
+    slower than fill-only (measured 667 ms vs 70 ms at W=2048) and blew
+    the compile to 425 s; packing removes both.  A bitplane-carry
+    design before THAT moved ~256 KB of loop-carried planes per row and
+    measured 6000x slower; this one carries H/E/acc + one plane like
+    ops/sw.py.  CB = 128 (the v5e 128x128 sweet spot ops/sw.py
+    measured).  The walk emits one rec COLUMN per row into a transposed
+    (Sp, CB) output — the (CB, Sp) whole-plane select per walk row was
+    ~100 vector ops."""
     import jax
     import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
@@ -271,13 +275,15 @@ def _make_swq_kernel(Sp: int, unroll: int = 4, mode: int = 0):
 
         def fill_body(t, carry):
             H, E, acc, sstate = carry
-            for r in range(unroll):
-                i = unroll * t + r
+            plane = jnp.zeros((CB, Qp), jnp.int32)
+            for r in range(16):
+                i = 16 * t + r
                 H, E, acc, code = one_row(H, E, acc,
                                           sstate[:, r : r + 1], i)
-                if mode != 1:               # 1: fill-only perf probe
-                    dirm_ref[i] = code.astype(jnp.int8)
-            return (H, E, acc, pltpu.roll(sstate, S - unroll, 1))
+                plane = plane | (code << (2 * r))
+            if mode != 1:                   # 1: fill-only perf probe
+                dirm_ref[t] = plane
+            return (H, E, acc, pltpu.roll(sstate, S - 16, 1))
 
         H0 = jnp.zeros((CB, Qp), jnp.int32)
         E0 = jnp.zeros((CB, Qp), jnp.int32)
@@ -285,7 +291,7 @@ def _make_swq_kernel(Sp: int, unroll: int = 4, mode: int = 0):
                 jnp.zeros((CB, 1), jnp.int32),
                 jnp.zeros((CB, 1), jnp.int32))
         _, _, acc, _ = jax.lax.fori_loop(
-            0, Sp // unroll, fill_body,
+            0, Sp // 16, fill_body,
             (H0, E0, acc0, subj_ref[:, :]))
         best, bi, bj = acc
         best = jnp.maximum(best, 0)
@@ -297,37 +303,40 @@ def _make_swq_kernel(Sp: int, unroll: int = 4, mode: int = 0):
         # max — the cummax + select-sum of the first cut was ~25
         # vector ops per row for the same value.
 
-        def walk_body(t, carry):
+        def walk_body(tb_, carry):
             j, done = carry                      # done: int32 0/1
-            i = Sp - 1 - t
-            code = dirm_ref[i].astype(jnp.int32)
-            active = (done == 0) & (i <= bi) & (i >= sl)
-            band_lo = start_lo + jnp.maximum(0, i - sl - lead)
-            band_hi = jnp.minimum(qn, re_ + 1 + i - sl)
-            mask2 = (code == 2) & (lane >= ql)
-            sel = (~mask2) & (lane <= j)
-            hi_at_j = jnp.max(jnp.where(sel, lane, -1), axis=1,
-                              keepdims=True)
-            hi_at_j = jnp.maximum(hi_at_j, ql - 1)
-            nins = jnp.maximum(j - hi_at_j, 0)
-            j2 = j - nins
-            code2 = jnp.sum(jnp.where(lane == j2, code, 0), axis=1,
-                            keepdims=True)
-            stop = (j2 < ql) | (code2 == 0)
-            suspect = stop & (j2 >= ql) & ((j2 >= band_hi) |
-                                           (j2 < band_lo))
-            typ = jnp.where(suspect, 0, jnp.where(stop, 2, code2))
-            rec_i = jnp.where(active, (nins << 2) | typ, 0)
-            rec_ref[i] = rec_i.astype(jnp.int16).T
-            j = jnp.where(active & ~stop,
-                          jnp.where(code2 == 3, j2 - 1, j2), j)
-            done = jnp.where(active & stop, 1, done)
+            tb = Sp // 16 - 1 - tb_
+            plane = dirm_ref[tb]
+            for r in range(15, -1, -1):
+                i = 16 * tb + r
+                code = (plane >> (2 * r)) & 3
+                active = (done == 0) & (i <= bi) & (i >= sl)
+                band_lo = start_lo + jnp.maximum(0, i - sl - lead)
+                band_hi = jnp.minimum(qn, re_ + 1 + i - sl)
+                mask2 = (code == 2) & (lane >= ql)
+                sel = (~mask2) & (lane <= j)
+                hi_at_j = jnp.max(jnp.where(sel, lane, -1), axis=1,
+                                  keepdims=True)
+                hi_at_j = jnp.maximum(hi_at_j, ql - 1)
+                nins = jnp.maximum(j - hi_at_j, 0)
+                j2 = j - nins
+                code2 = jnp.sum(jnp.where(lane == j2, code, 0), axis=1,
+                                keepdims=True)
+                stop = (j2 < ql) | (code2 == 0)
+                suspect = stop & (j2 >= ql) & ((j2 >= band_hi) |
+                                               (j2 < band_lo))
+                typ = jnp.where(suspect, 0, jnp.where(stop, 2, code2))
+                rec_i = jnp.where(active, (nins << 2) | typ, 0)
+                rec_ref[i] = rec_i.astype(jnp.int16).T
+                j = jnp.where(active & ~stop,
+                              jnp.where(code2 == 3, j2 - 1, j2), j)
+                done = jnp.where(active & stop, 1, done)
             return j, done
 
         j0 = bj
         done0 = jnp.zeros((CB, 1), jnp.int32)
         if mode == 0:
-            jax.lax.fori_loop(0, Sp, walk_body, (j0, done0))
+            jax.lax.fori_loop(0, Sp // 16, walk_body, (j0, done0))
         else:                               # perf probes: skip the walk
             rec_ref[:, :, :] = jnp.zeros((Sp, 1, CB), jnp.int16)
 
@@ -349,10 +358,11 @@ def _swq_call(qalpha, subj, par_v, matrix, sm, Sp, interpret=False,
     from jax.experimental.pallas import tpu as pltpu
 
     W, Qp = qalpha.shape
-    # CB: as wide as the (Sp, CB, Qp) int8 dirm scratch allows inside
-    # an 8 MB VMEM budget; 128 is the v5e sweet spot (ops/sw.py)
+    # CB: as wide as the packed (Sp/16, CB, Qp) int32 dirm scratch
+    # allows inside an 8 MB VMEM budget; 128 is the v5e sweet spot
+    # (ops/sw.py)
     CB = 128
-    while CB > 32 and Sp * CB * Qp > (8 << 20):
+    while CB > 32 and (Sp // 16) * CB * Qp * 4 > (8 << 20):
         CB //= 2
     CB = min(CB, W)
     assert W % CB == 0 and Sp % 32 == 0
@@ -380,7 +390,7 @@ def _swq_call(qalpha, subj, par_v, matrix, sm, Sp, interpret=False,
             jax.ShapeDtypeStruct((W, 128), jnp.int32),
             jax.ShapeDtypeStruct((Sp, 1, W), jnp.int16),
         ],
-        scratch_shapes=[pltpu.VMEM((Sp, CB, Qp), jnp.int8)],
+        scratch_shapes=[pltpu.VMEM((Sp // 16, CB, Qp), jnp.int32)],
         interpret=interpret,
     )(qalpha, subj, par_v, matrix, sm)
     return out[:, 0], out[:, 1], out[:, 2], rec_t[:, 0, :].T

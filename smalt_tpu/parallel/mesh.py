@@ -174,6 +174,23 @@ class DeviceIndex:
             lo_steps=lo_steps,
         )
 
+    @classmethod
+    def build_ref_only(cls, refset: RefSet, idx: KmerIndex
+                       ) -> "DeviceIndex":
+        """Reference codes only — the host_hits device-exact regime
+        never reads the k-mer table on device (the host expands hit
+        keys), so skip the table/pos residency (~300 MB at k = 13)
+        and any word-length limit with it."""
+        z = jnp.zeros(1, jnp.int32)
+        return cls(
+            wordlen=idx.wordlen,
+            nskip=idx.nskip,
+            words=z, starts=z, pos=z,
+            ref_alpha=jnp.asarray(
+                codec.alpha(refset.codes).astype(np.int32)),
+            ref_len=refset.total_len,
+        )
+
 
 def _rev_groups2(x):
     """Reverse the sixteen 2-bit groups of an int32 lane-wise (4 masked

@@ -246,7 +246,7 @@ assert st0 is not None
 for hcap in (8, 256):
     st1 = dx._pre(64, cods, ro, qarr, hq, 128, hits_B=64, hits_H=hcap)
     assert st1 is not None
-pre, selm, k1, k2, tot = st1
+pre, selm, k1, k2, tot, ksq = st1
 # fake device outputs: rows from the host oracle, packed; scores -1
 from smalt_tpu.seed import hitinfo as hi_mod
 pool_rows = []

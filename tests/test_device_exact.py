@@ -185,11 +185,12 @@ def test_rows_and_scores_match_host(tmp_path, seed, k, nskip):
     assert n_scored > 0
 
 
-def test_end_to_end_byte_identical(tmp_path):
+def test_end_to_end_byte_identical(tmp_path, monkeypatch):
     """DeviceExact.run_raw_fastq output == the pure host C lane, byte
     for byte, including reads the device re-stages (a heavy-repeat
     read overflows the device hit cap on purpose)."""
     import io
+    monkeypatch.setenv("SMALT_DX_P2", "1")   # device pass-2 opt-in
     lib = get_lib()
     if lib is None:
         pytest.skip("native lib required")
@@ -317,6 +318,83 @@ def test_end_to_end_host_hits_byte_identical(tmp_path):
                       lambda a, b, c: lane.render_raw_block(a, b, c))
     assert sink.getvalue() == host.getvalue()
     assert dev.n_restaged > 0
+
+
+@pytest.mark.parametrize("nctg,k,nskip,seed", [(12, 16, 2, 31),
+                                               (60, 13, 2, 32)])
+def test_end_to_end_multiseq_bigk_byte_identical(tmp_path, monkeypatch,
+                                                 nctg, k, nskip, seed):
+    """The round-5 gate lifts: --device-exact on a draft-assembly-like
+    multi-contig reference (beyond the old nseq <= 8 static-V gate)
+    and at k = 16 (beyond the old direct-table k <= 14 gate) — the
+    host-hits regime ships per-hit sequence ids and the combined scan
+    breaks at interval boundaries (fl_exact_pre_block ks_out;
+    exact_collate._segcand_scan ivl).  Byte-identical to the host
+    lane, reference semantics rmap.c SEQBYSEQ + menu.c:595 (k <= 20)."""
+    import io
+    monkeypatch.setenv("SMALT_DX_P2", "1")   # device pass-2 opt-in
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native lib required")
+    from smalt_tpu import rand
+    from smalt_tpu.map.pipeline import run_pipeline_raw_fastq
+    from smalt_tpu.map.fastlane import DeviceExact, FastLane
+
+    rng = np.random.default_rng(seed)
+    bases = "ACGT"
+    unit = "".join(rng.choice(list(bases), 300))
+    seqs = []
+    fa = tmp_path / "g.fa"
+    with open(fa, "w") as f:
+        for s in range(nctg):
+            # uneven contig sizes: boundary serials land mid-word
+            L = 1200 + 507 * (s % 5)
+            g = "".join(rng.choice(list(bases), L))
+            if s % 3 == 0:       # cross-contig repeats: boundary cands
+                at = int(rng.integers(0, L - 300))
+                g = g[:at] + unit + g[at + 300:]
+            seqs.append(g)
+            f.write(f">c{s}\n{g}\n")
+    refset = RefSet.from_fasta(str(fa))
+    assert refset.nseq == nctg
+    idx = build_index(refset, k, nskip)
+    _ = idx.addrs
+    fq = tmp_path / "r.fq"
+    with open(fq, "w") as f:
+        for i in range(220):
+            s = int(rng.integers(0, nctg))
+            pos = int(rng.integers(0, max(len(seqs[s]) - QLEN, 1)))
+            r = list(seqs[s][pos:pos + QLEN].ljust(QLEN, "A"))
+            if i % 2:
+                for _ in range(3):
+                    at = int(rng.integers(0, QLEN))
+                    r[at] = "ACGT"[int(rng.integers(0, 4))]
+            r = "".join(r)
+            if rng.random() < 0.5:
+                r = r.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+            f.write(f"@r{i}\n{r}\n+\n{'5' * QLEN}\n")
+        for i in range(4):       # repeat-unit reads: multi-contig cands
+            f.write(f"@rep{i}\n{unit[:QLEN].ljust(QLEN, 'A')}\n+\n"
+                    f"{'5' * QLEN}\n")
+
+    rand.ranseed(1)
+    eng = MapEngine(refset, idx, MapParams())
+    host = io.StringIO()
+    assert run_pipeline_raw_fastq(eng, str(fq), host, refset)
+
+    rand.ranseed(1)
+    eng2 = MapEngine(refset, idx, MapParams())
+    lane = FastLane.make(eng2, "sam", True, False, False, False)
+    dev = DeviceExact.make(eng2, "sam", True, False, False, False,
+                           batch=64, interpret=True)
+    assert dev is not None and dev._host_hits
+    sink = io.StringIO()
+    dev.run_raw_fastq(str(fq), sink,
+                      lambda a, b, c: lane.render_raw_block(a, b, c))
+    assert sink.getvalue() == host.getvalue()
+    # the identity must come from the device path, not blanket restage
+    assert dev.n_restaged <= 24, dev.n_restaged
+    assert dev.p2_used >= 50, (dev.p2_used, dev.n_restaged)
 
 
 def test_checksum_matches_host_hitinfo(tmp_path):

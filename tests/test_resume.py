@@ -111,6 +111,7 @@ def test_device_exact_resume_byte_identical(world, tmp_path, monkeypatch):
     is byte-identical to the host lane)."""
     idx, fq, d = world
     monkeypatch.setenv("SMALT_DX_BATCH", "512")
+    monkeypatch.setenv("SMALT_DX_P2", "1")   # device pass-2 opt-in
     ref_out = os.path.join(tmp_path, "dxfull.sam")
     assert cli.cmd_map(["-r", "1", "-o", ref_out, idx, fq]) == 0
 
