@@ -1072,20 +1072,15 @@ class DeviceExact(DevicePass1):
         if self._ref_alpha is None:
             self._ref_alpha = jax.device_put(
                 (self.lane._refcodes & 7).astype(np.uint8))
-        best, mi, mj, rec = self._pass2_step()(
+        # ONE fused output buffer -> one tunnel fetch (the tunnel has
+        # no copy_to_host_async; four sequential fetches measured 4x
+        # the kernel time), and codes_pad arrives as the batch's
+        # already-resident device buffer (no 1 MB re-upload)
+        from ..parallel.exact_pass2 import unpack_pass2
+        flat = self._pass2_step()(
             self._ref_alpha, codes_pad, qlens, wd, Sp)
-        for a in (best, mi, mj, rec):
-            # overlap all four device->host transfers (sequential
-            # np.asarray fetches cost one tunnel round trip EACH —
-            # measured 4x the kernel time on the remote-TPU rig)
-            try:
-                a.copy_to_host_async()
-            except AttributeError:
-                pass
-        best64 = np.ascontiguousarray(np.asarray(best)[:nw], np.int64)
-        mi64 = np.ascontiguousarray(np.asarray(mi)[:nw], np.int64)
-        mj64 = np.ascontiguousarray(np.asarray(mj)[:nw], np.int64)
-        rec16 = np.ascontiguousarray(np.asarray(rec)[:nw], np.int16)
+        best64, mi64, mj64, rec16 = unpack_pass2(
+            np.asarray(flat), nw, Sp)
         if os.environ.get("SMALT_DX_DEBUG"):
             import sys as _s
             v = valid[:nw] != 0
@@ -1182,6 +1177,12 @@ class DeviceExact(DevicePass1):
                 codes_pad[i, : e - o] = enc[o:e]
             qlens = np.zeros(B, np.int32)
             qlens[:n] = qlens_n
+            if self._p2_on:
+                # ship the padded batch ONCE: both the collate and the
+                # pass-2 dispatch read it, and a second 1 MB upload
+                # costs a tunnel round trip + bandwidth per batch
+                import jax as _jax
+                codes_pad = _jax.device_put(codes_pad)
             mincov = np.zeros(B, np.int32)
             mincov[:n] = pre[:, 5].astype(np.int32)
             if host_hits:

@@ -418,6 +418,20 @@ def build_pass2_step(matrix_bytes: bytes, matrix_shape, go: int, ge: int,
     ensure_compile_cache()
     matrix = np.frombuffer(matrix_bytes, np.int32).reshape(matrix_shape)
 
+    def _pack(best, mi, mj, rec):
+        """One fused int32 output [W, 3 + Sp/2]: lanes 0..2 carry
+        (best, mi, mj), the rest the int16 rec planes bit-packed in
+        pairs.  The remote-TPU tunnel has no copy_to_host_async, so
+        each result fetch costs a full round trip — four sequential
+        fetches measured ~4x the kernel time; one buffer, one fetch."""
+        import jax
+        import jax.numpy as jnp
+        W2, Sp2 = rec.shape
+        head = jnp.stack([best, mi, mj], axis=1)
+        tail = jax.lax.bitcast_convert_type(
+            rec.astype(jnp.int16).reshape(W2, Sp2 // 2, 2), jnp.int32)
+        return jnp.concatenate([head, tail], axis=1)
+
     @functools.partial(jax.jit, static_argnames=("Sp",))
     def step(ref_alpha, reads, qlens, wd, Sp):
         reads = reads.astype(jnp.int32)
@@ -447,11 +461,22 @@ def build_pass2_step(matrix_bytes: bytes, matrix_shape, go: int, ge: int,
                 [snm, wd[:, 4], wd[:, 5], wd[:, 6], wd[:, 7],
                  wd[:, 8], wd[:, 10], wd[:, 11]], axis=1)
             sm = jnp.asarray([[go, ge]], jnp.int32)
-            return _swq_call(qalpha, wins, par_v, matj, sm, int(Sp),
-                             interpret=False)
+            return _pack(*_swq_call(qalpha, wins, par_v, matj, sm,
+                                    int(Sp), interpret=False))
         par = jnp.stack([wd[:, 4], wd[:, 5], wd[:, 6], wd[:, 7],
                          snm, (wlen > 0).astype(jnp.int32),
                          wd[:, 8], wd[:, 10]], axis=1)
-        return swq_fill_walk_ref(qalpha, wins, par, matrix, go, ge)
+        return _pack(*swq_fill_walk_ref(qalpha, wins, par, matrix,
+                                        go, ge))
 
     return step
+
+
+def unpack_pass2(flat, nw, Sp):
+    """Host-side split of build_pass2_step's fused output."""
+    flat = np.ascontiguousarray(flat[:nw])
+    best = flat[:, 0].astype(np.int64)
+    mi = flat[:, 1].astype(np.int64)
+    mj = flat[:, 2].astype(np.int64)
+    rec = np.ascontiguousarray(flat[:, 3:]).view(np.int16)
+    return best, mi, mj, np.ascontiguousarray(rec.reshape(nw, Sp))

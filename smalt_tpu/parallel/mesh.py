@@ -467,6 +467,110 @@ def device_seed_votes(di: DeviceIndex, reads):
     return outs, hits_used, hits_tot
 
 
+def device_seed_votes_sharded(di: DeviceIndex, reads, gb, axis="ip"):
+    """Shard-local seeding that reproduces the single-device seed votes
+    BIT-EXACTLY on every member of the `axis` mesh dimension.
+
+    The round-4 winner-exchange design voted per shard and exchanged
+    (votes, diagonal) winners — per-shard seed selection, per-shard
+    MAXC budgets and boundary-split diagonal clusters all made the
+    sharded decision differ from the unsharded one on repeat reads
+    (MULTICHIP_r04: 13/9733 mapq>6).  This version exchanges the hit
+    COUNTS and the expanded SHIFT MULTISET instead:
+
+      1. psum the per-query-word hit counts -> the global counts the
+         single device would see; seed selection (rarest + common
+         top-k) then runs REPLICATED on identical inputs;
+      2. each shard expands its local slice of a selected word's
+         position run under the global MAXC budget (all_gather of the
+         selected words' local counts gives each shard its prefix, so
+         the union is exactly the single device's first-min(count,
+         MAXC) positions);
+      3. all_gather the globalized shifts and run _best_diagonal on
+         the union — the same valid multiset in the same sorted order
+         as the single device, so best/second diagonals, votes and
+         n2nd are equal by construction (the vote window min(N,16)
+         saturates at 16 for both paddings).
+
+    Returns (outs, hits_used, hits_tot) exactly as device_seed_votes,
+    with diagonals already GLOBAL (shift + gb applied pre-gather) and
+    the hits bookkeeping the replicated global values (no psum due)."""
+    import math as _math
+    reads = reads.astype(jnp.int32)
+    B, Q = reads.shape
+    k = di.wordlen
+    hilo = di.words_lo is not None
+    if hilo:
+        fh, fl, rh, rl, valid = _query_words_hilo(reads, k)
+        fwd = jnp.stack([fh, fl])
+        rc = jnp.stack([rh, rl])
+    else:
+        fwd, rc, valid = _query_words(reads, k)
+    stride = 0
+    for c in (2, 3):
+        if _math.gcd(c, di.nskip) == 1 and \
+                valid.shape[1] >= 12 * c * di.nskip:
+            stride = c
+            break
+    if stride:
+        fwd = fwd[..., ::stride]
+        rc = rc[..., ::stride]
+        valid = valid[:, ::stride]
+        qoffs = jnp.broadcast_to(
+            stride * jnp.arange(valid.shape[1], dtype=jnp.int32),
+            valid.shape)
+    else:
+        qoffs = jnp.broadcast_to(
+            jnp.arange(valid.shape[1], dtype=jnp.int32), valid.shape)
+
+    tol = max(k * 3 // di.nskip, 1)
+    ip = jax.lax.psum(1, axis)
+    my = jax.lax.axis_index(axis)
+
+    outs = []
+    hits_used = jnp.zeros((B,), jnp.int32)
+    hits_tot = jnp.zeros((B,), jnp.int32)
+    for is_reverse, words in ((False, fwd), (True, rc)):
+        if hilo:
+            counts, base, _hit = _lookup_hilo(di, words[0], words[1],
+                                              valid)
+        else:
+            counts, base, _hit = _lookup(di, words, valid)
+        counts_g = jax.lax.psum(counts, axis)
+        hit_g = valid & (counts_g > 0)
+        P_avail = valid.shape[1]
+        key = jnp.where(hit_g, counts_g, 1 << 30)
+        _, sel = jax.lax.top_k(-key, min(NSEED, P_avail))
+        if P_avail > NSEED:
+            keyc = jnp.where(hit_g, counts_g, 0)
+            _, selc = jax.lax.top_k(keyc, min(NSEED_COMMON, P_avail))
+            sel = jnp.concatenate([sel, selc], axis=1)
+        sel_base = jnp.take_along_axis(base, sel, 1)      # shard-local
+        sel_cnt_l = jnp.take_along_axis(counts, sel, 1)   # shard-local
+        sel_true = jnp.take_along_axis(counts_g, sel, 1)
+        sel_qoffs = jnp.take_along_axis(qoffs, sel, 1)
+        sel_hit = jnp.take_along_axis(hit_g, sel, 1)
+        sel_true = jnp.where(sel_hit, jnp.minimum(sel_true, 1 << 14), 0)
+        hits_tot = hits_tot + jnp.sum(sel_true, axis=1)
+        cap = jnp.minimum(sel_true, MAXC)
+        hits_used = hits_used + jnp.sum(cap, axis=1)
+        # my slice of the global first-`cap` positions of each word
+        lc = jax.lax.all_gather(sel_cnt_l, axis)      # [ip, B, NSEL]
+        before = jnp.sum(
+            jnp.where(jnp.arange(ip)[:, None, None] < my, lc, 0),
+            axis=0)
+        quota = jnp.clip(cap - before, 0, sel_cnt_l)
+        shift, ok = _expand_hits(di, sel_base, quota, sel_qoffs,
+                                 is_reverse)
+        shift = jnp.where(ok, shift + gb, -(1 << 30))
+        sh_all = jax.lax.all_gather(shift, axis)      # [ip, B, N]
+        ok_all = jax.lax.all_gather(ok, axis)
+        sh_u = jnp.moveaxis(sh_all, 0, 1).reshape(B, -1)
+        ok_u = jnp.moveaxis(ok_all, 0, 1).reshape(B, -1)
+        outs.append(_best_diagonal(sh_u, ok_u, tol))
+    return outs, hits_used, hits_tot
+
+
 def device_map_step(di: DeviceIndex, reads, matrix, gapopen_pos, gapext_pos,
                     interpret=None):
     """Fast mapping step for a padded read batch.
@@ -798,7 +902,13 @@ def make_index_sharded_step(sdi: ShardedDeviceIndex, mesh: Mesh, matrix,
     design ran the full 3-windows-per-read SW pass on EVERY shard and
     pmax-merged the duplicates, so pass-1 compute was replicated ip
     times while only seeding scaled (VERDICT r3 #4; the reference's
-    windowed scans never redo DP per window set, rmap.c:273-351)."""
+    windowed scans never redo DP per window set, rmap.c:273-351).
+
+    Round 5 replaces the winner-exchange voting with the bit-exact
+    count/shift exchange (device_seed_votes_sharded): the sharded
+    output is now byte-identical to the single-device step — the
+    reference's own determinism contract (test/mthread_test.py) holds
+    with no mapq>6 carve-out."""
     ip = mesh.shape["ip"]
     assert ip == sdi.n_shards, (ip, sdi.n_shards)
     hilo = sdi.words_lo is not None
@@ -818,39 +928,11 @@ def make_index_sharded_step(sdi: ShardedDeviceIndex, mesh: Mesh, matrix,
         B, Q = reads.shape
         S = window_len(Q)
         pad = window_pad(Q)
-        tol = max(k * 3 // nskip, 1)
-        outs, hu, ht = device_seed_votes(di, reads.astype(jnp.int32))
-        (b1f, v1f, b2f, v2f, nc2f), (b1r, v1r, b2r, v2r, nc2r) = outs
         gb = base[0] // nskip                 # shard-local -> global
-
-        def global_top2(v1_, b1_, v2_, b2_):
-            """Exchange both local diagonals and pick the global best
-            and the global FAR runner-up (max votes, tie -> smallest
-            diagonal — the order argmax picks on one device)."""
-            vc = jax.lax.all_gather(jnp.stack([v1_, v2_]),
-                                    "ip").reshape(2 * ip, B)
-            dc = jax.lax.all_gather(jnp.stack([b1_ + gb, b2_ + gb]),
-                                    "ip").reshape(2 * ip, B)
-            bestv = jnp.full((B,), -1, jnp.int32)
-            bestd = jnp.full((B,), 1 << 30, jnp.int32)
-            for i in range(2 * ip):
-                better = (vc[i] > bestv) | \
-                         ((vc[i] == bestv) & (dc[i] < bestd))
-                bestv = jnp.where(better, vc[i], bestv)
-                bestd = jnp.where(better, dc[i], bestd)
-            secv = jnp.full((B,), -1, jnp.int32)
-            secd = jnp.full((B,), 1 << 30, jnp.int32)
-            for i in range(2 * ip):
-                far = jnp.abs(dc[i] - bestd) > 2 * tol
-                better = far & ((vc[i] > secv) |
-                                ((vc[i] == secv) & (dc[i] < secd)))
-                secv = jnp.where(better, vc[i], secv)
-                secd = jnp.where(better, dc[i], secd)
-            return bestd, jnp.maximum(bestv, 0), secd, \
-                jnp.maximum(secv, 0)
-
-        bfd, vfg, b2fd, v2fg = global_top2(v1f, b1f, v2f, b2f)
-        brd, vrg, b2rd, v2rg = global_top2(v1r, b1r, v2r, b2r)
+        outs, hu, ht = device_seed_votes_sharded(
+            di, reads.astype(jnp.int32), gb)
+        ((bfd, vfg, b2fd, v2fg, nc2f),
+         (brd, vrg, b2rd, v2rg, nc2r)) = outs
         sel_rev = v2rg > v2fg
         org_f = -pad
         org_r = -(Q - k) - pad
@@ -919,13 +1001,13 @@ def make_index_sharded_step(sdi: ShardedDeviceIndex, mesh: Mesh, matrix,
         tj3 = jax.lax.psum(scat(jnp.where(taken, tj, 0)), "ip")
         sc3 = jnp.where(has3.reshape(N3), sc3, 0)
 
-        nc2g = jax.lax.pmax(jnp.where(sel_rev, nc2r, nc2f), "ip")
+        # seed votes / counters are already the replicated GLOBAL
+        # values (device_seed_votes_sharded) — no merge collectives
+        nc2g = jnp.where(sel_rev, nc2r, nc2f)
         v1g = jnp.where(sel_rev, vrg, vfg)
         return _pick_best(sc3.reshape(3, B), starts3, strands3,
                           ti3.reshape(3, B), tj3.reshape(3, B),
-                          nc2g, v1g, v2g,
-                          jax.lax.psum(hu, "ip"),
-                          jax.lax.psum(ht, "ip"))
+                          nc2g, v1g, v2g, hu, ht)
 
     in_specs = [P("dp", None),        # reads
                 P("ip", None), P("ip", None), P("ip", None),
