@@ -377,12 +377,12 @@ def cmd_map(argv: List[str]) -> int:
     fmt = a.oformat.split(":")[0]
     mods = a.oformat.split(":")[1].split(",") if ":" in a.oformat else []
     if (a.device_pass1 or a.device_exact) and not (
-            a.mates is None and a.nthreads <= 1 and
+            (a.mates is None or a.device_exact) and a.nthreads <= 1 and
             a.informat not in ("sam", "bam") and
             not a.reads.endswith((".sam", ".sam.gz", ".bam"))):
         print("# --device-pass1/--device-exact apply to serial "
-              "single-end FASTQ runs; ignored (output is identical "
-              "either way)", file=sys.stderr)
+              "FASTQ runs (--device-pass1: single-end only); ignored "
+              "(output is identical either way)", file=sys.stderr)
     ran_raw = False
     if (a.nthreads <= 1 and
             a.informat not in ("sam", "bam") and
@@ -420,7 +420,8 @@ def cmd_map(argv: List[str]) -> int:
                 engine, a.reads, a.mates, raw_out, refset, fmt=raw_fmt,
                 soft_clip="clip" not in mods, x_mismatch="x" in mods,
                 seed=(a.randseed if a.randseed is not None else 0),
-                ihist=ihist, fix_primary=fix_primary, ali_out=a.aliout)
+                ihist=ihist, fix_primary=fix_primary, ali_out=a.aliout,
+                device_exact=a.device_exact)
     if not ran_raw:
         run_pipeline(engine, reads_iter, out, refset, fmt=fmt,
                      soft_clip="clip" not in mods, x_mismatch="x" in mods,

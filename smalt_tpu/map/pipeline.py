@@ -301,7 +301,8 @@ def run_pipeline_raw_pairs(engine, reads_path: str, mates_path: str,
                            soft_clip: bool = True,
                            x_mismatch: bool = False, seed: int = 1,
                            ihist=None, fix_primary: bool = False,
-                           ali_out: bool = False) -> bool:
+                           ali_out: bool = False,
+                           device_exact: bool = False) -> bool:
     """Serial paired-end bulk path: C-speed FASTQ parsing of both mate
     files feeding the C pair lane with raw bytes (base encoding + name
     cutting also native — no per-read Python objects on the covered
@@ -334,6 +335,16 @@ def run_pipeline_raw_pairs(engine, reads_path: str, mates_path: str,
                      qual=qA[i]),
                 Read(name=nB[i].decode(), seq=codec.encode(sB[i]),
                      qual=qB[i]))
+
+    if device_exact:
+        from .fastlane import DeviceExact
+        dx = DeviceExact.make(engine, fmt, soft_clip, x_mismatch,
+                              ali_out, fix_primary)
+        if dx is not None:
+            dx.run_raw_pairs(plane, reads_path, mates_path, out,
+                             _oracle_one_pair, mk_pair)
+            return True
+        # not applicable (gates): fall through to the host pair lane
 
     pairs_done = 0
     itB = iter_fastq_batches(mates_path, 1024)

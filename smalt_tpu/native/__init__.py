@@ -226,7 +226,8 @@ def _declare_fastlane(lib):
         ci, ci,                             # ascii_codes, names_raw
         i64, vp, vp, vp, vp, vp, vp,        # reads A
         vp, vp, vp, vp, vp, vp,             # reads B
-        vp, vp, i64, vp, dbl]               # rng, out, cap, done, lam
+        vp, vp, i64, vp, dbl,               # rng, out, cap, done, lam
+        vp, vp, vp, vp, i64]                # device-exact state/scores
     lib.fl_fastq_scan.restype = i64
     lib.fl_fastq_scan.argtypes = [
         vp, i64, i64,                       # buf, len, max_rec

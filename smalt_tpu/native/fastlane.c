@@ -5033,6 +5033,52 @@ static int fl_pair_map_single(const FLParams *Pbase, FLScratch *s,
     return 0;
 }
 
+/* fl_pair_map_single with stage 1 + pass 1 replaced by the
+ * device-exact front half's state (fl_exact_post_block rows in the
+ * fl_pass2_block format, plus the device pass-1 scores) — the
+ * UNRESTRICTED mapping calls of the pair flow only; interval-
+ * restricted and fine-rehash calls stay on host.  Mirrors
+ * fl_pair_map_single's parameter mods, rs bookkeeping and finish
+ * exactly (rmap.c:1744-2112 common flow).  Returns 0 ok, 1 shortseq,
+ * <0 err. */
+static int fl_pair_map_single_dev(const FLParams *Pbase, FLScratch *s,
+                                  const uint8_t *codes,
+                                  const uint8_t *qual, int64_t qlen,
+                                  const int64_t *hdr,
+                                  const int64_t *scores,
+                                  int64_t n_scores, int blank)
+{
+    FLParams P = *Pbase;
+    int64_t n_out, max1, max2;
+    int rc, q;
+    P.ovr_ivals = NULL;
+    P.ovr_nivals = 0;
+    P.min_swatscor_below_max = 0;      /* MINSCOR_BELOW_MAX_BEST */
+    P.rmapflg = (Pbase->rmapflg | RMAPFLG_PAIRED) & ~RMAPFLG_ALLPAIR;
+    if (blank)
+        rs_blank(s->rs);
+    if (hdr[0])
+        return 1;                       /* shortseq */
+    s->rs->n_ali_done = hdr[1];
+    s->rs->n_ali_tot = hdr[2];
+    s->rs->n_ali_max = P.max_depth;
+    s->rs->n_hits_used = hdr[5];
+    s->rs->n_hits_tot = hdr[6];
+    fl_profiles(&P, codes, qlen, s->Wf, s->Wr);
+    fl_perfect_prep(&P, s, codes, qlen);
+    rc = fl_pass1_replay(&P, s, hdr, hdr + FL_HDR_FIELDS, scores,
+                         n_scores, qlen, &n_out, &max1, &max2);
+    if (rc != 0)
+        return rc;
+    rc = fl_read_finish(&P, s, qual, qlen, n_out, max1, max2,
+                        (P.rmapflg & RMAPFLG_SPLIT) != 0, 1, NULL);
+    if (rc != 0)
+        return rc;
+    for (q = 0; q < s->rs->qsegno; q++)
+        rs_propagate_prob(s->rs, q);
+    return 0;
+}
+
 /* hashCalcHitInfoNumberOfHits probe (fl_hit_count body).  Returns the
  * cutoff-limited count, or -1 = ShortSeq/hit-info failure. */
 /* hout_save: 6 entries {nF, rankF, nR, rankR, has_rankF, has_rankR}
@@ -5255,7 +5301,17 @@ int64_t fl_map_pair_block(
     const char *namesB, const int64_t *name_offsB,
     /* rng + output */
     uint64_t *rng_io, char *out_text, int64_t out_cap,
-    int64_t *done_io, double lam)
+    int64_t *done_io, double lam,
+    /* optional device-exact front half (round 5): per-read state in
+     * the fl_pass2_block format (A mates bank + B mates bank share
+     * dev_state; dev_offs_A[i]/dev_offs_B[i] locate pair i's mates)
+     * and the device pass-1 scores.  NULL dev_state = pure host flow.
+     * A pair with either mate flagged (hdr[7] == 1: device restage)
+     * or shortseq-inconsistent runs fully on host — byte-identity
+     * never depends on the device. */
+    const int64_t *dev_state, const int64_t *dev_offs_A,
+    const int64_t *dev_offs_B,
+    const int64_t *dev_scores, int64_t dev_n_scores)
 {
     FLParams P;
     FLScratch sA, sB;
@@ -5362,12 +5418,23 @@ int64_t fl_map_pair_block(
         const uint8_t *q1, *q2;
         int64_t ql1, ql2;
         int rare_is_mate, mrc;
+        const int64_t *hdrA = NULL, *hdrB = NULL, *hdr1, *hdr2;
+        int use_dev = 0;
+
+        if (dev_state != NULL) {
+            hdrA = dev_state + dev_offs_A[i];
+            hdrB = dev_state + dev_offs_B[i];
+            use_dev = hdrA[7] == 0 && hdrB[7] == 0 &&
+                      !hdrA[0] && !hdrB[0];
+        }
 
         rs_blank(sA.rs);
         rs_blank(sB.rs);
         flp_blank(&fp);
         nhitA = fl_pair_probe(&P, &sA, cA, qA, qlA, houtA);
         nhitB = fl_pair_probe(&P, &sB, cB, qB, qlB, houtB);
+        if (nhitA < 0 || nhitB < 0)
+            use_dev = 0;      /* shortseq paths keep the host flow */
         if (nhitA < 0 && nhitB < 0) {
             /* both ShortSeq: two empty result sets */
             goto report;
@@ -5407,13 +5474,18 @@ int64_t fl_map_pair_block(
             rare_is_mate = 1;
             s1 = &sB; c1 = cB; q1 = qB; ql1 = qlB; h1 = houtB;
             s2 = &sA; c2 = cA; q2 = qA; ql2 = qlA; h2 = houtA;
+            hdr1 = hdrB; hdr2 = hdrA;
         } else {
             rare_is_mate = 0;
             s1 = &sA; c1 = cA; q1 = qA; ql1 = qlA; h1 = houtA;
             s2 = &sB; c2 = cB; q2 = qB; ql2 = qlB; h2 = houtB;
+            hdr1 = hdrA; hdr2 = hdrB;
         }
-        mrc = fl_pair_map_single(&P, s1, c1, q1, ql1, NULL, 0, 1, h1,
-                                 &nh1);
+        mrc = use_dev
+              ? fl_pair_map_single_dev(&P, s1, c1, q1, ql1, hdr1,
+                                       dev_scores, dev_n_scores, 1)
+              : fl_pair_map_single(&P, s1, c1, q1, ql1, NULL, 0, 1,
+                                   h1, &nh1);
         if (mrc != 0) { rng = rng_save; *done_io = i; goto finish; }
         {
             int64_t mapq1 = 0, swscor1 = 0, swscor2r = 0, niv;
@@ -5440,8 +5512,14 @@ int64_t fl_map_pair_block(
                  * unless no proper pair was found.  Only the fine-
                  * rehash continuation stays with the Python oracle. */
                 int64_t mapq2 = 0, swscor2 = 0;
-                mrc = fl_pair_map_single(&P, s2, c2, q2, ql2, NULL, 0,
-                                         fp.n_proper < 1, h2, &nh1);
+                mrc = use_dev
+                      ? fl_pair_map_single_dev(&P, s2, c2, q2, ql2,
+                                               hdr2, dev_scores,
+                                               dev_n_scores,
+                                               fp.n_proper < 1)
+                      : fl_pair_map_single(&P, s2, c2, q2, ql2, NULL,
+                                           0, fp.n_proper < 1, h2,
+                                           &nh1);
                 if (mrc != 0) {
                     rng = rng_save;
                     *done_io = i;
