@@ -254,6 +254,13 @@ def main():
          exact_split, fast_split, fidelity) = \
             _bench_end_to_end(fa_path, genome, rng)
         pe_rate, pe_ref = _bench_exact_pe(fa_path, genome, rng)
+        import jax as _jax
+        if _jax.default_backend() == "tpu":
+            pe_dx, pe_adj, _ = _bench_exact_pe_devx(fa_path, genome,
+                                                    rng)
+            globals()["_pe_dx"] = (round(pe_dx, 1), round(pe_adj, 1),
+                                   round(pe_dx / pe_adj, 3)
+                                   if pe_adj else 0.0)
         long_rate, long_bases, long_ref = \
             _bench_longreads(fa_path, genome, rng)
     except Exception as e:        # noqa: BLE001 - report, don't fail bench
@@ -285,6 +292,12 @@ def main():
         "reference_same_genome_reads_per_s": round(live_ref or 0.0, 1),
         "exact_pe_reads_per_s": round(pe_rate, 1),
         "exact_pe_vs_ref": round(pe_rate / pe_ref, 3) if pe_ref else 0.0,
+        "exact_pe_devx_reads_per_s": globals().get("_pe_dx",
+                                                   (0.0,) * 3)[0],
+        "exact_pe_adjacent_reads_per_s": globals().get("_pe_dx",
+                                                       (0.0,) * 3)[1],
+        "exact_pe_devx_vs_adjacent": globals().get("_pe_dx",
+                                                   (0.0,) * 3)[2],
         "chr_scale_fast_pe_reads_per_s": round(chr_rate, 1),
         "longread_fast_reads_per_s": round(long_rate, 1),
         "longread_fast_bases_per_s": round(long_bases, 1),
@@ -693,6 +706,60 @@ def _bench_exact_pe(fa_path, genome, rng):
     return ours, ref_rate
 
 
+def _bench_exact_pe_devx(fa_path, genome, rng):
+    """Paired-end --device-exact vs the adjacent host pair lane on its
+    own corpus (DEVEXACT methodology: back-to-back adjacent runs for a
+    drift-free ratio; byte-identity asserted)."""
+    import io
+    import time
+    from smalt_tpu.seq.refset import RefSet
+    from smalt_tpu.index.table import build_index
+    from smalt_tpu.map.engine import MapEngine, MapParams
+    from smalt_tpu.map.pipeline import run_pipeline_raw_pairs
+    from smalt_tpu import rand
+
+    comp = str.maketrans("ACGT", "TGCA")
+    NP, RL = 12288, 150
+    fq1, fq2 = fa_path + ".dxpe1.fq", fa_path + ".dxpe2.fq"
+    with open(fq1, "w") as f1, open(fq2, "w") as f2:
+        for i in range(NP):
+            ins = int(rng.normal(400, 40))
+            ins = max(2 * RL + 10, min(600, ins))
+            st = int(rng.integers(0, len(genome) - ins))
+            frag = genome[st : st + ins]
+            a = list(frag[:RL])
+            b = list(frag[-RL:])
+            for arr in (a, b):
+                for j in np.flatnonzero(rng.random(RL) < 0.01):
+                    arr[j] = "ACGT"[int(rng.integers(0, 4))]
+            f1.write(f"@q{i}\n{''.join(a)}\n+\n{'5' * RL}\n")
+            f2.write(f"@q{i}\n{''.join(b).translate(comp)[::-1]}\n+\n"
+                     f"{'5' * RL}\n")
+    refset = RefSet.from_fasta(fa_path)
+    idx = build_index(refset, KMER, NSKIP)
+    _ = idx.addrs
+
+    def leg(dx):
+        rand.ranseed(1)
+        eng = MapEngine(refset, idx, MapParams())
+        sink = io.StringIO()
+        t0 = time.time()
+        ok = run_pipeline_raw_pairs(eng, fq1, fq2, sink, refset,
+                                    device_exact=dx)
+        return (2 * NP / (time.time() - t0) if ok else 0.0,
+                sink.getvalue())
+
+    leg(True)                              # warm: compile + residency
+    dx_rate, dx_text = leg(True)
+    host_rate, host_text = leg(False)
+    identical = dx_text == host_text
+    assert identical, \
+        "PE --device-exact output diverged from the host pair lane"
+    os.unlink(fq1)
+    os.unlink(fq2)
+    return dx_rate, host_rate, identical
+
+
 def _bench_longreads(fa_path, genome, rng):
     """BASELINE config 5: kilobase noisy reads (454/PacBio-style, 1%
     substitutions + 1.5% indels) through the fast pipeline — the
@@ -778,6 +845,77 @@ def _bench_longreads(fa_path, genome, rng):
     return N / dt, N * RL / dt, ref_rate
 
 
+def _gen_chr_surrogate(GLEN, rng):
+    """chr20-scale repeat-structured surrogate (BASELINE config 4).
+    Real chr20 is unobtainable offline (zero egress), so the genome
+    is random sequence with a repeat structure matched to the human
+    genome's broad classes — the repeat mass is what stresses seed
+    budgets/repeat cutoffs/mapq at scale, not the exact sequence:
+    ~10% SINE-like (300 bp unit, ~2% divergence, dispersed), ~10%
+    LINE-like (3 kb unit, ~5% divergence), plus three ~100 kb
+    alpha-satellite-like tandem arrays (171 bp unit)."""
+    bases = np.array(list(b"ACGT"), np.uint8)
+    g = rng.choice(bases, GLEN)
+
+    def plant(unit_len, n_copies, div):
+        unit = rng.choice(bases, unit_len)
+        ats = rng.integers(0, GLEN - unit_len, n_copies)
+        for at in ats:
+            cp = unit.copy()
+            nmut = max(1, int(unit_len * div))
+            ix = rng.integers(0, unit_len, nmut)
+            cp[ix] = bases[rng.integers(0, 4, nmut)]
+            g[at:at + unit_len] = cp
+
+    plant(300, GLEN // 3000, 0.02)       # ~10% SINE-like
+    plant(3000, GLEN // 30000, 0.05)     # ~10% LINE-like
+    for _ in range(3):
+        unit = rng.choice(bases, 171)
+        reps = 100_000 // 171
+        at = int(rng.integers(0, GLEN - reps * 171))
+        g[at:at + reps * 171] = np.tile(unit, reps)
+    return g
+
+
+_RC_LUT = np.zeros(256, np.uint8)
+for _a, _b in zip(b"ACGT", b"TGCA"):
+    _RC_LUT[_a] = _b
+
+
+def _write_pairs_chunked(genome_arr, NPAIR, RL, rng, fq1, fq2,
+                         chunk=50_000):
+    """Vectorized paired-read generator (10M-pair scale): gathers,
+    mutates and revcomps whole chunks with numpy; only the FASTQ text
+    assembly is per-record."""
+    GLEN = len(genome_arr)
+    bases = np.array(list(b"ACGT"), np.uint8)
+    qual = "5" * RL
+    done = 0
+    with open(fq1, "w") as f1, open(fq2, "w") as f2:
+        while done < NPAIR:
+            n = min(chunk, NPAIR - done)
+            ins = np.clip(rng.normal(400, 40, n).astype(np.int64),
+                          2 * RL + 10, 600)
+            st = rng.integers(0, GLEN - 600, n)
+            offs = np.arange(RL)
+            A = genome_arr[st[:, None] + offs[None, :]].copy()
+            B = genome_arr[(st + ins - RL)[:, None] + offs[None, :]]
+            B = _RC_LUT[B[:, ::-1]].copy()
+            for arr in (A, B):
+                m = rng.random((n, RL)) < 0.01
+                arr[m] = bases[rng.integers(0, 4, int(m.sum()))]
+            b1, b2 = [], []
+            for j in range(n):
+                nm = done + j
+                b1.append(f"@c{nm}\n{A[j].tobytes().decode()}\n+\n"
+                          f"{qual}")
+                b2.append(f"@c{nm}\n{B[j].tobytes().decode()}\n+\n"
+                          f"{qual}")
+            f1.write("\n".join(b1) + "\n")
+            f2.write("\n".join(b2) + "\n")
+            done += n
+
+
 def _bench_chr_scale():
     """BASELINE config 4 (scaled): chromosome-size genome (64 Mb, human
     chr20-like scale) mapped paired-end through the fast CLI path on
@@ -801,10 +939,10 @@ def _bench_chr_scale():
                                1_000_000 if on_tpu else 500))
     RL = 150
     rng = np.random.default_rng(77)
-    bases = np.array(list(b"ACGT"), np.uint8)
-    g = rng.choice(bases, GLEN)
+    # round 5: chr20-like REPEAT-STRUCTURED surrogate (the r4 uniform
+    # genome understated repeat stress; VERDICT r4 #6)
+    g = _gen_chr_surrogate(GLEN, rng)
     genome = g.tobytes().decode()
-    comp = str.maketrans("ACGT", "TGCA")
     with tempfile.TemporaryDirectory() as d:
         fa = os.path.join(d, "chr.fa")
         with open(fa, "w") as f:
@@ -813,20 +951,7 @@ def _bench_chr_scale():
                 f.write(genome[i : i + 10000] + "\n")
         fq1 = os.path.join(d, "r1.fq")
         fq2 = os.path.join(d, "r2.fq")
-        with open(fq1, "w") as f1, open(fq2, "w") as f2:
-            for i in range(NPAIR):
-                ins = int(rng.normal(400, 40))
-                ins = max(2 * RL + 10, min(600, ins))
-                st = int(rng.integers(0, GLEN - ins))
-                frag = genome[st : st + ins]
-                a = list(frag[:RL])
-                b = list(frag[-RL:])
-                for arr in (a, b):
-                    for j in np.flatnonzero(rng.random(RL) < 0.01):
-                        arr[j] = "ACGT"[int(rng.integers(0, 4))]
-                f1.write(f"@c{i}\n{''.join(a)}\n+\n{'5' * RL}\n")
-                f2.write(f"@c{i}\n{''.join(b).translate(comp)[::-1]}\n"
-                         f"+\n{'5' * RL}\n")
+        _write_pairs_chunked(g, NPAIR, RL, rng, fq1, fq2)
         refset = RefSet.from_fasta(fa)
         idx = build_index(refset, KMER, NSKIP)
         kw = dict(nthreads=1, batch=8192,
@@ -907,8 +1032,16 @@ def _bench_chr_scale():
             env["JAX_PLATFORMS"] = "cpu"
             # fresh CPU-only XLA flags; drop the axon sitecustomize
             # shim (PYTHONPATH) — a second tunnel client crashes the
-            # CPU subprocess while the parent owns the device
-            env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+            # CPU subprocess while the parent owns the device.  The
+            # collective-timeout flag lifts XLA:CPU's 40 s rendezvous
+            # termination budget the r4 leg died on (8 virtual devices
+            # share one vCPU; arrival skew at 64 Mb is minutes).
+            env["XLA_FLAGS"] = (
+                "--xla_force_host_platform_device_count=8 "
+                "--xla_cpu_collective_call_terminate_timeout_seconds="
+                "36000 "
+                "--xla_cpu_collective_call_warn_stuck_timeout_seconds="
+                "3600")
             env["PYTHONPATH"] = ""
             env.pop("PYTHONSTARTUP", None)
             try:

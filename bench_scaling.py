@@ -117,6 +117,72 @@ def main():
     ip_base = ip_times[ip_sizes[0]]
     ip_effs = {n: ip_base / ip_times[n] for n in ip_sizes}
 
+    # --- per-stage split (the VERDICT r4 #4 evidence ask): time the
+    # seed+vote phase ALONE at ip=1 vs ip=max.  The bit-exact r5
+    # seeding replicates the global seed selection and the union-sort
+    # on every shard (correctness requires the same decisions
+    # everywhere), so the vote phase does NOT shrink with ip — its
+    # serialized share on the 1-vCPU emulator is the per_ip residual,
+    # while the SW phase scores each window once on its owning shard
+    # and scales by construction. ---
+    stage = {}
+    if len(ip_sizes) > 1:
+        from smalt_tpu.parallel.mesh import (device_seed_votes,
+                                             device_seed_votes_sharded,
+                                             shard_map, P)
+        from smalt_tpu.parallel.mesh import DeviceIndex as _DI
+
+        nmax = ip_sizes[-1]
+        vstep1 = jax.jit(lambda r: device_seed_votes(
+            di, r.astype(jnp.int32))[0][0][0])
+        stage["vote_ip1_ms"] = round(
+            time_step(vstep1, batch, "vote ip=1") * 1e3, 1)
+        devs = np.array(jax.devices()[:nmax]).reshape(1, nmax)
+        mesh = Mesh(devs, ("dp", "ip"))
+        sdi = ShardedDeviceIndex.build(refset, idx, n_shards=nmax)
+        hilo = sdi.words_lo is not None
+
+        def vstepN(reads, words, starts, pos, refa, base, llen,
+                   hi_table=None, words_lo=None):
+            dloc = _DI(wordlen=sdi.wordlen, nskip=sdi.nskip,
+                       words=words[0], starts=starts[0], pos=pos[0],
+                       ref_alpha=refa[0], ref_len=llen[0],
+                       hi_table=hi_table[0] if hilo else None,
+                       words_lo=words_lo[0] if hilo else None,
+                       lo_steps=sdi.lo_steps)
+            outs, hu, ht = device_seed_votes_sharded(
+                dloc, reads.astype(jnp.int32),
+                base[0] // sdi.nskip)
+            return outs[0][0]
+
+        in_specs = [P("dp", None), P("ip", None), P("ip", None),
+                    P("ip", None), P("ip", None), P("ip"), P("ip")]
+        if hilo:
+            in_specs += [P("ip", None, None), P("ip", None)]
+        vfn = shard_map(vstepN, mesh=mesh, in_specs=tuple(in_specs),
+                        out_specs=P(None), check_rep=False)
+        vargs = [sdi.words, sdi.starts, sdi.pos, sdi.ref_alpha,
+                 sdi.shard_base, sdi.local_len]
+        if hilo:
+            vargs += [sdi.hi_table, sdi.words_lo]
+        vj = jax.jit(lambda r: vfn(r, *vargs))
+        stage[f"vote_ip{nmax}_ms"] = round(
+            time_step(vj, batch, f"vote ip={nmax}") * 1e3, 1)
+        stage["step_ip1_ms"] = round(ip_times[ip_sizes[0]] * 1e3, 1)
+        stage[f"step_ip{nmax}_ms"] = round(ip_times[nmax] * 1e3, 1)
+        v1 = stage["vote_ip1_ms"]
+        vN = stage[f"vote_ip{nmax}_ms"]
+        s1 = stage["step_ip1_ms"]
+        sN = stage[f"step_ip{nmax}_ms"]
+        stage["residual_note"] = (
+            f"vote phase (replicated by the bit-exactness contract) "
+            f"grows {v1:.0f}->{vN:.0f} ms serialized over {nmax} "
+            f"emulated shards; the non-vote remainder "
+            f"{s1 - v1:.0f}->{sN - vN:.0f} ms carries the scaling SW "
+            f"work — on real chips the vote runs concurrently "
+            f"(replicated, not serialized) and its wall share is "
+            f"~vote_ip1/step_ip1")
+
     print(json.dumps({
         "metric": "weak_scaling_efficiency",
         "value": round(worst, 3),
@@ -124,6 +190,7 @@ def main():
         "vs_baseline": round(worst / 0.8, 3),
         "per_n": {str(n): round(effs[n], 3) for n in sizes},
         "per_ip": {str(n): round(ip_effs[n], 3) for n in ip_sizes},
+        "per_ip_stage": stage,
         "backend": jax.default_backend(),
     }))
 

@@ -329,16 +329,37 @@ def _expand_hits(di: DeviceIndex, base, counts, qoffs, is_reverse):
     return shift.reshape(B, -1), ok.reshape(B, -1)
 
 
-def _best_diagonal(shift, ok, tol):
+def _merge_sorted_asc(a, b):
+    """Bitonic merge of two equal-width power-of-2 ascending rows:
+    concat(a, reverse(b)) is bitonic; log2(2w) compare-exchange
+    stages sort it.  3x cheaper than re-sorting the concatenation on
+    the CPU emulator (measured 11 vs 32 ms at 4x120/2048 rows) and
+    the natural shape for the TPU VPU."""
+    B = a.shape[0]
+    m = jnp.concatenate([a, b[:, ::-1]], axis=1)
+    n = m.shape[1]
+    d = n // 2
+    while d >= 1:
+        p = m.reshape(B, n // (2 * d), 2, d)
+        lo = jnp.minimum(p[:, :, 0], p[:, :, 1])
+        hi = jnp.maximum(p[:, :, 0], p[:, :, 1])
+        m = jnp.stack([lo, hi], axis=2).reshape(B, n)
+        d //= 2
+    return m
+
+
+def _best_diagonal(shift, ok, tol, presorted=False):
     """Densest diagonal run per read: sort shifts, count how many of the
     following NSEED*MAXC-window fall within `tol`, pick the argmax.
     Returns (best_shift, votes, second_shift, second_votes, n2nd_est):
     n2nd_est counts the DISTINCT far diagonal clusters that tie the
     runner-up's vote count — on a multi-copy repeat every unscored copy
     is a plausible runner-up, and the mapq qn term needs their number
-    (results.c n_swatscor_2nd), not just the one window we score."""
+    (results.c n_swatscor_2nd), not just the one window we score.
+
+    presorted: `shift` is already ascending (invalid -2^30 first)."""
     B, N = shift.shape
-    s = jnp.sort(shift, axis=1)                  # invalid = -2^30 sort first
+    s = shift if presorted else jnp.sort(shift, axis=1)
     votes = jnp.zeros((B, N), jnp.int32)
     for d in range(1, min(N, 16)):
         nb = jnp.concatenate(
@@ -563,11 +584,33 @@ def device_seed_votes_sharded(di: DeviceIndex, reads, gb, axis="ip"):
         shift, ok = _expand_hits(di, sel_base, quota, sel_qoffs,
                                  is_reverse)
         shift = jnp.where(ok, shift + gb, -(1 << 30))
-        sh_all = jax.lax.all_gather(shift, axis)      # [ip, B, N]
-        ok_all = jax.lax.all_gather(ok, axis)
-        sh_u = jnp.moveaxis(sh_all, 0, 1).reshape(B, -1)
-        ok_u = jnp.moveaxis(ok_all, 0, 1).reshape(B, -1)
-        outs.append(_best_diagonal(sh_u, ok_u, tol))
+        # sort LOCALLY (scales), exchange the sorted runs, and merge
+        # with a bitonic cascade; the quota partition leaves <= N
+        # valid entries in the whole union, so the last N lanes of
+        # the merged result are BITWISE the array the single device
+        # sorts — the vote then runs at single-device width.  (A flat
+        # sort of the ip*N-lane union was the measured per_ip
+        # residual: 0.384 @ 4 flat, 0.62 with a tail-sliced sort, the
+        # merge cascade removes most of the rest.)
+        N_l = shift.shape[1]
+        shift_l = jnp.sort(shift, axis=1)
+        sh_all = jax.lax.all_gather(shift_l, axis)    # [ip, B, N]
+        Np2 = 1
+        while Np2 < N_l:
+            Np2 *= 2
+        runs = [jnp.pad(sh_all[s], ((0, 0), (Np2 - N_l, 0)),
+                        constant_values=np.int32(-(1 << 30)))
+                for s in range(ip)]
+        while len(runs) > 1:
+            nxt = [_merge_sorted_asc(runs[j], runs[j + 1])
+                   for j in range(0, len(runs) - 1, 2)]
+            if len(runs) % 2:
+                nxt.append(jnp.pad(
+                    runs[-1], ((0, 0), (runs[0].shape[1], 0)),
+                    constant_values=np.int32(-(1 << 30))))
+            runs = nxt
+        s_u = runs[0][:, -N_l:]
+        outs.append(_best_diagonal(s_u, None, tol, presorted=True))
     return outs, hits_used, hits_tot
 
 
