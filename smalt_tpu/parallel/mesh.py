@@ -995,54 +995,60 @@ def make_index_sharded_step(sdi: ShardedDeviceIndex, mesh: Mesh, matrix,
         has3 = votes3 > 0
 
         # ownership: the shard whose base range contains the window
-        # start scores it (halo >= S covers the right spill)
+        # start GATHERS it (halo >= S covers the right spill); the
+        # gathered contents psum into a replicated [N3, S] buffer and
+        # every shard then SCORES a balanced my::ip slice.  The r4/r5a
+        # design compacted owned windows under a fair-share CAP and
+        # scored them on the owner — but ownership skew is unbounded
+        # on real genomes (a satellite array or any clipped-to-0
+        # degenerate diagonal piles windows onto one shard; measured
+        # 564/512 overflow per 256-read group on the 64 Mb surrogate,
+        # silently dropping windows and breaking single-device
+        # identity).  Exchanging the window BYTES (~N3*S ints, <1 MB)
+        # removes the cap entirely: balance is exact by construction,
+        # every window scores once, and the content equals the single
+        # device's gather bit-for-bit.
         my = jax.lax.axis_index("ip")
         base_all = jax.lax.all_gather(base[0], "ip")         # [ip]
         owner = jnp.zeros((3, B), jnp.int32)
         for i in range(1, ip):
             owner = owner + (starts3 >= base_all[i]).astype(jnp.int32)
-        mine = (owner == my) & has3
-
-        # compact my windows.  Cap = fair share rounded to the
-        # kernel's 128-row tile PLUS one tile of slack: the Pallas
-        # kernel pads to 128 rows, so any looser cap quantizes into
-        # ip x extra tiles and the sharded SW work stops scaling
-        # (the r4 per_ip regression at small B).  Ownership skew
-        # beyond the slack tile (~4 sigma at production batches)
-        # leaves a window unscored — the same class of miss as the
-        # 3-window budget itself; the corpus oracle bounds the effect.
         N3 = 3 * B
-        CAPW = min(N3, -(-(N3 // ip) // 128) * 128 + 128)
-        flat = jnp.where(mine.reshape(N3),
-                         jnp.arange(N3, dtype=jnp.int32), np.int32(1 << 30))
-        sortidx = jnp.sort(flat)[:CAPW]
-        taken = sortidx < (1 << 30)
-        rowsel = jnp.where(taken, sortidx, 0)
-        st_loc = starts3.reshape(N3)[rowsel] - base[0]
+        ownN = owner.reshape(N3)
+        hasN = has3.reshape(N3)
+        st_loc = starts3.reshape(N3) - base[0]
+        offs = jnp.arange(S, dtype=jnp.int32)
+        gidx = jnp.clip(st_loc[:, None] + offs[None, :], 0,
+                        refa[0].shape[0] - 1)
+        mine = (ownN == my) & hasN
+        content = jnp.where(mine[:, None],
+                            refa[0][gidx].astype(jnp.int32), 0)
+        content = jax.lax.psum(content, "ip")    # replicated windows
         qc_f = reads.astype(jnp.int32)
         qc_r = _revcomp_batch(qc_f)
         qc_2 = jnp.where(sel_rev[:, None], qc_r, qc_f)
         qc3 = jnp.stack([qc_f, qc_r, qc_2]).reshape(N3, Q)
-        qcs = qc3[rowsel]
-        offs = jnp.arange(S, dtype=jnp.int32)
-        gidx = jnp.clip(st_loc[:, None] + offs[None, :], 0,
-                        refa[0].shape[0] - 1)
-        wins = refa[0][gidx]
-        slens = jnp.where(taken, S, 0)
+        NR = -(-N3 // ip)
+        ridx = jnp.arange(NR, dtype=jnp.int32) * ip + my
+        pad_row = ridx >= N3
+        rows = jnp.minimum(ridx, N3 - 1)
+        qcs = qc3[rows]
+        wins = content[rows]
+        slens = jnp.where(pad_row, 0, S)
         sc, ti, tj = sw_score_batch(qcs, wins, slens, matrix,
                                     gapopen_pos, gapext_pos,
                                     interpret=interpret, track=True)
-        # scatter to [3B] (+1 dump slot for untaken rows) and psum:
+        # scatter my slice to [3B] (+1 dump slot for pad rows), psum:
         # each window is scored by exactly one shard
-        dump = jnp.where(taken, sortidx, N3)
+        dump = jnp.where(pad_row, N3, rows)
 
         def scat(x):
             return jnp.zeros(N3 + 1, jnp.int32).at[dump].add(x)[:N3]
 
-        sc3 = jax.lax.psum(scat(jnp.where(taken, sc, 0)), "ip")
-        ti3 = jax.lax.psum(scat(jnp.where(taken, ti, 0)), "ip")
-        tj3 = jax.lax.psum(scat(jnp.where(taken, tj, 0)), "ip")
-        sc3 = jnp.where(has3.reshape(N3), sc3, 0)
+        sc3 = jax.lax.psum(scat(jnp.where(pad_row, 0, sc)), "ip")
+        ti3 = jax.lax.psum(scat(jnp.where(pad_row, 0, ti)), "ip")
+        tj3 = jax.lax.psum(scat(jnp.where(pad_row, 0, tj)), "ip")
+        sc3 = jnp.where(hasN, sc3, 0)
 
         # seed votes / counters are already the replicated GLOBAL
         # values (device_seed_votes_sharded) — no merge collectives
