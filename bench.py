@@ -109,7 +109,10 @@ def _backend_watchdog(timeout_s=420):
     """Fail loudly if jax backend acquisition wedges (a down TPU tunnel
     blocks inside a C call, so SIGALRM handlers never run — a watchdog
     thread is the only escape).  Returns an Event to set once the
-    backend is live."""
+    backend is live.  Re-armed with a longer budget over the device
+    residency upload + first measurement: the tunnel has been observed
+    to wedge MID-TRANSFER (blocked forever at ~0 CPU), which the
+    init-only watchdog missed."""
     import threading
 
     done = threading.Event()
@@ -170,7 +173,11 @@ def main():
         fa_path = f.name
     refset = RefSet.from_fasta(fa_path)
     idx = build_index(refset, KMER, NSKIP)
+    # second watchdog: the ~700 MB residency upload + first compile
+    # can block forever on a wedged tunnel with the backend "live"
+    _bd2 = _backend_watchdog(timeout_s=1500)
     di = DeviceIndex.build(refset, idx)
+    jax.block_until_ready(di.ref_alpha)
     m, go, ge = ali.make_score_matrix()
 
     on_tpu = jax.default_backend() == "tpu"
@@ -211,6 +218,7 @@ def main():
 
     f = jax.jit(many)
     int(f(batch, arrs))  # compile + warm
+    _bd2.set()           # residency + first dispatch survived
     outer = 3
     t0 = time.time()
     for _ in range(outer):
