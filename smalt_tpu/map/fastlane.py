@@ -915,15 +915,22 @@ class DeviceExact(DevicePass1):
                             else DeviceIndex.build(eng.refset, idx))
                 idx._dx_di = self._di
         p = eng.params
-        H = (int(os.environ.get("SMALT_DX_H", 128)) if host_hits
-             else 512)
+        # per-lane hit cap and pass-1 window pad scale with the read
+        # cap: the fixed H=128/SPAD=128 re-staged EVERY >= 128 bp read
+        # (window slen ~ qlen + band) and overflowed ~40% of 150 bp
+        # lanes; <= 128 bp reads keep the measured-optimal 128s
+        qscale = max(1, self._qcap // 128)
+        H = (int(os.environ.get("SMALT_DX_H", 128 * qscale))
+             if host_hits else 512)
         cfg = CollateCfg(wordlen=idx.wordlen,
                          nskip=idx.nskip,
                          maxhit=p.ktuple_maxhit,
                          B=self.batch, Q=self._qcap, H=H,
                          V=1 if host_hits else eng.refset.nseq,
                          host_hits=host_hits,
-                         NS=eng.refset.nseq if host_hits else 1)
+                         NS=eng.refset.nseq if host_hits else 1,
+                         SPAD=(128 if self._qcap <= 128
+                               else self._qcap + 128))
         on_tpu = None if self.interpret is None else not self.interpret
         matrix = np.asarray(eng.matrix)
         key = (cfg, matrix.tobytes(), eng.gapopen, eng.gapext, on_tpu)
@@ -1071,6 +1078,9 @@ class DeviceExact(DevicePass1):
         shapes (one compile per run)."""
         import jax
         nw = len(win)
+        # track read-cap growth (the __init__ value assumed the 128
+        # default; 150 bp reads need wider pass-2 bands)
+        self._p2_sp = max(self._p2_sp, 2 * self._qcap)
         Sp = self._p2_sp
         valid = ((win[:, 10] == 1) & (win[:, 2] <= Sp) &
                  (win[:, 9] <= Sp)).astype(np.uint8)

@@ -5419,13 +5419,17 @@ int64_t fl_map_pair_block(
         int64_t ql1, ql2;
         int rare_is_mate, mrc;
         const int64_t *hdrA = NULL, *hdrB = NULL, *hdr1, *hdr2;
-        int use_dev = 0;
+        int use_devA = 0, use_devB = 0, use_dev1, use_dev2;
 
         if (dev_state != NULL) {
             hdrA = dev_state + dev_offs_A[i];
             hdrB = dev_state + dev_offs_B[i];
-            use_dev = hdrA[7] == 0 && hdrB[7] == 0 &&
-                      !hdrA[0] && !hdrB[0];
+            /* per-MATE gating: a flagged mate restages alone while
+             * its partner keeps the device state (repeat-heavy
+             * corpora flag ~40% of mates; pair-level gating restaged
+             * ~65% of pairs) */
+            use_devA = hdrA[7] == 0 && !hdrA[0];
+            use_devB = hdrB[7] == 0 && !hdrB[0];
         }
 
         rs_blank(sA.rs);
@@ -5434,7 +5438,7 @@ int64_t fl_map_pair_block(
         nhitA = fl_pair_probe(&P, &sA, cA, qA, qlA, houtA);
         nhitB = fl_pair_probe(&P, &sB, cB, qB, qlB, houtB);
         if (nhitA < 0 || nhitB < 0)
-            use_dev = 0;      /* shortseq paths keep the host flow */
+            use_devA = use_devB = 0;  /* shortseq: host flow */
         if (nhitA < 0 && nhitB < 0) {
             /* both ShortSeq: two empty result sets */
             goto report;
@@ -5475,13 +5479,15 @@ int64_t fl_map_pair_block(
             s1 = &sB; c1 = cB; q1 = qB; ql1 = qlB; h1 = houtB;
             s2 = &sA; c2 = cA; q2 = qA; ql2 = qlA; h2 = houtA;
             hdr1 = hdrB; hdr2 = hdrA;
+            use_dev1 = use_devB; use_dev2 = use_devA;
         } else {
             rare_is_mate = 0;
             s1 = &sA; c1 = cA; q1 = qA; ql1 = qlA; h1 = houtA;
             s2 = &sB; c2 = cB; q2 = qB; ql2 = qlB; h2 = houtB;
             hdr1 = hdrA; hdr2 = hdrB;
+            use_dev1 = use_devA; use_dev2 = use_devB;
         }
-        mrc = use_dev
+        mrc = use_dev1
               ? fl_pair_map_single_dev(&P, s1, c1, q1, ql1, hdr1,
                                        dev_scores, dev_n_scores, 1)
               : fl_pair_map_single(&P, s1, c1, q1, ql1, NULL, 0, 1,
@@ -5512,7 +5518,7 @@ int64_t fl_map_pair_block(
                  * unless no proper pair was found.  Only the fine-
                  * rehash continuation stays with the Python oracle. */
                 int64_t mapq2 = 0, swscor2 = 0;
-                mrc = use_dev
+                mrc = use_dev2
                       ? fl_pair_map_single_dev(&P, s2, c2, q2, ql2,
                                                hdr2, dev_scores,
                                                dev_n_scores,
