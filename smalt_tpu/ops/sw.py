@@ -42,7 +42,7 @@ UNROLL = 4   # subject rows per fori_loop step.  Measured on v5e: small
              # per 32k x 100bp batch) and compiles 15x faster; huge
              # unrolled bodies are pathological for Mosaic (the banded
              # kernel took 906 s to compile at 16 rows, 3.7 s at 4).
-BAND_UNROLL = 4
+BAND_UNROLL = int(__import__("os").environ.get("SMALT_BAND_UNROLL", 16))
 
 
 def _cb_for(Q: int) -> int:
@@ -248,6 +248,24 @@ def sw_score_batch(qcodes, subj, slens, matrix, gapopen_pos, gapext_pos,
     return out[:B]
 
 
+def _band_cb(W: int, QB: int, S: int) -> int:
+    """Candidates per banded grid step.  SMALT_BAND_CB overrides for
+    sweeps; the default fills the sublane axis under a VMEM budget —
+    the r4 CB=16 at long widths left per-row fixed overhead dominant
+    (measured 1.4 -> 4.3 GCUPS going CB 16 -> 128 with UNROLL 16 at
+    Q=2048/W=640/B=1024, TPU_VALIDATE_r05)."""
+    import os
+    v = os.environ.get("SMALT_BAND_CB")
+    if v:
+        return int(v)
+    cb = 128
+    # per-block int32 residents: qbuf + sstate slabs (double-buffered
+    # by pallas) + H/E/acc/out planes
+    while cb > 16 and cb * 4 * (2 * (QB + S) + 4 * W) > (10 << 20):
+        cb //= 2
+    return cb
+
+
 def _make_swb_kernel(track: bool):
     """Banded SW, skewed frame: one grid step = CB candidates, band of
     W query columns on lanes.  The band slides one query column per
@@ -374,8 +392,7 @@ def _swb_batch_call(qbuf, subj, slens, matrix, params, W, interpret=False,
     B = subj.shape[0]
     S = subj.shape[1]
     QB = qbuf.shape[-1]
-    CB = 32 if W <= 256 else 16
-    CB = min(CB, B)
+    CB = min(_band_cb(W, QB, S), B)
     grid = (B // CB,)
     out = pl.pallas_call(
         _swb_kernel_track if track else _swb_kernel,
@@ -441,7 +458,7 @@ def sw_band_score_batch(qcodes, subj, slens, matrix, gapopen_pos,
     take = min(Q, QB - prepad)
     qbuf = jax.lax.dynamic_update_slice(qbuf, qcodes[:, :take],
                                         (0, prepad))
-    CB = 32 if W <= 256 else 16
+    CB = _band_cb(W, QB, Sp)
     Bp = -(-B // max(CB, 1)) * max(CB, 1)
     qbuf = _pad_to(qbuf, Bp, 0, 7)
     subj = _pad_to(_pad_to(subj, Sp, 1, 7), Bp, 0)

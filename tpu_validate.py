@@ -97,7 +97,7 @@ def main():
     # of tunnel latency whatever the batch, so the per-cell rate is a
     # property of the amortization, not the kernel.
     curve = {}
-    for mult in (1, 4, 16):
+    for mult in (1, 16, 64, 128):
         qs_m = np.tile(qs, (mult, 1))
         ss_m = np.tile(ss, (mult, 1))
         sl_m = np.tile(slens, mult)
