@@ -184,6 +184,12 @@ int mc_ali_band_make(int64_t l_edge, int64_t r_edge,
                      int64_t *o_ledge, int64_t *o_redge,
                      int64_t *o_sleft, int64_t *o_slen,
                      int64_t *o_qleft, int64_t *o_qlen, int64_t *o_bw);
+int sw_prof8_set(int slot, const int32_t *W, int qlen,
+                 int gap_init, int gap_ext);
+int sw_prof8_score(int slot, const uint8_t *subj, int slen);
+int sw_full_wide(const int32_t *W, int qlen, const uint8_t *subj,
+                 int slen, int gap_init, int gap_ext,
+                 int32_t *Hbuf, int32_t *Ebuf);
 int sw_band_fast(const int32_t *W, int qlen_prof, const uint8_t *subj,
                  int l_edge, int r_edge, int q_left, int q_len,
                  int s_left, int s_len, int gap_init, int gap_ext,
@@ -2956,6 +2962,7 @@ static int fl_pass1_replay(const FLParams *P, FLScratch *s,
     int64_t mmscordiff = P->match_avg - P->mismatch_avg;
     int64_t max1 = 0, max2 = 0, min_cover = 0, max_cover = 0;
     int64_t n_out = 0, c;
+    int prof8_state[2] = {-2, -2};  /* per strand, as mc_score_cands */
 
     for (c = 0; c < n_sort; c++) {
         const int64_t *g = rows + c * FL_GEOM_FIELDS;
@@ -2967,6 +2974,22 @@ static int fl_pass1_replay(const FLParams *P, FLScratch *s,
             if (w < 0 || w >= n_scores)
                 return FL_ERR_ASSERT;
             swscor = scores[w];
+        } else if (g[11]) {
+            /* device DECLINED an oversize SIMD window: score it with
+             * the host's striped kernel, exactly mc_score_cands'
+             * is_simd arm (8-bit striped, wide fallback) */
+            const uint8_t *subj = P->refcodes + P->offsets[g[6]] + g[2];
+            int64_t slen = g[3] - g[2] + 1;
+            int sl = is_rev ? 1 : 0, r8 = -1;
+            if (prof8_state[sl] == -2)
+                prof8_state[sl] = sw_prof8_set(sl, W, (int)qlen,
+                                               P->gap_init, P->gap_ext);
+            if (prof8_state[sl] == 0)
+                r8 = sw_prof8_score(sl, subj, (int)slen);
+            swscor = (r8 >= 0) ? r8
+                     : sw_full_wide(W, (int)qlen, subj, (int)slen,
+                                    P->gap_init, P->gap_ext,
+                                    s->Hbuf, s->Ebuf);
         } else {
             int64_t slen = g[3] - g[2] + 1;
             const uint8_t *subj = P->refcodes + P->offsets[g[6]] + g[2];
@@ -3591,6 +3614,11 @@ int64_t fl_exact_post_block(
     int64_t cap_cand = 0;
     uint32_t *keys = NULL, *idxs = NULL;
     int64_t *rows11 = NULL;
+    /* SMALT_DX_DEBUG: restage-cause breakdown (device fallback flag /
+     * checksum / depth-stats / geometry / is_simd cross-check) */
+    int64_t rs_dev = 0, rs_ck = 0, rs_stats = 0, rs_geom = 0,
+            rs_simd = 0;
+    int dbg = getenv("SMALT_DX_DEBUG") != NULL;
 
     for (i = 0; i < n_reads; i++) {
         int64_t c = counts2[i * 2] + counts2[i * 2 + 1];
@@ -3625,10 +3653,11 @@ int64_t fl_exact_post_block(
             continue;
         }
         /* divergence guards: device fallback flag + hit-info checksum */
-        if (dev_fallback[i] ||
-            dev_cksum[i * 4 + 0] != p[6] || dev_cksum[i * 4 + 1] != p[7] ||
-            dev_cksum[i * 4 + 2] != p[8] || dev_cksum[i * 4 + 3] != p[9])
-            restage = 1;
+        if (dev_fallback[i]) { restage = 1; rs_dev++; }
+        else if (dev_cksum[i * 4 + 0] != p[6] ||
+                 dev_cksum[i * 4 + 1] != p[7] ||
+                 dev_cksum[i * 4 + 2] != p[8] ||
+                 dev_cksum[i * 4 + 3] != p[9]) { restage = 1; rs_ck++; }
 
         if (!restage) {
             /* unpack pool rows to out11 form; maxcov = top-2 distinct */
@@ -3674,7 +3703,7 @@ int64_t fl_exact_post_block(
                                     target_depth, max_depth,
                                     (rmapflg & RMAPFLG_SENSITIVE) != 0,
                                     keys, idxs, &n_mincover);
-            if (n_sort < 0) restage = 1;
+            if (n_sort < 0) { restage = 1; rs_stats++; }
             else {
                 if (state_used + FL_HDR_FIELDS +
                     n_sort * FL_GEOM_FIELDS > state_cap) goto cap;
@@ -3695,23 +3724,30 @@ int64_t fl_exact_post_block(
                                             nseq, qlen, &qs, &qe, &rs_,
                                             &re_, &bl, &br) != 0) {
                         restage = 1;
+                        rs_geom++;
                         break;
                     }
                     is_simd = (qlen >= 32 && (br - bl) * 48 > qlen &&
                                qs == 0 && qe >= qlen - 1);
-                    /* geometry/simd cross-check vs the device */
+                    /* geometry/simd cross-check vs the device:
+                     * score >= 0 device-scored SIMD row; -2 the
+                     * device DECLINED an oversize SIMD window (the
+                     * host striped kernel scores it, g[11]); -1
+                     * non-SIMD (host banded) */
                     if (pidx >= n_pool ||
-                        (is_simd != (scores[pidx] >= 0))) {
+                        (is_simd ? scores[pidx] == -1
+                                 : scores[pidx] != -1)) {
                         restage = 1;
+                        rs_simd++;
                         break;
                     }
                     g[0] = qs; g[1] = qe; g[2] = rs_; g[3] = re_;
                     g[4] = bl; g[5] = br; g[6] = row[10];
                     g[7] = (row[8] & CANDFLAG_REVERSE) ? 1 : 0;
                     g[8] = row[7];
-                    g[9] = is_simd;
-                    g[10] = is_simd ? pidx : -1;
-                    g[11] = 0;
+                    g[9] = is_simd && scores[pidx] >= 0;
+                    g[10] = g[9] ? pidx : -1;
+                    g[11] = (is_simd && scores[pidx] == -2) ? 1 : 0;
                 }
             }
         }
@@ -3729,6 +3765,12 @@ int64_t fl_exact_post_block(
     state_offs[n_reads] = state_used;
     free(keys); free(idxs); free(rows11);
     if (n_restage_out) *n_restage_out = n_restage;
+    if (dbg && n_restage)
+        fprintf(stderr, "# dx-post restage split: dev_fb=%lld ck=%lld "
+                "stats=%lld geom=%lld simdx=%lld of %lld\n",
+                (long long)rs_dev, (long long)rs_ck,
+                (long long)rs_stats, (long long)rs_geom,
+                (long long)rs_simd, (long long)n_restage);
     return 0;
 cap:
     free(keys); free(idxs); free(rows11);

@@ -598,6 +598,14 @@ def build_exact_collate(di, ivals_np, matrix_np, go, ge, cfg: CollateCfg,
                    (qs2 == 0) & (qe2 >= qlen_p - 1))
         slen = re2 - rs2 + 1
         fit = slen <= SPAD
+        # NOTE: the host post block (fl_exact_post_block) and replay
+        # (fl_pass1_replay g[11]) already accept a score of -2 as
+        # "device declined an oversize SIMD window - host scores that
+        # one row with the striped kernel"; emitting -2 here instead
+        # of flagging the read is the next step once the other
+        # fallback sources (pool cap / scan overflow) stop dominating
+        # (r5 measured: restage counts invariant to this change, and
+        # the wider score select cost ~0.2 s/batch on the tunnel rig).
         bad_geom = pool_ok & (~geom_ok | (is_simd & ~fit))
         fallback = fallback | \
             jnp.zeros((B,), bool).at[pool_read].max(bad_geom)
