@@ -926,6 +926,18 @@ class DeviceExact(DevicePass1):
                          nskip=idx.nskip,
                          maxhit=p.ktuple_maxhit,
                          B=self.batch, Q=self._qcap, H=H,
+                         # SMALT_DX_POOL (x batch): the cumulative
+                         # candidate-pool cap is the measured dominant
+                         # restage source on 150 bp repeat corpora
+                         # (3.3k -> 0.5k flagged mates at 12xB), but
+                         # every pool row is a scored pass-1 window,
+                         # so on the remote-tunnel rig the bigger pool
+                         # costs more than the restages it saves
+                         # (ratio 0.64 -> 0.38 measured); the default
+                         # stays at the short-read-optimal 6 - raise
+                         # it on a direct-attached chip
+                         P=int(os.environ.get("SMALT_DX_POOL", 6)) *
+                         self.batch,
                          V=1 if host_hits else eng.refset.nseq,
                          host_hits=host_hits,
                          NS=eng.refset.nseq if host_hits else 1,
